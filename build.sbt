@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark 4's ICU case mapping for UTF8_BINARY pays a ~80s one-time
+  // CollationAwareUTF8String static init on first lower()/upper() in this
+  // container; JVM mappings are identical for our data and DuckDB's lower().
+  "-Dspark.sql.icu.caseMappings.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
