@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // CollationAwareUTF8String static init on first lower()/upper() in this
   // container; JVM mappings are identical for our data and DuckDB's lower().
   "-Dspark.sql.icu.caseMappings.enabled=false",
+  // events.parquet carries TIMESTAMP(NANOS); Spark can only surface it as a
+  // ns-long (converted to TimestampType at the scan in Tables.events).
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

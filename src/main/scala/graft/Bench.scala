@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // see build.sbt: avoids an ~80s one-time ICU init on first lower()
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs one-time session-state + codegen-framework

@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.Marketplace
+import graft.queries.{Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,8 +14,8 @@ import graft.queries.Marketplace.AdsSearchParams
 object SparkEntry {
 
   /** Fixed parameters of the flagship search used for verification/bench:
-    * page 2 of ECONOMY-agnostic "widget" listings at 905..960, cheapest
-    * first. Chosen to be non-empty at every provided scale factor.
+    * page 2 of "widget" listings at 905..960, cheapest first. Chosen to be
+    * non-empty at every provided scale factor.
     */
   private val flagshipParams = AdsSearchParams(
     search = Some("widget"), minPrice = Some(905.0), maxPrice = Some(960.0),
@@ -31,8 +31,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ads_search" -> ((s, dir) => Marketplace.adsSearch(s, dir, flagshipParams)),
-    "ads_count"  -> ((s, dir) => Marketplace.adsCount(s, dir, flagshipParams)),
+    "ads_search"         -> ((s, d) => Marketplace.adsSearch(s, d, flagshipParams)),
+    "ads_count"          -> ((s, d) => Marketplace.adsCount(s, d, flagshipParams)),
+    "my_ads"             -> ((s, d) => Marketplace.myAds(s, d, custkey = 1)),
+    "ad_by_id"           -> ((s, d) => Marketplace.adById(s, d, orderkey = 42)),
+    "categories"         -> ((s, d) => Marketplace.categories(s, d)),
+    "favorites_list"     -> ((s, d) => Marketplace.favoritesList(s, d, partkey = 7)),
+    "favorite_check"     -> ((s, d) => Marketplace.favoriteCheck(s, d, orderkey = 1, partkey = 1)),
+    "trades"             -> ((s, d) => Marketplace.trades(s, d)),
+    "admin_users"        -> ((s, d) => Marketplace.adminUsers(s, d)),
+    "admin_ads"          -> ((s, d) => Marketplace.adminAds(s, d)),
+    "admin_stats"        -> ((s, d) => Marketplace.adminStats(s, d)),
+    "conversations_list" -> ((s, d) => Social.conversationsList(s, d)),
+    "messages"           -> ((s, d) => Social.messages(s, d, userId = 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +73,93 @@ object SparkEntry {
       """SELECT count(*) AS total FROM part
         |WHERE strpos(lower(p_name), 'widget') > 0
         |  AND p_retailprice >= 905.0 AND p_retailprice <= 960.0""".stripMargin,
+    "my_ads" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+        |       COALESCE(f.fav_count, 0) AS fav_count
+        |FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, count(*) AS fav_count
+        |           FROM lineitem GROUP BY 1) f
+        |  ON o.o_orderkey = f.l_orderkey
+        |WHERE o.o_custkey = 1 AND o.o_orderstatus <> 'F'
+        |ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |LIMIT 20""".stripMargin,
+    "ad_by_id" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
+        |       c.c_custkey, c.c_name, c.c_mktsegment, n.n_name AS category_name,
+        |       COALESCE(f.fav_count, 0) AS fav_count
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN (SELECT l_orderkey, count(*) AS fav_count
+        |           FROM lineitem GROUP BY 1) f
+        |  ON o.o_orderkey = f.l_orderkey
+        |WHERE o.o_orderkey = 42""".stripMargin,
+    "categories" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_name ASC, n.n_nationkey ASC""".stripMargin,
+    "favorites_list" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_totalprice,
+        |       o.o_orderstatus, c.c_name, n.n_name AS category_name
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_partkey = 7 AND o.o_orderstatus <> 'F'
+        |ORDER BY l.l_shipdate DESC, l.l_orderkey DESC, l.l_linenumber ASC
+        |LIMIT 20""".stripMargin,
+    "favorite_check" ->
+      """SELECT (count(*) > 0) AS favorited FROM lineitem
+        |WHERE l_orderkey = 1 AND l_partkey = 1""".stripMargin,
+    "trades" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       l.l_extendedprice * (1.0 - l.l_discount) AS revenue,
+        |       c.c_name, bn.n_name AS buyer_nation, s.s_name,
+        |       sn.n_name AS supplier_nation
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation bn ON c.c_nationkey = bn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |ORDER BY revenue DESC, l.l_orderkey ASC, l.l_linenumber ASC
+        |LIMIT 50""".stripMargin,
+    "admin_users" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+        |       COALESCE(f.ad_count, 0) AS ad_count
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, count(*) AS ad_count
+        |           FROM orders GROUP BY 1) f
+        |  ON c.c_custkey = f.o_custkey
+        |ORDER BY c.c_custkey DESC
+        |LIMIT 50""".stripMargin,
+    "admin_ads" ->
+      """SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus, o.o_orderdate,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |LIMIT 50 OFFSET 50""".stripMargin,
+    "admin_stats" ->
+      """SELECT (SELECT count(*) FROM customer) AS total_users,
+        |       (SELECT count(*) FROM orders) AS total_ads,
+        |       (SELECT count(*) FROM orders WHERE o_orderstatus = 'O') AS active_ads,
+        |       (SELECT count(*) FROM nation) AS total_categories""".stripMargin,
+    "conversations_list" ->
+      """WITH latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT l.user_id, c.c_name, l.event_type AS last_event_type,
+        |       l.ts AS last_ts, l.value AS last_value
+        |FROM latest l JOIN customer c ON l.user_id = c.c_custkey
+        |WHERE l.rn = 1
+        |ORDER BY last_ts DESC, l.user_id ASC
+        |LIMIT 50""".stripMargin,
+    "messages" ->
+      """SELECT e.event_id, e.ts, e.event_type, e.value, c.c_name AS sender_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id = 3
+        |ORDER BY e.ts ASC, e.event_id ASC""".stripMargin,
   )
 }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see build.sbt: avoids an ~80s one-time ICU init on first lower()
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

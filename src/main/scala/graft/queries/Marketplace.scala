@@ -4,12 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{Pagination, Predicates}
+import graft.ops.{Joins, Pagination, Predicates}
 
-/** The reference's flagship listing queries (`/root/reference/src/routes/ads.ts`)
-  * re-expressed on the driver's star schema (FIXTURES.md casting: `part` plays
-  * `Ad` — title=p_name, price=p_retailprice, category=p_type; `lineitem`
-  * occurrences per part play per-ad favorite counts).
+/** The reference's marketplace read endpoints (`/root/reference/src/routes/
+  * {ads,favorites,admin}.ts`) re-expressed on the driver's star schema
+  * (FIXTURES.md casting):
+  *
+  *   - `part` plays `Ad` for catalog search (title=p_name, price=p_retailprice)
+  *   - `orders` plays `Ad` for user-centric listings (userId=o_custkey,
+  *     status=o_orderstatus with 'O'=active / 'F'=deleted, createdAt=o_orderdate)
+  *   - `customer` plays `User`, `nation`/`region` play `Category`
+  *   - `lineitem` rows play `Favorite` pairs ((l_orderkey,l_partkey) ~
+  *     (adId,userId)); lineitem-count-per-key plays `_count.favorites`
   */
 object Marketplace {
 
@@ -39,32 +45,19 @@ object Marketplace {
     * left join (`_count.favorites`, `ads.ts:150-153`) → param-driven sort →
     * OFFSET/LIMIT page.
     *
-    * Scale shape: the filtered listing side is pruned FIRST, then the
-    * favorite-count aggregation runs over a semi-join-pruned fact table, so
-    * the shuffle for the count is proportional to the page's candidate set,
-    * not all of `lineitem`. The final left join is broadcast-able (AQE picks
-    * it up from the pruned size).
+    * Scale shape: the listing side is pruned FIRST, then the favorite-count
+    * aggregation runs over a semi-join-pruned fact table, so the count
+    * shuffle is proportional to the candidate set, not all of `lineitem`.
     */
   def adsSearch(spark: SparkSession, sfDir: String, p: AdsSearchParams): DataFrame = {
     val filtered = adsFiltered(spark, sfDir, p)
-    val favCounts = Tables.lineitem(spark, sfDir)
-      .join(filtered.select("p_partkey"),
-        col("l_partkey") === col("p_partkey"), "left_semi")
-      .groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("fav_count"))
-    val joined = filtered
-      .join(favCounts, filtered("p_partkey") === favCounts("l_partkey"), "left")
-      .select(
-        filtered("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
-        col("p_size"), col("p_retailprice"),
-        coalesce(col("fav_count"), lit(0L)).as("fav_count"))
-    Pagination.page(joined, sortOrder(p.sortBy), p.page, p.limit)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val withFav = Joins.withCount(
+      filtered, "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey", "fav_count")
+    Pagination.page(withFav, sortOrder(p.sortBy), p.page, p.limit)
   }
 
-  /** Sort selection (`ads.ts:126-132`) with deterministic id tie-break
-    * (SURVEY §7.4: the reference inherits Postgres's unstable tie order; we
-    * define one so pagination is stable and oracle-comparable).
-    */
+  /** Sort selection (`ads.ts:126-132`) with deterministic id tie-break. */
   private def sortOrder(sortBy: String): Seq[Column] = sortBy match {
     case "price_low"  => Seq(col("p_retailprice").asc, col("p_partkey").asc)
     case "price_high" => Seq(col("p_retailprice").desc, col("p_partkey").asc)
@@ -74,4 +67,152 @@ object Marketplace {
   /** The pagination-count twin (`ads.ts:155`): same WHERE, scalar count. */
   def adsCount(spark: SparkSession, sfDir: String, p: AdsSearchParams): DataFrame =
     adsFiltered(spark, sfDir, p).agg(count(lit(1)).as("total"))
+
+  /** `GET /api/ads/my/listings` (`ads.ts:211-231`): the caller's ads, any
+    * status except deleted (P4), newest first (O1), with favorite counts.
+    */
+  def myAds(spark: SparkSession, sfDir: String, custkey: Long): DataFrame = {
+    val mine = Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === custkey && col("o_orderstatus") =!= "F")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val withFav = Joins.withCount(
+      mine, "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey", "fav_count")
+    withFav.orderBy(col("o_orderdate").desc, col("o_orderkey").desc).limit(20)
+  }
+
+  /** `GET /api/ads/:id` (`ads.ts:176-208`): point lookup (J10) + seller join
+    * (J1) + category join (J2) + favorite count (J3).
+    *
+    * Scale shape: the single-key filter prunes to ≤1 row before any join, so
+    * the dims broadcast trivially; the favorite count scans only the
+    * matching lineitem slice (parquet row-group stats prune on l_orderkey).
+    */
+  def adById(spark: SparkSession, sfDir: String, orderkey: Long): DataFrame = {
+    val ad = Tables.orders(spark, sfDir).filter(col("o_orderkey") === orderkey)
+    val seller = broadcast(Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+    val cat = broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name"))
+    val joined = ad
+      .join(seller, ad("o_custkey") === seller("c_custkey"))
+      .join(cat, seller("c_nationkey") === cat("n_nationkey"))
+      .select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name").as("category_name"))
+    Joins.withCount(joined, "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey", "fav_count")
+  }
+
+  /** `GET /api/ads/categories/all` (`ads.ts:270-281`): full dim list, name
+    * asc (O3). Category dim = nation ⋈ region chain.
+    */
+  def categories(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_name").asc, col("n_nationkey").asc)
+
+  /** `GET /api/favorites` (`favorites.ts:69-99`): J5 three-level include
+    * (favorite → ad → seller → category), with the reference's post-fetch
+    * deleted-ad filter (P9, `favorites.ts:95`) kept IN-plan so it pushes
+    * down to the scan instead of running client-side.
+    */
+  def favoritesList(spark: SparkSession, sfDir: String, partkey: Long): DataFrame = {
+    val favs = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") === partkey)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_shipdate")
+    val ads = Tables.orders(spark, sfDir).filter(col("o_orderstatus") =!= "F")
+    val seller = broadcast(Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey"))
+    val cat = broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name"))
+    favs
+      .join(ads, favs("l_orderkey") === ads("o_orderkey"))
+      .join(seller, ads("o_custkey") === seller("c_custkey"))
+      .join(cat, seller("c_nationkey") === cat("n_nationkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("o_totalprice"), col("o_orderstatus"), col("c_name"),
+        col("n_name").as("category_name"))
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").asc)
+      .limit(20)
+  }
+
+  /** `GET /api/favorites/check/:adId` (`favorites.ts:105-121`): J8 existence
+    * as a boolean (`!!favorite`).
+    */
+  def favoriteCheck(spark: SparkSession, sfDir: String, orderkey: Long, partkey: Long): DataFrame =
+    Joins.existsAs(
+      Tables.lineitem(spark, sfDir),
+      col("l_orderkey") === orderkey && col("l_partkey") === partkey,
+      "favorited")
+
+  /** The J6 shape (`chat.ts:28-42`: Conversation joins the SAME User dim
+    * twice under two aliases): each trade joins `nation` twice — once via
+    * the buyer, once via the supplier. Also the widest join chain we bench
+    * (5 joins, 2 of them to the same dim).
+    *
+    * Scale shape: nation/customer/supplier are broadcast; the only shuffle
+    * is lineitem⋈orders on orderkey — and the final top-50 is a
+    * TakeOrdered, not a global sort.
+    */
+  def trades(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ords = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name", "c_nationkey"))
+    val supp = broadcast(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name", "s_nationkey"))
+    val buyerNation = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("bn_key"), col("n_name").as("buyer_nation")))
+    val suppNation = broadcast(Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supplier_nation")))
+    li.join(ords, li("l_orderkey") === ords("o_orderkey"))
+      .join(cust, ords("o_custkey") === cust("c_custkey"))
+      .join(buyerNation, cust("c_nationkey") === col("bn_key"))
+      .join(supp, li("l_suppkey") === supp("s_suppkey"))
+      .join(suppNation, supp("s_nationkey") === col("sn_key"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        col("c_name"), col("buyer_nation"), col("s_name"), col("supplier_nation"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(50)
+  }
+
+  /** `GET /api/admin/users` (`admin.ts:14-37`): every user with their ad
+    * count (J4), newest-key first, first page.
+    */
+  def adminUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    // prune=false: this is a full-dim listing — every order group survives,
+    // so a semi-join prepass would only add a pass over the fact table.
+    val withAds = Joins.withCount(
+      users, "c_custkey", Tables.orders(spark, sfDir), "o_custkey", "ad_count", prune = false)
+    Pagination.page(withAds, Seq(col("c_custkey").desc), 1, 50)
+  }
+
+  /** `GET /api/admin/ads` (`admin.ts:74-100`): all ads regardless of status,
+    * seller joined, newest first, page 2 (exercises the offset path O6).
+    */
+  def adminAds(spark: SparkSession, sfDir: String): DataFrame = {
+    val ords = Tables.orders(spark, sfDir)
+    val cust = broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name"))
+    val joined = ords.join(cust, ords("o_custkey") === cust("c_custkey"))
+      .select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderdate"), col("c_name"))
+    Pagination.page(joined, Seq(col("o_orderdate").desc, col("o_orderkey").desc), 2, 50)
+  }
+
+  /** `GET /api/admin/stats` (`admin.ts:129-153`): four global counts (A2).
+    * The reference fires 4 parallel queries; one Spark job computes the two
+    * order counts in a single scan (`count_if`) and cross-joins the two
+    * tiny dim counts — 3 scans instead of 4, single row out.
+    */
+  def adminStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val orderStats = Tables.orders(spark, sfDir).agg(
+      count(lit(1)).as("total_ads"),
+      count_if(col("o_orderstatus") === "O").as("active_ads"))
+    val userCount = Tables.customer(spark, sfDir).agg(count(lit(1)).as("total_users"))
+    val catCount = Tables.nation(spark, sfDir).agg(count(lit(1)).as("total_categories"))
+    userCount.crossJoin(orderStats).crossJoin(catCount)
+  }
 }
