@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{Marketplace, Social}
+import graft.queries.{Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +44,10 @@ object SparkEntry {
     "admin_stats"        -> ((s, d) => Marketplace.adminStats(s, d)),
     "conversations_list" -> ((s, d) => Social.conversationsList(s, d)),
     "messages"           -> ((s, d) => Social.messages(s, d, userId = 3)),
+    "upsert_seed"        -> ((s, d) => Maintenance.upsertSeed(s, d)),
+    "cascade_delete"     -> ((s, d) => Maintenance.cascadeDelete(s, d)),
+    "patch_update"       -> ((s, d) => Maintenance.patchUpdate(s, d)),
+    "current_state"      -> ((s, d) => Maintenance.currentState(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -161,5 +165,43 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.user_id = 3
         |ORDER BY e.ts ASC, e.event_id ASC""".stripMargin,
+    "upsert_seed" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT * FROM (VALUES (1, 'NATION_1', 1), (900, 'ZENITHIA', 0),
+        |                      (901, 'AVALORIA', 2))
+        |  AS v(n_nationkey, n_name, n_regionkey)
+        |WHERE v.n_name NOT IN (SELECT n_name FROM nation)
+        |ORDER BY n_nationkey ASC""".stripMargin,
+    "cascade_delete" ->
+      """SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE NOT (o_orderstatus = 'F')) AS surviving_ads,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN
+        |     (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+        |    AS surviving_favorites""".stripMargin,
+    "patch_update" ->
+      """WITH patch(pk, p_name, p_seg) AS (
+        |  SELECT * FROM (VALUES (1, 'UPDATED_NAME_1', NULL),
+        |                        (3, NULL, 'PATCHED'),
+        |                        (999999, 'GHOST', 'GHOST')) v
+        |)
+        |SELECT c.c_custkey, COALESCE(p.p_name, c.c_name) AS c_name,
+        |       c.c_nationkey, c.c_acctbal,
+        |       COALESCE(p.p_seg, c.c_mktsegment) AS c_mktsegment
+        |FROM customer c LEFT JOIN patch p ON c.c_custkey = p.pk
+        |WHERE c.c_custkey IN (1, 2, 3)
+        |ORDER BY c.c_custkey ASC""".stripMargin,
+    "current_state" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |       value AS last_value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
   )
 }
