@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
+import graft.ext.{Dedup, EventAnalytics, Similarity, TextStats}
 import graft.queries.{Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -48,6 +49,23 @@ object SparkEntry {
     "cascade_delete"     -> ((s, d) => Maintenance.cascadeDelete(s, d)),
     "patch_update"       -> ((s, d) => Maintenance.patchUpdate(s, d)),
     "current_state"      -> ((s, d) => Maintenance.currentState(s, d)),
+    // LLM-pipeline extension ops (BASELINE.json north star)
+    "dedup_exact"        -> ((s, d) => Dedup.exactSummary(s, d)),
+    "dedup_keepers"      -> ((s, d) => Dedup.exactKeepers(s, d)),
+    "dedup_minhash"      -> ((s, d) => Dedup.minHashPairs(s, d)),
+    "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d)),
+    "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
+    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
+    "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
+    "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
+    "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
+    "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
+    "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
+    "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
+    "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +221,118 @@ object SparkEntry {
         |       value AS last_value
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id ASC""".stripMargin,
+    "dedup_exact" ->
+      """WITH g AS (
+        |  SELECT sha256(text) AS fp, count(*) AS copies
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT sum(copies)::BIGINT AS total_docs,
+        |       count(*) AS distinct_texts,
+        |       (sum(copies) - count(*))::BIGINT AS dup_docs_removed
+        |FROM g""".stripMargin,
+    "dedup_keepers" ->
+      """WITH g AS (
+        |  SELECT sha256(text) AS fp, min(doc_id) AS keeper_doc_id,
+        |         count(*) AS copies
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT fp, keeper_doc_id, copies FROM g
+        |WHERE copies > 1
+        |ORDER BY keeper_doc_id ASC""".stripMargin,
+    "knn_brute" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+        |  FROM emb q, emb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
+        |  FROM pairs
+        |)
+        |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(n_chars)::BIGINT AS total_chars,
+        |       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |           END)::BIGINT AS total_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id, lang, length(text) AS text_len,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  ( (length(text) - length(replace(text, '.', '')))
+        |  + (length(text) - length(replace(text, ',', '')))
+        |  + (length(text) - length(replace(text, '!', '')))
+        |  + (length(text) - length(replace(text, '?', '')))
+        |  + (length(text) - length(replace(text, ';', '')))
+        |  + (length(text) - length(replace(text, ':', ''))))::DOUBLE
+        |    / length(text)::DOUBLE AS punct_ratio,
+        |  len(regexp_extract_all(text, '[A-Z]'))::DOUBLE
+        |    / length(text)::DOUBLE AS upper_ratio,
+        |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+        |    / length(text)::DOUBLE AS digit_ratio,
+        |  CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) = 0
+        |       THEN 0.0
+        |       ELSE length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |            / (CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |               END)::DOUBLE END AS avg_word_len,
+        |  (length(text) < 50 OR
+        |   (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) < 8)
+        |    AS is_low_quality
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
+    "hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY hour ASC, event_type ASC""".stripMargin,
+    "sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), per_sess AS (
+        |  SELECT user_id, sess_id, count(*) AS n FROM sess GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+        |       sum(n)::BIGINT AS total_events
+        |FROM per_sess GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
+    "top_parts_per_brand" ->
+      """WITH ranked AS (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC,
+        |                                     p_partkey ASC) AS price_rank
+        |  FROM part
+        |)
+        |SELECT p_brand, price_rank, p_partkey, p_name, p_retailprice
+        |FROM ranked WHERE price_rank <= 3
+        |ORDER BY p_brand ASC, price_rank ASC""".stripMargin,
   )
 }

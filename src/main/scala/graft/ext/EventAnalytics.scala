@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.ops.Windows
+
+/** Event-time analytics over the `events` stream table — new capability
+  * beyond the reference's arrival-order-only WebSocket handling (SURVEY
+  * §2.10): tumbling windows, sessionization, top-k per group. The batch
+  * forms here are oracle-checked; the streaming forms (watermarked) live in
+  * graft.streaming and are covered by MemoryStream tests.
+  */
+object EventAnalytics {
+
+  /** Tumbling 1-hour event-time windows per event type: arrival counts,
+    * user reach, min/max value (order-independent → oracle-exact; double
+    * SUMs are deliberately excluded from verified output — summation order
+    * differs across engines).
+    *
+    * Scale shape: single hash-agg on (hour, type) with map-side partials;
+    * a 100 TB month of events reduces to |hours|×|types| rows.
+    */
+  def hourlyWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("hour").asc, col("event_type").asc)
+
+  /** Session stats per user: sessions split on >30 min inactivity
+    * (gaps-and-islands via lag + running sum), then per-user rollup.
+    *
+    * Scale shape: one shuffle on user_id serves both windows and the final
+    * group-by (same partitioning, no second shuffle).
+    */
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val flagged = Tables.events(spark, sfDir)
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_sess",
+        when(col("__prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("__prev"))) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__sess_id", sum(col("__new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("__sess_id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("__n")).as("max_session_events"),
+        sum(col("__n")).as("total_events"))
+      .orderBy(col("user_id").asc)
+  }
+
+  /** Top-3 priciest parts per brand (rank-per-group, the generalized W1). */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame =
+    Windows.withRank(
+      Tables.part(spark, sfDir),
+      partition = Seq(col("p_brand")),
+      order = Seq(col("p_retailprice").desc, col("p_partkey").asc),
+      as = "price_rank")
+      .filter(col("price_rank") <= 3)
+      .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"))
+      .orderBy(col("p_brand").asc, col("price_rank").asc)
+}

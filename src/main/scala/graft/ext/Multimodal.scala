@@ -1,0 +1,111 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+
+/** Multimodal-column plumbing for training-data pipelines (BASELINE.json
+  * north star): media as opaque `binary` columns + typed metadata structs,
+  * with decode / feature-extract / frame-sample stages.
+  *
+  * The actual codecs (image/audio/video) are NOT in this container, so the
+  * decode kernel is a clearly-marked deterministic STUB — but the
+  * Spark-side plumbing is real and tested: schema shape, binary column
+  * handling, partition-wise batch processing (`mapPartitions`, the Scala
+  * analog of `mapInPandas` batch UDFs — one iterator per partition is
+  * exactly where a JNI/native codec call sits), and downstream ANN-able
+  * feature vectors.
+  *
+  * Scale notes: binary payloads never shuffle — decode/extract are
+  * narrow (partition-local) transforms; only the small extracted
+  * metadata/features move. `spark.sql.files.maxPartitionBytes` bounds
+  * per-task media bytes.
+  */
+object Multimodal {
+
+  /** Media table derived from testdata: `documents.text` bytes stand in
+    * for an encoded media payload (TESTDATA provides no real blobs).
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"))
+
+  /** Oracle-checkable metadata: payload byte length per media row (the
+    * only property of an opaque blob both engines compute identically).
+    */
+  def mediaMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir).select(
+      col("media_id"), col("media_type"),
+      length(col("content")).as("n_bytes"))
+      .orderBy(col("media_id").asc)
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Partition-wise decode. THE KERNEL IS A STUB: a real deployment
+    * replaces `fakeDecode` with the native codec call (libjpeg/ffmpeg via
+    * JNI, or hand the iterator to an Arrow batch for a Python
+    * `mapInPandas` stage). Deterministic fake: dimensions derived from the
+    * payload bytes so tests are stable.
+    */
+  def decode(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "media_type", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val mt = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val (w, h, d) = fakeDecode(mt, bytes)
+        Row(id, mt, bytes.length, w, h, d)
+      }
+    }(enc)
+  }
+
+  /** STUB standing in for the real media codec (not available in this
+    * container). Deterministic pure function of the payload.
+    */
+  private def fakeDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Long) = {
+    var acc = 1125899906842597L // FNV-ish fold over the payload
+    var i = 0
+    while (i < bytes.length) { acc = 31 * acc + bytes(i); i += 1 }
+    val pos = acc & Long.MaxValue
+    mediaType match {
+      case "image" => (((pos % 1920) + 1).toInt, (((pos >> 16) % 1080) + 1).toInt, 0L)
+      case "audio" => (0, 0, (pos % 600000L) + 1L)
+      case _       => (((pos % 1280) + 1).toInt, (((pos >> 16) % 720) + 1).toInt, (pos % 7200000L) + 1L)
+    }
+  }
+
+  /** Frame sampling for video rows: one timestamp every `everyMs`
+    * milliseconds of (decoded) duration — the explode pattern that feeds a
+    * per-frame feature extractor downstream.
+    */
+  def sampleFrames(decoded: DataFrame, everyMs: Long = 60000L): DataFrame =
+    decoded.filter(col("media_type") === "video")
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .select(col("media_id"), col("frame_ms"), col("width"), col("height"))
+
+  /** Pseudo feature-extraction: 16-dim hashed byte-chunk embedding from the
+    * payload — deterministic, ANN-able with [[Similarity]]'s operators. A
+    * real pipeline swaps the hash for a model forward pass at the same
+    * partition-local spot.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
+    media.select(
+      col("media_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}),
+              |  j -> cast(pmod(xxhash64(content, j), 1000) as double)
+              |       / 1000.0D)""".stripMargin).as("features"))
+}

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.io.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * array<float>, label) — LLM-pipeline north-star capability.
+  *
+  * Baseline: brute-force cosine top-k (exact; the oracle-checkable path).
+  * Scale path: random-hyperplane LSH bucketing — candidates share a 16-bit
+  * band signature, so the join is bucket-local instead of a full cross
+  * product. Hyperplane components are derived from xxhash64(dim, plane)
+  * parity: fully deterministic, no stored model, reproducible on any
+  * cluster.
+  *
+  * Vector math uses the native codegen [[graft.functions.DotProduct]]
+  * expression (floats widened per element → bit-identical to the DuckDB
+  * DOUBLE[] oracle); signature math is explode → 64 codegen'd aggregates
+  * (Spark's array lambdas are interpreted — see Dedup's scaladoc).
+  */
+object Similarity {
+
+  /** vec_id + raw float vector + its L2 norm (computed natively). */
+  private def withNorm(spark: SparkSession, df: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    df.withColumn("__norm", sqrt(expr("graft_dot(embedding, embedding)")))
+  }
+
+  private val simExpr: Column =
+    expr("graft_dot(q_vec, c_vec)") / (col("q_norm") * col("c_norm"))
+
+  /** Exact top-k cosine neighbors for the first `nProbes` vectors.
+    *
+    * Scale shape: the probe side is tiny and broadcast; the corpus is
+    * scanned once. For all-pairs jobs use [[lshTopK]] /
+    * [[embeddingNearDupPairs]].
+    */
+  def bruteForceTopK(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val corpus = emb.select(
+      col("vec_id").as("c_id"), col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    broadcast(probes).crossJoin(corpus)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", simExpr)
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
+  private val Bands = 8
+  private val BitsPerBand = 8
+  private val EmbeddingDim = 64
+
+  /** Deterministic ±1 hyperplanes as plan-time constants (seeded PRNG —
+    * reproducible on any cluster, no stored model).
+    */
+  private lazy val hyperplanes: IndexedSeq[String] = {
+    val rnd = new java.util.Random(42)
+    IndexedSeq.fill(Bands * BitsPerBand) {
+      Seq.fill(EmbeddingDim)(if (rnd.nextBoolean()) "1D" else "-1D")
+        .mkString("array(", ",", ")")
+    }
+  }
+
+  /** Random-hyperplane band signatures: 8 bands × 8 bits (collision rate
+    * tuned so near-neighbors of RANDOM 64-d vectors still collide). Each
+    * projection is one native graft_dot against a constant hyperplane —
+    * a pure narrow map stage: NO shuffle, no explode; at 100 TB the
+    * signature pass streams the embedding column once.
+    */
+  private def bandSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val projCols: Seq[Column] = (0 until Bands * BitsPerBand).map { p =>
+      expr(s"graft_dot(embedding, ${hyperplanes(p)})").as(s"__p$p")
+    }
+    val projected = Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") +: projCols): _*)
+    val bandCols = (0 until Bands).map { bnd =>
+      val sig: Column = (0 until BitsPerBand).map { j =>
+        when(col(s"__p${bnd * BitsPerBand + j}") > 0, shiftleft(lit(1L), j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(bnd).as("idx"), sig.as("sig"))
+    }
+    projected
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("vec_id"),
+        col("band.idx").as("band_idx"), col("band.sig").as("band_sig"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
+    * ≥1 band signature with the probe; exact cosine re-rank on candidates.
+    * Recall < 1 by design (property-tested vs brute force); rows-only
+    * check.
+    */
+  def lshTopK(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    val banded = bandSignatures(spark, sfDir)
+    val candIds = banded.filter(col("vec_id") < nProbes)
+      .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+      .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("sim", simExpr)
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
+  /** Embedding-space near-duplicate pairs: cosine ≥ threshold, candidates
+    * from shared LSH buckets, id-pairs deduped before vectors re-attach.
+    * Rows-only check.
+    */
+  def embeddingNearDupPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    val banded = bandSignatures(spark, sfDir)
+    val pairs = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+      .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+        Seq("band_idx", "band_sig"))
+      .filter(col("q_id") < col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    pairs.join(q, Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= threshold)
+      .select(col("q_id").as("vec_a"), col("c_id").as("vec_b"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+}

