@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SURVEY §2.10 T1-T6 and §5.5: MemoryStream-driven micro-batch tests of
+  * the chat pipeline and the watermarked event windows.
+  */
+class ChatStreamSpec extends SparkSpec {
+
+  private def frame(
+      conv: String, sender: String, recv: String, content: String, ts: Long): String =
+    s"""{"type":"chat_message","conversationId":"$conv","senderId":"$sender",""" +
+      s""""receiverId":"$recv","content":"$content","ts":"${new Timestamp(ts)}"}"""
+
+  private def users = {
+    import spark.implicits._
+    Seq(
+      ("u1", "Alice", false),
+      ("u2", "Bob", false),
+      ("u3", "Mallory", true)) // blocked
+      .toDF("id", "name", "isBlocked")
+  }
+
+  test("parse drops non-chat and malformed frames (T2/T5)") {
+    import spark.implicits._
+    val raw = Seq(
+      frame("c1", "u1", "u2", "hello", 1000L),
+      """{"type":"ping"}""",
+      "not json at all").toDF("value")
+    val parsed = ChatStream.parseFrames(raw)
+    assert(parsed.count() === 1)
+    assert(parsed.select("content").as[String].head() === "hello")
+  }
+
+  test("enrich joins sender profile and gates blocked users (T1/T3)") {
+    import spark.implicits._
+    val raw = Seq(
+      frame("c1", "u1", "u2", "hi", 1000L),
+      frame("c1", "u3", "u2", "spam", 2000L), // blocked sender
+      frame("c1", "ux", "u2", "ghost", 3000L) // unknown sender
+    ).toDF("value")
+    val out = ChatStream.enrich(ChatStream.parseFrames(raw), users)
+    val got = out.select("content", "senderName").as[(String, String)].collect().toSet
+    assert(got === Set(("hi", "Alice"), ("ghost", null)))
+  }
+
+  test("persistPipeline appends batches and maintains the latest view (T3)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[String]
+    val q = ChatStream.persistPipeline(
+      input.toDF().select(col("value")),
+      users,
+      s"$dir/messages", s"$dir/latest", s"$dir/ckpt")
+    try {
+      input.addData(
+        frame("c1", "u1", "u2", "m1", 1000L),
+        frame("c2", "u2", "u1", "m2", 2000L))
+      q.processAllAvailable()
+      input.addData(frame("c1", "u2", "u1", "m3", 5000L))
+      q.processAllAvailable()
+      val msgs = spark.read.parquet(s"$dir/messages")
+      assert(msgs.count() === 3)
+      val latest = spark.read.parquet(s"$dir/latest")
+        .select("conversationId", "content").as[(String, String)].collect().toMap
+      assert(latest === Map("c1" -> "m3", "c2" -> "m2"))
+    } finally q.stop()
+  }
+
+  test("windowedEventCounts aggregates event-time windows under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val agg = ChatStream.windowedEventCounts(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((t(10, 5), "click"), (t(10, 40), "click"), (t(11, 2), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .select("hour", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set(
+        (t(10, 0), "click", 2L),
+        (t(11, 0), "view", 1L)))
+    } finally q.stop()
+  }
+}
