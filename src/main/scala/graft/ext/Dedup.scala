@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -9,41 +10,54 @@ import graft.io.Tables
   * /root/repo/BASELINE.json; no analog in the reference — new capability).
   *
   * All variants are deterministic (seeded xxhash64) and built from
-  * codegen-friendly primitives. Spark's higher-order lambda functions
-  * (transform/aggregate) are interpreted, not codegen'd — so the per-token
-  * signature math is deliberately expressed as EXPLODE → hash-aggregate
-  * with k parallel aggregate expressions, which whole-stage-codegen
-  * compiles, instead of nested array lambdas. That is also the 100 TB
-  * shape: map-side partial aggregation collapses the exploded tokens
-  * before any shuffle, and only fixed-width (id, signature) rows move.
+  * codegen-friendly primitives. Two Spark pitfalls shape the design:
   *
-  *   - exact: hash-groupBy on a 256-bit content fingerprint.
-  *   - MinHash-LSH: shingle → 64-slot minhash signature → 16 bands of 4 →
-  *     bucket join; oversized buckets (degenerate content) are capped to
-  *     bound skew; candidates dedup as bare id pairs before the heavy
-  *     shingle sets are re-attached for exact Jaccard verification.
-  *   - SimHash: 64-bit signature from per-bit vote sums, banded into
-  *     4×16-bit chunks for candidates, hamming ≤ 3 via bit_count(xor).
+  *   1. Higher-order lambda functions (transform/aggregate/filter) are
+  *      interpreted, not codegen'd.
+  *   2. Catalyst inlines a projected expression into EVERY downstream
+  *      reference, so an array-typed "token" column used inside three
+  *      lambdas re-runs the regex split per reference (measured 100×
+  *      slowdown at sf0.1).
+  *
+  * Therefore: tokens are EXPLODED once through a generator (evaluated a
+  * single time per row), shingles are assembled from token rows with
+  * window `lead`s (codegen'd), signatures are hash-aggregations over those
+  * rows (codegen'd), and shingle SETS are collect_set of 64-bit hashes —
+  * fixed-width longs, never strings, so set-intersection and shuffles stay
+  * cheap. That is also the 100 TB shape: the only wide ops are hash
+  * shuffles on (doc_id) or (band_hash), all over fixed-width rows.
   */
 object Dedup {
 
-  /** Tokenized, lowercased words; docs shorter than the 3-word shingle
-    * width fall back to a single whole-text shingle.
-    */
   private val toksExpr = """filter(split(lower(text), '\\s+'), t -> t <> '')"""
 
-  private val shingleExpr =
-    """CASE WHEN size(__toks) >= 3 THEN
-      |  transform(sequence(0, size(__toks) - 3),
-      |            i -> concat_ws(' ', slice(__toks, i + 1, 3)))
-      |ELSE array(concat_ws(' ', __toks)) END""".stripMargin
-
-  /** (doc_id, __shingle_set) with distinct word-3-gram shingles. */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, pos, tok) token rows — the split runs once per doc. */
+  private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("__toks", expr(toksExpr))
-      .withColumn("__shingle_set", array_distinct(expr(shingleExpr)))
-      .select(col("doc_id"), col("__shingle_set"))
+      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+
+  /** (doc_id, shingle_hash) rows: 64-bit hashes of word-3-gram shingles
+    * (tail positions yield 2/1-gram shingles so short docs still have
+    * one). Assembled with window leads — one user_id-partitioned shuffle,
+    * fully codegen'd.
+    */
+  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    tokenRows(spark, sfDir)
+      .withColumn("shingle",
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+  }
+
+  /** (doc_id, shingle set as sorted distinct long array). */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    shingleRows(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
 
   /** Exact dedup summary: total vs distinct texts by 256-bit fingerprint.
     * Grouping on sha2 (not raw text) keeps the shuffle rows fixed-width —
@@ -71,29 +85,23 @@ object Dedup {
       .select("fp", "keeper_doc_id", "copies")
       .orderBy(col("keeper_doc_id").asc)
 
-  /** 64-slot minhash signature columns __m0..__m63 via explode + 64
-    * codegen'd min-aggregates (slot j = min over shingles of
-    * xxhash64(shingle, j)).
-    */
-  private def minhashSignature(shingled: DataFrame): DataFrame = {
-    val exploded = shingled
-      .select(col("doc_id"), explode(col("__shingle_set")).as("__s"))
-    val slots: Seq[Column] =
-      (0 until 64).map(j => min(xxhash64(col("__s"), lit(j))).as(s"__m$j"))
-    exploded.groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
-  }
-
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     * Deterministic; rows-only check (no xxhash64 in DuckDB) —
     * property-tested in DedupSpec instead.
+    *
+    * Shape: 64 codegen'd min-aggregates build the signature; 16 bands of 4
+    * slots bucket candidates (multi-arg xxhash64, no arrays); oversized
+    * buckets (boilerplate) are capped to bound skew; candidate pairs dedup
+    * as bare id pairs BEFORE the shingle sets re-attach.
     */
   def minHashPairs(
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val docs = shingleSets(spark, sfDir)
-    val sig = minhashSignature(docs)
-    // 16 bands of 4 slots; the band hash is a plain 4-ary xxhash64 —
-    // no array construction, stays inside whole-stage codegen.
+    val sets = shingleSets(spark, sfDir)
+    val slots: Seq[Column] =
+      (0 until 64).map(j => min(xxhash64(col("sh"), lit(j))).as(s"__m$j"))
+    val sig = shingleRows(spark, sfDir)
+      .groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
     val bandCols = (0 until 16).map { bnd =>
       struct(lit(bnd).as("idx"),
         xxhash64((bnd * 4 until bnd * 4 + 4).map(j => col(s"__m$j")): _*).as("h"))
@@ -102,40 +110,31 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"),
         col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
-    // Skew guard: degenerate buckets (boilerplate content) are capped.
     val bucketSizes = banded.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
     val inBuckets = banded.join(bucketSizes, Seq("band_idx", "band_hash"), "left_semi")
-    val a = inBuckets.select(
+    val pairs = inBuckets.select(
       col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = inBuckets.select(
-      col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    // Dedup candidates as bare id pairs BEFORE re-attaching shingle sets.
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+      .join(inBuckets.select(
+        col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+        Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val setsA = docs.select(col("doc_id").as("doc_a"), col("__shingle_set").as("set_a"))
-    val setsB = docs.select(col("doc_id").as("doc_b"), col("__shingle_set").as("set_b"))
-    pairs.join(setsA, Seq("doc_a")).join(setsB, Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** 64-bit SimHash per doc: explode tokens, 64 codegen'd vote sums
-    * (+1/-1 per bit of the token hash), then a closed-form 64-term bit
-    * assembly — no interpreted lambdas anywhere.
+  /** 64-bit SimHash per doc: token rows → 64 codegen'd vote sums (+1/-1
+    * per bit of the token hash) → closed-form bit assembly.
     */
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .withColumn("__toks", expr(toksExpr))
-      .filter(size(col("__toks")) > 0)
-      .select(col("doc_id"), explode(col("__toks")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
+    val toks = tokenRows(spark, sfDir).withColumn("__h", xxhash64(col("tok")))
     val votes: Seq[Column] = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__v$j")
@@ -174,26 +173,26 @@ object Dedup {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  /** Exact n-gram Jaccard within cheap blocks (same lang + length bucket):
-    * the brute-force-within-block baseline the LSH variants approximate.
-    * Rows-only (list-set semantics diverge across engines).
+  /** Exact n-gram Jaccard within cheap blocks (same lang + 64-char length
+    * bucket): the brute-force-within-block baseline the LSH variants
+    * approximate. Pairs are id-only until the hashed shingle sets attach.
+    * Rows-only (hashed-set semantics have no portable SQL twin).
     */
   def ngramJaccardPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("__toks", expr(toksExpr))
-      .withColumn("__shingle_set", array_distinct(expr(shingleExpr)))
+    val blocks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 256).cast("int").as("len_bucket"), col("__shingle_set"))
-    val a = docs.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_a"), col("__shingle_set").as("set_a"))
-    val b = docs.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("doc_b"), col("__shingle_set").as("set_b"))
-    a.join(b, Seq("lang", "len_bucket"))
+        (col("n_chars") / 64).cast("int").as("len_bucket"))
+    val pairs = blocks.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"))
+      .join(blocks.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b")),
+        Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .select("doc_a", "doc_b", "lang")
+    val sets = shingleSets(spark, sfDir)
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "lang", "jaccard")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
