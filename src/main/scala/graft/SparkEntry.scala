@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.ext.{Dedup, EventAnalytics, Similarity, TextStats}
-import graft.queries.{Maintenance, Marketplace, Social}
+import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -63,6 +63,10 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
+    "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
+    "conversation_pairs" -> ((s, d) => Ingest.conversationPairs(s, d)),
+    "ads_pagination"     -> ((s, d) => Ingest.adsPagination(s, d)),
+    "source_validation"  -> ((s, d) => Ingest.sourceValidation(s, d)),
     "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
@@ -296,6 +300,30 @@ object SparkEntry {
         |    AS is_low_quality
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "props_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+        |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+        |       sum(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "conversation_pairs" ->
+      """SELECT DISTINCT least(l_orderkey, l_suppkey) AS user1,
+        |                greatest(l_orderkey, l_suppkey) AS user2
+        |FROM lineitem
+        |ORDER BY user1 ASC, user2 ASC
+        |LIMIT 50""".stripMargin,
+    "ads_pagination" ->
+      """SELECT count(*) AS total,
+        |       CAST(ceil(count(*)::DOUBLE / 20) AS BIGINT) AS total_pages
+        |FROM part
+        |WHERE strpos(lower(p_name), 'widget') > 0""".stripMargin,
+    "source_validation" ->
+      """SELECT regexp_matches(source, '^src[0-9]+$') AS valid_format,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1
+        |ORDER BY valid_format ASC""".stripMargin,
     "hourly_events" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,

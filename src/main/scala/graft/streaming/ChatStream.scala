@@ -2,10 +2,15 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.ops.Windows
+
+/** Per-sender connection-session state (T6: the reference's `clients`
+  * registry entry, `websocket.ts:11`).
+  */
+final case class SenderSession(nMessages: Long, lastContent: String)
 
 /** The reference's only stream — WebSocket chat (`/root/reference/src/
   * websocket.ts`) — as a Structured Streaming pipeline (SURVEY §2.10
@@ -88,6 +93,31 @@ object ChatStream {
         ()
       }
       .start()
+  }
+
+  /** T6: the per-user session registry (`websocket.ts:11,94-99` —
+    * `Map<userId, ws>` plus disconnect cleanup) as arbitrary streaming
+    * state: `mapGroupsWithState` keeps one [[SenderSession]] per sender,
+    * updated each micro-batch. State is partitioned by sender key — at
+    * scale it shards across executors and lives in the state store, which
+    * is exactly what the reference's single-process map cannot do.
+    */
+  def sessionTracker(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("senderId"), col("content")).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SenderSession, (String, Long, String)](
+        GroupStateTimeout.NoTimeout) { (sender, msgs, state) =>
+        val prev = state.getOption.getOrElse(SenderSession(0L, ""))
+        val batch = msgs.toSeq
+        val next = SenderSession(
+          prev.nMessages + batch.size,
+          batch.lastOption.map(_._2).getOrElse(prev.lastContent))
+        state.update(next)
+        (sender, next.nMessages, next.lastContent)
+      }
+      .toDF("senderId", "n_messages", "last_content")
   }
 
   /** New capability beyond the reference (SURVEY §7.5): watermarked

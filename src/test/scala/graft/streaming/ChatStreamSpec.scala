@@ -74,6 +74,29 @@ class ChatStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionTracker accumulates per-sender state across micro-batches (T6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val tracked = ChatStream.sessionTracker(
+      ChatStream.parseFrames(input.toDF().select(col("value"))))
+    val q = tracked.writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        frame("c1", "u1", "u2", "a", 1000L),
+        frame("c1", "u1", "u2", "b", 2000L),
+        frame("c2", "u2", "u1", "c", 3000L))
+      q.processAllAvailable()
+      input.addData(frame("c1", "u1", "u2", "d", 4000L))
+      q.processAllAvailable()
+      val state = spark.table("sessions")
+        .groupBy("senderId").agg(max("n_messages").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(state === Map("u1" -> 3L, "u2" -> 1L))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts aggregates event-time windows under a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
