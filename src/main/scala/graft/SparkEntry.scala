@@ -59,6 +59,7 @@ object SparkEntry {
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
+    "corpus_sketch"      -> ((s, d) => TextStats.corpusSketch(s, d)),
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),

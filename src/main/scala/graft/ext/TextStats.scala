@@ -64,6 +64,20 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Sketch-based corpus profile — the 100 TB formulation of the exact
+    * stats above: HyperLogLog distinct counts and quantile sketches
+    * (constant memory, one pass, mergeable across partitions). Rows-only
+    * check (approximate results have no cross-engine oracle).
+    */
+  def corpusSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("text")).as("approx_distinct_texts"),
+      approx_count_distinct(col("source")).as("approx_sources"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_chars"),
+      percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90_chars"),
+      percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99_chars"))
+
   /** Heuristic n-gram/stopword language ID (rows-only — argmax over
     * per-language evidence, not SQL-twin-able portably).
     *
