@@ -58,6 +58,7 @@ object SparkEntry {
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
+    "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLSH(s, d)),
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
     "corpus_sketch"      -> ((s, d) => TextStats.corpusSketch(s, d)),
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
@@ -264,6 +265,20 @@ object SparkEntry {
         |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
         |FROM ranked WHERE nn_rank <= 5
         |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
+    "embedding_near_dup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+        |         AS cosine_sim
+        |FROM emb a, emb b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       sum(n_chars)::BIGINT AS total_chars,

