@@ -28,6 +28,11 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // Drop this query's persisted frames: cache entries accumulate across
+      // queries and every later plan pays a CacheManager canonicalize-and-
+      // compare against each of them (measured 10× slowdown on trivial
+      // queries once the 64-aggregate dedup plans were cached).
+      spark.catalog.clearCache()
       name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

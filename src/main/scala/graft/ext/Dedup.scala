@@ -55,9 +55,16 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("sh"))).as("shset"))
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Jaccard over the sorted distinct-hash arrays: intersection via the
+    * native merge-count [[graft.functions.SortedIntersectCount]] (no hash
+    * set or output array per pair — the pair count is the quadratic term in
+    * every caller), union derived as |a|+|b|−|a∩b|. Callers must have
+    * [[graft.functions.GraftFunctions.register]]ed the session.
+    */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = call_function("graft_isect", a, b).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   /** Exact dedup summary: total vs distinct texts by 256-bit fingerprint.
     * Grouping on sha2 (not raw text) keeps the shuffle rows fixed-width —
@@ -89,24 +96,33 @@ object Dedup {
     * Deterministic; rows-only check (no xxhash64 in DuckDB) —
     * property-tested in DedupSpec instead.
     *
-    * Shape: 64 codegen'd min-aggregates build the signature; 16 bands of 4
-    * slots bucket candidates (multi-arg xxhash64, no arrays); oversized
-    * buckets (boilerplate) are capped to bound skew; candidate pairs dedup
-    * as bare id pairs BEFORE the shingle sets re-attach.
+    * Shape: ONE aggregation pass per doc computes both the hashed shingle
+    * set and the 64 codegen'd min-slots (the signature), persisted — the
+    * per-doc frame is consumed three times (banding + both sides of the
+    * verify join) and would otherwise re-run the tokenize+window shuffle
+    * each time. 16 bands of 4 slots bucket candidates (multi-arg xxhash64,
+    * no arrays); oversized buckets (boilerplate) are capped to bound skew;
+    * candidate pairs dedup as bare id pairs BEFORE the shingle sets
+    * re-attach. At 100 TB the persisted per-doc frame is the classic
+    * "signature table" materialization — fixed-width, ~1e-3 the corpus
+    * bytes, spillable.
     */
   def minHashPairs(
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
-    val sets = shingleSets(spark, sfDir)
+    graft.functions.GraftFunctions.register(spark)
     val slots: Seq[Column] =
       (0 until 64).map(j => min(xxhash64(col("sh"), lit(j))).as(s"__m$j"))
-    val sig = shingleRows(spark, sfDir)
-      .groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+    val perDoc = shingleRows(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
+      .persist()
+    val sets = perDoc.select(col("doc_id"), col("shset"))
     val bandCols = (0 until 16).map { bnd =>
       struct(lit(bnd).as("idx"),
         xxhash64((bnd * 4 until bnd * 4 + 4).map(j => col(s"__m$j")): _*).as("h"))
     }
-    val banded = sig
+    val banded = perDoc
       .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       .select(col("doc_id"),
         col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
@@ -151,7 +167,9 @@ object Dedup {
     */
   def simHashPairs(
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
-    val sim = simHashSignatures(spark, sfDir)
+    // persisted: both sides of the chunk self-join consume the signatures —
+    // unpersisted, the 64-vote aggregation over token rows runs twice.
+    val sim = simHashSignatures(spark, sfDir).persist()
     val chunkCols = (0 until 4).map { c =>
       struct(lit(c).as("idx"),
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
@@ -180,6 +198,7 @@ object Dedup {
     */
   def ngramJaccardPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val blocks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 64).cast("int").as("len_bucket"))
@@ -188,7 +207,8 @@ object Dedup {
         Seq("lang", "len_bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "lang")
-    val sets = shingleSets(spark, sfDir)
+    // persisted: attached to both pair sides — one tokenize+agg, not two.
+    val sets = shingleSets(spark, sfDir).persist()
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))

@@ -107,7 +107,9 @@ object Similarity {
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
-    val banded = bandSignatures(spark, sfDir)
+    // persisted: both sides of the bucket join read the signatures — one
+    // 64-projection pass instead of two.
+    val banded = bandSignatures(spark, sfDir).persist()
     val candIds = banded.filter(col("vec_id") < nProbes)
       .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
       .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
@@ -160,7 +162,7 @@ object Similarity {
       spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
-    val banded = bandSignatures(spark, sfDir)
+    val banded = bandSignatures(spark, sfDir).persist()
     val pairs = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
       .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
         Seq("band_idx", "band_sig"))

@@ -72,6 +72,26 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("graft_isect merge-counts sorted arrays (eval + codegen), agrees with array_intersect") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L, 11L)),   // partial overlap
+      (Seq.empty[Long], Seq(1L, 2L)),                       // empty side
+      (Seq(4L, 7L), Seq(4L, 7L)),                           // identical
+      (Seq(1L, 2L), Seq(3L, 4L))                            // disjoint
+    ).toDF("a", "b")
+    def run(): Seq[(Int, Int)] =
+      df.select(expr("graft_isect(a, b)"), size(array_intersect(col("a"), col("b"))))
+        .as[(Int, Int)].collect().toSeq
+    val codegen = run()
+    assert(codegen.map(_._1) === Seq(2, 0, 2, 0))
+    codegen.foreach { case (got, ref) => assert(got === ref) }
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() === codegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("brute-force top-k: self excluded, ranks contiguous, sims descending") {
     val out = Similarity.bruteForceTopK(spark, sf, nProbes = 3, k = 4).collect()
     assert(out.length === 12)
