@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Dedup, EventAnalytics, Similarity, TextStats}
+import graft.ext.{Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -65,6 +65,9 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
+    "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
+    "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
+    "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
     "conversation_pairs" -> ((s, d) => Ingest.conversationPairs(s, d)),
     "ads_pagination"     -> ((s, d) => Ingest.adsPagination(s, d)),
@@ -316,6 +319,29 @@ object SparkEntry {
         |    AS is_low_quality
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "token_counts" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |    len(regexp_extract_all(text,
+        |      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |      AS bpe_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, ws_tokens, bpe_tokens,
+        |       CASE WHEN bpe_tokens = 0 THEN 0.0
+        |            ELSE length(text)::DOUBLE / bpe_tokens::DOUBLE
+        |       END AS chars_per_token
+        |FROM t
+        |ORDER BY doc_id ASC""".stripMargin,
+    "media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+        |         AS media_type,
+        |       strlen(text) AS n_bytes
+        |FROM documents
+        |ORDER BY media_id ASC""".stripMargin,
     "props_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

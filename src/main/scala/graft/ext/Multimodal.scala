@@ -97,6 +97,14 @@ object Multimodal {
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .select(col("media_id"), col("frame_ms"), col("width"), col("height"))
 
+  /** Driver-registered frame-sample query: media → partition-local decode
+    * (stub kernel) → per-video frame timestamps. Rows-only check (the stub
+    * decode has no SQL twin) but fully deterministic.
+    */
+  def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    sampleFrames(decode(mediaTable(spark, sfDir)))
+      .orderBy(col("media_id").asc, col("frame_ms").asc)
+
   /** Pseudo feature-extraction: 16-dim hashed byte-chunk embedding from the
     * payload — deterministic, ANN-able with [[Similarity]]'s operators. A
     * real pipeline swaps the hash for a model forward pass at the same

@@ -64,6 +64,33 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+    * contractions, space-prefixed letter/digit runs, space-prefixed
+    * punctuation runs. No lookahead (RE2 has none); leftmost-first
+    * alternation matches in both engines.
+    */
+  private val bpeTokenRe =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Per-document token counting two ways: whitespace tokens (the cheap
+    * estimator) and BPE-style pre-tokenizer tokens (tracks LLM tokenizer
+    * counts much closer on punctuation-heavy text), plus chars-per-token.
+    * Single narrow projection — streams the corpus once at any scale.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(bpeTokenRe), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        tokenCount(col("text")).as("ws_tokens"),
+        bpe.as("bpe_tokens"),
+        when(bpe === 0, lit(0.0))
+          .otherwise(length(col("text")).cast("double") / bpe.cast("double"))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Sketch-based corpus profile — the 100 TB formulation of the exact
     * stats above: HyperLogLog distinct counts and quantile sketches
     * (constant memory, one pass, mergeable across partitions). Rows-only

@@ -158,6 +158,28 @@ class TextStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "de", "es", "fr", "zh"))
   }
 
+  test("tokenCounts: BPE-style splits match hand counts; ws <= bpe on wordy text") {
+    import spark.implicits._
+    val docs = Seq(
+      // "It's a test, really!" → It / 's / a / test / , / really / ! = 7
+      (1L, "It's a test, really!", "en", "s", 20L),
+      (2L, "one two three", "en", "s", 13L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = "/tmp/graft_test_tokcnt"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.tokenCounts(spark, dir).orderBy("doc_id")
+      .select("ws_tokens", "bpe_tokens", "chars_per_token")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(out(0) === ((4, 7, 20.0 / 7)))
+    assert(out(1) === ((3, 3, 13.0 / 3)))
+    assert(out(2) === ((0, 0, 0.0)))
+    // corpus sanity: wordy synthetic text never has fewer BPE than ws tokens
+    val corpus = TextStats.tokenCounts(spark, sf).collect()
+    corpus.foreach(r =>
+      assert(r.getAs[Int]("bpe_tokens") >= r.getAs[Int]("ws_tokens")))
+  }
+
   test("fingerprints: equal text ⇒ equal fp; corpus fps are unique at sf0.001") {
     val fps = TextStats.fingerprints(spark, sf).select("exact_fp").collect()
     assert(fps.map(_.getLong(0)).distinct.length === 500)
