@@ -57,6 +57,7 @@ object SparkEntry {
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
+    "knn_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLSH(s, d)),
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),

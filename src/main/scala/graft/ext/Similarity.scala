@@ -130,6 +130,74 @@ object Similarity {
       .orderBy(col("q_id").asc, col("nn_rank").asc)
   }
 
+  /** IVF (inverted-file) approximate top-k — the FAISS-style scale path
+    * complementing the hyperplane-LSH variant: a tiny coarse quantizer
+    * partitions the corpus into cells; queries search only their
+    * `cellProbes` nearest cells.
+    *
+    * Quantizer = the `nCells` lowest-id vectors, pre-normalized and
+    * collected to the driver (K rows — the coarse quantizer IS a
+    * driver-side model in every IVF system; the corpus itself never
+    * collects). Cell assignment is an argmax over K native graft_dot
+    * projections — a narrow map stage, no shuffle. At 100 TB the corpus
+    * would additionally be written out partitioned BY cell id so a probe
+    * reads only its cells' files (partition pruning); here the cell join
+    * expresses the same pruning.
+    *
+    * Recall < 1 by design (property-tested vs brute force); rows-only.
+    */
+  def ivfTopK(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, cellProbes: Int = 4): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    // coarse quantizer: deterministic sample, unit-normalized at the driver
+    // so cell score = graft_dot(embedding, centroid) ranks by cosine.
+    val centroids: Seq[(Long, String)] = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+      .collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val nrm = r.getDouble(2)
+        val lit = r.getSeq[Float](1)
+          .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")")
+        (id, lit)
+      }
+    val cellScores = centroids.map { case (cid, c) =>
+      struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
+    }
+    // 1 cell per corpus vector: argmax score, smallest cell id on ties
+    val assigned = emb.withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+    // probes fan out to their cellProbes best cells (explode + rank)
+    val exploded = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"),
+        explode(array(centroids.map { case (cid, c) =>
+          struct(lit(cid).as("cell"), expr(s"graft_dot(embedding, $c)").as("s"))
+        }: _*)).as("cs"))
+      .select(col("q_id"), col("cs.cell").as("cell"), col("cs.s").as("s"))
+    val topCells = exploded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("cell").asc)))
+      .filter(col("rk") <= cellProbes)
+      .select("q_id", "cell")
+    val candIds = topCells
+      .join(assigned.select(col("cell"), col("vec_id").as("c_id")), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    val q = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val c = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
+      .withColumn("sim", simExpr)
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
   /** Embedding-space near-duplicate pairs, exact all-pairs formulation
     * (oracle-checked): every pair with cosine ≥ threshold. Quadratic — the
     * correctness baseline; at corpus scale use [[embeddingNearDupPairsLSH]].

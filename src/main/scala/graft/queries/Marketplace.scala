@@ -84,8 +84,11 @@ object Marketplace {
     * (J1) + category join (J2) + favorite count (J3).
     *
     * Scale shape: the single-key filter prunes to ≤1 row before any join, so
-    * the dims broadcast trivially; the favorite count scans only the
-    * matching lineitem slice (parquet row-group stats prune on l_orderkey).
+    * the dims broadcast trivially; and because the key is a plan-time
+    * literal, the favorite count pushes `l_orderkey = k` into the lineitem
+    * scan itself (parquet row-group min/max pruning) instead of routing
+    * through the generic semi-join helper — a point lookup must never scan
+    * the fact table.
     */
   def adById(spark: SparkSession, sfDir: String, orderkey: Long): DataFrame = {
     val ad = Tables.orders(spark, sfDir).filter(col("o_orderkey") === orderkey)
@@ -99,7 +102,10 @@ object Marketplace {
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         col("o_orderdate"), col("c_custkey"), col("c_name"), col("c_mktsegment"),
         col("n_name").as("category_name"))
-    Joins.withCount(joined, "o_orderkey", Tables.lineitem(spark, sfDir), "l_orderkey", "fav_count")
+    val favCount = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") === orderkey)
+      .agg(count(lit(1)).as("fav_count"))
+    joined.crossJoin(favCount)
   }
 
   /** `GET /api/ads/categories/all` (`ads.ts:270-281`): full dim list, name

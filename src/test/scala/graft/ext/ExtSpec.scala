@@ -72,6 +72,22 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("IVF top-k: candidates subset of corpus, ranked consistently with brute force") {
+    val brute = Similarity.bruteForceTopK(spark, sf, nProbes = 5, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(spark, sf, nProbes = 5, k = 5).collect()
+    ivf.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Int]("nn_rank")).sorted.toSeq
+      assert(ranks === (1 to ranks.length), "ranks must be contiguous from 1")
+      val sims = rows.sortBy(_.getAs[Int]("nn_rank")).map(_.getAs[Double]("cosine_sim")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+    // recall: cell-pruned search still finds a usable share of true neighbors
+    val hits = ivf.count(r =>
+      brute.contains((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hits >= ivf.length / 5, s"IVF/brute agreement too low: $hits of ${ivf.length}")
+  }
+
   test("graft_isect merge-counts sorted arrays (eval + codegen), agrees with array_intersect") {
     import spark.implicits._
     GraftFunctions.register(spark)
