@@ -74,6 +74,7 @@ object SparkEntry {
     "ads_pagination"     -> ((s, d) => Ingest.adsPagination(s, d)),
     "source_validation"  -> ((s, d) => Ingest.sourceValidation(s, d)),
     "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
+    "sliding_events"     -> ((s, d) => EventAnalytics.slidingWindows(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -373,6 +374,14 @@ object SparkEntry {
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2
         |ORDER BY hour ASC, event_type ASC""".stripMargin,
+    "sliding_events" ->
+      """SELECT ts - to_microseconds(CAST(epoch_us(ts) % 900000000 AS BIGINT))
+        |          - i * INTERVAL 15 MINUTE AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(i)
+        |GROUP BY 1, 2
+        |ORDER BY window_start ASC, event_type ASC""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

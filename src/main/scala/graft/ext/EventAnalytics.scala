@@ -35,6 +35,26 @@ object EventAnalytics {
         max(col("value")).as("max_value"))
       .orderBy(col("hour").asc, col("event_type").asc)
 
+  /** Sliding 1-hour windows advancing every 15 minutes: each event lands in
+    * 4 overlapping windows (the Spark `window(ts, len, slide)` generator).
+    * Epoch-aligned starts — the DuckDB twin derives the same 4 starts per
+    * event arithmetically.
+    *
+    * Scale shape: the ×4 expansion happens AFTER the scan inside the window
+    * generator, and the aggregate reduces to |slides|×|types| rows — the
+    * overlap factor (len/slide) multiplies shuffle rows, which is why slide
+    * is a tuning knob, not a free parameter, at 100 TB.
+    */
+  def slidingWindows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
   /** Session stats per user: sessions split on >30 min inactivity
     * (gaps-and-islands via lag + running sum), then per-user rollup.
     *
