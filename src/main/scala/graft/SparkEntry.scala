@@ -75,6 +75,7 @@ object SparkEntry {
     "source_validation"  -> ((s, d) => Ingest.sourceValidation(s, d)),
     "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
     "sliding_events"     -> ((s, d) => EventAnalytics.slidingWindows(s, d)),
+    "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -382,6 +383,16 @@ object SparkEntry {
         |FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(i)
         |GROUP BY 1, 2
         |ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    "events_rollup" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+        |         user_id
+        |  FROM events
+        |)
+        |SELECT event_type, hour, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY ROLLUP(event_type, hour)
+        |ORDER BY event_type ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

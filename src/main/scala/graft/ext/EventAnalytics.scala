@@ -84,6 +84,24 @@ object EventAnalytics {
       .orderBy(col("user_id").asc)
   }
 
+  /** Multi-level rollup (type, hour) → (type) → grand total in ONE pass:
+    * Spark expands each input row per grouping set and partially aggregates
+    * map-side, so the three levels cost one shuffle, not three scans.
+    * Rolled-up levels surface as NULLs (neither column is null in the data,
+    * so levels are unambiguous without grouping_id). The hour is emitted as
+    * its string form: null TIMESTAMPs (NaT) are not self-equal in the
+    * driver's pandas-side compare, while null strings are; zero-padded
+    * 'yyyy-MM-dd HH:mm:ss' stays chronologically sortable.
+    */
+  def eventTypeRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("hour", date_trunc("hour", col("ts")).cast("string"))
+      .rollup(col("event_type"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type").asc_nulls_first, col("hour").asc_nulls_first)
+
   /** Top-3 priciest parts per brand (rank-per-group, the generalized W1). */
   def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame =
     Windows.withRank(

@@ -40,6 +40,31 @@ class SkewSpec extends SparkSpec {
   */
 class LayoutSpec extends SparkSpec {
 
+  test("bucketed co-located tables join with no shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a shuffle-capable join so exchange-absence is meaningful
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketed(
+        spark.read.parquet(s"$sf/orders.parquet"), "orders_b", "o_orderkey", buckets = 8)
+      Layout.writeBucketed(
+        spark.read.parquet(s"$sf/lineitem.parquet"), "lineitem_b", "l_orderkey", buckets = 8)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("partitionBy(status) write prunes partitions on a status filter") {
     val dir = Files.createTempDirectory("graft_layout").toString
     spark.read.parquet(s"$sf/orders.parquet")
