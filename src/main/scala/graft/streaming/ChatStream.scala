@@ -120,6 +120,39 @@ object ChatStream {
       .toDF("senderId", "n_messages", "last_content")
   }
 
+  /** Streaming exact dedup — the streaming face of the batch Dedup family:
+    * duplicate frames (same conversation/sender/content) arriving within
+    * the watermark horizon are dropped; state for keys older than the
+    * watermark is evicted, so memory is bounded by horizon × arrival rate,
+    * not by history. (The batch `dropDuplicates` would keep ALL keys.)
+    */
+  def dedupStream(frames: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    frames
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("conversationId", "senderId", "content")
+
+  /** Stream-stream join: messages ⋈ read-acks on conversation within a
+    * bounded event-time range. Both sides carry watermarks and the join
+    * condition bounds ack time to [msg_ts, msg_ts + maxDelay], which is
+    * what lets Spark expire join state — an UNbounded stream-stream join
+    * would buffer both streams forever. (New capability: the reference
+    * delivers acks in-memory with no persistence, `websocket.ts:80-83`.)
+    */
+  def ackJoin(
+      messages: DataFrame, acks: DataFrame,
+      maxDelay: String = "30 minutes"): DataFrame = {
+    val m = messages.withWatermark("ts", maxDelay)
+      .select(col("conversationId"), col("senderId"), col("content"),
+        col("ts").as("msg_ts"))
+    val a = acks.withWatermark("ack_ts", maxDelay)
+      .select(col("conversationId").as("ack_conv"), col("readerId"), col("ack_ts"))
+    m.join(a,
+      col("conversationId") === col("ack_conv") &&
+        col("ack_ts") >= col("msg_ts") &&
+        col("ack_ts") <= col("msg_ts") + expr(s"INTERVAL $maxDelay"))
+      .drop("ack_conv")
+  }
+
   /** New capability beyond the reference (SURVEY §7.5): watermarked
     * tumbling event-time counts for a stream shaped like `events`
     * (ts, user_id, event_type, value). Late data beyond the watermark is

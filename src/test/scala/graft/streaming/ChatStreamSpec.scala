@@ -97,6 +97,53 @@ class ChatStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate frames within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val deduped = ChatStream.dedupStream(
+      ChatStream.parseFrames(input.toDF().select(col("value"))))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        frame("c1", "u1", "u2", "hello", 1000L),
+        frame("c1", "u1", "u2", "hello", 1000L), // in-batch duplicate
+        frame("c1", "u1", "u2", "bye", 2000L))
+      q.processAllAvailable()
+      input.addData(frame("c1", "u1", "u2", "hello", 3000L)) // cross-batch dup
+      q.processAllAvailable()
+      val contents = spark.table("dedup_stream")
+        .select("content").as[String].collect().sorted.toSeq
+      assert(contents === Seq("bye", "hello"))
+    } finally q.stop()
+  }
+
+  test("ackJoin matches acks to messages within the event-time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val msgIn = MemoryStream[String]
+    val ackIn = MemoryStream[(String, String, Timestamp)]
+    val acks = ackIn.toDF().toDF("conversationId", "readerId", "ack_ts")
+    val joined = ChatStream.ackJoin(
+      ChatStream.parseFrames(msgIn.toDF().select(col("value"))), acks)
+    val q = joined.writeStream.format("memory").queryName("acked")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      msgIn.addData(
+        frame("c1", "u1", "u2", "m1", base),
+        frame("c2", "u2", "u1", "m2", base))
+      ackIn.addData(
+        ("c1", "u2", new Timestamp(base + 60000L)),          // 1 min later: match
+        ("c2", "u1", new Timestamp(base + 3600000L)))        // 1 h later: out of bound
+      q.processAllAvailable()
+      val got = spark.table("acked")
+        .select("content", "readerId").as[(String, String)].collect().toSet
+      assert(got === Set(("m1", "u2")))
+    } finally q.stop()
+  }
+
   test("windowedEventCounts aggregates event-time windows under a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
