@@ -76,6 +76,7 @@ object SparkEntry {
     "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
     "sliding_events"     -> ((s, d) => EventAnalytics.slidingWindows(s, d)),
     "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
+    "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -383,6 +384,14 @@ object SparkEntry {
         |FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(i)
         |GROUP BY 1, 2
         |ORDER BY window_start ASC, event_type ASC""".stripMargin,
+    "brand_price_stats" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       min(p_retailprice) AS min_price,
+        |       max(p_retailprice) AS max_price,
+        |       round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+        |       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price
+        |FROM part GROUP BY p_brand
+        |ORDER BY p_brand ASC""".stripMargin,
     "events_rollup" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,

@@ -102,6 +102,24 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type").asc_nulls_first, col("hour").asc_nulls_first)
 
+  /** Exact per-brand price distribution: count/min/max plus exact linear-
+    * interpolation percentiles (`percentile`, the sort-based exact form —
+    * both engines define quantiles by the same (n−1)·p interpolation, so
+    * the twin hash-matches at round-6). At 100 TB swap `percentile` for
+    * `percentile_approx` (mergeable sketch, constant memory) — the exact
+    * form materializes each group's values.
+    */
+  def brandPriceStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"),
+        round(percentile(col("p_retailprice"), lit(0.5)), 6).as("median_price"),
+        round(percentile(col("p_retailprice"), lit(0.9)), 6).as("p90_price"))
+      .orderBy(col("p_brand").asc)
+
   /** Top-3 priciest parts per brand (rank-per-group, the generalized W1). */
   def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame =
     Windows.withRank(
