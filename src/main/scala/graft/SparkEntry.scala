@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -67,6 +67,8 @@ object SparkEntry {
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
+    "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
+    "corpus_split"       -> ((s, d) => Corpus.splitSummary(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
@@ -323,6 +325,21 @@ object SparkEntry {
         |    AS is_low_quality
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |           AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, u.start AS start
+        |  FROM t, UNNEST(generate_series(0, greatest(len(toks) - 1, 0), 24))
+        |         AS u(start)
+        |)
+        |SELECT doc_id, start // 24 AS chunk_idx,
+        |       len(toks[start + 1 : start + 32]) AS n_tokens,
+        |       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
     "token_counts" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

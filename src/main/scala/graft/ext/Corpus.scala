@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Training-data preparation operators over `documents` — the corpus-prep
+  * stage of an LLM data pipeline (chunk → sample → split), all
+  * deterministic so runs are reproducible and auditable.
+  *
+  * Scale shapes: chunking is a generator (explode) — a narrow stage whose
+  * output is bounded by tokens/stride per doc; sampling and splitting are
+  * pure hash predicates on the id — no shuffle, no stored state, stable
+  * under repartitioning (they depend only on column VALUES, never on row
+  * order — the trap with `rand()`/`sampleBy`, whose draw depends on
+  * partition layout).
+  */
+object Corpus {
+
+  private val toksExpr = """filter(split(text, '\\s+'), t -> t <> '')"""
+
+  /** Overlapping token-window chunks: windows of `size` tokens every
+    * `stride` tokens (stride < size ⇒ overlap, the usual embedding-input
+    * shape). Empty docs yield one empty chunk — callers filter or keep by
+    * policy. chunk_idx = start/stride is derivable, kept explicit for
+    * downstream joins.
+    */
+  def chunk(spark: SparkSession, sfDir: String, size: Int = 32, stride: Int = 24): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .withColumn("n", expr("size(toks)"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, greatest(n - 1, 0), $stride)"))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        expr(s"size(slice(toks, start + 1, $size))").as("n_tokens"),
+        expr(s"concat_ws(' ', slice(toks, start + 1, $size))").as("chunk_text"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** Deterministic train/val/test split by id hash: bucket = xxhash64(id,
+    * salt) mod 100. Disjoint, exhaustive, reproducible on any cluster and
+    * stable when the corpus grows (a doc's split never changes). Rows-only
+    * (xxhash64 has no DuckDB twin); invariants are property-tested.
+    */
+  def split(
+      spark: SparkSession, sfDir: String,
+      valPct: Int = 10, testPct: Int = 10, salt: Int = 7): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id"), lit(salt)), lit(100L))
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < testPct, "test")
+          .when(bucket < testPct + valPct, "val")
+          .otherwise("train"))
+      .select("doc_id", "lang", "source", "split")
+  }
+
+  /** Driver-registered summary of [[split]] (rows-only): docs per split. */
+  def splitSummary(spark: SparkSession, sfDir: String): DataFrame =
+    split(spark, sfDir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split").asc)
+
+  /** Stratified sample: per-language keep-fractions applied via the same
+    * order-independent hash predicate (default fraction for unlisted
+    * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no
+    * partition-order dependence, and re-runs select the SAME rows.
+    */
+  def stratifiedSample(
+      spark: SparkSession, sfDir: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      salt: Int = 11): DataFrame = {
+    val bucket = pmod(xxhash64(col("doc_id"), lit(salt)), lit(1000L))
+    val threshold = fractions.foldLeft(lit(defaultFraction * 1000)) {
+      case (acc, (lang, f)) => when(col("lang") === lang, lit(f * 1000)).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir).filter(bucket < threshold)
+  }
+}

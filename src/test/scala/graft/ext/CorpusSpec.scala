@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: windows cover every token, overlap by size-stride, idx contiguous") {
+    val dir = "/tmp/graft_test_chunk"
+    Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" "), "en", "s", 80L),
+      (2L, "a b c", "en", "s", 3L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Corpus.chunk(spark, dir, size = 32, stride = 24)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: starts 0,24,48,72 → sizes 32,32,32,8
+    val d1 = out(1L).sortBy(_.getAs[Int]("chunk_idx"))
+    assert(d1.map(_.getAs[Int]("n_tokens")).toSeq === Seq(32, 32, 32, 8))
+    assert(d1.map(_.getAs[Int]("chunk_idx")).toSeq === Seq(0, 1, 2, 3))
+    // consecutive chunks overlap by size-stride = 8 tokens
+    val c0 = d1(0).getAs[String]("chunk_text").split(" ")
+    val c1 = d1(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(8).toSeq === c1.take(8).toSeq)
+    // every token appears in some chunk
+    val covered = d1.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(covered === (1 to 80).map(i => s"t$i").toSet)
+    // short and empty docs still produce exactly one chunk
+    assert(out(2L).map(_.getAs[Int]("n_tokens")).toSeq === Seq(3))
+    assert(out(3L).map(_.getAs[Int]("n_tokens")).toSeq === Seq(0))
+  }
+
+  test("split: disjoint, exhaustive, deterministic, near the target ratios") {
+    val a = Corpus.split(spark, sf).collect()
+    assert(a.length === 500)
+    val bySplit = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.values.sum === 500)
+    // hash buckets target 10/10/80; allow generous tolerance at n=500
+    assert(bySplit("test") > 20 && bySplit("test") < 90)
+    assert(bySplit("val") > 20 && bySplit("val") < 90)
+    assert(bySplit("train") > 330)
+    // re-run selects identical assignments (value-hash, not RNG)
+    val b = Corpus.split(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getString(3))).toSet ===
+      b.map(r => (r.getLong(0), r.getString(3))).toSet)
+  }
+
+  test("stratifiedSample keeps per-lang fractions and is deterministic") {
+    val langTotals = Corpus.split(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = Corpus.stratifiedSample(
+      spark, sf, Map("en" -> 0.5, "zh" -> 0.0), defaultFraction = 1.0)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("zh"))
+    val enRate = byLang("en").toDouble / langTotals("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en rate $enRate")
+    langTotals.keys.filterNot(Set("en", "zh")).foreach { l =>
+      assert(byLang(l) === langTotals(l), s"default stratum $l must keep all")
+    }
+    assert(sampled.count() === Corpus.stratifiedSample(
+      spark, sf, Map("en" -> 0.5, "zh" -> 0.0)).count())
+  }
+}
