@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_minhash"      -> ((s, d) => Dedup.minHashPairs(s, d)),
     "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d)),
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),

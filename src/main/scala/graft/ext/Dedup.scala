@@ -191,6 +191,60 @@ object Dedup {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Near-dup pairs → duplicate CLUSTERS by connected components
+    * (iterative min-label propagation): each doc adopts the smallest label
+    * among itself and its neighbors until fixpoint. The missing last step
+    * of every pair-producing dedup — transitive closure turns A~B, B~C
+    * into one cluster {A,B,C} with one keeper (the min id).
+    *
+    * Scale shape: each iteration is one join + one groupBy on fixed-width
+    * (long, long) rows, persisted per round and unpersisted after the next
+    * — the classic large-graph CC loop; rounds needed = graph diameter
+    * (near-dup graphs are shallow; `maxIter` bounds pathological chains).
+    * Returns (doc_id, cluster_id); singletons keep cluster_id = doc_id.
+    */
+  def connectedComponents(
+      pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Driver-registered clustering summary (rows-only): MinHash pairs →
+    * components → clusters with >1 member, with keeper and size.
+    */
+  def minHashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val cc = connectedComponents(minHashPairs(spark, sfDir), docs)
+    cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("cluster_size") > 1)
+      .select("cluster_id", "keeper_doc_id", "cluster_size")
+      .orderBy(col("cluster_id").asc)
+  }
+
   /** Exact n-gram Jaccard within cheap blocks (same lang + 64-char length
     * bucket): the brute-force-within-block baseline the LSH variants
     * approximate. Pairs are id-only until the hashed shingle sets attach.

@@ -30,6 +30,27 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("connectedComponents closes transitive chains; singletons self-label") {
+    import spark.implicits._
+    // chain 1-2-3 (1~2, 2~3 but never 1~3 directly), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(pairs, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("minHashClusters groups the planted dup family under one keeper") {
+    import spark.implicits._
+    // reuse the minhash fixture written by the pairs test (same corpus)
+    val dir = s"/tmp/graft_test_minhash"
+    val clusters = Dedup.minHashClusters(spark, dir).collect()
+    assert(clusters.length === 1)
+    val c = clusters.head
+    assert(c.getAs[Long]("keeper_doc_id") === 9000L)
+    assert(c.getAs[Long]("cluster_size") >= 2) // 9002 joins when its band collides
+  }
+
   test("simhash of identical docs is identical; signatures are longs") {
     import spark.implicits._
     val docs = Seq(
