@@ -63,6 +63,20 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split").asc)
 
+  /** Weighted mix of corpora: each source DataFrame keeps a hash-determined
+    * fraction of its rows (its mixing weight in [0,1]), tagged and unioned.
+    * The standard pretraining-mixture shape (e.g. web 0.6 + code 0.3 +
+    * books 1.0) — deterministic for the same reasons as
+    * [[stratifiedSample]]: the keep decision is a value hash, not an RNG
+    * draw, so the mixture is reproducible and incrementally stable.
+    */
+  def weightedMix(sources: Seq[(String, DataFrame, Double)], idCol: String,
+      salt: Int = 13): DataFrame =
+    sources.map { case (name, df, weight) =>
+      df.filter(pmod(xxhash64(col(idCol), lit(salt)), lit(1000L)) < weight * 1000)
+        .withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+
   /** Stratified sample: per-language keep-fractions applied via the same
     * order-independent hash predicate (default fraction for unlisted
     * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no

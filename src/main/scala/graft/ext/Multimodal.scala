@@ -87,6 +87,25 @@ object Multimodal {
     }
   }
 
+  /** Aspect-preserving resize planning for decoded visual media: the
+    * target box is (maxSide × maxSide), scale = min(1, maxSide/longest
+    * edge), output dims rounded down, never upscaled. Pure closed-form
+    * column math — the actual pixel resample belongs in the same
+    * partition-local kernel slot as [[decode]]'s stub; THIS stage is what
+    * decides each row's output geometry (and at 100 TB it runs as a narrow
+    * projection, letting the planner prune rows already within bounds).
+    */
+  def resizePlan(decoded: DataFrame, maxSide: Int = 512): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = least(lit(1.0), lit(maxSide).cast("double") / longest.cast("double"))
+    decoded.filter(col("media_type") =!= "audio")
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      .withColumn("resize_needed", scale < 1.0)
+      .select("media_id", "media_type", "width", "height",
+        "out_width", "out_height", "resize_needed")
+  }
+
   /** Frame sampling for video rows: one timestamp every `everyMs`
     * milliseconds of (decoded) duration — the explode pattern that feeds a
     * per-frame feature extractor downstream.

@@ -48,6 +48,19 @@ class CorpusSpec extends SparkSpec {
       b.map(r => (r.getLong(0), r.getString(3))).toSet)
   }
 
+  test("weightedMix keeps each source at its weight, tags provenance") {
+    val docs = Corpus.split(spark, sf) // any frame with doc_id works
+    val mixed = Corpus.weightedMix(Seq(
+      ("all", docs, 1.0), ("half", docs, 0.5), ("none", docs, 0.0)), "doc_id")
+    val bySrc = mixed.groupBy("mix_source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("all") === 500L)
+    assert(bySrc.getOrElse("none", 0L) === 0L)
+    assert(bySrc("half") > 150 && bySrc("half") < 350, s"half=${bySrc.get("half")}")
+    // deterministic: same mixture on re-run
+    assert(mixed.count() === Corpus.weightedMix(Seq(
+      ("all", docs, 1.0), ("half", docs, 0.5), ("none", docs, 0.0)), "doc_id").count())
+  }
+
   test("stratifiedSample keeps per-lang fractions and is deterministic") {
     val langTotals = Corpus.split(spark, sf).groupBy("lang").count()
       .as[(String, Long)].collect().toMap

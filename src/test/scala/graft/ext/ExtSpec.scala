@@ -259,6 +259,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizePlan: aspect preserved, bounded by maxSide, never upscales") {
+    val plan = Multimodal.resizePlan(
+      Multimodal.decode(Multimodal.mediaTable(spark, sf)), maxSide = 512).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_width"), r.getAs[Int]("out_height"))
+      assert(r.getAs[String]("media_type") !== "audio")
+      assert(ow <= 512 && oh <= 512 && ow <= w && oh <= h, s"($w,$h)->($ow,$oh)")
+      if (r.getAs[Boolean]("resize_needed")) {
+        // exact floor semantics of the single shared scale factor
+        val scale = 512.0 / math.max(w, h)
+        assert(ow === math.floor(w * scale).toInt, s"($w,$h)->($ow,$oh)")
+        assert(oh === math.floor(h * scale).toInt, s"($w,$h)->($ow,$oh)")
+      } else assert(ow === w && oh === h)
+    }
+  }
+
   test("extractFeatures yields fixed-dim deterministic vectors in [0,1)") {
     import spark.implicits._
     val f = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf), dim = 16)
