@@ -80,6 +80,7 @@ object SparkEntry {
     "sliding_events"     -> ((s, d) => EventAnalytics.slidingWindows(s, d)),
     "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
+    "events_asof_orders" -> ((s, d) => EventAnalytics.eventsAsOfOrders(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -410,6 +411,17 @@ object SparkEntry {
         |       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC""".stripMargin,
+    "events_asof_orders" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       COALESCE(o.order_key, -1) AS last_order_key
+        |FROM events e
+        |ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id ASC""".stripMargin,
     "events_rollup" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.Windows
+import graft.ops.{AsOf, Windows}
 
 /** Event-time analytics over the `events` stream table — new capability
   * beyond the reference's arrival-order-only WebSocket handling (SURVEY
@@ -119,6 +119,22 @@ object EventAnalytics {
         round(percentile(col("p_retailprice"), lit(0.5)), 6).as("median_price"),
         round(percentile(col("p_retailprice"), lit(0.9)), 6).as("p90_price"))
       .orderBy(col("p_brand").asc)
+
+  /** Point-in-time enrichment: each event carries the user's most recent
+    * order at-or-before the event (as-of join; see [[graft.ops.AsOf]]).
+    * Unmatched events (no prior order) surface as -1 — kept non-null so
+    * the driver compare never meets a null numeric (NaN-vs-NaN trap).
+    */
+  def eventsAsOfOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir).select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(spark, sfDir).select(
+      col("o_custkey").as("user_id"), col("o_orderdate").as("ts"),
+      col("o_orderkey").as("last_order_key"))
+    AsOf.joinAsOf(events, orders, "user_id", "ts", "last_order_key")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("last_order_key"), lit(-1L)).as("last_order_key"))
+      .orderBy(col("event_id").asc)
+  }
 
   /** Top-3 priciest parts per brand (rank-per-group, the generalized W1). */
   def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame =
