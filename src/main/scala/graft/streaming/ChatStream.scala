@@ -70,9 +70,15 @@ object ChatStream {
       order = Seq(col("ts").desc, col("senderId").desc, col("content").desc))
 
   /** T3: the persist pipeline — parse, enrich, append each micro-batch to
-    * the message store and refresh the conversation-latest view. The two
-    * writes are atomic per micro-batch (vs the reference's two independent
-    * non-transactional writes, SURVEY §3.2).
+    * the message store and maintain the conversation-latest view
+    * INCREMENTALLY: the batch's per-conversation winners merge against the
+    * previous view (|conversations| rows), never against message history —
+    * re-deriving the view from the full log each batch would make every
+    * micro-batch cost O(history), the classic unbounded-recompute trap.
+    * The merged view is eagerly checkpointed before the overwrite because
+    * it reads the same path it replaces. Both writes are per-micro-batch
+    * atomic in effect (vs the reference's two independent non-transactional
+    * writes, SURVEY §3.2).
     */
   def persistPipeline(
       raw: DataFrame,
@@ -87,8 +93,15 @@ object ChatStream {
         batch.persist()
         batch.write.mode("append").parquet(messagesPath)
         val spark = batch.sparkSession
-        latestPerConversation(spark.read.parquet(messagesPath))
-          .write.mode("overwrite").parquet(latestPath)
+        val batchLatest = latestPerConversation(batch)
+        val merged =
+          if (new java.io.File(latestPath).exists())
+            latestPerConversation(
+              spark.read.parquet(latestPath).unionByName(batchLatest))
+          else batchLatest
+        // materialize BEFORE overwriting the path it was read from
+        val pinned = merged.localCheckpoint(true)
+        pinned.write.mode("overwrite").parquet(latestPath)
         batch.unpersist()
         ()
       }
