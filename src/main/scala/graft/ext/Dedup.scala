@@ -109,6 +109,15 @@ object Dedup {
     */
   def minHashPairs(
       spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame =
+    minHashPairsUnsorted(spark, sfDir, threshold, maxBucket)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** [[minHashPairs]] without the presentation sort — consumers that
+    * reshuffle anyway (clustering) skip the global sort.
+    */
+  private def minHashPairsUnsorted(
+      spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val slots: Seq[Column] =
@@ -143,7 +152,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** 64-bit SimHash per doc: token rows → 64 codegen'd vote sums (+1/-1
@@ -237,7 +245,7 @@ object Dedup {
     */
   def minHashClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    val cc = connectedComponents(minHashPairs(spark, sfDir), docs)
+    val cc = connectedComponents(minHashPairsUnsorted(spark, sfDir), docs)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)
