@@ -81,6 +81,7 @@ object SparkEntry {
     "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
     "events_asof_orders" -> ((s, d) => EventAnalytics.eventsAsOfOrders(s, d)),
+    "errors_during_sessions" -> ((s, d) => EventAnalytics.errorsDuringSessions(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -411,6 +412,31 @@ object SparkEntry {
         |       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC""".stripMargin,
+    "errors_during_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), bounds AS (
+        |  SELECT user_id, sess_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2
+        |), err AS (
+        |  SELECT event_id, ts FROM events WHERE event_type = 'error'
+        |)
+        |SELECT b.user_id, count(*) AS n_hits,
+        |       count(DISTINCT e.event_id) AS n_errors
+        |FROM bounds b JOIN err e ON e.ts >= b.s_start AND e.ts <= b.s_end
+        |GROUP BY b.user_id
+        |ORDER BY b.user_id ASC""".stripMargin,
     "events_asof_orders" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key

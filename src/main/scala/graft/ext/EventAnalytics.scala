@@ -61,19 +61,8 @@ object EventAnalytics {
     * Scale shape: one shuffle on user_id serves both windows and the final
     * group-by (same partitioning, no second shuffle).
     */
-  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gapMicros = gapMinutes.toLong * 60L * 1000000L
-    val flagged = Tables.events(spark, sfDir)
-      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
-      .withColumn("__new_sess",
-        when(col("__prev").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("__prev"))) > gapMicros, 1L)
-          .otherwise(0L))
-      .withColumn("__sess_id", sum(col("__new_sess")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged
+  def sessionize(spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame =
+    withSessionIds(spark, sfDir, gapMinutes)
       .groupBy(col("user_id"), col("__sess_id"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col("user_id"))
@@ -81,6 +70,47 @@ object EventAnalytics {
         count(lit(1)).as("n_sessions"),
         max(col("__n")).as("max_session_events"),
         sum(col("__n")).as("total_events"))
+      .orderBy(col("user_id").asc)
+
+  /** Events with their gaps-and-islands session id (`__sess_id`): lag +
+    * running sum over one user_id window — shared by [[sessionize]] and
+    * [[errorsDuringSessions]].
+    */
+  private def withSessionIds(
+      spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    Tables.events(spark, sfDir)
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_sess",
+        when(col("__prev").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("__prev"))) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("__sess_id", sum(col("__new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Range-join showcase (no equi key; see [[graft.ops.RangeJoin]]):
+    * system-wide error events landing inside each user's active session
+    * spans — "errors anywhere in the system while this user was active".
+    * Sessions come from the same gaps-and-islands pass as [[sessionize]];
+    * the oracle twin states the range predicate directly (tractable at
+    * sf scale; the bucketized form is the distributed-scale shape).
+    */
+  def errorsDuringSessions(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val bounds = withSessionIds(spark, sfDir, gapMinutes)
+      .groupBy(col("user_id"), col("__sess_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val errors = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts"))
+    graft.ops.RangeJoin.pointInInterval(errors, "ts", bounds, "s_start", "s_end")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        countDistinct(col("err_id")).as("n_errors"))
       .orderBy(col("user_id").asc)
   }
 
