@@ -82,6 +82,7 @@ object SparkEntry {
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
     "events_asof_orders" -> ((s, d) => EventAnalytics.eventsAsOfOrders(s, d)),
     "errors_during_sessions" -> ((s, d) => EventAnalytics.errorsDuringSessions(s, d)),
+    "user_distinct_values"   -> ((s, d) => EventAnalytics.distinctValuesPerUser(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
@@ -412,6 +413,10 @@ object SparkEntry {
         |       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC""".stripMargin,
+    "user_distinct_values" ->
+      """SELECT user_id, count(DISTINCT value) AS n_distinct_values
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id ASC""".stripMargin,
     "errors_during_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

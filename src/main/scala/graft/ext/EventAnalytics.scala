@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.ops.{AsOf, Windows}
+import graft.ops.{AsOf, Skew, Windows}
 
 /** Event-time analytics over the `events` stream table — new capability
   * beyond the reference's arrival-order-only WebSocket handling (SURVEY
@@ -113,6 +113,19 @@ object EventAnalytics {
         countDistinct(col("err_id")).as("n_errors"))
       .orderBy(col("user_id").asc)
   }
+
+  /** Distinct values per user via the SALTED two-stage aggregation
+    * ([[graft.ops.Skew.saltedDistinctCount]]) — exact results, so the
+    * oracle checks the skew machinery itself. On uniform keys the salting
+    * costs one extra (tiny) reduce stage; on a hot key it spreads the
+    * distinct-set build over `salts` reducers instead of one.
+    */
+  def distinctValuesPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    Skew.saltedDistinctCount(
+      Tables.events(spark, sfDir),
+      key = col("user_id"), saltBy = col("event_id"), distinctOn = col("value"),
+      as = "n_distinct_values")
+      .orderBy(col("user_id").asc)
 
   /** Multi-level rollup (type, hour) → (type) → grand total in ONE pass:
     * Spark expands each input row per grouping set and partially aggregates
