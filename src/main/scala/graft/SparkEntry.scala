@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Corpus, Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
+import graft.ext.{Contamination, Corpus, Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -68,6 +68,10 @@ object SparkEntry {
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
+    "doc_repetition"     -> ((s, d) => TextStats.repetitionSignals(s, d)),
+    "curation_funnel"    -> ((s, d) => TextStats.curationFunnel(s, d)),
+    "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
+    "dedup_incremental"  -> ((s, d) => Dedup.incrementalExact(s, d)),
     "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
     "corpus_split"       -> ((s, d) => Corpus.splitSummary(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -360,6 +364,131 @@ object SparkEntry {
         |       END AS chars_per_token
         |FROM t
         |ORDER BY doc_id ASC""".stripMargin,
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, 1 AS n, toks[i + 1] AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, array_to_string(toks[i + 1 : i + 2], ' ')
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, array_to_string(toks[i + 1 : i + 3], ' ')
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+        |), c AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+        |), s AS (
+        |  SELECT doc_id, n, sum(cnt) AS total, count(*) AS n_distinct,
+        |         max(cnt) AS max_cnt
+        |  FROM c GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 1 THEN total END) AS n_tokens,
+        |         max(CASE WHEN n = 1 THEN max_cnt END) AS m1,
+        |         max(CASE WHEN n = 2 THEN total END) AS t2,
+        |         max(CASE WHEN n = 2 THEN n_distinct END) AS d2,
+        |         max(CASE WHEN n = 3 THEN total END) AS t3,
+        |         max(CASE WHEN n = 3 THEN n_distinct END) AS d3
+        |  FROM s GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |       m1::DOUBLE / n_tokens::DOUBLE AS top_unigram_frac,
+        |       coalesce((t2 - d2)::DOUBLE / t2::DOUBLE, 0.0)
+        |         AS dup_bigram_frac,
+        |       coalesce((t3 - d3)::DOUBLE / t3::DOUBLE, 0.0)
+        |         AS dup_trigram_frac,
+        |       (coalesce((t3 - d3)::DOUBLE / t3::DOUBLE, 0.0) > 0.15
+        |        OR m1::DOUBLE / n_tokens::DOUBLE > 0.3) AS is_repetitive
+        |FROM p ORDER BY doc_id ASC""".stripMargin,
+    "curation_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, 1 AS n, toks[i + 1] AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS n, array_to_string(toks[i + 1 : i + 2], ' ')
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, array_to_string(toks[i + 1 : i + 3], ' ')
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+        |), c AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3
+        |), s AS (
+        |  SELECT doc_id, n, sum(cnt) AS total, count(*) AS n_distinct,
+        |         max(cnt) AS max_cnt
+        |  FROM c GROUP BY 1, 2
+        |), p AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 1 THEN total END) AS n_tokens,
+        |         max(CASE WHEN n = 1 THEN max_cnt END) AS m1,
+        |         max(CASE WHEN n = 2 THEN total END) AS t2,
+        |         max(CASE WHEN n = 2 THEN n_distinct END) AS d2,
+        |         max(CASE WHEN n = 3 THEN total END) AS t3,
+        |         max(CASE WHEN n = 3 THEN n_distinct END) AS d3
+        |  FROM s GROUP BY doc_id
+        |), rep AS (
+        |  SELECT doc_id,
+        |         (coalesce((t3 - d3)::DOUBLE / t3::DOUBLE, 0.0) > 0.15
+        |          OR m1::DOUBLE / n_tokens::DOUBLE > 0.3) AS is_repetitive
+        |  FROM p
+        |), f AS (
+        |  SELECT d.doc_id,
+        |    NOT (length(d.text) < 50 OR
+        |         CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(d.text), '\s+'))
+        |         END < 8) AS q,
+        |    coalesce(rep.is_repetitive, false) AS r,
+        |    row_number() OVER (PARTITION BY sha256(d.text)
+        |                       ORDER BY d.doc_id ASC) = 1 AS k
+        |  FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+        |)
+        |SELECT count(*) AS n_total,
+        |       count_if(q) AS n_after_quality,
+        |       count_if(q AND NOT r) AS n_after_repetition,
+        |       count_if(q AND NOT r AND k) AS n_after_dedup
+        |FROM f""".stripMargin,
+    "dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id, sha256(text) AS fp FROM documents
+        |), idx AS (
+        |  SELECT fp, min(doc_id) AS keeper
+        |  FROM h WHERE doc_id % 10 <> 9 GROUP BY fp
+        |)
+        |SELECT h.doc_id AS new_doc_id,
+        |       coalesce(idx.keeper, -1) AS dup_of,
+        |       idx.keeper IS NOT NULL AS is_dup
+        |FROM h LEFT JOIN idx ON h.fp = idx.fp
+        |WHERE h.doc_id % 10 = 9
+        |ORDER BY new_doc_id ASC""".stripMargin,
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i + 1 : i + 5], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+        |), e AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+        |)
+        |SELECT g.doc_id,
+        |       count(*) AS n_grams,
+        |       count(e.gram) AS n_contaminated,
+        |       count(e.gram) > 0 AS contaminated
+        |FROM g LEFT JOIN e ON g.gram = e.gram
+        |WHERE g.doc_id % 13 <> 0
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id ASC""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id AS media_id,
         |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]

@@ -92,6 +92,39 @@ object Dedup {
       .select("fp", "keeper_doc_id", "copies")
       .orderBy(col("keeper_doc_id").asc)
 
+  /** Incremental (delta-vs-index) exact dedup: check a NEW batch of
+    * documents against the existing corpus without re-deduping the corpus.
+    * This is the shape that matters at 100 TB — the corpus fingerprint
+    * index (fixed-width sha-256 → keeper id) is maintained once; each
+    * arriving batch joins against it, and only the delta's fingerprints
+    * move. When the delta is small Spark broadcasts it and the check is a
+    * map-side pass over the index; here both sides are table slices so it
+    * stays a fingerprint-keyed shuffle join.
+    *
+    * The "new batch" is carved deterministically (`doc_id % deltaMod ==
+    * deltaRem`) so the report is oracle-checkable; `dup_of` is the keeper
+    * (smallest corpus doc_id with identical text), `-1` when the new doc
+    * is clean.
+    */
+  def incrementalExact(
+      spark: SparkSession, sfDir: String,
+      deltaMod: Int = 10, deltaRem: Int = 9): DataFrame = {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+    val index = hashed
+      .filter(col("doc_id") % deltaMod =!= deltaRem)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("__keeper"))
+    hashed
+      .filter(col("doc_id") % deltaMod === deltaRem)
+      .join(index, Seq("fp"), "left")
+      .select(
+        col("doc_id").as("new_doc_id"),
+        coalesce(col("__keeper"), lit(-1L)).as("dup_of"),
+        col("__keeper").isNotNull.as("is_dup"))
+      .orderBy(col("new_doc_id").asc)
+  }
+
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     * Deterministic; rows-only check (no xxhash64 in DuckDB) —
     * property-tested in DedupSpec instead.

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -89,6 +90,102 @@ object TextStats {
           .otherwise(length(col("text")).cast("double") / bpe.cast("double"))
           .as("chars_per_token"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Gopher-style repetition quality signals per document: the fraction of
+    * tokens taken by the single most frequent unigram, and the fraction of
+    * bigram/trigram occurrences that are repeats of an earlier gram in the
+    * same doc. High values flag boilerplate / degenerate text that exact
+    * and near dedup both miss (the repetition is WITHIN the document).
+    *
+    * Scale shape: tokenize once, build uni/bi/tri-gram rows in one pass
+    * (window `lead`s + one explode — no re-tokenization per n), then two
+    * hash aggregations: per (doc, n, gram) counts with map-side partials,
+    * then per (doc, n) totals pivoted to columns by conditional
+    * aggregation. Everything shuffles on doc_id-rooted keys — fully
+    * parallel at any corpus size.
+    */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionFrame(spark, sfDir).orderBy(col("doc_id").asc)
+
+  /** Unordered per-doc repetition frame — shared by [[repetitionSignals]]
+    * (presentation) and [[curationFunnel]] (flag consumer, no sort needed).
+    */
+  private def repetitionFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    def lead_(i: Int): Column = lead(col("tok"), i).over(w)
+    val gramRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+      .withColumn("g2",
+        when(lead_(1).isNotNull, concat_ws(" ", col("tok"), lead_(1))))
+      .withColumn("g3",
+        when(lead_(2).isNotNull, concat_ws(" ", col("tok"), lead_(1), lead_(2))))
+      .select(col("doc_id"), explode(array(
+        struct(lit(1).as("n"), col("tok").as("gram")),
+        struct(lit(2).as("n"), col("g2").as("gram")),
+        struct(lit(3).as("n"), col("g3").as("gram")))).as("ng"))
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .filter(col("gram").isNotNull)
+    val perGram = gramRows
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = perGram
+      .groupBy(col("doc_id"), col("n"))
+      .agg(
+        sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_cnt"))
+    def at(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
+    def dupFrac(t: Column, d: Column): Column =
+      coalesce((t - d).cast("double") / t.cast("double"), lit(0.0))
+    perN.groupBy(col("doc_id"))
+      .agg(
+        at(1, "total").as("n_tokens"), at(1, "max_cnt").as("__m1"),
+        at(2, "total").as("__t2"), at(2, "n_distinct").as("__d2"),
+        at(3, "total").as("__t3"), at(3, "n_distinct").as("__d3"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("__m1").cast("double") / col("n_tokens").cast("double"))
+          .as("top_unigram_frac"),
+        dupFrac(col("__t2"), col("__d2")).as("dup_bigram_frac"),
+        dupFrac(col("__t3"), col("__d3")).as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        col("dup_trigram_frac") > 0.15 || col("top_unigram_frac") > 0.3)
+  }
+
+  /** Curation-funnel yield report — ONE summary row: how many documents
+    * survive each successive filter stage of a standard training-data
+    * pipeline (quality gate → repetition gate → exact dedup keeper). The
+    * per-stage counts are what a curation run reports at any scale; each
+    * flag is computed in its own doc_id-keyed pass and the flags join
+    * before a single global aggregate, so no stage ever materializes a
+    * filtered copy of the corpus.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = docs.select(
+      col("doc_id"),
+      (!(length(col("text")) < 50 || tokenCount(col("text")) < 8)).as("q"))
+    val rep = repetitionFrame(spark, sfDir)
+      .select(col("doc_id"), col("is_repetitive"))
+    val keeper = docs.select(
+      col("doc_id"),
+      (row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id").asc))
+        === 1).as("k"))
+    quality
+      .join(rep, Seq("doc_id"), "left")
+      .join(keeper, Seq("doc_id"))
+      .select(col("q"),
+        (col("q") && !coalesce(col("is_repetitive"), lit(false))).as("qr"),
+        col("k"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(col("q")).as("n_after_quality"),
+        count_if(col("qr")).as("n_after_repetition"),
+        count_if(col("qr") && col("k")).as("n_after_dedup"))
   }
 
   /** Sketch-based corpus profile — the 100 TB formulation of the exact

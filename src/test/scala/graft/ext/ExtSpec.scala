@@ -75,6 +75,27 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Long]("distinct_texts") === 500L)
     assert(row.getAs[Long]("dup_docs_removed") === 0L)
   }
+
+  test("incrementalExact matches delta docs against the corpus index only") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_incremental"
+    Seq(
+      (2L, "shared text body", "en", "s", 16L),   // corpus keeper
+      (12L, "shared text body", "en", "s", 16L),  // corpus dup (not reported)
+      (5L, "corpus only text", "en", "s", 16L),
+      (9L, "shared text body", "en", "s", 16L),   // delta: dup of keeper 2
+      (19L, "brand new text", "en", "s", 14L),    // delta: clean
+      (29L, "shared text body", "en", "s", 16L))  // delta: also dup of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.incrementalExact(spark, dir).collect()
+      .map(r => r.getAs[Long]("new_doc_id") ->
+        ((r.getAs[Long]("dup_of"), r.getAs[Boolean]("is_dup")))).toMap
+    assert(out.keySet === Set(9L, 19L, 29L))
+    assert(out(9L) === ((2L, true)))   // keeper is the SMALLEST corpus id
+    assert(out(29L) === ((2L, true)))
+    assert(out(19L) === ((-1L, false)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -177,6 +198,25 @@ class TextStatsSpec extends SparkSpec {
       }
       assert(r.getAs[Int]("n_tokens") > 0)
     }
+  }
+
+  test("curationFunnel counts monotone survivors per stage") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_funnel"
+    val good = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew quiet potions tonight"
+    Seq(
+      (1L, good, "en", "s", good.length.toLong),        // survives everything
+      (2L, "tiny", "en", "s", 4L),                      // fails quality (short)
+      (3L, Seq.fill(20)("spam").mkString(" "), "en", "s", 99L), // repetitive
+      (4L, good, "en", "s", good.length.toLong))        // exact dup of 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextStats.curationFunnel(spark, dir).collect().head
+    assert(r.getAs[Long]("n_total") === 4L)
+    assert(r.getAs[Long]("n_after_quality") === 3L)
+    assert(r.getAs[Long]("n_after_repetition") === 2L)
+    assert(r.getAs[Long]("n_after_dedup") === 1L)
   }
 
   test("langId predicts the easy languages on crafted sentences") {
