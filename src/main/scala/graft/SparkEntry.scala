@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Contamination, Corpus, Dedup, EventAnalytics, Multimodal, Similarity, TextStats}
+import graft.ext.{Contamination, Corpus, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -83,6 +83,10 @@ object SparkEntry {
     "hourly_events"      -> ((s, d) => EventAnalytics.hourlyWindows(s, d)),
     "sliding_events"     -> ((s, d) => EventAnalytics.slidingWindows(s, d)),
     "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
+    "events_cube"        -> ((s, d) => EventAnalytics.eventTypeCube(s, d)),
+    "bm25_search"        -> ((s, d) => Search.bm25(s, d)),
+    "tfidf_terms"        -> ((s, d) => Search.tfidfTerms(s, d)),
+    "inverted_index"     -> ((s, d) => Search.invertedIndex(s, d)),
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
     "events_asof_orders" -> ((s, d) => EventAnalytics.eventsAsOfOrders(s, d)),
     "errors_during_sessions" -> ((s, d) => EventAnalytics.errorsDuringSessions(s, d)),
@@ -592,6 +596,84 @@ object SparkEntry {
         |       count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY ROLLUP(event_type, hour)
         |ORDER BY event_type ASC NULLS FIRST, hour ASC NULLS FIRST""".stripMargin,
+    "events_cube" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |GROUP BY CUBE(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
+    "bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, u.tok FROM t, UNNEST(toks) AS u(tok)
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, count(*) AS n_terms,
+        |         sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |             * tf.tf * 2.2
+        |             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+        |           AS score
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, n_terms, round(score, 6) AS bm25
+        |FROM scored
+        |ORDER BY bm25 DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
+    "tfidf_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, u.tok, count(*) AS tf
+        |  FROM t, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*)::DOUBLE AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok AS term, tf.tf,
+        |         round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY tfidf DESC, term ASC)
+        |              AS term_rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term_rank, term, tf, tfidf
+        |FROM ranked WHERE term_rank <= 3
+        |ORDER BY doc_id ASC, term_rank ASC""".stripMargin,
+    "inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, u.tok
+        |  FROM (SELECT doc_id,
+        |               list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                           x -> x <> '') AS toks
+        |        FROM documents) t, UNNEST(toks) AS u(tok)
+        |)
+        |SELECT tok AS term, count(DISTINCT doc_id) AS df,
+        |       count(*) AS total_occurrences,
+        |       array_to_string((list_sort(list(DISTINCT doc_id)))[1:20], ',')
+        |         AS postings_head
+        |FROM tok GROUP BY tok
+        |ORDER BY term ASC""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -249,7 +249,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = allDocs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // Only docs that touch an edge can ever change label — iterate over
+    // that (much smaller) frame; the untouched majority joins back as
+    // singletons after convergence. At 100 TB this is the difference
+    // between looping over the dup graph (~1% of docs) and the corpus.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -269,8 +274,11 @@ object Dedup {
       labels = next
       it += 1
     }
+    val singletons = allDocs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
     edges.unpersist()
-    labels
+    labels.unionByName(singletons)
   }
 
   /** Driver-registered clustering summary (rows-only): MinHash pairs →

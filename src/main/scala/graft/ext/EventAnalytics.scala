@@ -145,6 +145,25 @@ object EventAnalytics {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type").asc_nulls_first, col("hour").asc_nulls_first)
 
+  /** Full CUBE over (event_type, day): every grouping-set combination in a
+    * single pass — the OLAP dashboard materialization. Spark plans one
+    * Expand (4 grouping sets) + one hash aggregation; at 100 TB the expand
+    * multiplies input 4× before the map-side combine, which is the standard
+    * trade for avoiding 4 separate scans. Day granularity (not hour) keeps
+    * the cube dense. Distinct users per set needs the expand anyway, so the
+    * cube costs nothing extra over the rollup.
+    */
+  def eventTypeCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cube(col("event_type"), col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   /** Exact per-brand price distribution: count/min/max plus exact linear-
     * interpolation percentiles (`percentile`, the sort-based exact form —
     * both engines define quantiles by the same (n−1)·p interpolation, so

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout writers for scale (SURVEY §4: the parquet-side analogs of
   * the reference's physical indexes).
@@ -26,4 +27,75 @@ object Layout {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton (Z-order) interleave of two pre-quantized dimensions: bit j of
+    * `x` lands at bit 2j, bit j of `y` at 2j+1. Inputs must already be in
+    * [0, 2^bits); see [[quantize]]. Pure shift/mask arithmetic — codegen'd,
+    * no UDF.
+    */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
+        shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
+    }.reduce(_ + _)
+
+  /** Linear quantization of a numeric column onto [0, 2^bits) given its
+    * [lo, hi] domain (from table stats — one cheap agg pass at write time).
+    */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    val span = math.max(hi - lo, Double.MinPositiveValue)
+    val buckets = (1L << bits) - 1
+    least(greatest(
+      floor((c.cast("double") - lo) / span * buckets).cast("long"),
+      lit(0L)), lit(buckets))
+  }
+
+  /** Z-order-clustered parquet write on two numeric dimensions: quantize
+    * each onto 16 bits (domain from one stats pass), range-partition by the
+    * interleaved z-value, sort within partitions, drop the helper column.
+    *
+    * Why at 100 TB: a single-column sort gives row-group min/max pruning on
+    * ONE predicate dimension; z-clustering keeps BOTH dimensions locally
+    * dense, so parquet data skipping prunes on either (or both) — the same
+    * reason Delta/Iceberg OPTIMIZE ZORDER exists, here as a plain
+    * DataFrame-level writer with no table-format dependency. Range
+    * partitioning bounds each output file to a contiguous z-interval, i.e.
+    * a small rectangle of the (x, y) space.
+    */
+  def writeZOrdered(
+      df: DataFrame, xCol: String, yCol: String, path: String,
+      outFiles: Int = 32): Unit = {
+    val Array(xlo, xhi, ylo, yhi) =
+      df.agg(min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+          min(col(yCol)).cast("double"), max(col(yCol)).cast("double"))
+        .collect()(0).toSeq.map(v => v.asInstanceOf[Double]).toArray
+    df.withColumn("__z",
+        zvalue(quantize(col(xCol), xlo, xhi), quantize(col(yCol), ylo, yhi)))
+      .repartitionByRange(outFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Compact a directory of (possibly many small) parquet files to
+    * approximately `targetFileBytes` files — the standard maintenance pass
+    * after streaming/incremental appends, whose absence is the #1 cause of
+    * slow scans on long-lived tables (per-file open cost + tiny row
+    * groups). File count derives from the actual on-disk bytes; content is
+    * rewritten 1:1 (no dedup, no reorder guarantees beyond Spark's
+    * round-robin rebalance).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1, (totalBytes.toDouble / targetFileBytes).ceil.toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
 }

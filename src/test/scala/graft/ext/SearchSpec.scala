@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/tmp/graft_test_search"
+
+  private def writeDocs(rows: Seq[(Long, String)]): Unit =
+    rows.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("bm25 ranks the term-dense short doc above a diluted long one") {
+    writeDocs(Seq(
+      1L -> "spark spark spark",                       // tf=3, dl=3
+      2L -> "spark filler filler filler filler filler filler filler", // tf=1, dl=8
+      3L -> "nothing relevant here"))                  // no query term
+    val out = Search.bm25(spark, dir, terms = Seq("spark")).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(out.forall(_.getAs[Double]("bm25") > 0.0))
+    assert(out(0).getAs[Double]("bm25") > out(1).getAs[Double]("bm25"))
+    assert(out.forall(_.getAs[Long]("n_terms") === 1L))
+  }
+
+  test("bm25 sums evidence across query terms and respects topK") {
+    writeDocs(Seq(
+      1L -> "spark stream",
+      2L -> "spark only",
+      3L -> "stream only",
+      4L -> "neither word"))
+    val out = Search.bm25(spark, dir, terms = Seq("spark", "stream"), topK = 2)
+      .collect()
+    assert(out.length === 2)
+    // both-terms doc wins; equal single-term docs tie-break by doc_id
+    assert(out(0).getAs[Long]("doc_id") === 1L)
+    assert(out(0).getAs[Long]("n_terms") === 2L)
+    assert(out(1).getAs[Long]("doc_id") === 2L)
+  }
+
+  test("tfidfTerms surfaces the distinguishing term, not the shared one") {
+    writeDocs(Seq(
+      1L -> "common rare common",
+      2L -> "common common common",
+      3L -> "common boring common"))
+    val top = Search.tfidfTerms(spark, dir, perDoc = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("term")).toMap
+    // "common" appears in all 3 docs → idf = ln(1) = 0; uniques win
+    assert(top(1L) === "rare")
+    assert(top(3L) === "boring")
+    // doc 2 has only the zero-idf term; it still gets a (score 0) row
+    assert(top(2L) === "common")
+  }
+
+  test("tfidfTerms rank is dense per doc and capped at perDoc") {
+    writeDocs(Seq(
+      1L -> "a a a b b c unique1 unique2",
+      2L -> "a b c"))
+    val rows = Search.tfidfTerms(spark, dir, perDoc = 2)
+      .collect().filter(_.getAs[Long]("doc_id") == 1L)
+    assert(rows.map(_.getAs[Int]("term_rank")).toSeq === Seq(1, 2))
+  }
+
+  test("invertedIndex reports df, occurrences, and sorted capped postings") {
+    writeDocs(Seq(
+      3L -> "zeta alpha alpha",
+      1L -> "alpha beta",
+      2L -> "beta alpha"))
+    val idx = Search.invertedIndex(spark, dir, postingHead = 2).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("total_occurrences"),
+          r.getAs[String]("postings_head")))).toMap
+    assert(idx("alpha") === ((3L, 4L, "1,2")))  // capped to 2 of 3 docs
+    assert(idx("beta") === ((2L, 2L, "1,2")))
+    assert(idx("zeta") === ((1L, 1L, "3")))
+    // presentation order is term-ascending
+    assert(idx.keySet === Set("alpha", "beta", "zeta"))
+  }
+
+  test("eventTypeCube covers all four grouping sets with consistent totals") {
+    val out = EventAnalytics.eventTypeCube(spark, sf).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val total = grand.head.getAs[Long]("n_events")
+    val byType = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val byDay = out.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    assert(byType.map(_.getAs[Long]("n_events")).sum === total)
+    assert(byDay.map(_.getAs[Long]("n_events")).sum === total)
+    val cells = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(cells.map(_.getAs[Long]("n_events")).sum === total)
+  }
+}

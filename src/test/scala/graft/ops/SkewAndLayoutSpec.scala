@@ -82,4 +82,61 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
       s"partition pruning missing from plan:\n$plan")
   }
+
+  test("zvalue interleaves bits (x even, y odd)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // z(3,5): x bits at 0,2 → 1+4; y bits (101) at 1,5 → 2+32 ⇒ 39
+    assert(rows === Seq(0L, 1L, 2L, 3L, 12L, 39L))
+  }
+
+  test("quantize maps the domain onto [0, 2^bits) with clamping") {
+    import spark.implicits._
+    val q = Seq(0.0, 50.0, 100.0, -5.0, 105.0).toDF("v")
+      .select(Layout.quantize(col("v"), 0.0, 100.0, bits = 8).as("q"))
+      .as[Long].collect().toSeq
+    assert(q(0) === 0L && q(2) === 255L)
+    assert(q(1) === 127L)          // midpoint → floor(0.5 * 255)
+    assert(q(3) === 0L && q(4) === 255L) // out-of-domain values clamp
+  }
+
+  test("writeZOrdered keeps both dimensions locally dense per file") {
+    val dir = Files.createTempDirectory("graft_zorder").toString + "/events_z"
+    val events = graft.io.Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("event_id"))
+    Layout.writeZOrdered(events, "user_id", "value", dir, outFiles = 8)
+    val written = spark.read.parquet(dir)
+    assert(written.count() === events.count())
+    // Per-file bounding boxes in (user_id, value) space must be far
+    // smaller than the global box — the data-skipping property. A random
+    // shuffle would give every file the full box (ratio ≈ 1).
+    val perFile = written
+      .groupBy(input_file_name())
+      .agg(
+        (max(col("user_id")) - min(col("user_id"))).cast("double").as("dx"),
+        (max(col("value")) - min(col("value"))).cast("double").as("dy"))
+    val g = events.agg(
+      (max(col("user_id")) - min(col("user_id"))).cast("double"),
+      (max(col("value")) - min(col("value"))).cast("double")).collect()(0)
+    val globalArea = g.getDouble(0) * g.getDouble(1)
+    val avgArea = perFile.agg(avg(col("dx") * col("dy"))).collect()(0).getDouble(0)
+    assert(avgArea < 0.5 * globalArea,
+      s"z-order clustering too loose: avg file area $avgArea vs global $globalArea")
+  }
+
+  test("compact rewrites many small files into few, content-identical") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(10000).withColumn("v", col("id") * 2)
+    df.repartition(40).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before >= 30)
+    val sumBefore = spark.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0)
+    Layout.compact(spark, dir, targetFileBytes = 512L * 1024 * 1024)
+    val after = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(after < 5, s"expected few files after compact, got $after")
+    assert(spark.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) === sumBefore)
+  }
 }
