@@ -67,6 +67,8 @@ object SparkEntry {
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
+    "pii_scan"           -> ((s, d) => TextStats.piiScan(s, d)),
+    "kmeans_cells"       -> ((s, d) => Similarity.kmeansCells(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
     "doc_repetition"     -> ((s, d) => TextStats.repetitionSignals(s, d)),
     "curation_funnel"    -> ((s, d) => TextStats.curationFunnel(s, d)),
@@ -493,6 +495,27 @@ object SparkEntry {
         |WHERE g.doc_id % 13 <> 0
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id ASC""".stripMargin,
+    "pii_scan" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |      '\+[0-9][0-9 ()-]{7,}[0-9]')) AS n_phones,
+        |  len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  (len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(text, '\+[0-9][0-9 ()-]{7,}[0-9]'))
+        |   + len(regexp_extract_all(text,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) > 0)
+        |    AS has_pii,
+        |  length(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+        |    AS redacted_len
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id AS media_id,
         |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]

@@ -247,4 +247,76 @@ object Similarity {
         round(col("sim"), 6).as("cosine_sim"))
       .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
+
+  /** Distributed spherical k-means (Lloyd) over the embedding corpus — the
+    * IVF quantizer TRAINER ([[ivfTopK]]'s coarse cells, learned instead of
+    * sampled). Deterministic: init = the k lowest-id vectors, iteration
+    * count fixed, ties broken on cell id.
+    *
+    * Scale shape: the corpus lives as unit-normalized (vec_id, pos, x)
+    * component rows, persisted once. Per iteration:
+    *   assign  = component rows ⋈ broadcast(centroid components) on pos →
+    *             partial dot products → per-vector argmax (two hash aggs,
+    *             map-side combinable — the corpus never re-reads);
+    *   update  = component rows ⋈ assignment → per-(cell, pos) mean →
+    *             re-normalized and COLLECTED (k·dim doubles — the
+    *             quantizer is a driver-side model in every IVF system,
+    *             and collecting truncates the iteration lineage).
+    * Empty cells keep their previous centroid. Returns the assignment
+    * frame (vec_id, cell_id, sim-to-centroid).
+    */
+  def kmeansAssignments(
+      spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val comp = emb
+      .select(col("vec_id"), col("__norm"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos"),
+        (col("v").cast("double") / col("__norm")).as("x"))
+      .persist()
+    // (cell_id, pos, c) as a driver-held model, seeded from the first k
+    var model: Array[(Int, Int, Double)] = comp
+      .filter(col("vec_id") < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))
+    import spark.implicits._
+    def assignFor(m: Array[(Int, Int, Double)]): DataFrame = {
+      val cents = m.toSeq.toDF("cell_id", "pos", "c")
+      comp.join(broadcast(cents), Seq("pos"))
+        .groupBy(col("vec_id"), col("cell_id"))
+        .agg(sum(col("x") * col("c")).as("s"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("s"), (-col("cell_id")).as("negid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negid")).as("cell_id"),
+          col("best.s").as("sim"))
+    }
+    for (_ <- 1 to iters) {
+      val assign = assignFor(model)
+      val means = comp
+        .join(assign.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+      val norms = means.groupBy(col("cell_id"))
+        .agg(sqrt(sum(col("m") * col("m"))).as("n"))
+      val updated = means.join(norms, Seq("cell_id"))
+        .select(col("cell_id"), col("pos"), (col("m") / col("n")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val seen = updated.map(_._1).toSet
+      model = updated ++ model.filter { case (cid, _, _) => !seen(cid) }
+    }
+    assignFor(model)
+  }
+
+  /** Cluster-size/cohesion summary of [[kmeansAssignments]] (rows-only —
+    * iterative float means have no portable SQL twin).
+    */
+  def kmeansCells(
+      spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): DataFrame =
+    kmeansAssignments(spark, sfDir, k, iters)
+      .groupBy(col("cell_id"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("sim")), 6).as("avg_cohesion"))
+      .orderBy(col("cell_id").asc)
 }

@@ -237,6 +237,39 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** PII patterns — restricted to the Java-regex ∩ RE2 common subset (no
+    * lookarounds, no backrefs) so the DuckDB twin matches byte-for-byte.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9 ()-]{7,}[0-9]"
+  private val ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scan: per-document counts of email / E.164-style phone / IPv4
+    * matches, a has_pii flag, and the redacted text length (each match
+    * replaced by a fixed tag — the curation pipeline's scrub step, sized
+    * here so the oracle can check the rewrite without hauling full text
+    * through the compare). Pure regexp_extract_all/regexp_replace —
+    * codegen'd, one corpus pass, identical RE2-safe patterns in DuckDB.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0)))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        cnt(emailRe).as("n_emails"),
+        cnt(phoneRe).as("n_phones"),
+        cnt(ipv4Re).as("n_ips"),
+        (cnt(emailRe) + cnt(phoneRe) + cnt(ipv4Re) > 0).as("has_pii"),
+        length(redacted).as("redacted_len"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */
   def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame =
     langId(spark, sfDir)
