@@ -49,6 +49,7 @@ object SparkEntry {
     "cascade_delete"     -> ((s, d) => Maintenance.cascadeDelete(s, d)),
     "patch_update"       -> ((s, d) => Maintenance.patchUpdate(s, d)),
     "current_state"      -> ((s, d) => Maintenance.currentState(s, d)),
+    "state_asof"         -> ((s, d) => Maintenance.stateAsOf(s, d, "2024-01-04 00:00:00")),
     // LLM-pipeline extension ops (BASELINE.json north star)
     "dedup_exact"        -> ((s, d) => Dedup.exactSummary(s, d)),
     "dedup_keepers"      -> ((s, d) => Dedup.exactKeepers(s, d)),
@@ -245,6 +246,17 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |                              ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
+        |)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |       value AS last_value
+        |FROM ranked WHERE rn = 1
+        |ORDER BY user_id ASC""".stripMargin,
+    "state_asof" ->
+      """WITH ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-04 00:00:00'
         |)
         |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
         |       value AS last_value

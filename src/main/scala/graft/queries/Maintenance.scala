@@ -67,4 +67,22 @@ object Maintenance {
         col("user_id"), col("event_id").as("last_event_id"),
         col("ts").as("last_ts"), col("value").as("last_value"))
       .orderBy(col("user_id").asc)
+
+  /** Time-travel snapshot: [[currentState]] AS OF a past instant — the
+    * change log filtered to rows at-or-before the cutoff, then the same
+    * latest-wins view. On parquet change logs the cutoff filter pushes to
+    * the scan (row-group ts min/max prune), so a snapshot query reads only
+    * history up to its version — the core of every table-format time
+    * travel, expressed as a query shape. Keys whose first change is after
+    * the cutoff are absent, exactly as they were then.
+    */
+  def stateAsOf(spark: SparkSession, sfDir: String, cutoff: String): DataFrame =
+    Mutations.latestWins(
+      Tables.events(spark, sfDir).filter(col("ts") <= lit(cutoff).cast("timestamp")),
+      keys = Seq(col("user_id")),
+      order = Seq(col("ts").desc, col("event_id").desc))
+      .select(
+        col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy(col("user_id").asc)
 }
