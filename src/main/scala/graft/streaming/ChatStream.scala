@@ -181,4 +181,24 @@ object ChatStream {
       .agg(count(lit(1)).as("n_events"))
       .select(
         col("window.start").as("hour"), col("event_type"), col("n_events"))
+
+  /** Event-time SESSION windows (gap-based, the streaming form of
+    * EventAnalytics.sessionize): per-user windows that extend while events
+    * keep arriving within `gap` of each other and close `gap` after the
+    * last one. Spark's native session_window state merges adjacent
+    * windows; the watermark bounds state by evicting sessions that can no
+    * longer grow — without it, every open session would live forever.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
 }

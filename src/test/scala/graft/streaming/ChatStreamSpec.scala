@@ -164,4 +164,28 @@ class ChatStreamSpec extends SparkSpec {
         (t(11, 0), "view", 1L)))
     } finally q.stop()
   }
+
+  test("sessionWindows merges gap-close events and splits across long gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val agg = ChatStream.sessionWindows(events, "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sesswin")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: 10:00, 10:20, 10:45 chain into ONE session (each gap < 30m);
+      // 12:00 is a separate session. user 2: single event.
+      input.addData((t(10, 0), 1L), (t(10, 20), 1L), (t(10, 45), 1L),
+        (t(12, 0), 1L), (t(11, 0), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sesswin")
+        .as[(Timestamp, Timestamp, Long, Long)].collect().toSet
+      assert(rows === Set(
+        (t(10, 0), t(11, 15), 1L, 3L),   // ends 30m after the last event
+        (t(12, 0), t(12, 30), 1L, 1L),
+        (t(11, 0), t(11, 30), 2L, 1L)))
+    } finally q.stop()
+  }
 }
