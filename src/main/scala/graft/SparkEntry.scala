@@ -50,6 +50,7 @@ object SparkEntry {
     "patch_update"       -> ((s, d) => Maintenance.patchUpdate(s, d)),
     "current_state"      -> ((s, d) => Maintenance.currentState(s, d)),
     "state_asof"         -> ((s, d) => Maintenance.stateAsOf(s, d, "2024-01-04 00:00:00")),
+    "scd2_history"       -> ((s, d) => Maintenance.scd2History(s, d)),
     // LLM-pipeline extension ops (BASELINE.json north star)
     "dedup_exact"        -> ((s, d) => Dedup.exactSummary(s, d)),
     "dedup_keepers"      -> ((s, d) => Dedup.exactKeepers(s, d)),
@@ -262,6 +263,16 @@ object SparkEntry {
         |       value AS last_value
         |FROM ranked WHERE rn = 1
         |ORDER BY user_id ASC""".stripMargin,
+    "scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from, value,
+        |       lead(ts) OVER (PARTITION BY user_id
+        |                      ORDER BY ts ASC, event_id ASC) IS NULL
+        |         AS is_current,
+        |       coalesce(lead(ts) OVER (PARTITION BY user_id
+        |                               ORDER BY ts ASC, event_id ASC),
+        |                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |FROM events
+        |ORDER BY user_id ASC, valid_from ASC, event_id ASC""".stripMargin,
     "dedup_exact" ->
       """WITH g AS (
         |  SELECT sha256(text) AS fp, count(*) AS copies

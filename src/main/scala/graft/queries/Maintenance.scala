@@ -85,4 +85,30 @@ object Maintenance {
         col("user_id"), col("event_id").as("last_event_id"),
         col("ts").as("last_ts"), col("value").as("last_value"))
       .orderBy(col("user_id").asc)
+
+  /** SCD-type-2 history view: the change log turned into per-key validity
+    * intervals — each event's value holds from its own timestamp until the
+    * key's next change (open-ended for the current row). The standard
+    * warehouse answer to "what was this row at time T" for ANY T, where
+    * [[stateAsOf]] answers one T; the two compose (as-of = interval
+    * containing T). One window pass, shuffles once on the key — linear at
+    * any log size.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("valid_from"), col("value"))
+      .withColumn("__next", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("__next").isNull)
+      // open-ended rows carry the classic SCD2 end-of-time sentinel: keeps
+      // the column non-null (driver compare trips on NaT-vs-NaT) and makes
+      // "interval containing T" predicates sentinel-free downstream
+      .withColumn("valid_to",
+        coalesce(col("__next"), lit("9999-12-31 00:00:00").cast("timestamp")))
+      .drop("__next")
+      .orderBy(col("user_id").asc, col("valid_from").asc, col("event_id").asc)
+  }
 }

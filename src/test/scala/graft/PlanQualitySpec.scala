@@ -1,0 +1,62 @@
+package graft
+
+/** Guards on the PHYSICAL plans of representative queries — the properties
+  * that make them scale (pushdown, pruning, broadcast, no nested-loop
+  * joins) must survive refactors. String-level assertions on the executed
+  * plan: crude but stable across Spark minor versions, and they fail loud.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("ads_search pushes the price range into the part scan and prunes columns") {
+    val p = plan("ads_search")
+    // (PushedFilters text is truncated in toString — assert on the Filter
+    // expressions, which Catalyst only produces when pushdown analyzed.)
+    assert("p_retailprice#\\d+ >= 905\\.0".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("p_retailprice#\\d+ <= 960\\.0".r.findFirstIn(p).isDefined)
+    // lineitem feeds only the favorite-count: two columns at most
+    val lineitemSchemas = "ReadSchema: struct<([^>]*l_[^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(lineitemSchemas.nonEmpty)
+    lineitemSchemas.foreach { s =>
+      assert(s.split(",").length <= 2, s"lineitem scan too wide: $s")
+    }
+  }
+
+  test("ad_by_id pushes the point key into BOTH fact scans") {
+    val p = plan("ad_by_id")
+    assert(p.contains("EqualTo(o_orderkey,42)"))
+    assert(p.contains("EqualTo(l_orderkey,42)"))
+  }
+
+  test("favorites_list keeps the deleted-status filter in-plan (P9 fix)") {
+    val p = plan("favorites_list")
+    assert(p.contains("Not(EqualTo(o_orderstatus,F))") ||
+      p.contains("o_orderstatus"), p.take(2000))
+  }
+
+  test("multi-way joins never degrade to nested-loop or cartesian") {
+    for (q <- Seq("trades", "ads_search", "favorites_list", "conversations_list",
+      "admin_users", "events_asof_orders", "scd2_history")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
+    val p = plan("trades")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // AQE materializes codegen stages only at execution; inspect the
+    // static plan instead.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- Seq("token_counts", "quality_score")) {
+      val c = SparkEntry.queries(q)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(!c.startsWith("Found 0 WholeStageCodegen"), s"$q: ${c.take(200)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
