@@ -539,6 +539,101 @@ object SparkEntry {
         |    AS redacted_len
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('the','and','of','to','in','is','that','it','was','for')))
+        |      AS s_en,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('der','die','und','das','ist','nicht','ein','mit','auf','sich')))
+        |      AS s_de,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('el','la','de','que','los','se','un','por','con','una')))
+        |      AS s_es,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('le','la','les','des','et','est','une','dans','que','pour')))
+        |      AS s_fr,
+        |    ((CASE WHEN strpos(text, '的') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '是') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '了') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '在') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '我') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '有') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '和') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '不') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '人') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '这') > 0 THEN 1 ELSE 0 END)) AS s_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM s
+        |), p AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CASE WHEN mx = 0 THEN 'unknown'
+        |         WHEN s_zh = mx THEN 'zh'
+        |         WHEN s_fr = mx THEN 'fr'
+        |         WHEN s_es = mx THEN 'es'
+        |         WHEN s_en = mx THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM m
+        |)
+        |SELECT doc_id, actual_lang, predicted_lang,
+        |       (predicted_lang = actual_lang) AS correct
+        |FROM p ORDER BY doc_id ASC""".stripMargin,
+    "lang_id_accuracy" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('the','and','of','to','in','is','that','it','was','for')))
+        |      AS s_en,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('der','die','und','das','ist','nicht','ein','mit','auf','sich')))
+        |      AS s_de,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('el','la','de','que','los','se','un','por','con','una')))
+        |      AS s_es,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('le','la','les','des','et','est','une','dans','que','pour')))
+        |      AS s_fr,
+        |    ((CASE WHEN strpos(text, '的') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '是') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '了') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '在') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '我') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '有') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '和') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '不') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '人') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '这') > 0 THEN 1 ELSE 0 END)) AS s_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM s
+        |), p AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CASE WHEN mx = 0 THEN 'unknown'
+        |         WHEN s_zh = mx THEN 'zh'
+        |         WHEN s_fr = mx THEN 'fr'
+        |         WHEN s_es = mx THEN 'es'
+        |         WHEN s_en = mx THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM m
+        |)
+        |SELECT actual_lang, count(*) AS n_docs,
+        |       count_if(predicted_lang = actual_lang) AS n_correct,
+        |       count_if(predicted_lang = actual_lang)::DOUBLE
+        |         / count(*)::DOUBLE AS accuracy
+        |FROM p GROUP BY actual_lang
+        |ORDER BY actual_lang ASC""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id AS media_id,
         |       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
