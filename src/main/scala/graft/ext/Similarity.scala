@@ -268,25 +268,37 @@ object Similarity {
   def kmeansAssignments(
       spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+      .persist()
+    // comp rows only feed the UPDATE step (per-dimension means); the
+    // assignment step is join-free (see below).
     val comp = emb
       .select(col("vec_id"), col("__norm"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("vec_id"), col("pos"),
         (col("v").cast("double") / col("__norm")).as("x"))
       .persist()
-    // (cell_id, pos, c) as a driver-held model, seeded from the first k
-    var model: Array[(Int, Int, Double)] = comp
+    // model: cell_id -> unit centroid, seeded from the first k vectors
+    var model: Map[Int, Array[Double]] = comp
       .filter(col("vec_id") < k)
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getInt(1), r.getDouble(2)))
-    import spark.implicits._
-    def assignFor(m: Array[(Int, Int, Double)]): DataFrame = {
-      val cents = m.toSeq.toDF("cell_id", "pos", "c")
-      comp.join(broadcast(cents), Seq("pos"))
-        .groupBy(col("vec_id"), col("cell_id"))
-        .agg(sum(col("x") * col("c")).as("s"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("s"), (-col("cell_id")).as("negid"))).as("best"))
+      .groupBy(_.getLong(0).toInt)
+      .map { case (cid, rows) =>
+        val arr = new Array[Double](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        cid -> arr
+      }
+    // Assignment is a narrow map pass: k native graft_dot projections
+    // against centroid LITERALS (codegen'd; same shape as ivfTopK's cell
+    // assignment) and a greatest() argmax — no join, no shuffle, the
+    // dominant per-iteration cost drops to one corpus scan.
+    def assignFor(m: Map[Int, Array[Double]]): DataFrame = {
+      val scores = m.toSeq.sortBy(_._1).map { case (cid, c) =>
+        val litArr = c.map(v => v.toString + "D").mkString("array(", ",", ")")
+        struct((expr(s"graft_dot(embedding, $litArr)") / col("__norm")).as("s"),
+          lit(-cid).as("negid"))
+      }
+      emb.withColumn("best", greatest(scores: _*))
         .select(col("vec_id"), (-col("best.negid")).as("cell_id"),
           col("best.s").as("sim"))
     }
@@ -301,9 +313,13 @@ object Similarity {
       val updated = means.join(norms, Seq("cell_id"))
         .select(col("cell_id"), col("pos"), (col("m") / col("n")).as("c"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      val seen = updated.map(_._1).toSet
-      model = updated ++ model.filter { case (cid, _, _) => !seen(cid) }
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Double](model.head._2.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          cid -> arr
+        }
+      model = model ++ updated // empty cells keep their previous centroid
     }
     assignFor(model)
   }
