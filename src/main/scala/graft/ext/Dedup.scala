@@ -153,9 +153,23 @@ object Dedup {
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // Two-base-hash permutation family (Kirsch–Mitzenmacher shape): the
+    // j-th permutation hash derives from TWO xxhash64 values instead of 64
+    // independent calls per shingle row — ~32× less hashing in the hot
+    // aggregation. Mixing is XOR ⊕ rotate ⊕ per-j constant rather than
+    // h1 + j·h2 because ANSI mode (Spark 4 default) raises on the
+    // deliberate mod-2^64 wrap of add/multiply; XOR/rotate cannot overflow.
+    def rotl(c: Column, j: Int): Column =
+      if (j == 0) c else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
     val slots: Seq[Column] =
-      (0 until 64).map(j => min(xxhash64(col("sh"), lit(j))).as(s"__m$j"))
+      (0 until 64).map { j =>
+        min(col("__h1")
+          .bitwiseXOR(rotl(col("__h2"), j))
+          .bitwiseXOR(lit(j * 0x9E3779B9L))).as(s"__m$j")
+      }
     val perDoc = shingleRows(spark, sfDir)
+      .withColumn("__h1", xxhash64(col("sh")))
+      .withColumn("__h2", xxhash64(col("sh"), lit(1)))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
       .persist()
@@ -255,6 +269,9 @@ object Dedup {
     // between looping over the dup graph (~1% of docs) and the corpus.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // `labels` may be a projection of the cached frame; unpersist must hit
+    // the cached frame itself, so track it separately.
+    var cached: DataFrame = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -262,16 +279,18 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("n_min"))
+      // carry the old label through so convergence is a filter on the same
+      // frame — no extra join+shuffle per iteration just to detect change
       val next = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("__old"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
             .as("cluster_id"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("__old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
     val singletons = allDocs.select(col("doc_id"))
