@@ -35,6 +35,23 @@ object Sources {
   def toJsonLines(df: DataFrame): DataFrame =
     df.select(to_json(struct(df.columns.map(col).toSeq: _*)).as("value"))
 
+  /** Batch CSV ingest, same contract as [[jsonl]]: declared schema (no
+    * inference pass), malformed lines quarantined in `_corrupt_record`.
+    * Header handling is explicit — at scale a header row per FILE is the
+    * default export shape, and silently treating it as data corrupts the
+    * first row of every shard.
+    */
+  def csv(
+      spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
   /** F3/F4 write-path defaults (`@default(uuid())` / `@default(now())` +
     * `@updatedAt`, `schema.prisma:12,20-21`): stamp generated id and audit
     * timestamps on an insert batch. Nondeterministic by design — verified

@@ -39,6 +39,23 @@ class SourcesSpec extends SparkSpec {
     assert(back === Set((1L, "a"), (2L, "b")))
   }
 
+  test("csv reads declared schema with header and quarantines malformed rows") {
+    val dir = Files.createTempDirectory("graft_csv")
+    Files.writeString(Paths.get(dir.toString, "in.csv"),
+      """id,name
+        |1,ok
+        |not-a-long,broken
+        |2,also ok
+        |""".stripMargin)
+    val df = Sources.csv(spark, dir.toString, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(good === Set((1L, "ok"), (2L, "also ok")))
+    val bad = df.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("_corrupt_record").startsWith("not-a-long"))
+  }
+
   test("withInsertDefaults stamps unique uuids and createdAt == updatedAt (F3/F4)") {
     val out = Sources.withInsertDefaults(Seq("x", "y", "z").toDF("payload")).collect()
     val ids = out.map(_.getAs[String]("id"))
