@@ -270,7 +270,7 @@ object SparkEntry {
         |         AS is_current,
         |       coalesce(lead(ts) OVER (PARTITION BY user_id
         |                               ORDER BY ts ASC, event_id ASC),
-        |                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        |                TIMESTAMP '2262-01-01 00:00:00') AS valid_to
         |FROM events
         |ORDER BY user_id ASC, valid_from ASC, event_id ASC""".stripMargin,
     "dedup_exact" ->
@@ -424,7 +424,7 @@ object SparkEntry {
         |         max(CASE WHEN n = 3 THEN n_distinct END) AS d3
         |  FROM s GROUP BY doc_id
         |)
-        |SELECT doc_id, n_tokens,
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
         |       m1::DOUBLE / n_tokens::DOUBLE AS top_unigram_frac,
         |       coalesce((t2 - d2)::DOUBLE / t2::DOUBLE, 0.0)
         |         AS dup_bigram_frac,
@@ -480,9 +480,9 @@ object SparkEntry {
         |  FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
         |)
         |SELECT count(*) AS n_total,
-        |       count_if(q) AS n_after_quality,
-        |       count_if(q AND NOT r) AS n_after_repetition,
-        |       count_if(q AND NOT r AND k) AS n_after_dedup
+        |       count_if(q)::BIGINT AS n_after_quality,
+        |       count_if(q AND NOT r)::BIGINT AS n_after_repetition,
+        |       count_if(q AND NOT r AND k)::BIGINT AS n_after_dedup
         |FROM f""".stripMargin,
     "dedup_incremental" ->
       """WITH h AS (
@@ -629,7 +629,7 @@ object SparkEntry {
         |  FROM m
         |)
         |SELECT actual_lang, count(*) AS n_docs,
-        |       count_if(predicted_lang = actual_lang) AS n_correct,
+        |       count_if(predicted_lang = actual_lang)::BIGINT AS n_correct,
         |       count_if(predicted_lang = actual_lang)::DOUBLE
         |         / count(*)::DOUBLE AS accuracy
         |FROM p GROUP BY actual_lang

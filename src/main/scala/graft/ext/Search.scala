@@ -50,27 +50,36 @@ object Search {
       spark: SparkSession, sfDir: String,
       terms: Seq[String] = defaultQueryTerms,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
-    // One tokenize pass: the compact (doc, term, tf) frame feeds doc
-    // lengths, corpus stats, and query-term tf — persisted because three
-    // branches consume it (unpersisted, each would re-explode the text).
-    val perDocTerm = tokenRows(spark, sfDir)
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .persist()
-    val dl = perDocTerm.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = perDocTerm.filter(col("tok").isin(terms: _*))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = col("tf") * (k1 + 1.0) /
-      (col("tf") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1)
-    tf.join(dfreq, Seq("tok"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
+    // Single-pass shape: the query's terms are plan-time literals, so each
+    // doc's length AND its per-query-term tf come out of ONE hash
+    // aggregation over the token rows (map-side combinable — no persist, no
+    // re-tokenize, no (doc,term) shuffle). Corpus stats (N, avgdl) and
+    // per-term document frequencies then reduce the per-doc frame to one
+    // broadcast row. Two aggregations + one broadcast total.
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = tokenRows(spark, sfDir)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"), sum(idf * tfNorm).as("__score"))
-      .select(col("doc_id"), col("n_terms"), round(col("__score"), 6).as("bm25"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +: avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def idf(i: Int): Column =
+      log((col("n_docs") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5) + 1.0)
+    def tfNorm(i: Int): Column =
+      col(s"__tf$i") * (k1 + 1.0) /
+        (col(s"__tf$i") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1)
+    val score = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, idf(i) * tfNorm(i)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val nTerms = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nTerms.as("n_terms"), round(score, 6).as("bm25"))
+      .filter(col("n_terms") > 0)
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(topK)
   }
@@ -85,24 +94,33 @@ object Search {
   def tfidfTerms(
       spark: SparkSession, sfDir: String, perDoc: Int = 3): DataFrame = {
     // persisted: consumed by its own df-reduction AND the scoring join.
+    // The cache is scoped to THIS call: the result is materialized eagerly
+    // (localCheckpoint truncates lineage; its blocks are reference-GC'd
+    // with the returned frame) and the intermediate unpersisted in finally
+    // — a long-lived driver running many queries must not accumulate
+    // CacheManager entries (same leak class as the r1 connected-components
+    // fix).
     val tf = tokenRows(spark, sfDir)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
       .persist()
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = Tables.documents(spark, sfDir)
-      .agg(count(lit(1)).cast("double").as("n_docs"))
-    val scored = tf.join(dfreq, Seq("tok"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("tok").as("term"), col("tf"),
-        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term").asc)
-    scored
-      .withColumn("term_rank", row_number().over(w))
-      .filter(col("term_rank") <= perDoc)
-      .select("doc_id", "term_rank", "term", "tf", "tfidf")
-      .orderBy(col("doc_id").asc, col("term_rank").asc)
+    try {
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(spark, sfDir)
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(dfreq, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok").as("term"), col("tf"),
+          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= perDoc)
+        .select("doc_id", "term_rank", "term", "tf", "tfidf")
+        .orderBy(col("doc_id").asc, col("term_rank").asc)
+        .localCheckpoint()
+    } finally tf.unpersist()
   }
 
   /** Inverted-index build: term → document frequency, total occurrences,

@@ -108,14 +108,20 @@ object Similarity {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
     // persisted: both sides of the bucket join read the signatures — one
-    // 64-projection pass instead of two.
+    // 64-projection pass instead of two. Scoped to this call: candIds (id
+    // pairs only — small) is materialized eagerly so the signature cache
+    // can be dropped before returning (no CacheManager accumulation in a
+    // long-lived driver).
     val banded = bandSignatures(spark, sfDir).persist()
-    val candIds = banded.filter(col("vec_id") < nProbes)
-      .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
-      .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
-        Seq("band_idx", "band_sig"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id").distinct()
+    val candIds = try {
+      banded.filter(col("vec_id") < nProbes)
+        .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+        .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+          Seq("band_idx", "band_sig"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id").distinct()
+        .localCheckpoint()
+    } finally banded.unpersist()
     val q = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))
     val c = emb.select(col("vec_id").as("c_id"),
@@ -151,10 +157,13 @@ object Similarity {
       nCells: Int = 16, cellProbes: Int = 4): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
-    // coarse quantizer: deterministic sample, unit-normalized at the driver
-    // so cell score = graft_dot(embedding, centroid) ranks by cosine.
-    val centroids: Seq[(Long, String)] = emb.filter(col("vec_id") < nCells)
+    // coarse quantizer: the nCells lowest-ID vectors (orderBy + limit, so
+    // the contract holds for sparse or non-zero-based id spaces too),
+    // unit-normalized at the driver so cell score = graft_dot(embedding,
+    // centroid) ranks by cosine.
+    val centroids: Seq[(Long, String)] = emb
       .select(col("vec_id"), col("embedding"), col("__norm"))
+      .orderBy(col("vec_id").asc).limit(nCells)
       .collect().toSeq
       .map { r =>
         val id = r.getLong(0)
@@ -230,12 +239,17 @@ object Similarity {
       spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
+    // call-scoped cache, as in lshTopK: eager id-pair materialization, then
+    // drop the signature cache before returning.
     val banded = bandSignatures(spark, sfDir).persist()
-    val pairs = banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
-      .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
-        Seq("band_idx", "band_sig"))
-      .filter(col("q_id") < col("c_id"))
-      .select("q_id", "c_id").distinct()
+    val pairs = try {
+      banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+        .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+          Seq("band_idx", "band_sig"))
+        .filter(col("q_id") < col("c_id"))
+        .select("q_id", "c_id").distinct()
+        .localCheckpoint()
+    } finally banded.unpersist()
     val q = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))
     val c = emb.select(col("vec_id").as("c_id"),
@@ -278,16 +292,23 @@ object Similarity {
       .select(col("vec_id"), col("pos"),
         (col("v").cast("double") / col("__norm")).as("x"))
       .persist()
-    // model: cell_id -> unit centroid, seeded from the first k vectors
+    // model: cell -> unit centroid, seeded from the k LOWEST-id vectors
+    // (orderBy + limit, not `vec_id < k`: ids may be sparse or non-zero-
+    // based, and the seed must still produce exactly min(k, N) centroids).
+    val seedIds: Array[Long] = emb.select(col("vec_id"))
+      .orderBy(col("vec_id").asc).limit(k)
+      .collect().map(_.getLong(0))
     var model: Map[Int, Array[Double]] = comp
-      .filter(col("vec_id") < k)
+      .filter(col("vec_id").isin(seedIds: _*))
       .collect()
-      .groupBy(_.getLong(0).toInt)
-      .map { case (cid, rows) =>
+      .groupBy(_.getLong(0))
+      .toSeq.sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, rows), cid) =>
         val arr = new Array[Double](rows.length)
         rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
         cid -> arr
-      }
+      }.toMap
     // Assignment is a narrow map pass: k native graft_dot projections
     // against centroid LITERALS (codegen'd; same shape as ivfTopK's cell
     // assignment) and a greatest() argmax — no join, no shuffle, the
@@ -302,24 +323,33 @@ object Similarity {
         .select(col("vec_id"), (-col("best.negid")).as("cell_id"),
           col("best.s").as("sim"))
     }
-    for (_ <- 1 to iters) {
-      val assign = assignFor(model)
-      val means = comp
-        .join(assign.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
-        .groupBy(col("cell_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
-      val norms = means.groupBy(col("cell_id"))
-        .agg(sqrt(sum(col("m") * col("m"))).as("n"))
-      val updated = means.join(norms, Seq("cell_id"))
-        .select(col("cell_id"), col("pos"), (col("m") / col("n")).as("c"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          val arr = new Array[Double](model.head._2.length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          cid -> arr
-        }
-      model = model ++ updated // empty cells keep their previous centroid
+    try {
+      for (_ <- 1 to iters) {
+        val assign = assignFor(model)
+        val means = comp
+          .join(assign.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+        val norms = means.groupBy(col("cell_id"))
+          .agg(sqrt(sum(col("m") * col("m"))).as("n"))
+        val updated = means.join(norms, Seq("cell_id"))
+          .select(col("cell_id"), col("pos"), (col("m") / col("n")).as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            val arr = new Array[Double](model.head._2.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            cid -> arr
+          }
+        model = model ++ updated // empty cells keep their previous centroid
+      }
+    } finally {
+      // caches are scoped to the training loop (every iteration ends in a
+      // collect, so nothing lazy still needs them); the returned assignment
+      // re-reads parquet once on consumption — leak-free beats one cached
+      // scan in a long-lived driver.
+      comp.unpersist()
+      emb.unpersist()
     }
     assignFor(model)
   }

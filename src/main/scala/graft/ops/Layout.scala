@@ -93,9 +93,31 @@ object Layout {
     val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, (totalBytes.toDouble / targetFileBytes).ceil.toInt)
     val tmp = path.stripSuffix("/") + "__compacting"
+    val backup = path.stripSuffix("/") + "__backup"
+    val src = new org.apache.hadoop.fs.Path(path)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val bakP = new org.apache.hadoop.fs.Path(backup)
+    val before = spark.read.parquet(path).count()
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // validate the rewrite BEFORE touching the source: a lost/truncated
+    // rewrite must never replace the live table
+    val after = spark.read.parquet(tmp).count()
+    if (after != before) {
+      fs.delete(tmpP, true)
+      throw new IllegalStateException(
+        s"compact($path): rewrite row count $after != source $before; aborted")
+    }
+    // swap via backup so a crash at any point leaves a readable copy:
+    // src -> backup, tmp -> src, then drop backup. If either rename fails
+    // the original data still exists under one of the two names.
+    if (fs.exists(bakP)) fs.delete(bakP, true)
+    if (!fs.rename(src, bakP))
+      throw new IllegalStateException(s"compact($path): rename to backup failed")
+    if (!fs.rename(tmpP, src)) {
+      fs.rename(bakP, src) // restore
+      throw new IllegalStateException(s"compact($path): swap failed; restored original")
+    }
+    fs.delete(bakP, true)
   }
 }

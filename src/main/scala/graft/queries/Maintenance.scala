@@ -103,11 +103,13 @@ object Maintenance {
         col("ts").as("valid_from"), col("value"))
       .withColumn("__next", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("__next").isNull)
-      // open-ended rows carry the classic SCD2 end-of-time sentinel: keeps
-      // the column non-null (driver compare trips on NaT-vs-NaT) and makes
-      // "interval containing T" predicates sentinel-free downstream
+      // open-ended rows carry an SCD2 end-of-time sentinel: keeps the column
+      // non-null (driver compare trips on NaT-vs-NaT) and makes "interval
+      // containing T" predicates sentinel-free downstream. 2262-01-01, not
+      // 9999-12-31: the sentinel must stay within pandas datetime64[ns]
+      // range (max 2262-04-11) or the driver-side compare overflows.
       .withColumn("valid_to",
-        coalesce(col("__next"), lit("9999-12-31 00:00:00").cast("timestamp")))
+        coalesce(col("__next"), lit("2262-01-01 00:00:00").cast("timestamp")))
       .drop("__next")
       .orderBy(col("user_id").asc, col("valid_from").asc, col("event_id").asc)
   }

@@ -33,8 +33,10 @@ class PlanQualitySpec extends SparkSpec {
 
   test("favorites_list keeps the deleted-status filter in-plan (P9 fix)") {
     val p = plan("favorites_list")
-    assert(p.contains("Not(EqualTo(o_orderstatus,F))") ||
-      p.contains("o_orderstatus"), p.take(2000))
+    // the filter must appear as an actual pushed/evaluated predicate, not
+    // merely as a projected column name
+    assert("NOT \\(o_orderstatus#\\d+ = F\\)".r.findFirstIn(p).isDefined ||
+      p.contains("Not(EqualTo(o_orderstatus,F))"), p.take(2000))
   }
 
   test("multi-way joins never degrade to nested-loop or cartesian") {

@@ -55,6 +55,18 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             failed.append(name)
             continue
+        # dtype kinds must agree: the driver hash is dtype-sensitive (duckdb
+        # HUGEINT -> pandas float64 while spark emits int64 hashes differently
+        # even when values are numerically equal)
+        kinds_ok = True
+        for c in got.columns:
+            gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+            if gk != ek:
+                print(f"FAIL {name}: dtype kind {c}: spark={got[c].dtype} oracle={exp[c].dtype}")
+                kinds_ok = False
+        if not kinds_ok:
+            failed.append(name)
+            continue
         bad = 0
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
