@@ -173,32 +173,39 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
       .persist()
-    val sets = perDoc.select(col("doc_id"), col("shset"))
-    val bandCols = (0 until 16).map { bnd =>
-      struct(lit(bnd).as("idx"),
-        xxhash64((bnd * 4 until bnd * 4 + 4).map(j => col(s"__m$j")): _*).as("h"))
-    }
-    val banded = perDoc
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"),
-        col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
-    val bucketSizes = banded.groupBy("band_idx", "band_hash")
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
-    val inBuckets = banded.join(bucketSizes, Seq("band_idx", "band_hash"), "left_semi")
-    val pairs = inBuckets.select(
-      col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-      .join(inBuckets.select(
-        col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    try {
+      val sets = perDoc.select(col("doc_id"), col("shset"))
+      val bandCols = (0 until 16).map { bnd =>
+        struct(lit(bnd).as("idx"),
+          xxhash64((bnd * 4 until bnd * 4 + 4).map(j => col(s"__m$j")): _*).as("h"))
+      }
+      val banded = perDoc
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"),
+          col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
+      val bucketSizes = banded.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
+      val inBuckets = banded.join(bucketSizes, Seq("band_idx", "band_hash"), "left_semi")
+      val pairs = inBuckets.select(
+        col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+        .join(inBuckets.select(
+          col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
+          Seq("band_idx", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // eager: the verified pair list is tiny (ids + one double); the
+      // signature cache must not outlive this call (CacheManager entries
+      // accumulate across queries and every later plan pays canonicalize-
+      // and-compare against each 64-aggregate cached plan).
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
+        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint()
+    } finally perDoc.unpersist()
   }
 
   /** 64-bit SimHash per doc: token rows → 64 codegen'd vote sums (+1/-1
@@ -224,26 +231,31 @@ object Dedup {
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     // persisted: both sides of the chunk self-join consume the signatures —
     // unpersisted, the 64-vote aggregation over token rows runs twice.
+    // Call-scoped: the pair result is checkpointed eagerly and the
+    // signature cache dropped before returning.
     val sim = simHashSignatures(spark, sfDir).persist()
-    val chunkCols = (0 until 4).map { c =>
-      struct(lit(c).as("idx"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
-    }
-    val chunked = sim
-      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("chunk"))
-      .select(col("doc_id"), col("simhash"),
-        col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+    try {
+      val chunkCols = (0 until 4).map { c =>
+        struct(lit(c).as("idx"),
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+      }
+      val chunked = sim
+        .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("chunk"))
+        .select(col("doc_id"), col("simhash"),
+          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+      val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+        .localCheckpoint()
+    } finally sim.unpersist()
   }
 
   /** Near-dup pairs → duplicate CLUSTERS by connected components
@@ -259,10 +271,43 @@ object Dedup {
     * Returns (doc_id, cluster_id); singletons keep cluster_id = doc_id.
     */
   def connectedComponents(
-      pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10): DataFrame = {
+      pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10,
+      driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    // Size-adaptive: the dup graph is ~1e-3 of the corpus, so even huge
+    // corpora usually produce an edge list that fits on the driver — then
+    // union-find in milliseconds beats diameter-many distributed rounds
+    // (each a join+agg job). The loop below remains the scale path for
+    // graphs past the limit; both produce the identical min-label result.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val nonRoots = parent.keysIterator.toArray // snapshot: find() compresses paths
+      val labeled = nonRoots.map(id => (id, find(id))).toSeq ++
+        edges.select(col("src")).distinct().collect().iterator
+          .map(_.getLong(0)).filterNot(parent.contains).map(id => (id, id))
+      edges.unpersist()
+      val touched = labeled.toDF("doc_id", "cluster_id")
+      val singletons = allDocs.select(col("doc_id"))
+        .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      return touched.unionByName(singletons)
+    }
     // Only docs that touch an edge can ever change label — iterate over
     // that (much smaller) frame; the untouched majority joins back as
     // singletons after convergence. At 100 TB this is the difference
@@ -296,8 +341,12 @@ object Dedup {
     val singletons = allDocs.select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // materialize the final labeling eagerly, then drop EVERY loop cache —
+    // including the last round's frame, which previously outlived the call
+    val result = labels.unionByName(singletons).localCheckpoint()
+    cached.unpersist()
     edges.unpersist()
-    labels.unionByName(singletons)
+    result
   }
 
   /** Driver-registered clustering summary (rows-only): MinHash pairs →
@@ -330,13 +379,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "lang")
     // persisted: attached to both pair sides — one tokenize+agg, not two.
+    // Call-scoped (eager checkpoint of the small pair result, then drop).
     val sets = shingleSets(spark, sfDir).persist()
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "lang", "jaccard")
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+    try {
+      pairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
+        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "lang", "jaccard")
+        .orderBy(col("doc_a").asc, col("doc_b").asc)
+        .localCheckpoint()
+    } finally sets.unpersist()
   }
 }
