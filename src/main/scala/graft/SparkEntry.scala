@@ -34,6 +34,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ads_search"         -> ((s, d) => Marketplace.adsSearch(s, d, flagshipParams)),
     "ads_count"          -> ((s, d) => Marketplace.adsCount(s, d, flagshipParams)),
+    // flagship WHERE with its remaining branches lit: categoryId equality
+    // + location icontains (ads.ts:111-123)
+    "ads_search_filtered" -> ((s, d) => Marketplace.adsSearch(s, d, AdsSearchParams(
+      search = Some("widget"), category = Some("SMALL"), location = Some("brand#1"),
+      sortBy = "price_low", page = 1, limit = 20))),
+    // keyset ("seek") pagination: the page after cursor (price 910.0, key 0)
+    "ads_search_after"   -> ((s, d) => Marketplace.adsSearchAfter(s, d, AdsSearchParams(
+      search = Some("widget"), sortBy = "price_low", limit = 20),
+      afterPrice = 910.0, afterKey = 0L)),
     "my_ads"             -> ((s, d) => Marketplace.myAds(s, d, custkey = 1)),
     "ad_by_id"           -> ((s, d) => Marketplace.adById(s, d, orderkey = 42)),
     "categories"         -> ((s, d) => Marketplace.categories(s, d)),
@@ -58,6 +67,7 @@ object SparkEntry {
     "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d)),
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d)),
+    "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -77,7 +87,8 @@ object SparkEntry {
     "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.incrementalExact(s, d)),
     "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
-    "corpus_split"       -> ((s, d) => Corpus.splitSummary(s, d)),
+    "corpus_split"       -> ((s, d) => Corpus.splitCheck(s, d)),
+    "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
@@ -126,6 +137,40 @@ object SparkEntry {
       """SELECT count(*) AS total FROM part
         |WHERE strpos(lower(p_name), 'widget') > 0
         |  AND p_retailprice >= 905.0 AND p_retailprice <= 960.0""".stripMargin,
+    "ads_search_filtered" ->
+      """WITH filtered AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |  FROM part
+        |  WHERE strpos(lower(p_name), 'widget') > 0
+        |    AND p_type = 'SMALL'
+        |    AND strpos(lower(p_brand), 'brand#1') > 0
+        |), fav AS (
+        |  SELECT l_partkey, count(*) AS fav_count FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM filtered)
+        |  GROUP BY l_partkey
+        |)
+        |SELECT f.p_partkey, f.p_name, f.p_brand, f.p_type, f.p_size,
+        |       f.p_retailprice, COALESCE(v.fav_count, 0) AS fav_count
+        |FROM filtered f LEFT JOIN fav v ON f.p_partkey = v.l_partkey
+        |ORDER BY f.p_retailprice ASC, f.p_partkey ASC
+        |LIMIT 20""".stripMargin,
+    "ads_search_after" ->
+      """WITH filtered AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |  FROM part
+        |  WHERE strpos(lower(p_name), 'widget') > 0
+        |), fav AS (
+        |  SELECT l_partkey, count(*) AS fav_count FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM filtered)
+        |  GROUP BY l_partkey
+        |)
+        |SELECT f.p_partkey, f.p_name, f.p_brand, f.p_type, f.p_size,
+        |       f.p_retailprice, COALESCE(v.fav_count, 0) AS fav_count
+        |FROM filtered f LEFT JOIN fav v ON f.p_partkey = v.l_partkey
+        |WHERE f.p_retailprice > 910.0
+        |   OR (f.p_retailprice = 910.0 AND f.p_partkey > 0)
+        |ORDER BY f.p_retailprice ASC, f.p_partkey ASC
+        |LIMIT 20""".stripMargin,
     "my_ads" ->
       """SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
         |       COALESCE(f.fav_count, 0) AS fav_count
@@ -325,6 +370,116 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin,
+    "dedup_clusters_exact" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+        |   AND a.doc_id < b.doc_id
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |)
+        |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
+        |FROM cc GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id ASC""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 64 AS INT) AS len_bucket,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, len_bucket,
+        |         list_distinct(list_transform(generate_series(1, len(toks)),
+        |           i -> array_to_string(toks[i : i + 2], ' '))) AS shset
+        |  FROM t WHERE len(toks) > 0
+        |), scored AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        |         len(list_intersect(a.shset, b.shset))::DOUBLE
+        |           / (len(a.shset)::DOUBLE + len(b.shset)::DOUBLE
+        |              - len(list_intersect(a.shset, b.shset))::DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |   AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, lang, jaccard FROM scored
+        |WHERE jaccard >= 0.3
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    "knn_ivf" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), probecells AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.vec_id
+        |), ranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |)
+        |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
+    "doc_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       sha256(lower(trim(text))) AS exact_fp,
+        |       CASE WHEN len(toks) >= 3 THEN
+        |         list_min(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> sha256(array_to_string(toks[i : i + 2], ' '))))
+        |       ELSE sha256(array_to_string(toks, ' ')) END AS content_fp
+        |FROM t ORDER BY doc_id ASC""".stripMargin,
+    "corpus_split" ->
+      """SELECT count(*) AS n_assigned,
+        |       count(DISTINCT doc_id) AS n_unique_docs,
+        |       3::BIGINT AS n_splits,
+        |       (SELECT count(*) FROM documents) AS n_total
+        |FROM documents""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, count(*) AS n_items,
+        |       max(l.l_extendedprice) AS max_item_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       sum(n_chars)::BIGINT AS total_chars,

@@ -56,12 +56,30 @@ object Corpus {
       .select("doc_id", "lang", "source", "split")
   }
 
-  /** Driver-registered summary of [[split]] (rows-only): docs per split. */
+  /** Per-split doc counts from [[split]] (rows-only: the xxhash64 bucket
+    * has no DuckDB twin; invariants are property-tested in CorpusSpec).
+    */
   def splitSummary(spark: SparkSession, sfDir: String): DataFrame =
     split(spark, sfDir)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split").asc)
+
+  /** Oracle-checkable invariants of [[split]] as one row: the assignment
+    * is exhaustive and disjoint (one row and one label per document —
+    * n_assigned and n_unique_docs both equal the corpus count) and the
+    * bucketing realizes all three classes. The per-split sizes themselves
+    * are hash-dependent ([[splitSummary]], rows-only); this is the part a
+    * SQL twin CAN pin down.
+    */
+  def splitCheck(spark: SparkSession, sfDir: String): DataFrame =
+    split(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n_assigned"),
+        countDistinct(col("doc_id")).as("n_unique_docs"),
+        countDistinct(col("split")).as("n_splits"))
+      .crossJoin(broadcast(
+        Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_total"))))
 
   /** Weighted mix of corpora: each source DataFrame keeps a hash-determined
     * fraction of its rows (its mixing weight in [0,1]), tagged and unioned.

@@ -194,17 +194,18 @@ object Dedup {
           Seq("band_idx", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      // eager: the verified pair list is tiny (ids + one double); the
+      // eager: the verified pair list is tiny (ids + one double) and the
       // signature cache must not outlive this call (CacheManager entries
       // accumulate across queries and every later plan pays canonicalize-
-      // and-compare against each 64-aggregate cached plan).
-      pairs
+      // and-compare against each 64-aggregate cached plan). Driver-side
+      // materialization instead of localCheckpoint: no unreplicated block
+      // to lose with an executor, no write+read round trip.
+      graft.ops.Materialize.smallLocal(pairs
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
         .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
         .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()
+        .select("doc_a", "doc_b", "jaccard"))
     } finally perDoc.unpersist()
   }
 
@@ -231,7 +232,7 @@ object Dedup {
       spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
     // persisted: both sides of the chunk self-join consume the signatures —
     // unpersisted, the 64-vote aggregation over token rows runs twice.
-    // Call-scoped: the pair result is checkpointed eagerly and the
+    // Call-scoped: the small pair result is collected to the driver and the
     // signature cache dropped before returning.
     val sim = simHashSignatures(spark, sfDir).persist()
     try {
@@ -247,14 +248,14 @@ object Dedup {
         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
       val b = chunked.select(col("chunk_idx"), col("chunk_val"),
         col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      a.join(b, Seq("chunk_idx", "chunk_val"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-        .filter(col("hamming") <= maxHamming)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy(col("doc_a").asc, col("doc_b").asc)
-        .localCheckpoint()
+      graft.ops.Materialize.smallLocal(
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .filter(col("hamming") <= maxHamming)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy(col("doc_a").asc, col("doc_b").asc))
     } finally sim.unpersist()
   }
 
@@ -293,14 +294,17 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select(col("src"), col("dst")).collect().foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      // typed collect: (Long, Long) tuples, not GenericRows — roughly 3×
+      // lighter on the driver at the edge limit
+      edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
+        case (s, d) =>
+          val (a, b) = (find(s), find(d))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
       val nonRoots = parent.keysIterator.toArray // snapshot: find() compresses paths
       val labeled = nonRoots.map(id => (id, find(id))).toSeq ++
-        edges.select(col("src")).distinct().collect().iterator
-          .map(_.getLong(0)).filterNot(parent.contains).map(id => (id, id))
+        edges.select(col("src")).distinct().as[Long].collect().iterator
+          .filterNot(parent.contains).map(id => (id, id))
       edges.unpersist()
       val touched = labeled.toDF("doc_id", "cluster_id")
       val singletons = allDocs.select(col("doc_id"))
@@ -362,34 +366,96 @@ object Dedup {
       .orderBy(col("cluster_id").asc)
   }
 
-  /** Exact n-gram Jaccard within cheap blocks (same lang + 64-char length
-    * bucket): the brute-force-within-block baseline the LSH variants
-    * approximate. Pairs are id-only until the hashed shingle sets attach.
-    * Rows-only (hashed-set semantics have no portable SQL twin).
+  /** Candidate pairs within (lang, 64-char length bucket) blocks, with
+    * oversized blocks sub-bucketed: a block larger than `maxBlock` splits
+    * into ceil(size / maxBlock) hash-assigned sub-blocks and pairs form
+    * only WITHIN a sub-block. That bounds the per-key quadratic term —
+    * total candidates grow ~size × maxBlock per block instead of size² —
+    * so a dominant-language 100 TB corpus cannot turn one block into a
+    * cross product. Blocks at or under the cap are unaffected (exact).
     */
-  def ngramJaccardPairs(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val blocks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 64).cast("int").as("len_bucket"))
-    val pairs = blocks.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_a"))
-      .join(blocks.select(col("lang"), col("len_bucket"), col("doc_id").as("doc_b")),
-        Seq("lang", "len_bucket"))
+  private[ext] def blockedPairs(docs: DataFrame, maxBlock: Int): DataFrame = {
+    val blocks = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 64).cast("int").as("len_bucket"))
+    // block census is tiny (langs × length buckets) — broadcasts back
+    val nSub = blocks.groupBy("lang", "len_bucket")
+      .agg(ceil(count(lit(1)).cast("double") / maxBlock).cast("int").as("__n_sub"))
+    val subbed = blocks
+      .join(broadcast(nSub), Seq("lang", "len_bucket"))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id"), lit(17)), col("__n_sub")).cast("int"))
+      .select("doc_id", "lang", "len_bucket", "sub")
+    subbed.select(col("lang"), col("len_bucket"), col("sub"), col("doc_id").as("doc_a"))
+      .join(subbed.select(col("lang"), col("len_bucket"), col("sub"), col("doc_id").as("doc_b")),
+        Seq("lang", "len_bucket", "sub"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "lang")
+  }
+
+  /** Exact n-gram Jaccard within cheap blocks (same lang + 64-char length
+    * bucket): the brute-force-within-block baseline the LSH variants
+    * approximate. Pairs are id-only until the hashed shingle sets attach;
+    * oversized blocks are sub-bucketed (see [[blockedPairs]] — a no-op at
+    * the default cap for every provided scale factor, so the oracle twin
+    * models the uncapped join).
+    *
+    * Oracle-checked: Jaccard over 64-bit-hashed shingle sets equals
+    * Jaccard over the shingle STRING sets absent hash collisions
+    * (probability ~n²/2⁶⁵ per pair), so the DuckDB twin computes the
+    * string-set form directly.
+    */
+  def ngramJaccardPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.3,
+      maxBlock: Int = 512): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = blockedPairs(Tables.documents(spark, sfDir), maxBlock)
     // persisted: attached to both pair sides — one tokenize+agg, not two.
-    // Call-scoped (eager checkpoint of the small pair result, then drop).
+    // Call-scoped: the small verified pair list is collected to the driver
+    // so the cache can drop before returning.
     val sets = shingleSets(spark, sfDir).persist()
     try {
-      pairs
+      graft.ops.Materialize.smallLocal(pairs
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
         .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
         .filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", "jaccard")
-        .orderBy(col("doc_a").asc, col("doc_b").asc)
-        .localCheckpoint()
+        .orderBy(col("doc_a").asc, col("doc_b").asc))
     } finally sets.unpersist()
+  }
+
+  /** Connected components over an EXACT, SQL-expressible pair relation —
+    * the oracle anchor for the pairs→clusters chain ([[connectedComponents]]
+    * is otherwise only reachable through hash-seeded MinHash pairs, which
+    * no SQL engine can twin). Pairs: same lang, |n_chars delta| ≤ 2 — a
+    * deliberately NON-transitive relation, so components have real
+    * multi-hop chains, not just cliques.
+    *
+    * Scale shape: the near-equality join is banded — n_chars buckets of
+    * width 4, the left side probing its two feasible buckets — so the
+    * shuffle key is (lang, bucket) and no cross product forms. The DuckDB
+    * twin verifies the full chain with a recursive min-label CTE.
+    */
+  def exactPairClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+    // each left row probes the (at most 2) buckets a partner within ±2 can
+    // occupy; the right side sits in exactly one — every pair matches once
+    val probes = docs.select(col("doc_id").as("doc_a"),
+        col("lang"), col("n_chars").as("nc_a"),
+        explode(array_distinct(array(
+          floor((col("n_chars") - 2) / 4), floor((col("n_chars") + 2) / 4))))
+          .as("__b"))
+    val anchors = docs.select(col("doc_id").as("doc_b"),
+      col("lang"), col("n_chars").as("nc_b"),
+      floor(col("n_chars") / 4).as("__b"))
+    val pairs = probes.join(anchors, Seq("lang", "__b"))
+      .filter(abs(col("nc_a") - col("nc_b")) <= 2 && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val cc = connectedComponents(pairs, docs.select("doc_id"))
+    cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
+      .filter(col("cluster_size") > 1)
+      .select("cluster_id", "keeper_doc_id", "cluster_size")
+      .orderBy(col("cluster_id").asc)
   }
 }

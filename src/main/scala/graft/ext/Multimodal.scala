@@ -53,11 +53,13 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Partition-wise decode. THE KERNEL IS A STUB: a real deployment
-    * replaces `fakeDecode` with the native codec call (libjpeg/ffmpeg via
-    * JNI, or hand the iterator to an Arrow batch for a Python
-    * `mapInPandas` stage). Deterministic fake: dimensions derived from the
-    * payload bytes so tests are stable.
+  /** Partition-wise decode. BMP and PNG payloads are REALLY parsed (their
+    * headers are plain struct reads — no codec library needed for
+    * dimensions); everything else falls back to the deterministic stub. A
+    * real deployment swaps the stub for the native codec call
+    * (libjpeg/ffmpeg via JNI, or hand the iterator to an Arrow batch for a
+    * Python `mapInPandas` stage) — this partition-local iterator is
+    * exactly where that call sits.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
@@ -66,11 +68,37 @@ object Multimodal {
         val id = r.getLong(0)
         val mt = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        val (w, h, d) = fakeDecode(mt, bytes)
+        val (w, h, d) = (if (mt == "image") parseDims(mt, bytes) else None)
+          .getOrElse(fakeDecode(mt, bytes))
         Row(id, mt, bytes.length, w, h, d)
       }
     }(enc)
   }
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) |
+      ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+  private val pngMagic =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Real header parse for the formats whose dimensions are plain struct
+    * fields: BMP (BITMAPINFOHEADER: width LE32 @18, height LE32 @22 —
+    * negative height means top-down row order, magnitude is the size) and
+    * PNG (IHDR: width BE32 @16, height BE32 @20). Returns None for
+    * payloads that are neither — those take the stub path.
+    */
+  private[ext] def parseDims(
+      mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+      Some((le32(bytes, 18), math.abs(le32(bytes, 22)), 0L))
+    else if (bytes.length >= 24 && bytes.take(8).sameElements(pngMagic))
+      Some((be32(bytes, 16), be32(bytes, 20), 0L))
+    else None
 
   /** STUB standing in for the real media codec (not available in this
     * container). Deterministic pure function of the payload.

@@ -50,38 +50,64 @@ object Search {
       spark: SparkSession, sfDir: String,
       terms: Seq[String] = defaultQueryTerms,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    // Duplicate query terms would double-count their score contribution;
+    // an empty query has no score at all — return an empty (but correctly
+    // shaped) result instead of throwing on the reduce below.
+    val qTerms = terms.distinct
+    if (qTerms.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_terms", LongType),
+          StructField("bm25", DoubleType))))
+    }
     // Single-pass shape: the query's terms are plan-time literals, so each
     // doc's length AND its per-query-term tf come out of ONE hash
-    // aggregation over the token rows (map-side combinable — no persist, no
-    // re-tokenize, no (doc,term) shuffle). Corpus stats (N, avgdl) and
-    // per-term document frequencies then reduce the per-doc frame to one
-    // broadcast row. Two aggregations + one broadcast total.
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+    // aggregation over the token rows (map-side combinable), persisted for
+    // the duration of this call. Corpus stats (N, avgdl, per-term df) are a
+    // one-row reduction of the cached per-doc frame, COLLECTED and inlined
+    // as literals into the scoring pass — so the tokenize+aggregate subtree
+    // genuinely runs once, not once per consumer. The top-k result is
+    // materialized to the driver (bounded by topK) so the cache can be
+    // released before returning.
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
       sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
     }
     val perDoc = tokenRows(spark, sfDir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-    val statCols =
-      count(lit(1)).cast("double").as("n_docs") +: avg(col("dl")).as("avgdl") +:
-        terms.indices.map(i =>
-          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
-    def idf(i: Int): Column =
-      log((col("n_docs") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5) + 1.0)
-    def tfNorm(i: Int): Column =
-      col(s"__tf$i") * (k1 + 1.0) /
-        (col(s"__tf$i") + (lit(1.0 - b) + col("dl") * b / col("avgdl")) * k1)
-    val score = terms.indices
-      .map(i => when(col(s"__tf$i") > 0, idf(i) * tfNorm(i)).otherwise(lit(0.0)))
-      .reduce(_ + _)
-    val nTerms = terms.indices
-      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), nTerms.as("n_terms"), round(score, 6).as("bm25"))
-      .filter(col("n_terms") > 0)
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-      .limit(topK)
+      .persist()
+    try {
+      val statCols =
+        count(lit(1)).cast("double").as("n_docs") +: avg(col("dl")).as("avgdl") +:
+          qTerms.indices.map(i =>
+            sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+      val statsRow = perDoc.agg(statCols.head, statCols.tail: _*).collect()(0)
+      val nDocs = statsRow.getDouble(0)
+      val avgdl = statsRow.getDouble(1)
+      // Same IEEE operation order as the previous in-plan formulation (and
+      // the DuckDB twin): ((N - df) + 0.5) / (df + 0.5) + 1, logged.
+      def idf(i: Int): Column = {
+        val dfi = statsRow.getLong(2 + i).toDouble
+        lit(math.log((nDocs - dfi + 0.5) / (dfi + 0.5) + 1.0))
+      }
+      def tfNorm(i: Int): Column =
+        col(s"__tf$i") * (k1 + 1.0) /
+          (col(s"__tf$i") + (lit(1.0 - b) + col("dl") * b / avgdl) * k1)
+      val score = qTerms.indices
+        .map(i => when(col(s"__tf$i") > 0, idf(i) * tfNorm(i)).otherwise(lit(0.0)))
+        .reduce(_ + _)
+      val nTerms = qTerms.indices
+        .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+      graft.ops.Materialize.smallLocal(
+        perDoc
+          .select(col("doc_id"), nTerms.as("n_terms"), round(score, 6).as("bm25"))
+          .filter(col("n_terms") > 0)
+          .orderBy(col("bm25").desc, col("doc_id").asc)
+          .limit(topK))
+    } finally perDoc.unpersist()
   }
 
   /** Top-k characteristic terms per document by TF-IDF
@@ -93,34 +119,30 @@ object Search {
     */
   def tfidfTerms(
       spark: SparkSession, sfDir: String, perDoc: Int = 3): DataFrame = {
-    // persisted: consumed by its own df-reduction AND the scoring join.
-    // The cache is scoped to THIS call: the result is materialized eagerly
-    // (localCheckpoint truncates lineage; its blocks are reference-GC'd
-    // with the returned frame) and the intermediate unpersisted in finally
-    // — a long-lived driver running many queries must not accumulate
-    // CacheManager entries (same leak class as the r1 connected-components
-    // fix).
+    // Cache-free single plan: the (doc, term) frame is aggregated once and
+    // document frequency comes from a count over a term-partitioned WINDOW
+    // on that same frame (one row per (doc, term) ⇒ the partition row
+    // count IS df) — no self-join, no second tokenize pass, nothing to
+    // persist or checkpoint. Three key-rooted shuffles total
+    // ((doc,term) agg → term window → doc window), each on fixed-width
+    // keys — the 100 TB shape, and the CacheManager stays empty.
     val tf = tokenRows(spark, sfDir)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
-    try {
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val nDocs = Tables.documents(spark, sfDir)
-        .agg(count(lit(1)).cast("double").as("n_docs"))
-      val scored = tf.join(dfreq, Seq("tok"))
-        .crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("tok").as("term"), col("tf"),
-          round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("tfidf").desc, col("term").asc)
-      scored
-        .withColumn("term_rank", row_number().over(w))
-        .filter(col("term_rank") <= perDoc)
-        .select("doc_id", "term_rank", "term", "tf", "tfidf")
-        .orderBy(col("doc_id").asc, col("term_rank").asc)
-        .localCheckpoint()
-    } finally tf.unpersist()
+    val nDocs = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok").as("term"), col("tf"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= perDoc)
+      .select("doc_id", "term_rank", "term", "tf", "tfidf")
+      .orderBy(col("doc_id").asc, col("term_rank").asc)
   }
 
   /** Inverted-index build: term → document frequency, total occurrences,

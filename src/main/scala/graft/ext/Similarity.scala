@@ -211,12 +211,24 @@ object Similarity {
     * (oracle-checked): every pair with cosine ≥ threshold. Quadratic — the
     * correctness baseline; at corpus scale use [[embeddingNearDupPairsLSH]].
     *
+    * Guarded: the cross join is refused above `maxExact` vectors (a cheap
+    * metadata-level count) instead of silently launching an n² job — a
+    * 10M-vector corpus is 5×10¹³ candidate pairs; past the cap callers must
+    * opt into the LSH variant explicitly (auto-switching would silently
+    * change recall semantics under the same API).
+    *
     * The default threshold 0.4 is tuned to the synthetic corpus (random
     * 64-d vectors peak at cos≈0.48); a production near-dup filter on real
     * embeddings would use ≥0.9.
     */
   def embeddingNearDupPairs(
-      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      maxExact: Long = 100000L): DataFrame = {
+    val n = Tables.embeddings(spark, sfDir).count()
+    require(n <= maxExact,
+      s"embeddingNearDupPairs: $n vectors exceeds the exact all-pairs cap " +
+        s"$maxExact (${n * n / 2} candidate pairs); use " +
+        "embeddingNearDupPairsLSH for corpus-scale near-dup")
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
     val a = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))

@@ -281,9 +281,13 @@ object TextStats {
         col("n_correct").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("actual_lang").asc)
 
-  /** Document fingerprints: whole-text 64-bit hash + a winnowing-style
-    * content fingerprint (min shingle hash) robust to reordering at the
-    * margins. Rows-only (xxhash64 has no DuckDB twin).
+  /** Document fingerprints: whole-text hash + a winnowing-style content
+    * fingerprint (min shingle hash) robust to reordering at the margins.
+    *
+    * sha-256 rather than xxhash64 so the DuckDB twin can hash-check both
+    * columns (the min-over-shingle-hashes structure is identical either
+    * way; a throughput-critical 100 TB run would swap sha2 → xxhash64 and
+    * lose only the cross-engine check, not the operator shape).
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -291,10 +295,10 @@ object TextStats {
         expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
       .select(
         col("doc_id"),
-        xxhash64(lower(trim(col("text")))).as("exact_fp"),
+        sha2(lower(trim(col("text"))), 256).as("exact_fp"),
         expr("""IF(size(__toks) >= 3,
                |  array_min(transform(sequence(0, size(__toks) - 3),
-               |    i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, 3))))),
-               |  xxhash64(concat_ws(' ', __toks)))""".stripMargin).as("content_fp"))
+               |    i -> sha2(concat_ws(' ', slice(__toks, i + 1, 3)), 256))),
+               |  sha2(concat_ws(' ', __toks), 256))""".stripMargin).as("content_fp"))
       .orderBy(col("doc_id").asc)
 }

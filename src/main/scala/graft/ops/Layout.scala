@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout writers for scale (SURVEY §4: the parquet-side analogs of
@@ -27,6 +27,35 @@ object Layout {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+
+  /** The bucketed-layout join as a registered query: orders and lineitem
+    * written bucketed+sorted on the order key (once per sfDir — reused
+    * across calls in a session), then joined and aggregated per order.
+    * With both sides pre-shuffled into matching buckets the join needs NO
+    * exchange, and the per-key aggregation rides the same distribution —
+    * at 100 TB this removes the dominant fact⋈fact shuffle entirely
+    * (asserted in LayoutSpec's no-Exchange plan guard). Aggregates are
+    * order-independent (count/max) so the result is oracle-exact.
+    */
+  def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
+    val tag = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+        .getMostSignificantBits & Long.MaxValue)
+    val ordersT = s"graft_orders_bkt_$tag"
+    val itemsT = s"graft_lineitem_bkt_$tag"
+    if (!spark.catalog.tableExists(ordersT))
+      writeBucketed(graft.io.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus"), ordersT, "o_orderkey", buckets)
+    if (!spark.catalog.tableExists(itemsT))
+      writeBucketed(graft.io.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice"), itemsT, "l_orderkey", buckets)
+    spark.table(itemsT)
+      .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), max(col("l_extendedprice")).as("max_item_price"))
+      .orderBy(col("o_orderkey").asc)
+      .limit(100)
+  }
 
   /** Morton (Z-order) interleave of two pre-quantized dimensions: bit j of
     * `x` lands at bit 2j, bit j of `y` at 2j+1. Inputs must already be in
@@ -90,13 +119,22 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
-    val nFiles = math.max(1, (totalBytes.toDouble / targetFileBytes).ceil.toInt)
     val tmp = path.stripSuffix("/") + "__compacting"
     val backup = path.stripSuffix("/") + "__backup"
     val src = new org.apache.hadoop.fs.Path(path)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val bakP = new org.apache.hadoop.fs.Path(backup)
+    // Crash-window auto-restore: a previous compact that died between the
+    // two renames below left the table readable ONLY under __backup —
+    // restore it before doing anything else. (A leftover backup alongside a
+    // live path is the post-swap crash case; it is stale and dropped just
+    // before the swap.)
+    if (!fs.exists(src) && fs.exists(bakP) && !fs.rename(bakP, src))
+      throw new IllegalStateException(
+        s"compact($path): found orphaned backup $backup but restore failed")
+    if (fs.exists(tmpP)) fs.delete(tmpP, true) // dead rewrite from a crashed run
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, (totalBytes.toDouble / targetFileBytes).ceil.toInt)
     val before = spark.read.parquet(path).count()
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)

@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Driver-side materialization for SMALL result frames whose plans hang off
+  * call-scoped caches (persisted signature/token frames that must be
+  * unpersisted before the call returns).
+  *
+  * Why not `localCheckpoint`: it stores the result in UNREPLICATED executor
+  * block storage and truncates lineage — any executor lost after the call
+  * returns makes the frame unrecoverable instead of recomputed — and the
+  * block write+read round trip double-materializes results that are a few
+  * kilobytes. Collecting to the driver and rebuilding a local relation
+  * costs one pass, keeps the frame immune to executor loss (the rows ARE
+  * the data), and leaves the CacheManager empty.
+  *
+  * Use ONLY for frames bounded by construction (verified near-dup pair
+  * lists, top-k results). Corpus-sized frames must keep their distributed
+  * lineage — at that size, write to storage instead.
+  */
+object Materialize {
+
+  /** Collect `df` and rebuild it as a local DataFrame with the same
+    * schema. `maxRows` guards against misuse on unbounded frames — the
+    * transfer is capped BEFORE collect, so a mistake fails fast instead of
+    * filling the driver heap.
+    */
+  def smallLocal(df: DataFrame, maxRows: Int = 5_000_000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Materialize.smallLocal: frame exceeded $maxRows rows — not a small " +
+        "frame; keep distributed lineage or write to storage instead")
+    df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
+  }
+}

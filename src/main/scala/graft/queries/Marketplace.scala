@@ -23,6 +23,7 @@ object Marketplace {
   final case class AdsSearchParams(
       search: Option[String] = None,     // OR-of-ILIKE over title/descr (ads.ts:104-109)
       category: Option[String] = None,   // categoryId equality (ads.ts:111-113)
+      location: Option[String] = None,   // location icontains (ads.ts:121-123)
       minPrice: Option[Double] = None,   // price range (ads.ts:115-119)
       maxPrice: Option[Double] = None,
       sortBy: String = "newest",         // newest | price_low | price_high (ads.ts:126-132)
@@ -31,13 +32,16 @@ object Marketplace {
 
   /** Filter stage shared by the list query and its count twin — the reference
     * reuses one `where` object for both (`ads.ts:134-156`, Promise.all of
-    * findMany+count).
+    * findMany+count). `category` is equality on p_type (the categoryId
+    * equality of ads.ts:111-113); `location` is a second case-insensitive
+    * contains over p_brand (ads.ts:121-123).
     */
   private def adsFiltered(spark: SparkSession, sfDir: String, p: AdsSearchParams): DataFrame =
     Predicates.applyAll(
       Tables.part(spark, sfDir),
       p.search.map(s => Predicates.icontains(col("p_name"), s)),
       p.category.map(col("p_type") === _),
+      p.location.map(s => Predicates.icontains(col("p_brand"), s)),
       p.minPrice.map(col("p_retailprice") >= _),
       p.maxPrice.map(col("p_retailprice") <= _))
 
@@ -55,6 +59,27 @@ object Marketplace {
     val withFav = Joins.withCount(
       filtered, "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey", "fav_count")
     Pagination.page(withFav, sortOrder(p.sortBy), p.page, p.limit)
+  }
+
+  /** Keyset ("seek") variant of the flagship search: the page after a
+    * (price, partkey) cursor under the price_low sort. The scale replacement
+    * for `ads.ts:97`'s OFFSET pagination — the composite-cursor predicate
+    * pushes into the scan (zone-map prunable) instead of globally sorting
+    * skip+take rows per page.
+    */
+  def adsSearchAfter(
+      spark: SparkSession, sfDir: String, p: AdsSearchParams,
+      afterPrice: Double, afterKey: Long): DataFrame = {
+    val filtered = adsFiltered(spark, sfDir, p)
+      .select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val withFav = Joins.withCount(
+      filtered, "p_partkey", Tables.lineitem(spark, sfDir), "l_partkey", "fav_count")
+    Pagination.keysetAfter(
+      withFav,
+      Seq(col("p_retailprice").asc, col("p_partkey").asc),
+      col("p_retailprice") > afterPrice ||
+        (col("p_retailprice") === afterPrice && col("p_partkey") > afterKey),
+      p.limit)
   }
 
   /** Sort selection (`ads.ts:126-132`) with deterministic id tie-break. */

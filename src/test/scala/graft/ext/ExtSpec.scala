@@ -76,6 +76,56 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Long]("dup_docs_removed") === 0L)
   }
 
+  test("blockedPairs caps a pathological single-block corpus sub-quadratically") {
+    import spark.implicits._
+    // 1000 same-lang docs in ONE (lang, len_bucket) block: uncapped, this
+    // is 499 500 pairs; capped at 32, each of the ~32 hash sub-blocks pairs
+    // internally — expected ≈ n²/(2·nSub) ≈ 15.6k.
+    val docs = (1L to 1000L).map(i => (i, "en", 100L))
+      .toDF("doc_id", "lang", "n_chars")
+    val capped = Dedup.blockedPairs(docs, maxBlock = 32).count()
+    assert(capped > 0L)
+    assert(capped < 60000L, s"capped block still quadratic: $capped pairs")
+    // blocks at or under the cap are exact — the full cross set survives
+    val uncapped = Dedup.blockedPairs(docs, maxBlock = 2000).count()
+    assert(uncapped === 1000L * 999L / 2)
+    // pairs never cross blocks: different lang or far length never pair
+    val mixed = Seq((1L, "en", 100L), (2L, "de", 100L), (3L, "en", 5000L))
+      .toDF("doc_id", "lang", "n_chars")
+    assert(Dedup.blockedPairs(mixed, maxBlock = 32).count() === 0L)
+  }
+
+  test("exactPairClusters chains near-length same-lang docs transitively") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_exactcc"
+    // chain 1-2-3 via ±2 steps (1 vs 3 differ by 4 — linked only through
+    // 2); 10 is a singleton; 20/21 pair; 30 same length as 20 but other lang
+    Seq(
+      (1L, "a", "en", "s", 100L), (2L, "b", "en", "s", 102L),
+      (3L, "c", "en", "s", 104L),
+      (10L, "d", "en", "s", 500L),
+      (20L, "e", "en", "s", 300L), (21L, "f", "en", "s", 301L),
+      (30L, "g", "de", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.exactPairClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keeper_doc_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(out === Map(1L -> ((1L, 3L)), 20L -> ((20L, 2L))))
+  }
+
+  test("pair producers leave the CacheManager empty (call-scoped caches)") {
+    spark.catalog.clearCache() // isolate from caches other suites may hold
+    val dir = s"/tmp/graft_test_minhash" // fixture from the minhash test
+    Dedup.minHashPairs(spark, dir).count()
+    Dedup.simHashPairs(spark, dir).count()
+    Dedup.ngramJaccardPairs(spark, dir).count()
+    Search.bm25(spark, sf).count()
+    Search.tfidfTerms(spark, sf).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a query left persisted frames behind")
+  }
+
   test("incrementalExact matches delta docs against the corpus index only") {
     import spark.implicits._
     val dir = "/tmp/graft_test_incremental"
@@ -148,6 +198,16 @@ class SimilaritySpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try assert(run() === codegen)
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("embeddingNearDupPairs refuses the n² cross join past maxExact") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDupPairs(spark, sf, maxExact = 10L)
+    }
+    assert(e.getMessage.contains("embeddingNearDupPairsLSH"))
+    // under the cap the exact path still runs
+    assert(Similarity.embeddingNearDupPairs(spark, sf, maxExact = 100000L)
+      .columns.toSeq === Seq("vec_a", "vec_b", "cosine_sim"))
   }
 
   test("brute-force top-k: self excluded, ranks contiguous, sims descending") {
@@ -259,11 +319,74 @@ class TextStatsSpec extends SparkSpec {
 
   test("fingerprints: equal text ⇒ equal fp; corpus fps are unique at sf0.001") {
     val fps = TextStats.fingerprints(spark, sf).select("exact_fp").collect()
-    assert(fps.map(_.getLong(0)).distinct.length === 500)
+    assert(fps.map(_.getString(0)).distinct.length === 500)
   }
 }
 
 class MultimodalSpec extends SparkSpec {
+
+  /** A minimal but REAL 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * zeroed pixel rows padded to 4 bytes. Any image viewer opens it.
+    */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val pixelBytes = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putShort(0).putShort(0).putInt(54)                  // file header
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)                                 // info header
+    buf.array()                                            // pixels stay 0
+  }
+
+  /** A minimal but REAL 8-bit grayscale PNG: signature + IHDR + IDAT
+    * (deflated filter-byte-prefixed scanlines) + IEND, all CRC'd.
+    */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = new Array[Byte]((w + 1) * h) // filter byte 0 + w gray pixels/row
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val out = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(out)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("decode REALLY parses BMP/PNG dimensions from binaryFile payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/img_1.bmp"), bmpBytes(640, 480))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/img_2.bmp"), bmpBytes(31, 7))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/img_3.png"), pngBytes(123, 456))
+    // javax.imageio agrees these are real images (PNG reader validates CRCs)
+    val sanity = javax.imageio.ImageIO.read(new java.io.File(s"$dir/img_3.png"))
+    assert(sanity.getWidth === 123 && sanity.getHeight === 456)
+    val media = spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)", 1).cast("long").as("media_id"),
+        lit("image").as("media_type"),
+        col("content"))
+    val dims = Multimodal.decode(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
+    assert(dims === Map(1L -> ((640, 480)), 2L -> ((31, 7)), 3L -> ((123, 456))))
+  }
 
   test("decode is deterministic and dimension-plausible per media type") {
     val decoded = Multimodal.decode(Multimodal.mediaTable(spark, sf)).cache()

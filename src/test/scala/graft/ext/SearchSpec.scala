@@ -39,6 +39,22 @@ class SearchSpec extends SparkSpec {
     assert(out(1).getAs[Long]("doc_id") === 2L)
   }
 
+  test("bm25: empty query returns an empty, correctly-shaped frame") {
+    val out = Search.bm25(spark, sf, terms = Seq.empty)
+    assert(out.columns.toSeq === Seq("doc_id", "n_terms", "bm25"))
+    assert(out.count() === 0L)
+  }
+
+  test("bm25: duplicate query terms do not double-count") {
+    writeDocs(Seq(
+      1L -> "spark spark spark",
+      2L -> "spark filler filler filler filler filler filler filler",
+      3L -> "nothing relevant here"))
+    val once = Search.bm25(spark, dir, terms = Seq("spark")).collect().toSeq
+    val duped = Search.bm25(spark, dir, terms = Seq("spark", "spark")).collect().toSeq
+    assert(duped === once)
+  }
+
   test("tfidfTerms surfaces the distinguishing term, not the shared one") {
     writeDocs(Seq(
       1L -> "common rare common",

@@ -127,6 +127,50 @@ class LayoutSpec extends SparkSpec {
       s"z-order clustering too loose: avg file area $avgArea vs global $globalArea")
   }
 
+  test("compact auto-restores a table stranded under __backup by a crash") {
+    val dir = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    val df = spark.range(5000).withColumn("v", col("id") * 3)
+    df.repartition(20).write.parquet(dir)
+    val sumBefore = spark.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0)
+    // simulate a crash in the swap window: live path renamed to __backup,
+    // replacement never arrived
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__backup")))
+    Layout.compact(spark, dir, targetFileBytes = 512L * 1024 * 1024)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__backup")))
+    assert(spark.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) === sumBefore)
+  }
+
+  test("registered bucketed_join query plans with no shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Layout.bucketedOrderItems(spark, sf, buckets = 8)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed fact⋈fact query must not shuffle:\n$plan")
+      // content parity with the plain parquet-scan formulation
+      val expected = graft.io.Tables.lineitem(spark, sf)
+        .join(graft.io.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderkey").asc).limit(100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = q.select("o_orderkey", "n_items")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
+
   test("compact rewrites many small files into few, content-identical") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = spark.range(10000).withColumn("v", col("id") * 2)
