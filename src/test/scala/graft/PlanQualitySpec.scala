@@ -25,6 +25,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("ads_search_filtered keeps category + location predicates in-plan") {
+    val p = plan("ads_search_filtered")
+    assert("p_type#\\d+ = SMALL".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.toLowerCase.contains("contains(lower(p_brand"), p.take(2000))
+  }
+
+  test("ads_search_after evaluates the keyset cursor as a scan-side filter") {
+    val p = plan("ads_search_after")
+    // the composite (price, key) cursor must be a real predicate on the
+    // part side (pushable OR-of-range), not applied after the join
+    assert("p_retailprice#\\d+ > 910\\.0".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("p_partkey#\\d+L? > 0".r.findFirstIn(p).isDefined)
+    // keyset pages are TakeOrdered (top-k), never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("ad_by_id pushes the point key into BOTH fact scans") {
     val p = plan("ad_by_id")
     assert(p.contains("EqualTo(o_orderkey,42)"))
