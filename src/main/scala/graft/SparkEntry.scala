@@ -87,6 +87,8 @@ object SparkEntry {
     "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.incrementalExact(s, d)),
     "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
+    "chunk_packing"      -> ((s, d) => Corpus.packChunks(s, d)),
+    "c4_filters"         -> ((s, d) => TextStats.c4Filters(s, d)),
     "corpus_split"       -> ((s, d) => Corpus.splitCheck(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -532,6 +534,54 @@ object SparkEntry {
         |       len(toks[start + 1 : start + 32]) AS n_tokens,
         |       array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
         |FROM s ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
+    "chunk_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |           AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, toks, u.start AS start
+        |  FROM t, UNNEST(generate_series(0, greatest(len(toks) - 1, 0), 24))
+        |         AS u(start)
+        |), c AS (
+        |  SELECT doc_id, start // 24 AS chunk_idx,
+        |         len(toks[start + 1 : start + 32]) AS n_tokens
+        |  FROM s
+        |), sharded AS (
+        |  SELECT doc_id, chunk_idx, n_tokens, doc_id % 8 AS shard
+        |  FROM c
+        |), cum AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY shard ORDER BY doc_id ASC, chunk_idx ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS bef
+        |  FROM sharded
+        |)
+        |SELECT shard, CAST(floor(bef / 512) AS BIGINT) AS seq_idx,
+        |       count(*) AS n_chunks, sum(n_tokens)::BIGINT AS n_tokens,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM cum GROUP BY 1, 2
+        |ORDER BY shard ASC, seq_idx ASC""".stripMargin,
+    "c4_filters" ->
+      """SELECT doc_id,
+        |  strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
+        |  strpos(text, '{') > 0 AS has_brace,
+        |  strpos(lower(text), 'javascript') > 0 AS has_js,
+        |  right(trim(text), 1) IN ('.', '!', '?', '"') AS ends_terminal,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |   END)::BIGINT AS n_words,
+        |  (strpos(lower(text), 'lorem ipsum') = 0
+        |   AND strpos(text, '{') = 0
+        |   AND strpos(lower(text), 'javascript') = 0
+        |   AND right(trim(text), 1) IN ('.', '!', '?', '"')
+        |   AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |       BETWEEN 5 AND 100000) AS keep
+        |FROM documents
+        |ORDER BY doc_id ASC""".stripMargin,
     "token_counts" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

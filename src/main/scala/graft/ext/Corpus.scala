@@ -27,6 +27,14 @@ object Corpus {
     * downstream joins.
     */
   def chunk(spark: SparkSession, sfDir: String, size: Int = 32, stride: Int = 24): DataFrame =
+    chunkRows(spark, sfDir, size, stride)
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** [[chunk]] without the presentation sort — consumers that reshuffle
+    * anyway (packing) skip the global sort.
+    */
+  private def chunkRows(
+      spark: SparkSession, sfDir: String, size: Int, stride: Int): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .withColumn("n", expr("size(toks)"))
@@ -37,7 +45,38 @@ object Corpus {
         col("doc_id"), col("chunk_idx"),
         expr(s"size(slice(toks, start + 1, $size))").as("n_tokens"),
         expr(s"concat_ws(' ', slice(toks, start + 1, $size))").as("chunk_text"))
+
+  /** Sequence PACKING: chunks concatenate into fixed-budget training
+    * sequences (`maxTokens`), the standard pretraining step that turns
+    * ragged documents into dense batches. Deterministic and distributed:
+    * chunks shard by doc-id hash, and WITHIN a shard a running token count
+    * assigns each chunk to sequence floor(tokens_before / maxTokens) — a
+    * shard-local window, so the only shuffle keys on `shard` and no global
+    * order is ever imposed (a single global cumulative sum would serialize
+    * the corpus through one partition; shard-local packing is what real
+    * pipelines do, trading a straddling chunk per boundary for
+    * parallelism). Returns per-sequence occupancy — the packing manifest a
+    * downstream writer would consume.
+    */
+  def packChunks(
+      spark: SparkSession, sfDir: String,
+      maxTokens: Int = 512, shards: Int = 8,
+      size: Int = 32, stride: Int = 24): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(Long.MinValue, -1)
+    chunkRows(spark, sfDir, size, stride)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_idx", floor(col("__before") / lit(maxTokens)))
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("shard").asc, col("seq_idx").asc)
+  }
 
   /** Deterministic train/val/test split by id hash: bucket = xxhash64(id,
     * salt) mod 100. Disjoint, exhaustive, reproducible on any cluster and

@@ -270,6 +270,35 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** C4-style cleaning rules (the web-corpus heuristics of the C4/T5
+    * pipeline, doc-level): boilerplate markers (lorem ipsum, curly braces,
+    * "javascript"), terminal-punctuation requirement, and word-count
+    * bounds, folded into a keep decision. Pure contains/substring
+    * arithmetic — codegen'd, one corpus pass, byte-identical in the DuckDB
+    * twin.
+    */
+  def c4Filters(
+      spark: SparkSession, sfDir: String,
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val lower_ = lower(col("text"))
+    val toks = tokenCount(col("text"))
+    val hasLorem = lower_.contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    val hasJs = lower_.contains("javascript")
+    val endsTerminal = expr("right(trim(text), 1)").isin(".", "!", "?", "\"")
+    val wordOk = toks >= minWords && toks <= maxWords
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        hasLorem.as("has_lorem"),
+        hasBrace.as("has_brace"),
+        hasJs.as("has_js"),
+        endsTerminal.as("ends_terminal"),
+        toks.cast("long").as("n_words"),
+        (!hasLorem && !hasBrace && !hasJs && endsTerminal && wordOk).as("keep"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */
   def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame =
     langId(spark, sfDir)

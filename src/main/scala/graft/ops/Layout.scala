@@ -43,12 +43,21 @@ object Layout {
         .getMostSignificantBits & Long.MaxValue)
     val ordersT = s"graft_orders_bkt_$tag"
     val itemsT = s"graft_lineitem_bkt_$tag"
-    if (!spark.catalog.tableExists(ordersT))
-      writeBucketed(graft.io.Tables.orders(spark, sfDir)
-        .select("o_orderkey", "o_orderstatus"), ordersT, "o_orderkey", buckets)
-    if (!spark.catalog.tableExists(itemsT))
-      writeBucketed(graft.io.Tables.lineitem(spark, sfDir)
-        .select("l_orderkey", "l_extendedprice"), itemsT, "l_orderkey", buckets)
+    def ensure(table: String, df: DataFrame, key: String): Unit =
+      if (!spark.catalog.tableExists(table)) {
+        // the in-memory catalog dies with the session but the warehouse
+        // directory survives — a stale dir would fail the managed-table
+        // CREATE ("location already exists"), so clear it first
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        writeBucketed(df, table, key, buckets)
+      }
+    ensure(ordersT, graft.io.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderstatus"), "o_orderkey")
+    ensure(itemsT, graft.io.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice"), "l_orderkey")
     spark.table(itemsT)
       .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderstatus"))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Streaming corpus ingestion with INCREMENTAL exact dedup — the streaming
+  * face of [[graft.ext.Dedup.incrementalExact]]: documents arrive as a
+  * stream, each micro-batch is checked against a persistent fingerprint
+  * index (sha-256 → keeper doc id), in-batch duplicates resolve to the
+  * smallest id, and clean keepers APPEND to the index so later batches see
+  * them. This is the 100 TB ingest shape: the index holds one fixed-width
+  * row per distinct text ever seen, each batch does one fingerprint-keyed
+  * join against it, and the corpus itself is never re-scanned.
+  *
+  * No analog in the reference (its ingest is request-at-a-time Prisma
+  * inserts); new capability per SURVEY §7.5.
+  *
+  * Scale notes: at production scale the index lives in a format with upsert
+  * + compaction (the parquet append here models the contract, not the
+  * format); the per-batch join broadcasts the BATCH side (small) against
+  * the index scan, so index size bounds nothing but storage.
+  */
+object CorpusIngest {
+
+  /** Arriving document rows: (doc_id, text, lang, source). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  private val indexSchema = StructType(Seq(
+    StructField("fp", StringType),
+    StructField("keeper", LongType)))
+
+  private def readIndex(spark: SparkSession, indexPath: String): DataFrame =
+    if (new java.io.File(indexPath).exists())
+      spark.read.schema(indexSchema).parquet(indexPath)
+    else
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+
+  /** Dedup one (micro-)batch against the index: returns the per-doc report
+    * (new_doc_id, dup_of, is_dup) and the index rows the batch contributes.
+    * `dup_of` is the surviving keeper — from the index when the text was
+    * seen in an earlier batch, else the smallest same-text id in THIS
+    * batch; −1 for keepers themselves. Exposed for both the streaming
+    * sink and direct batch use (and the spec).
+    */
+  def dedupBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+    val batchKeeper = hashed.groupBy("fp").agg(min("doc_id").as("__bk"))
+    val report = hashed
+      .join(batchKeeper, Seq("fp"))
+      .join(index, Seq("fp"), "left")
+      .select(
+        col("doc_id").as("new_doc_id"),
+        when(col("keeper").isNotNull, col("keeper"))
+          .when(col("doc_id") =!= col("__bk"), col("__bk"))
+          .otherwise(lit(-1L)).as("dup_of"),
+        (col("keeper").isNotNull || col("doc_id") =!= col("__bk")).as("is_dup"))
+    val newEntries = batchKeeper
+      .join(index, Seq("fp"), "left_anti")
+      .select(col("fp"), col("__bk").as("keeper"))
+    (report, newEntries)
+  }
+
+  /** The streaming pipeline: per micro-batch, dedup against the index,
+    * append the report, then append the batch's new keepers to the index
+    * (report first — it reads the index state this batch was judged
+    * against). foreachBatch gives at-least-once appends on retry; the
+    * report is keyed by (batch's) doc_id so replays are idempotent to
+    * downstream consumers that dedup on it — the standard contract for
+    * parquet-append sinks.
+    */
+  def ingestDedup(
+      docs: DataFrame,
+      indexPath: String,
+      reportPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          val spark = batch.sparkSession
+          // pin the index snapshot: both consumers below must see the SAME
+          // state even though the second write mutates the path
+          val index = readIndex(spark, indexPath).localCheckpoint(true)
+          val (report, newEntries) = dedupBatch(batch, index)
+          report.write.mode("append").parquet(reportPath)
+          newEntries.write.mode("append").parquet(indexPath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+}

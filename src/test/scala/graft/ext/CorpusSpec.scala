@@ -61,6 +61,48 @@ class CorpusSpec extends SparkSpec {
       ("all", docs, 1.0), ("half", docs, 0.5), ("none", docs, 0.0)), "doc_id").count())
   }
 
+  test("packChunks conserves tokens and bounds sequence occupancy") {
+    val chunks = Corpus.chunk(spark, sf)
+    val totalTokens = chunks.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .collect()(0).getLong(0)
+    val manifest = Corpus.packChunks(spark, sf, maxTokens = 512).collect()
+    // conservation: every chunk lands in exactly one sequence
+    assert(manifest.map(_.getAs[Long]("n_chunks")).sum === chunks.count())
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum === totalTokens)
+    // occupancy: a sequence holds at most maxTokens plus one straddling
+    // chunk (chunk size 32), and non-final sequences are full
+    manifest.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") <= 512L + 32L,
+        s"overfull sequence: $r")
+    }
+    val perShard = manifest.groupBy(_.getAs[Long]("shard"))
+    perShard.values.foreach { seqs =>
+      val last = seqs.map(_.getAs[Long]("seq_idx")).max
+      // a straddling chunk can shift up to one chunk (32 tokens) of a
+      // sequence's budget into its predecessor
+      seqs.filter(_.getAs[Long]("seq_idx") < last).foreach { r =>
+        assert(r.getAs[Long]("n_tokens") >= 512L - 32L, s"underfull non-final: $r")
+      }
+    }
+  }
+
+  test("c4Filters flags planted boilerplate and keeps clean prose") {
+    val dir = "/tmp/graft_test_c4"
+    val clean = "A perfectly reasonable sentence with enough words to pass."
+    Seq(
+      (1L, clean, "en", "s", clean.length.toLong),
+      (2L, "Lorem ipsum dolor sit amet and more words here too.", "en", "s", 52L),
+      (3L, "var x = {a: 1} with some javascript inside here today.", "en", "s", 54L),
+      (4L, "No terminal punctuation on this line of prose", "en", "s", 45L),
+      (5L, "Too short.", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.c4Filters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
   test("stratifiedSample keeps per-lang fractions and is deterministic") {
     val langTotals = Corpus.split(spark, sf).groupBy("lang").count()
       .as[(String, Long)].collect().toMap

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming incremental corpus dedup: each micro-batch judged against the
+  * fingerprint index as of its start, clean keepers extending the index
+  * for later batches.
+  */
+class CorpusIngestSpec extends SparkSpec {
+
+  test("dedupBatch resolves index dups, in-batch dups, and keepers") {
+    import spark.implicits._
+    val index = Seq(("fpX", 1L)).toDF("fp", "keeper") // placeholder, unused fp
+    val corpusIndexed = Seq("old text").toDF("text")
+      .select(sha2(col("text"), 256).as("fp"), lit(1L).as("keeper"))
+    val batch = Seq(
+      (10L, "old text", "en", "s"),   // dup of indexed keeper 1
+      (11L, "fresh text", "en", "s"), // in-batch keeper
+      (12L, "fresh text", "en", "s")  // in-batch dup of 11
+    ).toDF("doc_id", "text", "lang", "source")
+    val (report, newEntries) = CorpusIngest.dedupBatch(batch, corpusIndexed)
+    val got = report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      10L -> ((1L, true)), 11L -> ((-1L, false)), 12L -> ((11L, true))))
+    // only the genuinely new text joins the index, under its batch keeper
+    assert(newEntries.collect().map(_.getLong(1)).toSeq === Seq(11L))
+    assert(index.count() === 1) // untouched
+  }
+
+  test("ingestDedup: later batches see keepers appended by earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("s").as("source"))
+    val q = CorpusIngest.ingestDedup(
+      docs, s"$dir/index", s"$dir/report", s"$dir/ckpt")
+    try {
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      input.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val report = spark.read.parquet(s"$dir/report").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(report === Map(
+      1L -> ((-1L, false)), 2L -> ((1L, true)), 3L -> ((-1L, false)),
+      4L -> ((1L, true)),   // batch-2 dup of the batch-1 keeper via the index
+      5L -> ((-1L, false))))
+    val index = spark.read.parquet(s"$dir/index").collect()
+      .map(_.getLong(1)).toSet
+    assert(index === Set(1L, 3L, 5L)) // one keeper per distinct text ever seen
+  }
+}
