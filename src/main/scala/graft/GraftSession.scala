@@ -19,8 +19,8 @@ import org.apache.spark.sql.SparkSession
   * and intentionally not overridden.
   */
 object GraftSession {
-  def build(master: String, shufflePartitions: Int): SparkSession =
-    SparkSession.builder()
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,6 +28,18 @@ object GraftSession {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
+    // Reliable-checkpoint root for frames too big for the driver but whose
+    // loop lineage must be severed (graft.ext.Dedup.connectedComponents).
+    // Local mode: a tmp dir. Cluster deployment: point this at shared
+    // storage (HDFS/S3) so checkpointed blocks survive executor loss —
+    // unlike localCheckpoint, which pins them to unreplicated executors.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ckpt-").toString
+      spark.sparkContext.setCheckpointDir(dir)
+    }
+    spark
+  }
 
   /** Harness form: local[cpus] with one shuffle partition per core. */
   def local(cpus: Int): SparkSession = build(s"local[$cpus]", cpus)

@@ -342,15 +342,20 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
     }
-    val singletons = allDocs.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    // materialize the final labeling eagerly, then drop EVERY loop cache —
-    // including the last round's frame, which previously outlived the call
-    val result = labels.unionByName(singletons).localCheckpoint()
+    // Pin ONLY the converged edge-touching labels (dup-graph-sized, past
+    // the driver limit on this path) with a reliable checkpoint — blocks
+    // land in the checkpoint dir (shared storage on a cluster), so the
+    // result survives executor loss, unlike localCheckpoint. The
+    // corpus-sized singleton majority stays lazy: it is a pure anti-join
+    // against the pinned labels and never touches the loop caches, so
+    // nothing corpus-sized is ever materialized here.
+    val pinned = labels.checkpoint()
     cached.unpersist()
     edges.unpersist()
-    result
+    val singletons = allDocs.select(col("doc_id"))
+      .join(pinned.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    pinned.unionByName(singletons)
   }
 
   /** Driver-registered clustering summary (rows-only): MinHash pairs →

@@ -111,16 +111,18 @@ object Similarity {
     // 64-projection pass instead of two. Scoped to this call: candIds (id
     // pairs only — small) is materialized eagerly so the signature cache
     // can be dropped before returning (no CacheManager accumulation in a
-    // long-lived driver).
+    // long-lived driver). Driver-side materialization, not localCheckpoint:
+    // no unreplicated executor block to lose, and the row cap fails fast
+    // if a degenerate corpus collapses into one band bucket.
     val banded = bandSignatures(spark, sfDir).persist()
     val candIds = try {
-      banded.filter(col("vec_id") < nProbes)
-        .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
-        .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
-          Seq("band_idx", "band_sig"))
-        .filter(col("q_id") =!= col("c_id"))
-        .select("q_id", "c_id").distinct()
-        .localCheckpoint()
+      graft.ops.Materialize.smallLocal(
+        banded.filter(col("vec_id") < nProbes)
+          .select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+          .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+            Seq("band_idx", "band_sig"))
+          .filter(col("q_id") =!= col("c_id"))
+          .select("q_id", "c_id").distinct())
     } finally banded.unpersist()
     val q = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))
@@ -252,15 +254,16 @@ object Similarity {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
     // call-scoped cache, as in lshTopK: eager id-pair materialization, then
-    // drop the signature cache before returning.
+    // drop the signature cache before returning. Driver-side (smallLocal),
+    // not localCheckpoint — same executor-loss + fail-fast rationale.
     val banded = bandSignatures(spark, sfDir).persist()
     val pairs = try {
-      banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
-        .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
-          Seq("band_idx", "band_sig"))
-        .filter(col("q_id") < col("c_id"))
-        .select("q_id", "c_id").distinct()
-        .localCheckpoint()
+      graft.ops.Materialize.smallLocal(
+        banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
+          .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
+            Seq("band_idx", "band_sig"))
+          .filter(col("q_id") < col("c_id"))
+          .select("q_id", "c_id").distinct())
     } finally banded.unpersist()
     val q = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))
