@@ -90,6 +90,13 @@ object SparkEntry {
     "chunk_packing"      -> ((s, d) => Corpus.packChunks(s, d)),
     "c4_filters"         -> ((s, d) => TextStats.c4Filters(s, d)),
     "corpus_split"       -> ((s, d) => Corpus.splitCheck(s, d)),
+    // sha2-bucketed sampling (twinnable=true): the oracle reproduces the
+    // exact keep set, not just its size
+    "stratified_sample"  -> ((s, d) => Corpus.stratifiedSample(s, d,
+      Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
+    "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
+    "lm_score"           -> ((s, d) => TextStats.lmScore(s, d)),
+    "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
@@ -475,6 +482,76 @@ object SparkEntry {
         |       3::BIGINT AS n_splits,
         |       (SELECT count(*) FROM documents) AS n_total
         |FROM documents""".stripMargin,
+    "stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |         ('0x' || substr(sha256(doc_id::VARCHAR || '#11'), 1, 8))::BIGINT
+        |           % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, source, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |ORDER BY doc_id ASC""".stripMargin,
+    "corpus_mix" ->
+      """WITH b AS (
+        |  SELECT *,
+        |         ('0x' || substr(sha256(doc_id::VARCHAR || '#13'), 1, 8))::BIGINT
+        |           % 1000 AS bkt,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4','src5')
+        |                THEN 'head'
+        |              WHEN source IN ('src6','src7','src8','src9','src10',
+        |                              'src11','src12') THEN 'mid'
+        |              ELSE 'tail' END AS mix_source
+        |  FROM documents
+        |)
+        |SELECT mix_source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b
+        |WHERE bkt < CASE mix_source WHEN 'head' THEN 1000
+        |                            WHEN 'mid' THEN 500 ELSE 250 END
+        |GROUP BY mix_source ORDER BY mix_source ASC""".stripMargin,
+    "lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> t <> '')) AS tok
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+        |  FROM toks GROUP BY tok
+        |), scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         CAST(sum(r) AS BIGINT) AS rank_sum
+        |  FROM toks t JOIN ranked USING (tok) GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0) AS n_tokens,
+        |       coalesce(rank_sum, 0) AS rank_sum,
+        |       CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |            ELSE rank_sum::DOUBLE / n_tokens::DOUBLE END AS mean_rank
+        |FROM documents d LEFT JOIN scored USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    "span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), spans AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 16], ' ') AS span
+        |  FROM t, unnest(range(0, len(ts) - 15, 1)) AS u(i)
+        |  WHERE len(ts) >= 16
+        |), eligible AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(*) > 1 AND count(*) <= 32
+        |), es AS (
+        |  SELECT s.doc_id, s.span FROM spans s JOIN eligible USING (span)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS n_shared_spans
+        |FROM es a JOIN es b USING (span)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "bucketed_join" ->
       """SELECT o.o_orderkey, o.o_orderstatus, count(*) AS n_items,
         |       max(l.l_extendedprice) AS max_item_price

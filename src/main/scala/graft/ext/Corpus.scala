@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -128,25 +128,66 @@ object Corpus {
     * draw, so the mixture is reproducible and incrementally stable.
     */
   def weightedMix(sources: Seq[(String, DataFrame, Double)], idCol: String,
-      salt: Int = 13): DataFrame =
+      salt: Int = 13, twinnable: Boolean = false): DataFrame =
     sources.map { case (name, df, weight) =>
-      df.filter(pmod(xxhash64(col(idCol), lit(salt)), lit(1000L)) < weight * 1000)
+      df.filter(bucket1000(col(idCol), salt, twinnable) < weight * 1000)
         .withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
+
+  /** Deterministic bucket in [0, 1000) for sampling predicates. Two
+    * families with identical statistical behavior: `twinnable = false`
+    * (default on hot paths) — xxhash64, one codegen'd long op per row;
+    * `twinnable = true` — the first 8 hex digits of sha2-256 of
+    * `"<id>#<salt>"`, byte-for-byte reproducible in any engine with a
+    * SHA-256 builtin (the DuckDB oracle computes the same number), at the
+    * cost of a string hash per row.
+    */
+  private[ext] def bucket1000(id: Column, salt: Int, twinnable: Boolean): Column =
+    if (twinnable)
+      conv(substring(sha2(concat(id.cast("string"), lit(s"#$salt")), 256), 1, 8),
+        16, 10).cast("long") % 1000L
+    else pmod(xxhash64(id, lit(salt)), lit(1000L))
+
+  /** Driver-registered mixture manifest: `documents` partitioned into three
+    * sub-corpora by `source` (head/mid/tail) and mixed at weights
+    * 1.0/0.5/0.25 — the per-source doc and char budget a pretraining run
+    * would consume. sha2 buckets so the DuckDB twin reproduces the exact
+    * keep set; integer sums, oracle-exact.
+    */
+  def mixSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def slice(srcs: Seq[Int]): DataFrame =
+      docs.filter(col("source").isin(srcs.map(i => s"src$i"): _*))
+    weightedMix(
+      Seq(
+        ("head", slice(0 to 5), 1.0),
+        ("mid", slice(6 to 12), 0.5),
+        ("tail", slice(13 to 19), 0.25)),
+      idCol = "doc_id", twinnable = true)
+      .groupBy(col("mix_source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("mix_source").asc)
+  }
 
   /** Stratified sample: per-language keep-fractions applied via the same
     * order-independent hash predicate (default fraction for unlisted
     * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no
     * partition-order dependence, and re-runs select the SAME rows.
+    * `twinnable = true` swaps the xxhash64 bucket for the sha2 form the
+    * oracle can reproduce (see [[bucket1000]]).
     */
   def stratifiedSample(
       spark: SparkSession, sfDir: String,
       fractions: Map[String, Double], defaultFraction: Double = 1.0,
-      salt: Int = 11): DataFrame = {
-    val bucket = pmod(xxhash64(col("doc_id"), lit(salt)), lit(1000L))
+      salt: Int = 11, twinnable: Boolean = false): DataFrame = {
+    val bucket = bucket1000(col("doc_id"), salt, twinnable)
     val threshold = fractions.foldLeft(lit(defaultFraction * 1000)) {
       case (acc, (lang, f)) => when(col("lang") === lang, lit(f * 1000)).otherwise(acc)
     }
-    Tables.documents(spark, sfDir).filter(bucket < threshold)
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < threshold)
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy(col("doc_id").asc)
   }
 }

@@ -429,6 +429,53 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Exact-substring near-dup pairs — the ExactSubstr family (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better")
+    * re-expressed relationally: two documents pair iff they share an exact
+    * run of `spanTokens` consecutive tokens. EVERY token position starts a
+    * span (stride 1 — a strided emission cannot see shared runs that sit
+    * at different offsets in the two documents), assembled with window
+    * leads like [[shingleRows]] and reduced to a 64-bit hash immediately,
+    * so the corpus-sized intermediate is fixed-width (doc_id, span_hash)
+    * rows — the suffix-array byte cost of the original, paid as one
+    * windowed pass + hash shuffles instead.
+    *
+    * Boilerplate guard: spans present in more than `maxDocsPerSpan`
+    * documents (site chrome, license text) are dropped before pairing —
+    * standard practice, and the bound that keeps pair counts linear in
+    * corpus size (each surviving span yields < maxDocsPerSpan² pairs).
+    * The guard is plain relational algebra, so the DuckDB twin reproduces
+    * it exactly, joining on span TEXT — equivalent to the hash join absent
+    * 64-bit collisions (~n²/2⁶⁵ per span set, same argument as
+    * [[ngramJaccardPairs]]).
+    */
+  def spanPairs(
+      spark: SparkSession, sfDir: String,
+      spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
+    val spans = tokenRows(spark, sfDir)
+      .withColumn("__span", concat_ws(" ", (col("tok") +: leads): _*))
+      // complete spans only: the last lead exists ⇒ all of them do.
+      // concat_ws would otherwise silently shorten tail windows and
+      // false-match genuine short prefixes.
+      .withColumn("__full", lead(col("tok"), spanTokens - 1).over(w).isNotNull)
+      .filter(col("__full"))
+      .select(col("doc_id"), xxhash64(col("__span")).as("span_h"))
+      .distinct()
+    val eligible = spans.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1 && col("n_docs") <= maxDocsPerSpan)
+      .select("span_h")
+    val inSpan = spans.join(eligible, Seq("span_h"), "left_semi")
+    inSpan.select(col("span_h"), col("doc_id").as("doc_a"))
+      .join(inSpan.select(col("span_h"), col("doc_id").as("doc_b")), Seq("span_h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Connected components over an EXACT, SQL-expressible pair relation —
     * the oracle anchor for the pairs→clusters chain ([[connectedComponents]]
     * is otherwise only reachable through hash-seeded MinHash pairs, which

@@ -330,4 +330,45 @@ object TextStats {
                |    i -> sha2(concat_ws(' ', slice(__toks, i + 1, 3)), 256))),
                |  sha2(concat_ws(' ', __toks), 256))""".stripMargin).as("content_fp"))
       .orderBy(col("doc_id").asc)
+
+  /** Unigram-LM document scoring, CCNet's shape with cross-engine-exact
+    * arithmetic: rank every vocabulary token by corpus frequency (Zipf
+    * rank 1 = most frequent; ties broken by token), then score each
+    * document by the SUM and MEAN of its tokens' ranks. Low mean-rank ≈
+    * common, fluent text; high ≈ rare-token soup — the same ordering a
+    * perplexity filter induces, minus the external LM. Integer rank sums
+    * (order-independent) plus one IEEE-exact division keep the DuckDB twin
+    * byte-identical, where a log-prob sum would drift by summation order.
+    *
+    * Scale shape: tokenize once (generator explode), two hash aggs
+    * (vocab counts, then per-doc sums) and one vocab-sized join. The rank
+    * window runs over the VOCABULARY, not the corpus — Heaps'-law
+    * sublinear (~1e8 rows at 100 TB) but still single-partition as
+    * written; at that size swap it for a two-level rank (per-partition
+    * sort + offset) or accept rank-by-frequency-only ties. Docs with no
+    * tokens surface with zero counts rather than vanishing.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("tok"))
+    val ranked = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("tf").desc, col("tok").asc)))
+    val scored = toks.join(ranked.select("tok", "rank"), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("rank_sum"), lit(0L)).as("rank_sum"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("rank_sum").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_rank"))
+      .orderBy(col("doc_id").asc)
+  }
 }

@@ -118,4 +118,26 @@ class CorpusSpec extends SparkSpec {
     assert(sampled.count() === Corpus.stratifiedSample(
       spark, sf, Map("en" -> 0.5, "zh" -> 0.0)).count())
   }
+
+  test("twinnable sha2 bucket matches the DuckDB-computed reference value") {
+    // ('0x' || substr(sha256('42#11'), 1, 8))::BIGINT % 1000 = 591 in
+    // DuckDB — the cross-engine anchor for every twinnable sampling oracle
+    val b = spark.range(42, 43)
+      .select(Corpus.bucket1000(col("id"), salt = 11, twinnable = true).as("b"))
+      .head().getLong(0)
+    assert(b === 591L)
+  }
+
+  test("mixSummary: weight-1.0 stratum keeps everything, lower weights less") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val headTotal = (0 to 5).map(i => totals(s"src$i")).sum
+    val midTotal = (6 to 12).map(i => totals(s"src$i")).sum
+    val out = Corpus.mixSummary(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("head", "mid", "tail"))
+    assert(out("head") === headTotal, "weight 1.0 must keep every doc")
+    assert(out("mid") < midTotal, "weight 0.5 must drop some docs")
+    assert(out("mid") > 0 && out("tail") > 0)
+  }
 }

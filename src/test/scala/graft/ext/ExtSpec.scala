@@ -146,6 +146,34 @@ class DedupSpec extends SparkSpec {
     assert(out(29L) === ((2L, true)))
     assert(out(19L) === ((-1L, false)))
   }
+
+  test("spanPairs finds mis-aligned shared runs; boilerplate spans drop") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_spans"
+    val run = (1 to 16).map(i => s"w$i").mkString(" ") // the shared 16-run
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // run sits at offset 0 in doc 1 but offset 3 in doc 2 — only
+      // stride-1 emission can align them
+      (1L, run + " x1 x2 x3", "en", "s", 1L),
+      (2L, "y1 y2 y3 " + run, "en", "s", 1L),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 1L),
+      // the boilerplate span is in 3 docs — past maxDocsPerSpan=2
+      (4L, boiler + " a", "en", "s", 1L),
+      (5L, boiler + " b", "en", "s", 1L),
+      (6L, boiler + " c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.spanPairs(spark, dir, spanTokens = 16, maxDocsPerSpan = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L)), s"got ${out.keySet}")
+    assert(out((1L, 2L)) === 1L) // exactly the one aligned span text
+    // docs shorter than the span window never pair
+    val short = Seq((7L, "a b c", "en", "s", 1L), (8L, "a b c", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    short.write.mode("overwrite").parquet(s"$dir/short/documents.parquet")
+    assert(Dedup.spanPairs(spark, s"$dir/short").count() === 0L)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -320,6 +348,24 @@ class TextStatsSpec extends SparkSpec {
   test("fingerprints: equal text ⇒ equal fp; corpus fps are unique at sf0.001") {
     val fps = TextStats.fingerprints(spark, sf).select("exact_fp").collect()
     assert(fps.map(_.getString(0)).distinct.length === 500)
+  }
+
+  test("lmScore: Zipf ranks by (freq desc, tok asc); doc sums are exact") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_lmscore"
+    // corpus freq: the×4, cat×2, dog×2, zebra×1
+    // ranks: the=1, cat=2 (tie with dog broken by token order), dog=3, zebra=4
+    Seq(
+      (1L, "the cat the dog", "en", "s", 1L),
+      (2L, "the the cat dog zebra", "en", "s", 1L),
+      (3L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 1L + 2L + 1L + 3L, 7.0 / 4)))
+    assert(out(2L) === ((5L, 1L + 1L + 2L + 3L + 4L, 11.0 / 5)))
+    assert(out(3L) === ((0L, 0L, 0.0)), "empty doc surfaces with zeros")
   }
 }
 
