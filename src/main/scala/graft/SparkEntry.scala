@@ -64,7 +64,8 @@ object SparkEntry {
     "dedup_exact"        -> ((s, d) => Dedup.exactSummary(s, d)),
     "dedup_keepers"      -> ((s, d) => Dedup.exactKeepers(s, d)),
     "dedup_minhash"      -> ((s, d) => Dedup.minHashPairs(s, d)),
-    "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d)),
+    // twinnable=true: 60-bit sha2-derived signatures the oracle rebuilds
+    "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d, twinnable = true)),
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
@@ -95,6 +96,7 @@ object SparkEntry {
     "stratified_sample"  -> ((s, d) => Corpus.stratifiedSample(s, d,
       Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
     "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
+    "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
     "lm_score"           -> ((s, d) => TextStats.lmScore(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
@@ -398,6 +400,40 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "dedup_simhash" -> {
+      // the 60 vote sums and 60 bit terms are mechanical — assemble the
+      // twin the same way the Spark side assembles its aggregate columns
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |           regexp_split_to_array(lower(text), '\\s+'),
+         |           t -> t <> '')) AS tok
+         |  FROM documents
+         |), toks AS (
+         |  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th
+         |  FROM toks0
+         |), voted AS (
+         |  SELECT doc_id, $votes FROM toks GROUP BY doc_id
+         |), sig AS (
+         |  SELECT doc_id, $bits AS simhash FROM voted
+         |), chunked AS (
+         |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+         |  FROM sig, unnest(range(0, 4, 1)) AS u(c)
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM chunked a JOIN chunked b ON a.c = b.c AND a.cv = b.cv
+         |   AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+    },
     "ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang, CAST(n_chars // 64 AS INT) AS len_bucket,
@@ -510,6 +546,17 @@ object SparkEntry {
         |WHERE bkt < CASE mix_source WHEN 'head' THEN 1000
         |                            WHEN 'mid' THEN 500 ELSE 250 END
         |GROUP BY mix_source ORDER BY mix_source ASC""".stripMargin,
+    "corpus_shard" ->
+      """WITH keyed AS (
+        |  SELECT n_chars,
+        |         ('0x' || substr(sha256(doc_id::VARCHAR || '#19'), 1, 15))::BIGINT
+        |           AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT shuffle_key % 8 AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(shuffle_key) AS key_min, max(shuffle_key) AS key_max
+        |FROM keyed GROUP BY 1 ORDER BY shard ASC""".stripMargin,
     "lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

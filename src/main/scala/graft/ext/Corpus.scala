@@ -169,6 +169,37 @@ object Corpus {
       .orderBy(col("mix_source").asc)
   }
 
+  /** Deterministic global shuffle + shard manifest — the write-side step
+    * that turns a curated corpus into training shards: every doc gets a
+    * reproducible pseudo-random order key (60-bit sha2 prefix, the
+    * twinnable form of [[bucket1000]]), its shard is `key mod nShards`,
+    * and within a shard the serialization order is the key itself. No
+    * corpus-sized sort ever runs HERE — the manifest is one hash
+    * aggregation; the actual writer sorts WITHIN each shard
+    * (`repartition(shard).sortWithinPartitions(key)`), which is the
+    * parallel, spill-safe shape at 100 TB (a single global orderBy would
+    * funnel the corpus through one range exchange).
+    *
+    * Emits per shard: doc count, char budget, and the key range — what a
+    * downstream writer needs to size and order its output files.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String,
+      nShards: Int = 8, salt: Int = 19): DataFrame = {
+    val key = conv(substring(
+      sha2(concat(col("doc_id").cast("string"), lit(s"#$salt")), 256), 1, 15),
+      16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("shuffle_key")).as("key_min"),
+        max(col("shuffle_key")).as("key_max"))
+      .orderBy(col("shard").asc)
+  }
+
   /** Stratified sample: per-language keep-fractions applied via the same
     * order-independent hash predicate (default fraction for unlisted
     * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no

@@ -209,36 +209,52 @@ object Dedup {
     } finally perDoc.unpersist()
   }
 
-  /** 64-bit SimHash per doc: token rows → 64 codegen'd vote sums (+1/-1
-    * per bit of the token hash) → closed-form bit assembly.
+  /** SimHash per doc: token rows → codegen'd vote sums (+1/-1 per bit of
+    * the token hash) → closed-form bit assembly. `twinnable = false`
+    * (default): 64-bit xxhash64 token hashes — the throughput path.
+    * `twinnable = true`: 60-bit token hashes from the first 15 hex digits
+    * of sha2-256 — the same signature structure, reproducible in the
+    * DuckDB oracle bit-for-bit (15 hex digits because 16 would overflow a
+    * signed BIGINT in both engines' ANSI casts).
     */
-  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = tokenRows(spark, sfDir).withColumn("__h", xxhash64(col("tok")))
-    val votes: Seq[Column] = (0 until 64).map { j =>
+  def simHashSignatures(
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
+    val nBits = if (twinnable) 60 else 64
+    val tokHash =
+      if (twinnable)
+        conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("tok"))
+    val toks = tokenRows(spark, sfDir).withColumn("__h", tokHash)
+    val votes: Seq[Column] = (0 until nBits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__v$j")
     }
     val voted = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val bits: Column = (0 until 64).map { j =>
+    val bits: Column = (0 until nBits).map { j =>
       when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ + _)
     voted.select(col("doc_id"), bits.as("simhash"))
   }
 
   /** SimHash near-dup pairs (hamming ≤ maxHamming), candidates from
-    * 4×16-bit chunk collisions. Rows-only check.
+    * 4-chunk collisions (16 bits per chunk on the xxhash64 path, 15 on
+    * the twinnable sha2 path — see [[simHashSignatures]]).
     */
   def simHashPairs(
-      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3,
+      twinnable: Boolean = false): DataFrame = {
+    val chunkBits = (if (twinnable) 60 else 64) / 4
+    val chunkMask = (1L << chunkBits) - 1
     // persisted: both sides of the chunk self-join consume the signatures —
     // unpersisted, the 64-vote aggregation over token rows runs twice.
     // Call-scoped: the small pair result is collected to the driver and the
     // signature cache dropped before returning.
-    val sim = simHashSignatures(spark, sfDir).persist()
+    val sim = simHashSignatures(spark, sfDir, twinnable).persist()
     try {
       val chunkCols = (0 until 4).map { c =>
         struct(lit(c).as("idx"),
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("v"))
+          shiftright(col("simhash"), c * chunkBits)
+            .bitwiseAND(lit(chunkMask)).as("v"))
       }
       val chunked = sim
         .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("chunk"))
@@ -453,15 +469,18 @@ object Dedup {
       spark: SparkSession, sfDir: String,
       spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val leads = (1 until spanTokens).map(i => lead(col("tok"), i).over(w))
+    // hash each token ONCE, then combine the 16 lead LONGS — ~100-char
+    // span strings never materialize, the window moves fixed-width rows
+    val hashLeads = (1 until spanTokens).map(i => lead(col("__th"), i).over(w))
     val spans = tokenRows(spark, sfDir)
-      .withColumn("__span", concat_ws(" ", (col("tok") +: leads): _*))
+      .withColumn("__th", xxhash64(col("tok")))
+      .withColumn("span_h", xxhash64((col("__th") +: hashLeads): _*))
       // complete spans only: the last lead exists ⇒ all of them do.
-      // concat_ws would otherwise silently shorten tail windows and
-      // false-match genuine short prefixes.
-      .withColumn("__full", lead(col("tok"), spanTokens - 1).over(w).isNotNull)
+      // (multi-arg xxhash64 SKIPS nulls, so an unfiltered tail window
+      // would hash like a genuine short span and false-match.)
+      .withColumn("__full", lead(col("__th"), spanTokens - 1).over(w).isNotNull)
       .filter(col("__full"))
-      .select(col("doc_id"), xxhash64(col("__span")).as("span_h"))
+      .select(col("doc_id"), col("span_h"))
       .distinct()
     val eligible = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))

@@ -128,6 +128,20 @@ class CorpusSpec extends SparkSpec {
     assert(b === 591L)
   }
 
+  test("shardManifest: shards partition the corpus; keys stay in-shard") {
+    val out = Corpus.shardManifest(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 8L))
+    assert(out.map(_.getLong(1)).sum === 500L)
+    out.foreach { r =>
+      val (shard, kmin, kmax) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(kmin <= kmax)
+      assert(kmin % 8 === shard, "key range must belong to its shard")
+      assert(kmax % 8 === shard)
+    }
+    // deterministic: same manifest on re-run
+    assert(Corpus.shardManifest(spark, sf).collect().toSeq === out.toSeq)
+  }
+
   test("mixSummary: weight-1.0 stratum keeps everything, lower weights less") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap

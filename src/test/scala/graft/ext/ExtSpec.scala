@@ -147,6 +147,19 @@ class DedupSpec extends SparkSpec {
     assert(out(19L) === ((-1L, false)))
   }
 
+  test("twinnable simhash: 60-bit signatures, identical docs at hamming 0") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_minhash" // fixture from the minhash test
+    val sigs = Dedup.simHashSignatures(spark, dir, twinnable = true)
+      .as[(Long, Long)].collect().toMap
+    sigs.values.foreach(s => assert(s >= 0L && s < (1L << 60)))
+    assert(sigs(9000L) === sigs(9001L), "identical text ⇒ identical simhash")
+    val pairs = Dedup.simHashPairs(spark, dir, twinnable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((9000L, 9001L)) === 0)
+    assert(!pairs.keySet.exists(p => p._1 == 9003L || p._2 == 9003L))
+  }
+
   test("spanPairs finds mis-aligned shared runs; boilerplate spans drop") {
     import spark.implicits._
     val dir = "/tmp/graft_test_spans"
