@@ -63,11 +63,12 @@ object SparkEntry {
     // LLM-pipeline extension ops (BASELINE.json north star)
     "dedup_exact"        -> ((s, d) => Dedup.exactSummary(s, d)),
     "dedup_keepers"      -> ((s, d) => Dedup.exactKeepers(s, d)),
-    "dedup_minhash"      -> ((s, d) => Dedup.minHashPairs(s, d)),
+    // twinnable=true: Carter–Wegman sha-minhash the oracle rebuilds
+    "dedup_minhash"      -> ((s, d) => Dedup.minHashPairs(s, d, twinnable = true)),
     // twinnable=true: 60-bit sha2-derived signatures the oracle rebuilds
     "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d, twinnable = true)),
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d)),
+    "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
@@ -120,6 +121,68 @@ object SparkEntry {
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
   )
+
+  /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
+    * (verified near-dup pairs): shingles → 60-bit sha hashes →
+    * Carter–Wegman signatures (the SAME [[graft.ext.Dedup.permA]]/`permB`
+    * constants the Spark plan embeds) → multi-column band buckets with
+    * the >1-and-≤64 size gate → exact string-set Jaccard ≥ 0.5. Starts
+    * `WITH RECURSIVE` so the clusters twin can append its min-label walk.
+    */
+  private def minHashOracleCtes: String = {
+    val slots = (0 until 64)
+      .map(j => s"min((${graft.ext.Dedup.permA(j)} * h + ${graft.ext.Dedup.permB(j)})" +
+        s" % ${graft.ext.Dedup.MinHashP}) AS m$j")
+      .mkString(", ")
+    val bands = (0 until 16)
+      .map(b => s"SELECT doc_id, $b AS bi, m${b * 4} AS k1, m${b * 4 + 1} AS k2," +
+        s" m${b * 4 + 2} AS k3, m${b * 4 + 3} AS k4 FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             x -> x <> '') AS toks
+       |  FROM documents
+       |), shs AS (
+       |  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+       |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+       |  WHERE len(toks) > 0
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, shingle,
+       |         ('0x' || substr(sha256(shingle), 1, 15))::BIGINT AS shh
+       |  FROM shs
+       |), hh AS (
+       |  SELECT doc_id, shh >> 32 AS h FROM sh
+       |), sig AS (
+       |  SELECT doc_id, $slots FROM hh GROUP BY doc_id
+       |), bands AS (
+       |  $bands
+       |), bsz AS (
+       |  SELECT bi, k1, k2, k3, k4 FROM bands GROUP BY 1, 2, 3, 4, 5
+       |  HAVING count(*) > 1 AND count(*) <= 64
+       |), inb AS (
+       |  SELECT b.* FROM bands b JOIN bsz USING (bi, k1, k2, k3, k4)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM inb x JOIN inb y USING (bi, k1, k2, k3, k4)
+       |  WHERE x.doc_id < y.doc_id
+       |), sz AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), isect AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |         inter::DOUBLE
+       |           / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE) AS jaccard
+       |  FROM isect i JOIN sz sa ON sa.doc_id = i.doc_a
+       |               JOIN sz sb ON sb.doc_id = i.doc_b
+       |  WHERE inter::DOUBLE
+       |           / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE) >= 0.5
+       |)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -400,6 +463,27 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "dedup_minhash" -> (minHashOracleCtes +
+      """
+        |SELECT doc_a, doc_b, jaccard FROM scored
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin),
+    "dedup_clusters" -> (minHashOracleCtes +
+      """, p AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |)
+        |SELECT cluster_id, min(doc_id) AS keeper_doc_id,
+        |       count(*) AS cluster_size
+        |FROM cc GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id ASC""".stripMargin),
     "dedup_simhash" -> {
       // the 60 vote sums and 60 bit terms are mechanical — assemble the
       // twin the same way the Spark side assembles its aggregate columns
@@ -546,6 +630,21 @@ object SparkEntry {
         |WHERE bkt < CASE mix_source WHEN 'head' THEN 1000
         |                            WHEN 'mid' THEN 500 ELSE 250 END
         |GROUP BY mix_source ORDER BY mix_source ASC""".stripMargin,
+    "media_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         ('0x' || substr(sha256(text), 1, 15))::BIGINT AS pos
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), d AS (
+        |  SELECT media_id,
+        |         CAST((pos % 1280) + 1 AS INT) AS width,
+        |         CAST(((pos >> 16) % 720) + 1 AS INT) AS height,
+        |         (pos % 7200000) + 1 AS duration_ms
+        |  FROM v
+        |)
+        |SELECT media_id, frame_ms, width, height
+        |FROM d, unnest(range(0, duration_ms, 60000)) AS u(frame_ms)
+        |ORDER BY media_id ASC, frame_ms ASC""".stripMargin,
     "corpus_shard" ->
       """WITH keyed AS (
         |  SELECT n_chars,

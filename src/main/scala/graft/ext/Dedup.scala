@@ -31,22 +31,49 @@ object Dedup {
 
   private val toksExpr = """filter(split(lower(text), '\\s+'), t -> t <> '')"""
 
+  /** Modulus of the twinnable Carter–Wegman permutation family (2³¹−1,
+    * prime): with 28-bit base hashes and 31-bit constants the products
+    * stay under 2⁵⁹, so neither engine's ANSI arithmetic can overflow.
+    */
+  private[graft] val MinHashP = 2147483647L
+
+  private def sha7(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString.substring(0, 7), 16)
+
+  /** j-th permutation constants — derived from sha-256 of a fixed tag, so
+    * the generated DuckDB twin embeds the SAME literals (SparkEntry calls
+    * these while assembling its SQL string).
+    */
+  private[graft] def permA(j: Int): Long = (sha7(s"permA$j") % (MinHashP - 1)) + 1
+  private[graft] def permB(j: Int): Long = sha7(s"permB$j") % MinHashP
+
   /** (doc_id, pos, tok) token rows — the split runs once per doc. */
   private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
 
-  /** (doc_id, shingle_hash) rows: 64-bit hashes of word-3-gram shingles
-    * (tail positions yield 2/1-gram shingles so short docs still have
-    * one). Assembled with window leads — one user_id-partitioned shuffle,
-    * fully codegen'd.
+  /** (doc_id, shingle_hash) rows: hashes of word-3-gram shingles (tail
+    * positions yield 2/1-gram shingles so short docs still have one).
+    * Assembled with window leads — one doc_id-partitioned shuffle, fully
+    * codegen'd. `twinnable = false`: 64-bit xxhash64 (throughput path);
+    * `twinnable = true`: 60-bit sha-256 hex prefix, which the DuckDB
+    * oracle recomputes from the shingle STRING — set Jaccard over either
+    * hash family equals string-set Jaccard absent collisions.
     */
-  private def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingleRows(
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    tokenRows(spark, sfDir)
+    val withShingle = tokenRows(spark, sfDir)
       .withColumn("shingle",
         concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val hash =
+      if (twinnable)
+        conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("shingle"))
+    withShingle.select(col("doc_id"), hash.as("sh"))
   }
 
   /** (doc_id, shingle set as sorted distinct long array). */
@@ -142,56 +169,76 @@ object Dedup {
     */
   def minHashPairs(
       spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame =
-    minHashPairsUnsorted(spark, sfDir, threshold, maxBucket)
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      twinnable: Boolean = false): DataFrame =
+    minHashPairsUnsorted(spark, sfDir, threshold, maxBucket, twinnable)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** [[minHashPairs]] without the presentation sort — consumers that
     * reshuffle anyway (clustering) skip the global sort.
+    *
+    * Two permutation families, same signature structure:
+    * `twinnable = false` — Kirsch–Mitzenmacher-shaped mixing of TWO
+    * xxhash64 values (XOR ⊕ rotate ⊕ per-j constant, because ANSI mode
+    * raises on deliberate mod-2⁶⁴ add/multiply wrap; bitwise ops cannot
+    * overflow) — ~32× less hashing in the hot aggregation than 64
+    * independent hash calls. `twinnable = true` — classic Carter–Wegman
+    * `(Aⱼ·h + Bⱼ) mod P` over a 28-bit slice of the sha-256 shingle hash
+    * with constants from [[permA]]/[[permB]]: overflow-free in both
+    * engines, so the DuckDB twin rebuilds the exact signatures.
     */
   private def minHashPairsUnsorted(
       spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      twinnable: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // Two-base-hash permutation family (Kirsch–Mitzenmacher shape): the
-    // j-th permutation hash derives from TWO xxhash64 values instead of 64
-    // independent calls per shingle row — ~32× less hashing in the hot
-    // aggregation. Mixing is XOR ⊕ rotate ⊕ per-j constant rather than
-    // h1 + j·h2 because ANSI mode (Spark 4 default) raises on the
-    // deliberate mod-2^64 wrap of add/multiply; XOR/rotate cannot overflow.
     def rotl(c: Column, j: Int): Column =
       if (j == 0) c else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
     val slots: Seq[Column] =
-      (0 until 64).map { j =>
-        min(col("__h1")
-          .bitwiseXOR(rotl(col("__h2"), j))
-          .bitwiseXOR(lit(j * 0x9E3779B9L))).as(s"__m$j")
-      }
-    val perDoc = shingleRows(spark, sfDir)
-      .withColumn("__h1", xxhash64(col("sh")))
-      .withColumn("__h2", xxhash64(col("sh"), lit(1)))
+      if (twinnable)
+        (0 until 64).map { j =>
+          min(pmod(lit(permA(j)) * col("__h") + lit(permB(j)), lit(MinHashP)))
+            .as(s"__m$j")
+        }
+      else
+        (0 until 64).map { j =>
+          min(col("__h1")
+            .bitwiseXOR(rotl(col("__h2"), j))
+            .bitwiseXOR(lit(j * 0x9E3779B9L))).as(s"__m$j")
+        }
+    val hashed = shingleRows(spark, sfDir, twinnable)
+    val based =
+      if (twinnable) hashed.withColumn("__h", shiftrightunsigned(col("sh"), 32))
+      else hashed
+        .withColumn("__h1", xxhash64(col("sh")))
+        .withColumn("__h2", xxhash64(col("sh"), lit(1)))
+    val perDoc = based
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
       .persist()
     try {
       val sets = perDoc.select(col("doc_id"), col("shset"))
+      // band key = the 4 raw slot values (multi-column shuffle key) — no
+      // compaction hash between the signature and the bucket, so the
+      // twinnable path needs nothing DuckDB can't recompute
       val bandCols = (0 until 16).map { bnd =>
         struct(lit(bnd).as("idx"),
-          xxhash64((bnd * 4 until bnd * 4 + 4).map(j => col(s"__m$j")): _*).as("h"))
+          col(s"__m${bnd * 4}").as("k1"), col(s"__m${bnd * 4 + 1}").as("k2"),
+          col(s"__m${bnd * 4 + 2}").as("k3"), col(s"__m${bnd * 4 + 3}").as("k4"))
       }
+      val bandKey = Seq("band_idx", "k1", "k2", "k3", "k4")
       val banded = perDoc
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"),
-          col("band.idx").as("band_idx"), col("band.h").as("band_hash"))
-      val bucketSizes = banded.groupBy("band_idx", "band_hash")
+        .select(col("doc_id"), col("band.idx").as("band_idx"),
+          col("band.k1").as("k1"), col("band.k2").as("k2"),
+          col("band.k3").as("k3"), col("band.k4").as("k4"))
+      val bucketSizes = banded.groupBy(bandKey.map(col): _*)
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > 1 && col("bsz") <= maxBucket)
-      val inBuckets = banded.join(bucketSizes, Seq("band_idx", "band_hash"), "left_semi")
-      val pairs = inBuckets.select(
-        col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-        .join(inBuckets.select(
-          col("band_idx"), col("band_hash"), col("doc_id").as("doc_b")),
-          Seq("band_idx", "band_hash"))
+      val inBuckets = banded.join(bucketSizes, bandKey, "left_semi")
+      val pairs = inBuckets
+        .withColumnRenamed("doc_id", "doc_a")
+        .join(inBuckets.withColumnRenamed("doc_id", "doc_b"), bandKey)
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // eager: the verified pair list is tiny (ids + one double) and the
@@ -374,12 +421,16 @@ object Dedup {
     pinned.unionByName(singletons)
   }
 
-  /** Driver-registered clustering summary (rows-only): MinHash pairs →
-    * components → clusters with >1 member, with keeper and size.
+  /** Driver-registered clustering summary: MinHash pairs → components →
+    * clusters with >1 member, with keeper and size. With `twinnable` the
+    * whole chain (sha-minhash pairs → transitive closure) is
+    * oracle-checked against a recursive-CTE min-label twin.
     */
-  def minHashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def minHashClusters(
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    val cc = connectedComponents(minHashPairsUnsorted(spark, sfDir), docs)
+    val cc = connectedComponents(
+      minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)

@@ -101,13 +101,16 @@ object Multimodal {
     else None
 
   /** STUB standing in for the real media codec (not available in this
-    * container). Deterministic pure function of the payload.
+    * container). Deterministic pure function of the payload: dimensions
+    * derive from a 60-bit sha-256 prefix of the bytes, so the DuckDB
+    * oracle recomputes them from the same payload (`sha256(text)` hashes
+    * the identical UTF-8 bytes) and the downstream frame-sample query is
+    * hash-checked end-to-end despite the codec being fake.
     */
   private def fakeDecode(mediaType: String, bytes: Array[Byte]): (Int, Int, Long) = {
-    var acc = 1125899906842597L // FNV-ish fold over the payload
-    var i = 0
-    while (i < bytes.length) { acc = 31 * acc + bytes(i); i += 1 }
-    val pos = acc & Long.MaxValue
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).take(8).map(b => f"$b%02x").mkString
+    val pos = java.lang.Long.parseLong(hex.substring(0, 15), 16)
     mediaType match {
       case "image" => (((pos % 1920) + 1).toInt, (((pos >> 16) % 1080) + 1).toInt, 0L)
       case "audio" => (0, 0, (pos % 600000L) + 1L)
@@ -145,8 +148,10 @@ object Multimodal {
       .select(col("media_id"), col("frame_ms"), col("width"), col("height"))
 
   /** Driver-registered frame-sample query: media → partition-local decode
-    * (stub kernel) → per-video frame timestamps. Rows-only check (the stub
-    * decode has no SQL twin) but fully deterministic.
+    * (stub kernel) → per-video frame timestamps. Oracle-checked: the stub
+    * kernel is sha-256-derived (see [[fakeDecode]]), so the twin rebuilds
+    * duration/dims from the same payload bytes and explodes the same
+    * frame grid.
     */
   def mediaFrames(spark: SparkSession, sfDir: String): DataFrame =
     sampleFrames(decode(mediaTable(spark, sfDir)))

@@ -147,6 +147,16 @@ class DedupSpec extends SparkSpec {
     assert(out(19L) === ((-1L, false)))
   }
 
+  test("twinnable minhash (CW permutations) still finds the planted dups") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_minhash" // fixture from the minhash test
+    val pairs = Dedup.minHashPairs(spark, dir, twinnable = true)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9000L, 9001L)), "exact dup pair must surface")
+    assert(!pairs.exists(p => p._1 == 9003L || p._2 == 9003L),
+      "unrelated doc must not pair")
+  }
+
   test("twinnable simhash: 60-bit signatures, identical docs at hamming 0") {
     import spark.implicits._
     val dir = "/tmp/graft_test_minhash" // fixture from the minhash test
