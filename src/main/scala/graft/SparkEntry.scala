@@ -184,6 +184,33 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Shared CTE prefix of the hyperplane-LSH twins: normalized embeddings
+    * + the 8×8 band signatures, rebuilt from the SAME ±1 hyperplanes the
+    * Spark plan embeds ([[graft.ext.Similarity.hyperplaneSigns]]) —
+    * `list_inner_product` and `graft_dot` fold identically, so the sign
+    * bits agree.
+    */
+  private def lshOracleCtes: String = {
+    import graft.ext.Similarity.{hyperplaneSigns, Bands, BitsPerBand}
+    val bandSelects = (0 until Bands).map { b =>
+      val bits = (0 until BitsPerBand).map { j =>
+        val plane = hyperplaneSigns(b * BitsPerBand + j)
+          .mkString("[", ", ", "]::DOUBLE[]")
+        s"(CASE WHEN list_inner_product(vec, $plane) > 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS bi, $bits AS sig FROM emb"
+    }.mkString(" UNION ALL ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |         sqrt(list_inner_product(embedding::DOUBLE[],
+       |                                 embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), bands AS (
+       |  $bandSelects
+       |)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
@@ -463,6 +490,37 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "knn_lsh" -> (lshOracleCtes +
+      """, cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM bands q JOIN bands c ON q.bi = c.bi AND q.sig = c.sig
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), ranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |)
+        |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM ranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin),
+    "embedding_near_dup_lsh" -> (lshOracleCtes +
+      """, cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.sig = b.sig
+        |  WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT cand.vec_a, cand.vec_b,
+        |       round(list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm), 6)
+        |         AS cosine_sim
+        |FROM cand JOIN emb a ON cand.vec_a = a.vec_id
+        |          JOIN emb b ON cand.vec_b = b.vec_id
+        |WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin),
     "dedup_minhash" -> (minHashOracleCtes +
       """
         |SELECT doc_a, doc_b, jaccard FROM scored

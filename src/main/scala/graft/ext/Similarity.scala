@@ -57,20 +57,27 @@ object Similarity {
       .orderBy(col("q_id").asc, col("nn_rank").asc)
   }
 
-  private val Bands = 8
-  private val BitsPerBand = 8
+  private[graft] val Bands = 8
+  private[graft] val BitsPerBand = 8
   private val EmbeddingDim = 64
 
-  /** Deterministic ±1 hyperplanes as plan-time constants (seeded PRNG —
-    * reproducible on any cluster, no stored model).
+  /** Deterministic ±1 hyperplane signs (seeded PRNG — reproducible on any
+    * cluster, no stored model). Shared with the generated oracle twins,
+    * which embed the SAME signs as SQL array literals — `graft_dot`
+    * against a ±1 constant and DuckDB `list_inner_product` fold
+    * identically, so band signatures match bit-for-bit.
     */
-  private lazy val hyperplanes: IndexedSeq[String] = {
+  private[graft] lazy val hyperplaneSigns: IndexedSeq[IndexedSeq[Int]] = {
     val rnd = new java.util.Random(42)
     IndexedSeq.fill(Bands * BitsPerBand) {
-      Seq.fill(EmbeddingDim)(if (rnd.nextBoolean()) "1D" else "-1D")
-        .mkString("array(", ",", ")")
+      IndexedSeq.fill(EmbeddingDim)(if (rnd.nextBoolean()) 1 else -1)
     }
   }
+
+  /** [[hyperplaneSigns]] as plan-time `array(...)` literals. */
+  private lazy val hyperplanes: IndexedSeq[String] =
+    hyperplaneSigns.map(_.map(s => if (s > 0) "1D" else "-1D")
+      .mkString("array(", ",", ")"))
 
   /** Random-hyperplane band signatures: 8 bands × 8 bits (collision rate
     * tuned so near-neighbors of RANDOM 64-d vectors still collide). Each
@@ -100,8 +107,9 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates = corpus vectors sharing
     * ≥1 band signature with the probe; exact cosine re-rank on candidates.
-    * Recall < 1 by design (property-tested vs brute force); rows-only
-    * check.
+    * Recall < 1 by design (property-tested vs brute force), but the
+    * RESULT is deterministic and oracle-checked — the generated twin
+    * rebuilds the same band signatures from the embedded hyperplanes.
     */
   def lshTopK(
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
@@ -246,8 +254,8 @@ object Similarity {
   }
 
   /** The LSH-bucketed near-dup variant (the 100 TB path: bucket-local
-    * pairs instead of the full cross product; recall < 1 by design).
-    * Rows-only check.
+    * pairs instead of the full cross product; recall < 1 by design, the
+    * result deterministic and oracle-checked like [[lshTopK]]).
     */
   def embeddingNearDupPairsLSH(
       spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {

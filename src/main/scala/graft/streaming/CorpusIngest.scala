@@ -67,6 +67,32 @@ object CorpusIngest {
     (report, newEntries)
   }
 
+  /** Streaming corpus-quality monitor — the streaming face of
+    * [[graft.ext.TextStats.qualityScore]]/`langStats`: per (event-time
+    * window, lang) doc counts, exact token sums, and the low-quality doc
+    * count, under a watermark so window state is bounded and late
+    * documents beyond the horizon drop instead of growing state forever.
+    * The aggregation is a plain hash-agg with map-side partials per
+    * micro-batch — the same single-pass shape as the batch operator, fed
+    * incrementally.
+    */
+  def qualityMonitor(
+      docs: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("text")), "\\s+")))
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks.cast("long")).as("total_tokens"),
+        count_if(length(col("text")) < 50 || toks < 8).as("n_low_quality"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("total_tokens"), col("n_low_quality"))
+  }
+
   /** The streaming pipeline: per micro-batch, dedup against the index,
     * append the report, then append the batch's new keepers to the index
     * (report first — it reads the index state this batch was judged

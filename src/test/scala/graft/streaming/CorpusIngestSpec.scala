@@ -59,4 +59,29 @@ class CorpusIngestSpec extends SparkSpec {
       .map(_.getLong(1)).toSet
     assert(index === Set(1L, 3L, 5L)) // one keeper per distinct text ever seen
   }
+
+  test("qualityMonitor windows doc/token/low-quality counts per lang") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "lang", "text")
+    val agg = CorpusIngest.qualityMonitor(docs)
+    val q = agg.writeStream.format("memory").queryName("qmon")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      val long = (1 to 20).map(i => s"token$i").mkString(" ") // 20 toks, >50 ch
+      input.addData(
+        (t(10, 5), "en", long), (t(10, 40), "en", "short doc"),
+        (t(10, 50), "de", long), (t(11, 10), "en", long))
+      q.processAllAvailable()
+      val rows = spark.table("qmon")
+        .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+      assert(rows === Set(
+        (t(10, 0), "en", 2L, 22L, 1L), // the 2-token doc is low quality
+        (t(10, 0), "de", 1L, 20L, 0L),
+        (t(11, 0), "en", 1L, 20L, 0L)))
+    } finally q.stop()
+  }
 }
