@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Contamination, Corpus, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
+import graft.ext.{Contamination, Corpus, Curation, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -98,6 +98,8 @@ object SparkEntry {
       Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
     "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
     "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
+    // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
+    "training_set"       -> ((s, d) => Curation.trainingSet(s, d)),
     "lm_score"           -> ((s, d) => TextStats.lmScore(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
@@ -542,6 +544,44 @@ object SparkEntry {
         |       count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin),
+    "training_set" -> (minHashOracleCtes +
+      """, p AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |), c4 AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE strpos(lower(text), 'lorem ipsum') = 0
+        |    AND strpos(text, '{') = 0
+        |    AND strpos(lower(text), 'javascript') = 0
+        |    AND right(trim(text), 1) IN ('.', '!', '?', '"')
+        |    AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |        BETWEEN 5 AND 100000
+        |), ek AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS k
+        |    FROM documents)
+        |  WHERE doc_id = k
+        |), nk AS (
+        |  SELECT doc_id FROM cc WHERE cluster_id = doc_id
+        |), samp AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE ('0x' || substr(sha256(doc_id::VARCHAR || '#11'), 1, 8))::BIGINT
+        |          % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |JOIN c4 USING (doc_id) JOIN ek USING (doc_id)
+        |JOIN nk USING (doc_id) JOIN samp USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin),
     "dedup_simhash" -> {
       // the 60 vote sums and 60 bit terms are mechanical — assemble the
       // twin the same way the Spark side assembles its aggregate columns

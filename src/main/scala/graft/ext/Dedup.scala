@@ -426,11 +426,21 @@ object Dedup {
     * whole chain (sha-minhash pairs → transitive closure) is
     * oracle-checked against a recursive-CTE min-label twin.
     */
-  def minHashClusters(
+  /** Per-doc cluster membership (doc_id, cluster_id) backing
+    * [[minHashClusters]] and the curation pipeline — singletons carry
+    * their own id as the label, so `cluster_id = doc_id` ⇔ the doc is a
+    * keeper (cluster representative or untouched).
+    */
+  def minHashMembership(
       spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    val cc = connectedComponents(
+    connectedComponents(
       minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs)
+  }
+
+  def minHashClusters(
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
+    val cc = minHashMembership(spark, sfDir, twinnable)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)

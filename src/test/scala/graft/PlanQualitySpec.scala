@@ -64,6 +64,28 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-4 pipeline queries never degrade to cartesian/nested-loop") {
+    for (q <- Seq("span_dedup", "lm_score", "stratified_sample", "corpus_mix",
+      "corpus_shard", "dedup_minhash", "dedup_simhash", "media_frames")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("span_dedup and stratified_sample scans stay column-pruned") {
+    // span_dedup needs only (doc_id, text) from documents
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan("span_dedup"))
+      .map(_.group(1)).foreach { s =>
+        assert(s.split(",").length <= 2, s"span_dedup scan too wide: $s")
+      }
+    // stratified_sample projects (doc_id, lang, source) — never text
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan("stratified_sample"))
+      .map(_.group(1)).foreach { s =>
+        assert(!s.contains("text"), s"stratified_sample reads text: $s")
+      }
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
