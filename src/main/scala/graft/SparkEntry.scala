@@ -561,7 +561,6 @@ object SparkEntry {
         |  WHERE strpos(lower(text), 'lorem ipsum') = 0
         |    AND strpos(text, '{') = 0
         |    AND strpos(lower(text), 'javascript') = 0
-        |    AND right(trim(text), 1) IN ('.', '!', '?', '"')
         |    AND (CASE WHEN length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
         |        BETWEEN 5 AND 100000
@@ -719,13 +718,16 @@ object SparkEntry {
         |                THEN 'head'
         |              WHEN source IN ('src6','src7','src8','src9','src10',
         |                              'src11','src12') THEN 'mid'
-        |              ELSE 'tail' END AS mix_source
+        |              WHEN source IN ('src13','src14','src15','src16','src17',
+        |                              'src18','src19') THEN 'tail'
+        |              END AS mix_source
         |  FROM documents
         |)
         |SELECT mix_source, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM b
-        |WHERE bkt < CASE mix_source WHEN 'head' THEN 1000
+        |WHERE mix_source IS NOT NULL
+        |  AND bkt < CASE mix_source WHEN 'head' THEN 1000
         |                            WHEN 'mid' THEN 500 ELSE 250 END
         |GROUP BY mix_source ORDER BY mix_source ASC""".stripMargin,
     "media_frames" ->

@@ -28,14 +28,23 @@ object Curation {
   /** The final training-set manifest: documents surviving all four
     * stages, with their routing columns. `fractions`/`defaultFraction`
     * parameterize the last stage ([[Corpus.stratifiedSample]] semantics).
+    * `requireTerminal` gates C4's terminal-punctuation rule — OFF by
+    * default because corpora without sentence punctuation (code, logs,
+    * the synthetic fixture) would be wiped to zero by it; a web-text run
+    * turns it on.
     */
   def trainingSet(
       spark: SparkSession, sfDir: String,
       fractions: Map[String, Double] = Map("en" -> 0.5),
-      defaultFraction: Double = 0.2): DataFrame = {
+      defaultFraction: Double = 0.2,
+      requireTerminal: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val c4Survivors = TextStats.c4Filters(spark, sfDir)
-      .filter(col("keep")).select("doc_id")
+    val c4 = TextStats.c4Filters(spark, sfDir)
+    val c4Survivors = c4.filter(
+      !col("has_lorem") && !col("has_brace") && !col("has_js") &&
+        (if (requireTerminal) col("ends_terminal") else lit(true)) &&
+        col("n_words").between(5, 100000))
+      .select("doc_id")
     val exactKeepers = docs
       .select(col("doc_id"), sha2(col("text"), 256).as("__fp"))
       .withColumn("__keeper",
