@@ -170,6 +170,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 9003L || p._2 == 9003L))
   }
 
+  test("spanPairs matches a brute-force reference on random small corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val dir = "/tmp/graft_test_spans_prop"
+    // tiny vocab + short docs: span collisions are common, so the
+    // reference exercises real sharing, not just empty results
+    val docGen = Gen.listOfN(6, Gen.choose(4, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    val prop = Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.spanPairs(spark, dir, spanTokens = 4, maxDocsPerSpan = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // reference: all 4-token spans per doc (distinct), pair-share counts
+      val spans = docs.map { case (id, t, _, _, _) =>
+        id -> t.split("\\s+").filter(_.nonEmpty)
+          .sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.toMap
+      val expected = (for {
+        a <- spans.keys; b <- spans.keys if a < b
+        shared = spans(a).intersect(spans(b)).size if shared > 0
+      } yield (a, b) -> shared.toLong).toMap
+      got == expected
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, s"property falsified: ${r.status}")
+  }
+
   test("spanPairs finds mis-aligned shared runs; boilerplate spans drop") {
     import spark.implicits._
     val dir = "/tmp/graft_test_spans"
@@ -371,6 +402,35 @@ class TextStatsSpec extends SparkSpec {
   test("fingerprints: equal text ⇒ equal fp; corpus fps are unique at sf0.001") {
     val fps = TextStats.fingerprints(spark, sf).select("exact_fp").collect()
     assert(fps.map(_.getString(0)).distinct.length === 500)
+  }
+
+  test("lmScore matches a brute-force Zipf reference on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val dir = "/tmp/graft_test_lmscore_prop"
+    val docGen = Gen.listOfN(5, Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))))
+    val prop = Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = TextStats.lmScore(spark, dir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val toks = docs.map { case (id, t, _, _, _) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val rank = toks.values.flatten.groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy { case (tok, n) => (-n, tok) }
+        .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1L) }.toMap
+      val expected = toks.map { case (id, ts) =>
+        id -> ((ts.size.toLong, ts.map(rank).sum))
+      }
+      got == expected
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, s"property falsified: ${r.status}")
   }
 
   test("lmScore: Zipf ranks by (freq desc, tok asc); doc sums are exact") {
