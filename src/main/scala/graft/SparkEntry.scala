@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{Contamination, Corpus, Curation, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
+import graft.ext.{BpeTrainer, Contamination, Corpus, Curation, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 
@@ -101,6 +101,10 @@ object SparkEntry {
     // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
     "training_set"       -> ((s, d) => Curation.trainingSet(s, d)),
     "lm_score"           -> ((s, d) => TextStats.lmScore(s, d)),
+    "length_band"        -> ((s, d) => TextStats.lengthBand(s, d)),
+    // rows-only: per-round argmax + list rebuild is iterative (no SQL
+    // twin); pinned by a brute-force reference in BpeTrainerSpec
+    "bpe_merges"         -> ((s, d) => BpeTrainer.train(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -756,6 +760,17 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(shuffle_key) AS key_min, max(shuffle_key) AS key_max
         |FROM keyed GROUP BY 1 ORDER BY shard ASC""".stripMargin,
+    "length_band" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY n_chars ASC, doc_id ASC) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rk * 100 > n * 10 AND rk * 100 <= n * 90
+        |ORDER BY doc_id ASC""".stripMargin,
     "lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Distributed BPE merge training (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") — the tokenizer-training
+  * step of an LLM data pipeline, Spark-first:
+  *
+  * The corpus collapses to its WORD-FREQUENCY table once (the classic BPE
+  * trick — merge statistics depend only on (word, count), so the
+  * corpus-sized pass is a single hash aggregation and every training round
+  * runs over the vocabulary, which is Heaps'-law sublinear). Each round:
+  * adjacent-symbol pair counts weighted by word frequency (explode + hash
+  * agg with map-side partials), a driver-side argmax of ONE row (count
+  * desc, pair asc — deterministic), and a vocabulary-wide left-to-right
+  * merge application via a fold over the symbol arrays. Rounds persist
+  * their symbol table and drop the previous one, so lineage stays one
+  * round deep (the CC-loop pattern from [[Dedup.connectedComponents]]).
+  *
+  * All merge arithmetic is integer and order-fixed, so the trainer is
+  * deterministic on any cluster; no SQL oracle exists (per-round argmax +
+  * list rebuild is iterative), so the registered query is rows-only and
+  * correctness is pinned by a brute-force reference implementation in the
+  * spec.
+  */
+object BpeTrainer {
+
+  /** Left-to-right greedy merge of adjacent (a, b) → ab in a symbol
+    * array, as one fold: append, then collapse if the tail matches. The
+    * merged symbol immediately participates again ("aaaa" under (a,a) →
+    * [aa, aa]), which is exactly BPE's application order. Column-DSL
+    * lambdas, not `expr` strings — pair symbols come from DATA and must
+    * never pass through the SQL parser.
+    */
+  private def applyMerge(sym: Column, a: String, b: String): Column =
+    aggregate(sym,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Driver-side training loop over an in-memory word-frequency table —
+    * the fast path once the vocabulary fits (which is how production
+    * tokenizer trainers run too: merge statistics live on the freq table,
+    * not the corpus). Identical argmax and application order to the
+    * distributed loop.
+    */
+  private def trainDriver(
+      words0: Map[List[String], Long], nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    var words = words0
+    def applyM(sym: List[String], a: String, b: String): List[String] =
+      sym.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (sym, wf) =>
+        sym.zip(sym.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + wf)
+      }
+      counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption match {
+        case Some(((l, r), c)) if c >= 2 =>
+          out += ((round, l, r, l + r, c))
+          words = words.toSeq
+            .map { case (sym, wf) => applyM(sym, l, r) -> wf }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          round += 1
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned merge table: (merge_rank, left, right, merged,
+    * pair_count), rank 1 = first merge learned. `nMerges` bounds the
+    * rounds; training stops early when no adjacent pair repeats.
+    *
+    * Size-adaptive like [[Dedup.connectedComponents]]: the corpus-sized
+    * work is ONE distributed word-frequency aggregation; when the
+    * resulting vocabulary fits the driver (`driverVocabLimit` words —
+    * Heaps'-law sublinear, so this covers all but extreme corpora) the
+    * merge rounds run in memory, avoiding `2·nMerges` tiny cluster jobs.
+    * Past the limit, the distributed per-round loop below takes over;
+    * both produce the identical merge sequence (spec-pinned).
+    */
+  def train(spark: SparkSession, sfDir: String, nMerges: Int = 16,
+      driverVocabLimit: Long = 1_000_000L): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        """filter(split(lower(text), '\\s+'), t -> t <> '')""")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(split(col("w"), "").as("sym"), col("wf"))
+    if (words.count() <= driverVocabLimit) {
+      val local = words.collect()
+        .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+      return trainDriver(local, nMerges)
+        .toDF("merge_rank", "left", "right", "merged", "pair_count")
+        .orderBy(col("merge_rank").asc)
+    }
+    var vocab = words.persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    try {
+      var round = 1
+      var exhausted = false
+      while (round <= nMerges && !exhausted) {
+        val top = vocab
+          .select(col("wf"), explode(arrays_zip(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+          .select(col("p.0").as("l"), col("p.1").as("r"), col("wf"))
+          .groupBy(col("l"), col("r")).agg(sum(col("wf")).as("c"))
+          .orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+        else {
+          val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+          merges += ((round, a, b, a + b, c))
+          val next = vocab
+            .select(applyMerge(col("sym"), a, b).as("sym"), col("wf"))
+            .persist()
+          next.count() // materialize before dropping the parent cache
+          vocab.unpersist()
+          vocab = next
+          round += 1
+        }
+      }
+    } finally vocab.unpersist()
+    merges.toSeq.toDF("merge_rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("merge_rank").asc)
+  }
+}

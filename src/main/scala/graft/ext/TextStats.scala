@@ -331,6 +331,32 @@ object TextStats {
                |  sha2(concat_ws(' ', __toks), 256))""".stripMargin).as("content_fp"))
       .orderBy(col("doc_id").asc)
 
+  /** Gopher-style outlier-length removal with EXACT rank arithmetic: per
+    * language, keep documents whose n_chars rank sits in the middle band
+    * (default P10–P90). Rank-based rather than value-interpolated
+    * percentiles (percentile_approx / quantile_cont) because integer
+    * ranks are cross-engine-exact where interpolation drifts; ties break
+    * on doc_id so the cut is total and reproducible.
+    *
+    * Scale shape: one window over (lang) — ranks need a per-lang sort,
+    * the same shuffle a percentile would; emitted columns are fixed-width.
+    */
+  def lengthBand(
+      spark: SparkSession, sfDir: String,
+      lowPct: Int = 10, highPct: Int = 90): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      // keep rk in (n*low/100, n*high/100]: integer products, no rounding
+      .filter(col("rk") * 100 > col("n") * lowPct &&
+        col("rk") * 100 <= col("n") * highPct)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Unigram-LM document scoring, CCNet's shape with cross-engine-exact
     * arithmetic: rank every vocabulary token by corpus frequency (Zipf
     * rank 1 = most frequent; ties broken by token), then score each

@@ -404,6 +404,21 @@ class TextStatsSpec extends SparkSpec {
     assert(fps.map(_.getString(0)).distinct.length === 500)
   }
 
+  test("lengthBand keeps the middle ranks, drops the length outliers") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_lengthband"
+    // 10 en docs with lengths 1..10 ⇒ P10–P90 band keeps ranks 2..9;
+    // one de doc: a single-doc stratum keeps rank 1 (1*100 > 1*10, ≤ 90? no
+    // — 100 > 90 drops it: a 1-doc stratum has no middle band)
+    ((1 to 10).map(i => (i.toLong, "t", "en", "s", i.toLong)) :+
+      ((99L, "t", "de", "s", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = TextStats.lengthBand(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(kept === (2L to 9L).toSet)
+  }
+
   test("lmScore matches a brute-force Zipf reference on random corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
