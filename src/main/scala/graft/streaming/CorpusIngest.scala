@@ -35,12 +35,28 @@ object CorpusIngest {
     StructField("fp", StringType),
     StructField("keeper", LongType)))
 
-  private def readIndex(spark: SparkSession, indexPath: String): DataFrame =
-    if (new java.io.File(indexPath).exists())
-      spark.read.schema(indexSchema).parquet(indexPath)
-    else
+  /** Snapshot read of the index: bind the plan to the parquet part-files
+    * present NOW, not to the directory. Parquet files are immutable and
+    * appends only ADD files, so the explicit file list is a consistent
+    * snapshot by construction — both batch consumers see identical state
+    * while the same micro-batch appends to the directory, with no
+    * materialization at all (the previous localCheckpoint pinned the
+    * whole index in executor blocks, corpus-sized at scale and lost with
+    * any executor).
+    */
+  private def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val dir = new java.io.File(indexPath)
+    val parts =
+      if (dir.exists())
+        dir.listFiles().map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+          .map(n => s"$indexPath/$n")
+      else Array.empty[String]
+    if (parts.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), indexSchema)
+    else spark.read.schema(indexSchema).parquet(parts.toIndexedSeq: _*)
+  }
 
   /** Dedup one (micro-)batch against the index: returns the per-doc report
     * (new_doc_id, dup_of, is_dup) and the index rows the batch contributes.
@@ -112,9 +128,9 @@ object CorpusIngest {
         batch.persist()
         try {
           val spark = batch.sparkSession
-          // pin the index snapshot: both consumers below must see the SAME
-          // state even though the second write mutates the path
-          val index = readIndex(spark, indexPath).localCheckpoint(true)
+          // readIndex binds to the current file list, so both consumers
+          // see the same snapshot while newEntries appends to the path
+          val index = readIndex(spark, indexPath)
           val (report, newEntries) = dedupBatch(batch, index)
           report.write.mode("append").parquet(reportPath)
           newEntries.write.mode("append").parquet(indexPath)

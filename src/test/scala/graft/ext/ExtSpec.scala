@@ -120,6 +120,9 @@ class DedupSpec extends SparkSpec {
     Dedup.minHashPairs(spark, dir).count()
     Dedup.simHashPairs(spark, dir).count()
     Dedup.ngramJaccardPairs(spark, dir).count()
+    Dedup.spanPairs(spark, dir).count()
+    Curation.trainingSet(spark, dir).count()
+    BpeTrainer.train(spark, dir).count()
     Search.bm25(spark, sf).count()
     Search.tfidfTerms(spark, sf).count()
     assert(spark.sharedState.cacheManager.isEmpty,
