@@ -97,6 +97,7 @@ object SparkEntry {
     "stratified_sample"  -> ((s, d) => Corpus.stratifiedSample(s, d,
       Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
     "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
+    "sample_budget"      -> ((s, d) => Corpus.sampleBudget(s, d)),
     "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
     // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
     "training_set"       -> ((s, d) => Curation.trainingSet(s, d)),
@@ -749,6 +750,13 @@ object SparkEntry {
         |SELECT media_id, frame_ms, width, height
         |FROM d, unnest(range(0, duration_ms, 60000)) AS u(frame_ms)
         |ORDER BY media_id ASC, frame_ms ASC""".stripMargin,
+    "sample_budget" ->
+      """SELECT doc_id, lang, source,
+        |       ('0x' || substr(sha256(doc_id::VARCHAR || '#23'), 1, 15))::BIGINT
+        |         AS sample_key
+        |FROM documents
+        |ORDER BY sample_key ASC, doc_id ASC
+        |LIMIT 100""".stripMargin,
     "corpus_shard" ->
       """WITH keyed AS (
         |  SELECT n_chars,

@@ -200,6 +200,26 @@ object Corpus {
       .orderBy(col("shard").asc)
   }
 
+  /** Fixed-BUDGET deterministic sample: exactly `n` documents (fewer only
+    * if the corpus is smaller), chosen as the lowest sha2 shuffle keys —
+    * the eval-set / holdout carve-out shape, where the budget is a count,
+    * not a fraction. Reproducible on any cluster and STABLE under corpus
+    * growth in expectation (a doc's key never changes; only keys below
+    * the moving n-th smallest displace members). Spark plans the
+    * order-by-limit as TakeOrdered (per-partition top-n + driver merge),
+    * so no global sort runs at any corpus size.
+    */
+  def sampleBudget(
+      spark: SparkSession, sfDir: String, n: Int = 100, salt: Int = 23): DataFrame = {
+    val key = conv(substring(
+      sha2(concat(col("doc_id").cast("string"), lit(s"#$salt")), 256), 1, 15),
+      16, 10).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), key.as("sample_key"))
+      .orderBy(col("sample_key").asc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Stratified sample: per-language keep-fractions applied via the same
     * order-independent hash predicate (default fraction for unlisted
     * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no

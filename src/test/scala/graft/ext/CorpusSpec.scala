@@ -128,6 +128,17 @@ class CorpusSpec extends SparkSpec {
     assert(b === 591L)
   }
 
+  test("sampleBudget: exactly n rows, deterministic, TakeOrdered plan") {
+    val s1 = Corpus.sampleBudget(spark, sf, n = 40)
+    assert(s1.count() === 40L)
+    assert(s1.collect().toSeq === Corpus.sampleBudget(spark, sf, n = 40).collect().toSeq)
+    // a budget larger than the corpus returns everything, once
+    assert(Corpus.sampleBudget(spark, sf, n = 10000).count() === 500L)
+    // top-n plan, not a global sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("shardManifest: shards partition the corpus; keys stay in-shard") {
     val out = Corpus.shardManifest(spark, sf).collect()
     assert(out.map(_.getLong(0)).toSeq === (0L until 8L))
