@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ContextCleaner reads this at context startup: checkpoint files of
+      // GC'd RDDs are deleted instead of accumulating per clustering call
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     // Reliable-checkpoint root for frames too big for the driver but whose
     // loop lineage must be severed (graft.ext.Dedup.connectedComponents).
@@ -34,9 +37,17 @@ object GraftSession {
     // storage (HDFS/S3) so checkpointed blocks survive executor loss —
     // unlike localCheckpoint, which pins them to unreplicated executors.
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ckpt-").toString
-      spark.sparkContext.setCheckpointDir(dir)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      // the ContextCleaner (enabled above) removes per-RDD checkpoints as
+      // they are GC'd; the temp ROOT itself is swept at exit
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
     }
     spark
   }

@@ -94,19 +94,25 @@ object BpeTrainer {
   def train(spark: SparkSession, sfDir: String, nMerges: Int = 16,
       driverVocabLimit: Long = 1_000_000L): DataFrame = {
     import spark.implicits._
+    // persisted BEFORE the size probe: the corpus-wide tokenize+aggregate
+    // is the expensive pass and must run once — the count, the driver
+    // collect, and round 1 of the distributed loop all read the cache
     val words = Tables.documents(spark, sfDir)
       .select(explode(expr(
         """filter(split(lower(text), '\\s+'), t -> t <> '')""")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wf"))
       .select(split(col("w"), "").as("sym"), col("wf"))
+      .persist()
     if (words.count() <= driverVocabLimit) {
-      val local = words.collect()
-        .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
-      return trainDriver(local, nMerges)
-        .toDF("merge_rank", "left", "right", "merged", "pair_count")
-        .orderBy(col("merge_rank").asc)
+      try {
+        val local = words.collect()
+          .map(r => r.getSeq[String](0).toList -> r.getLong(1)).toMap
+        return trainDriver(local, nMerges)
+          .toDF("merge_rank", "left", "right", "merged", "pair_count")
+          .orderBy(col("merge_rank").asc)
+      } finally words.unpersist()
     }
-    var vocab = words.persist()
+    var vocab = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     try {
       var round = 1

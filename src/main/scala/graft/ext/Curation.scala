@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -45,12 +44,7 @@ object Curation {
         (if (requireTerminal) col("ends_terminal") else lit(true)) &&
         col("n_words").between(5, 100000))
       .select("doc_id")
-    val exactKeepers = docs
-      .select(col("doc_id"), sha2(col("text"), 256).as("__fp"))
-      .withColumn("__keeper",
-        min(col("doc_id")).over(Window.partitionBy(col("__fp"))))
-      .filter(col("doc_id") === col("__keeper"))
-      .select("doc_id")
+    val exactKeepers = Dedup.exactSurvivorIds(spark, sfDir)
     val nearDupKeepers = Dedup.minHashMembership(spark, sfDir, twinnable = true)
       .filter(col("cluster_id") === col("doc_id"))
       .select("doc_id")

@@ -119,6 +119,18 @@ object Dedup {
       .select("fp", "keeper_doc_id", "copies")
       .orderBy(col("keeper_doc_id").asc)
 
+  /** doc_ids surviving exact dedup — the smallest id per identical text:
+    * the survivor-set form of [[exactKeepers]], shared with the curation
+    * pipeline so the fingerprint normalization (sha-256 of the raw text)
+    * lives in one place.
+    */
+  def exactSurvivorIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   /** Incremental (delta-vs-index) exact dedup: check a NEW batch of
     * documents against the existing corpus without re-deduping the corpus.
     * This is the shape that matters at 100 TB — the corpus fingerprint
@@ -404,6 +416,18 @@ object Dedup {
       cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       it += 1
+    }
+    // Non-convergence must be LOUD: returning partial labels would
+    // silently mis-cluster long chains (the near-equality relations here
+    // are deliberately non-transitive, so diameters can exceed any fixed
+    // bound), and every oracle twin computes the TRUE closure.
+    if (changed > 0) {
+      cached.unpersist()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter; the dup " +
+          "graph has a longer chain than expected")
     }
     // Pin ONLY the converged edge-touching labels (dup-graph-sized, past
     // the driver limit on this path) with a reliable checkpoint — blocks

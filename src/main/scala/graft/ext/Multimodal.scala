@@ -91,10 +91,18 @@ object Multimodal {
     * negative height means top-down row order, magnitude is the size) and
     * PNG (IHDR: width BE32 @16, height BE32 @20). Returns None for
     * payloads that are neither — those take the stub path.
+    *
+    * The BMP branch validates the DIB header size field @14 (one of the
+    * published header sizes) and sane dimensions, not just the 2-byte
+    * "BM" magic: stand-in payloads here are TEXT bytes, and any document
+    * starting with "BM…" (BM25, BMW) would otherwise decode ASCII bytes
+    * as garbage geometry.
     */
   private[ext] def parseDims(
       mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Long)] =
-    if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    if (bytes.length >= 26 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+      && Set(12, 40, 56, 64, 108, 124).contains(le32(bytes, 14))
+      && le32(bytes, 18) > 0 && math.abs(le32(bytes, 22)) > 0)
       Some((le32(bytes, 18), math.abs(le32(bytes, 22)), 0L))
     else if (bytes.length >= 24 && bytes.take(8).sameElements(pngMagic))
       Some((be32(bytes, 16), be32(bytes, 20), 0L))

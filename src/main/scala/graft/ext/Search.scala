@@ -86,6 +86,13 @@ object Search {
             sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
       val statsRow = perDoc.agg(statCols.head, statCols.tail: _*).collect()(0)
       val nDocs = statsRow.getDouble(0)
+      // empty corpus (or all-whitespace texts): avg(dl) aggregates to
+      // NULL and every downstream getDouble/getLong would NPE — there is
+      // nothing to score, so return the empty shaped frame instead
+      if (statsRow.isNullAt(1)) {
+        return perDoc.select(col("doc_id"), lit(0L).as("n_terms"),
+          lit(0.0).as("bm25")).limit(0)
+      }
       val avgdl = statsRow.getDouble(1)
       // Same IEEE operation order as the previous in-plan formulation (and
       // the DuckDB twin): ((N - df) + 0.5) / (df + 0.5) + 1, logged.

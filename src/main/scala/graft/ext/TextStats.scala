@@ -366,8 +366,11 @@ object TextStats {
     * (order-independent) plus one IEEE-exact division keep the DuckDB twin
     * byte-identical, where a log-prob sum would drift by summation order.
     *
-    * Scale shape: tokenize once (generator explode), two hash aggs
-    * (vocab counts, then per-doc sums) and one vocab-sized join. The rank
+    * Scale shape: two corpus passes over the token generator — the vocab
+    * ranking must complete before scoring can start, and caching the
+    * corpus-sized token rows between them would cost more than the second
+    * tokenize (they are a multiple of the corpus bytes) — then one
+    * vocab-sized join. The rank
     * window runs over the VOCABULARY, not the corpus — Heaps'-law
     * sublinear (~1e8 rows at 100 TB) but still single-partition as
     * written; at that size swap it for a two-level rank (per-partition

@@ -38,8 +38,24 @@ object Layout {
     * order-independent (count/max) so the result is oracle-exact.
     */
   def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
+    // cache key covers everything the cached tables depend on: the source
+    // dir, the bucket count, AND the source files' (name, length, mtime)
+    // census — regenerating the fixture or changing `buckets` must never
+    // silently reuse a stale bucketed copy
+    val census = {
+      val fs = new org.apache.hadoop.fs.Path(sfDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("orders.parquet", "lineitem.parquet").flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(sfDir, t)
+        if (fs.exists(p))
+          fs.listStatus(p).map(s =>
+            s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        else Seq.empty
+      }.sorted.mkString("|")
+    }
     val tag = java.lang.Long.toHexString(
-      java.util.UUID.nameUUIDFromBytes(sfDir.getBytes("UTF-8"))
+      java.util.UUID.nameUUIDFromBytes(
+        s"$sfDir#$buckets#$census".getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
     val ordersT = s"graft_orders_bkt_$tag"
     val itemsT = s"graft_lineitem_bkt_$tag"

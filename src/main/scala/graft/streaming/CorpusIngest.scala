@@ -45,12 +45,19 @@ object CorpusIngest {
     * any executor).
     */
   private def readIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val dir = new java.io.File(indexPath)
+    // Hadoop FileSystem, not java.io.File: the index lives wherever the
+    // deployment points it (hdfs://, s3a://, file:) and a local-only
+    // listing would silently judge every batch against an EMPTY index.
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
-      if (dir.exists())
-        dir.listFiles().map(_.getName)
-          .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
-          .map(n => s"$indexPath/$n")
+      if (fs.exists(path))
+        fs.listStatus(path).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .map(_.toString)
       else Array.empty[String]
     if (parts.isEmpty)
       spark.createDataFrame(
@@ -62,21 +69,30 @@ object CorpusIngest {
     * (new_doc_id, dup_of, is_dup) and the index rows the batch contributes.
     * `dup_of` is the surviving keeper — from the index when the text was
     * seen in an earlier batch, else the smallest same-text id in THIS
-    * batch; −1 for keepers themselves. Exposed for both the streaming
-    * sink and direct batch use (and the spec).
+    * batch; −1 for keepers themselves.
+    *
+    * A doc that IS the index keeper for its fingerprint reports as a
+    * keeper, not a dup of itself — which is what makes foreachBatch
+    * replays idempotent: if a crash lands between the index append and
+    * the stream commit, the re-run sees its own keepers in the index and
+    * produces the same report rows as the first attempt, instead of
+    * re-classifying a keeper as its own duplicate. Exposed for both the
+    * streaming sink and direct batch use (and the spec).
     */
   def dedupBatch(batch: DataFrame, index: DataFrame): (DataFrame, DataFrame) = {
     val hashed = batch.select(col("doc_id"), sha2(col("text"), 256).as("fp"))
     val batchKeeper = hashed.groupBy("fp").agg(min("doc_id").as("__bk"))
+    val keeperIsOther = col("keeper").isNotNull && col("keeper") =!= col("doc_id")
+    val batchDup = col("keeper").isNull && col("doc_id") =!= col("__bk")
     val report = hashed
       .join(batchKeeper, Seq("fp"))
       .join(index, Seq("fp"), "left")
       .select(
         col("doc_id").as("new_doc_id"),
-        when(col("keeper").isNotNull, col("keeper"))
-          .when(col("doc_id") =!= col("__bk"), col("__bk"))
+        when(keeperIsOther, col("keeper"))
+          .when(batchDup, col("__bk"))
           .otherwise(lit(-1L)).as("dup_of"),
-        (col("keeper").isNotNull || col("doc_id") =!= col("__bk")).as("is_dup"))
+        (keeperIsOther || batchDup).as("is_dup"))
     val newEntries = batchKeeper
       .join(index, Seq("fp"), "left_anti")
       .select(col("fp"), col("__bk").as("keeper"))

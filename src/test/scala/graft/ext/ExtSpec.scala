@@ -150,6 +150,21 @@ class DedupSpec extends SparkSpec {
     assert(out(19L) === ((-1L, false)))
   }
 
+  test("distributed CC raises on non-convergence instead of partial labels") {
+    import spark.implicits._
+    // a 6-node path graph has diameter 5: min-label needs >1 round
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      // driverEdgeLimit=0 forces the distributed loop; maxIter=1 starves it
+      Dedup.connectedComponents(pairs, docs, maxIter = 1, driverEdgeLimit = 0L)
+        .count()
+    }
+    assert(e.getMessage.contains("not converged"))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "failed CC must not leak its loop caches")
+  }
+
   test("twinnable minhash (CW permutations) still finds the planted dups") {
     import spark.implicits._
     val dir = "/tmp/graft_test_minhash" // fixture from the minhash test
@@ -533,6 +548,15 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.getAs[Long]("media_id") ->
         ((r.getAs[Int]("width"), r.getAs[Int]("height")))).toMap
     assert(dims === Map(1L -> ((640, 480)), 2L -> ((31, 7)), 3L -> ((123, 456))))
+  }
+
+  test("parseDims rejects text payloads that merely start with 'BM'") {
+    // stand-in payloads are TEXT; a doc opening with "BM25..." must fall
+    // through to the stub, not decode ASCII bytes as BMP geometry
+    val fake = "BM25 scoring beats tf-idf on long documents mostly".getBytes("UTF-8")
+    assert(Multimodal.parseDims("image", fake).isEmpty)
+    // a real header still parses (DIB size field validates)
+    assert(Multimodal.parseDims("image", bmpBytes(17, 9)) === Some((17, 9, 0L)))
   }
 
   test("decode is deterministic and dimension-plausible per media type") {

@@ -45,6 +45,19 @@ class SearchSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("bm25: empty corpus returns an empty frame, no NPE on null avgdl") {
+    val edir = "/tmp/graft_test_search_empty"
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$edir/documents.parquet")
+    assert(Search.bm25(spark, edir).count() === 0L)
+    // all-whitespace corpus: token rows exist for no doc → same path
+    Seq((1L, "   ", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$edir/documents.parquet")
+    assert(Search.bm25(spark, edir).count() === 0L)
+  }
+
   test("bm25: duplicate query terms do not double-count") {
     writeDocs(Seq(
       1L -> "spark spark spark",

@@ -60,6 +60,24 @@ class CorpusIngestSpec extends SparkSpec {
     assert(index === Set(1L, 3L, 5L)) // one keeper per distinct text ever seen
   }
 
+  test("dedupBatch replay (keeper already indexed) reproduces the report") {
+    import spark.implicits._
+    val batch = Seq(
+      (11L, "fresh text", "en", "s"),
+      (12L, "fresh text", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val empty = Seq.empty[(String, Long)].toDF("fp", "keeper")
+    val (first, entries) = CorpusIngest.dedupBatch(batch, empty)
+    // crash window: entries reached the index, the commit did not — the
+    // re-run judges the SAME batch against an index holding its own keeper
+    val (replay, replayEntries) = CorpusIngest.dedupBatch(batch, entries)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(norm(replay) === norm(first), "replayed report must be identical")
+    assert(norm(first) === Set((11L, -1L, false), (12L, 11L, true)))
+    assert(replayEntries.count() === 0L, "replay adds no duplicate index rows")
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
