@@ -75,10 +75,15 @@ object ChatStream {
     * previous view (|conversations| rows), never against message history —
     * re-deriving the view from the full log each batch would make every
     * micro-batch cost O(history), the classic unbounded-recompute trap.
-    * The merged view is eagerly checkpointed before the overwrite because
-    * it reads the same path it replaces. Both writes are per-micro-batch
-    * atomic in effect (vs the reference's two independent non-transactional
-    * writes, SURVEY §3.2).
+    *
+    * The view update is a write-aside + backup swap (the
+    * [[graft.ops.Layout.compact]] pattern): the merged view writes to a
+    * SIBLING directory while the live one is still being read — no
+    * self-overwrite, so no materialization (the previous localCheckpoint
+    * pinned the view in unreplicated executor blocks) — then the live dir
+    * swaps out through a backup rename with crash auto-restore at the
+    * next batch. No crash instant leaves the view unreadable or silently
+    * truncated to one batch.
     */
   def persistPipeline(
       raw: DataFrame,
@@ -91,19 +96,37 @@ object ChatStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
-        batch.write.mode("append").parquet(messagesPath)
-        val spark = batch.sparkSession
-        val batchLatest = latestPerConversation(batch)
-        val merged =
-          if (new java.io.File(latestPath).exists())
-            latestPerConversation(
-              spark.read.parquet(latestPath).unionByName(batchLatest))
-          else batchLatest
-        // materialize BEFORE overwriting the path it was read from
-        val pinned = merged.localCheckpoint(true)
-        pinned.write.mode("overwrite").parquet(latestPath)
-        batch.unpersist()
-        ()
+        try {
+          batch.write.mode("append").parquet(messagesPath)
+          val spark = batch.sparkSession
+          val live = new org.apache.hadoop.fs.Path(latestPath)
+          val bak = new org.apache.hadoop.fs.Path(latestPath + "__backup")
+          val tmp = new org.apache.hadoop.fs.Path(latestPath + "__swapping")
+          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // a crash between the two renames below left the view only
+          // under __backup — restore before reading anything
+          if (!fs.exists(live) && fs.exists(bak) && !fs.rename(bak, live))
+            throw new IllegalStateException(
+              s"latest-view swap: orphaned backup $bak failed to restore")
+          if (fs.exists(tmp)) fs.delete(tmp, true) // dead write of a crashed batch
+          val haveView = fs.exists(live)
+          val batchLatest = latestPerConversation(batch)
+          val merged =
+            if (haveView)
+              latestPerConversation(
+                spark.read.parquet(latestPath).unionByName(batchLatest))
+            else batchLatest
+          merged.write.parquet(tmp.toString)
+          if (haveView) {
+            if (fs.exists(bak)) fs.delete(bak, true) // stale post-swap leftover
+            if (!fs.rename(live, bak))
+              throw new IllegalStateException(s"latest-view swap: $live → $bak failed")
+          }
+          if (!fs.rename(tmp, live))
+            throw new IllegalStateException(s"latest-view swap: $tmp → $live failed")
+          fs.delete(bak, true)
+          ()
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

@@ -74,6 +74,35 @@ class ChatStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("persistPipeline restores a crash-stranded latest-view backup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_swap").toString
+    // simulate a crash between the two swap renames: the view exists ONLY
+    // under __backup (schema as latestPerConversation emits: the enriched
+    // message columns)
+    Seq(("u1", "chat_message", "c0", "u2", "mOld",
+        new java.sql.Timestamp(500L), "Alice"))
+      .toDF("senderId", "type", "conversationId", "receiverId", "content",
+        "ts", "senderName")
+      .write.parquet(s"$dir/latest__backup")
+    val input = MemoryStream[String]
+    val q = ChatStream.persistPipeline(
+      input.toDF().select(col("value")),
+      users,
+      s"$dir/messages", s"$dir/latest", s"$dir/ckpt")
+    try {
+      input.addData(frame("c1", "u1", "u2", "mNew", 1000L))
+      q.processAllAvailable()
+      val latest = spark.read.parquet(s"$dir/latest")
+        .select("conversationId", "content").as[(String, String)].collect().toMap
+      assert(latest === Map("c0" -> "mOld", "c1" -> "mNew"),
+        "restored backup rows must survive the next batch's merge")
+      assert(!new java.io.File(s"$dir/latest__backup").exists(),
+        "swap must clean its backup after a successful batch")
+    } finally q.stop()
+  }
+
   test("sessionTracker accumulates per-sender state across micro-batches (T6)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
