@@ -73,6 +73,17 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("training_set's stage filters are broadcast semi-joins, one window") {
+    val p = plan("training_set")
+    // survivor sets broadcast against the documents scan; the only
+    // shuffle exchange belongs to near-dup/window machinery, and the
+    // composition must never fall back to shuffled semi-joins of the
+    // corpus against itself
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("span_dedup and stratified_sample scans stay column-pruned") {
     // span_dedup needs only (doc_id, text) from documents
     "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan("span_dedup"))
