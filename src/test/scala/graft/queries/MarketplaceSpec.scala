@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+import graft.queries.Marketplace.AdsSearchParams
+
+/** Differential fuzz of the flagship search: every parameter combination
+  * must agree with an in-memory reference implementation over the real
+  * fixture — the dynamic WHERE fold, both icontains predicates, the
+  * inclusive price range, all three sorts with their tie-breaks, the
+  * favorite-count join, and offset pagination, exercised TOGETHER rather
+  * than per-operator.
+  */
+class MarketplaceSpec extends SparkSpec {
+
+  private case class P(key: Long, name: String, brand: String,
+    ptype: String, price: Double)
+
+  private lazy val parts: Seq[P] =
+    spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_name", "p_brand", "p_type", "p_retailprice")
+      .collect()
+      .map(r => P(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSeq
+
+  private lazy val favCounts: Map[Long, Long] =
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_partkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def reference(p: AdsSearchParams): Seq[(Long, Long)] = {
+    def icontains(hay: String, needle: String) =
+      hay.toLowerCase(java.util.Locale.ROOT)
+        .contains(needle.toLowerCase(java.util.Locale.ROOT))
+    val f = parts.filter(pt =>
+      p.search.forall(icontains(pt.name, _)) &&
+        p.category.forall(_ == pt.ptype) &&
+        p.location.forall(icontains(pt.brand, _)) &&
+        p.minPrice.forall(pt.price >= _) &&
+        p.maxPrice.forall(pt.price <= _))
+    val sorted = p.sortBy match {
+      case "price_low"  => f.sortBy(pt => (pt.price, pt.key))
+      case "price_high" => f.sortBy(pt => (-pt.price, pt.key))
+      case _            => f.sortBy(pt => -pt.key)
+    }
+    sorted.map(pt => pt.key -> favCounts.getOrElse(pt.key, 0L))
+      .slice((p.page - 1) * p.limit, (p.page - 1) * p.limit + p.limit)
+  }
+
+  test("adsSearch agrees with the reference across random parameter mixes") {
+    val paramsGen: Gen[AdsSearchParams] = for {
+      search <- Gen.option(Gen.oneOf("widget", "bolt", "WID", "xyz-nothing"))
+      category <- Gen.option(Gen.oneOf("SMALL", "ECONOMY", "NO-SUCH"))
+      location <- Gen.option(Gen.oneOf("brand#1", "Brand#2", "zzz"))
+      minP <- Gen.option(Gen.choose(899.0, 920.0))
+      maxP <- Gen.option(Gen.choose(899.0, 920.0))
+      sortBy <- Gen.oneOf("newest", "price_low", "price_high")
+      page <- Gen.choose(1, 3)
+      limit <- Gen.choose(3, 25)
+    } yield AdsSearchParams(search, category, location, minP, maxP,
+      sortBy, page, limit)
+    val prop = Prop.forAll(paramsGen) { p =>
+      val got = Marketplace.adsSearch(spark, sf, p)
+        .selectExpr("p_partkey", "fav_count").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      got == reference(p)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(r.passed, s"property falsified: ${r.status}")
+    // and the count twin agrees with the reference's unpaged cardinality
+    val p0 = AdsSearchParams(search = Some("widget"), minPrice = Some(905.0))
+    val total = Marketplace.adsCount(spark, sf, p0).head().getLong(0)
+    assert(total === reference(p0.copy(limit = Int.MaxValue)).size.toLong)
+  }
+}
