@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, SortedIntersectCount}
+
+/** `spark.sql.extensions` entry point: a deployment that cannot call
+  * [[graft.functions.GraftFunctions.register]] programmatically (e.g. a
+  * shared Thrift/Connect server, spark-submit with --conf only) injects
+  * the native expressions at session build instead:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Injection happens once per session at construction, so `spark.sql(
+  * "SELECT graft_dot(a, b)")` works without any library call — the same
+  * codegen'd expressions the DataFrame API paths use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_isect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+  }
+}
