@@ -322,7 +322,7 @@ object Similarity {
       .orderBy(col("vec_id").asc).limit(k)
       .collect().map(_.getLong(0))
     var model: Map[Int, Array[Double]] = comp
-      .filter(col("vec_id").isin(seedIds: _*))
+      .filter(col("vec_id").isin(seedIds.toIndexedSeq: _*))
       .collect()
       .groupBy(_.getLong(0))
       .toSeq.sortBy(_._1)
