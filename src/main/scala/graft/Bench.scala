@@ -12,28 +12,36 @@ object Bench {
     spark.range(100).selectExpr("count(*)").collect()
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    // Three timed runs per query, min reported: this box shows intermittent
-    // multi-minute CPU-steal bursts (observed: a 1.4s query measuring 38s
-    // with BOTH runs of a min-of-2 inside one burst); min-of-3 triples the
-    // chance of catching a clean window at ~1 min extra wall time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        // failures must be VISIBLE: a throwing query would otherwise "bench"
-        // as near-zero and silently flatter the total
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Interleaved rounds, per-query min: this box shows intermittent
+    // multi-minute CPU-steal bursts (observed: a 1.4s query measuring 38s).
+    // Back-to-back repeats of ONE query put all its samples inside a single
+    // burst — r4's driver and judge runs disagreed up to 4.8× per query in
+    // both directions while totals agreed within 2%. Running the whole
+    // query list once per round and repeating the list spreads each query's
+    // samples minutes apart, so a burst can poison at most one of them.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rounds = 4
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to rounds; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      // failures must be VISIBLE: a throwing query would otherwise "bench"
+      // as near-zero and silently flatter the total
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      val t = (System.nanoTime() - t0) / 1e9
       // Drop this query's persisted frames: cache entries accumulate across
       // queries and every later plan pays a CacheManager canonicalize-and-
       // compare against each of them (measured 10× slowdown on trivial
       // queries once the 64-aggregate dedup plans were cached).
       spark.catalog.clearCache()
-      name -> times.min
-    }.toMap
+      best.updateWith(name) {
+        case Some(prev) => Some(math.min(prev, t))
+        case None       => Some(t)
+      }
+    }
+    val results = best.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

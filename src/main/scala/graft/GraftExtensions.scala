@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, GraftFunctions, SortedIntersectCount}
 
 /** `spark.sql.extensions` entry point: a deployment that cannot call
   * [[graft.functions.GraftFunctions.register]] programmatically (e.g. a
@@ -24,10 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      GraftFunctions.binaryBuilder("graft_dot", DotProduct(_, _))))
     ext.injectFunction((
       FunctionIdentifier("graft_isect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+      GraftFunctions.binaryBuilder("graft_isect", SortedIntersectCount(_, _))))
   }
 }

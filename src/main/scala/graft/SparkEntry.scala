@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.ext.{BpeTrainer, Contamination, Corpus, Curation, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
+import graft.streaming.CorpusIngest
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +40,10 @@ object SparkEntry {
     "ads_search_filtered" -> ((s, d) => Marketplace.adsSearch(s, d, AdsSearchParams(
       search = Some("widget"), category = Some("SMALL"), location = Some("brand#1"),
       sortBy = "price_low", page = 1, limit = 20))),
+    // the sortBy match's DEFAULT branch ("newest": creation-key desc) —
+    // the only flagship sort arm the other variants never reach
+    "ads_search_newest"  -> ((s, d) => Marketplace.adsSearch(s, d, AdsSearchParams(
+      search = Some("widget"), sortBy = "newest", page = 1, limit = 20))),
     // keyset ("seek") pagination: the page after cursor (price 910.0, key 0)
     "ads_search_after"   -> ((s, d) => Marketplace.adsSearchAfter(s, d, AdsSearchParams(
       search = Some("widget"), sortBy = "price_low", limit = 20),
@@ -106,7 +111,28 @@ object SparkEntry {
     // rows-only: per-round argmax + list rebuild is iterative (no SQL
     // twin); pinned by a brute-force reference in BpeTrainerSpec
     "bpe_merges"         -> ((s, d) => BpeTrainer.train(s, d)),
+    // the round-1 pair statistics the iterative argmax consumes — plain
+    // SQL, so the trainer's input aggregation is hash-checked
+    "bpe_pair_counts"    -> ((s, d) => BpeTrainer.pairCounts(s, d)),
+    // closed-form seed assignment — hash-checks the codegen'd argmax
+    // machinery kmeans_cells iterates
+    "kmeans_assign_seed" -> ((s, d) => Similarity.kmeansSeedAssign(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
+    // what the span_dedup boilerplate cap ate (drop visibility)
+    "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
+    // corpus-linear per-doc dup-span exposure
+    "span_doc_summary"   -> ((s, d) => Dedup.spanDocSummary(s, d)),
+    // the STREAMING quality monitor run in batch mode over a synthetic
+    // event-time column — same Dataset code both modes (the unification
+    // claim), oracle-checked here instead of spec-only
+    "stream_quality_windows" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr}
+      val docs = graft.io.Tables.documents(s, d).withColumn("ts",
+        expr("timestamp'2024-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, cast(doc_id % 180 as int), 0)"))
+      CorpusIngest.qualityMonitor(docs)
+        .orderBy(col("window_start").asc, col("lang").asc)
+    }),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
@@ -245,6 +271,21 @@ object SparkEntry {
       """SELECT count(*) AS total FROM part
         |WHERE strpos(lower(p_name), 'widget') > 0
         |  AND p_retailprice >= 905.0 AND p_retailprice <= 960.0""".stripMargin,
+    "ads_search_newest" ->
+      """WITH filtered AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |  FROM part
+        |  WHERE strpos(lower(p_name), 'widget') > 0
+        |), fav AS (
+        |  SELECT l_partkey, count(*) AS fav_count FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM filtered)
+        |  GROUP BY l_partkey
+        |)
+        |SELECT f.p_partkey, f.p_name, f.p_brand, f.p_type, f.p_size,
+        |       f.p_retailprice, COALESCE(v.fav_count, 0) AS fav_count
+        |FROM filtered f LEFT JOIN fav v ON f.p_partkey = v.l_partkey
+        |ORDER BY f.p_partkey DESC
+        |LIMIT 20""".stripMargin,
     "ads_search_filtered" ->
       """WITH filtered AS (
         |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
@@ -800,6 +841,112 @@ object SparkEntry {
         |            ELSE rank_sum::DOUBLE / n_tokens::DOUBLE END AS mean_rank
         |FROM documents d LEFT JOIN scored USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> t <> '')) AS w
+        |  FROM documents
+        |), wfreq AS (
+        |  SELECT w, count(*) AS wf FROM toks GROUP BY w
+        |), pairs AS (
+        |  SELECT substr(w, i, 1) AS sym_left, substr(w, i + 1, 1) AS sym_right, wf
+        |  FROM wfreq, unnest(range(1, length(w), 1)) AS u(i)
+        |)
+        |SELECT sym_left, sym_right, sum(wf)::BIGINT AS pair_count
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_count DESC, sym_left ASC, sym_right ASC
+        |LIMIT 50""".stripMargin,
+    "kmeans_assign_seed" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |)
+        |SELECT vec_id, cell_id, round(sim, 6) AS sim
+        |FROM best WHERE rk = 1
+        |ORDER BY vec_id ASC""".stripMargin,
+    "span_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), spans AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 16], ' ') AS span
+        |  FROM t, unnest(range(0, len(ts) - 15, 1)) AS u(i)
+        |  WHERE len(ts) >= 16
+        |), g AS (
+        |  SELECT span, count(*) AS n_docs FROM spans GROUP BY span
+        |)
+        |SELECT count(*) AS n_spans_distinct,
+        |       sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_spans_shared,
+        |       sum(CASE WHEN n_docs > 32 THEN 1 ELSE 0 END)::BIGINT
+        |         AS n_spans_dropped,
+        |       sum(CASE WHEN n_docs > 1 AND n_docs <= 32
+        |                THEN (n_docs * (n_docs - 1)) // 2 ELSE 0 END)::BIGINT
+        |         AS candidate_pairs
+        |FROM g""".stripMargin,
+    "span_doc_summary" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), spans AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 16], ' ') AS span
+        |  FROM t, unnest(range(0, len(ts) - 15, 1)) AS u(i)
+        |  WHERE len(ts) >= 16
+        |), g AS (
+        |  SELECT span, count(*) AS n_docs FROM spans GROUP BY span
+        |), per AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |         sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+        |  FROM spans s JOIN g USING (span)
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n_spans, 0)::BIGINT AS n_spans,
+        |       coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        |       CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+        |            ELSE round(n_dup_spans::DOUBLE / n_spans::DOUBLE, 6) END
+        |         AS dup_span_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    "stream_quality_windows" ->
+      """WITH docs AS (
+        |  SELECT lang, text,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (doc_id % 180) * INTERVAL 1 MINUTE AS ts
+        |  FROM documents
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start, lang,
+        |       count(*) AS n_docs,
+        |       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |           END)::BIGINT AS total_tokens,
+        |       sum(CASE WHEN length(text) < 50
+        |                  OR (CASE WHEN length(trim(text)) = 0 THEN 0
+        |                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |                      END) < 8
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_low_quality
+        |FROM docs
+        |GROUP BY 1, 2
+        |ORDER BY window_start ASC, lang ASC""".stripMargin,
     "span_dedup" ->
       """WITH t AS (
         |  SELECT doc_id,

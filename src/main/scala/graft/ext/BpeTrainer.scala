@@ -44,6 +44,42 @@ object BpeTrainer {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
           .otherwise(concat(acc, array(x))))
 
+  /** UTF-8 byte-order string comparison — matches Spark's UTF8_BINARY
+    * collation, so the driver fast path breaks argmax ties identically to
+    * the distributed loop. (Scala's default String ordering compares
+    * UTF-16 code units, which sorts supplementary-plane symbols BEFORE
+    * U+E000..U+FFFF; UTF-8 bytes sort by code point, like Spark/DuckDB.)
+    */
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(a(i) & 0xFF, b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(a.length, b.length)
+  }
+
+  /** Argmax order of the merge candidates: count desc, then (left, right)
+    * ascending in UTF-8 byte order — the exact order the distributed
+    * loop's `orderBy(c desc, l asc, r asc)` produces under UTF8_BINARY.
+    */
+  private val candidateOrd: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      override def compare(
+          p: ((String, String), Long), q: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(q._2, p._2) // count desc
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(p._1._1, q._1._1)
+          if (cl != 0) cl else utf8Compare(p._1._2, q._1._2)
+        }
+      }
+    }
+
   /** Driver-side training loop over an in-memory word-frequency table —
     * the fast path once the vocabulary fits (which is how production
     * tokenizer trainers run too: merge statistics live on the freq table,
@@ -66,7 +102,7 @@ object BpeTrainer {
       words.foreach { case (sym, wf) =>
         sym.zip(sym.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + wf)
       }
-      counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption match {
+      (if (counts.isEmpty) None else Some(counts.min(candidateOrd))) match {
         case Some(((l, r), c)) if c >= 2 =>
           out += ((round, l, r, l + r, c))
           words = words.toSeq
@@ -143,4 +179,25 @@ object BpeTrainer {
     merges.toSeq.toDF("merge_rank", "left", "right", "merged", "pair_count")
       .orderBy(col("merge_rank").asc)
   }
+
+  /** Round-1 weighted adjacent-pair counts — the distributed aggregation
+    * that feeds every argmax round of [[train]], registered standalone:
+    * unlike the iterative trainer it is plain SQL, so the oracle
+    * hash-checks the statistics the merge loop consumes (top `topN` under
+    * the trainer's exact count-desc, pair-asc UTF8-binary order).
+    */
+  def pairCounts(spark: SparkSession, sfDir: String, topN: Int = 50): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(expr(
+        """filter(split(lower(text), '\\s+'), t -> t <> '')""")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .select(split(col("w"), "").as("sym"), col("wf"))
+      .select(col("wf"), explode(arrays_zip(
+        slice(col("sym"), lit(1), size(col("sym")) - 1),
+        slice(col("sym"), lit(2), size(col("sym")) - 1))).as("p"))
+      .select(col("p.0").as("sym_left"), col("p.1").as("sym_right"), col("wf"))
+      .groupBy(col("sym_left"), col("sym_right"))
+      .agg(sum(col("wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym_left").asc, col("sym_right").asc)
+      .limit(topN)
 }

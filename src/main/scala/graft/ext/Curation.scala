@@ -36,7 +36,9 @@ object Curation {
       spark: SparkSession, sfDir: String,
       fractions: Map[String, Double] = Map("en" -> 0.5),
       defaultFraction: Double = 0.2,
-      requireTerminal: Boolean = false): DataFrame = {
+      requireTerminal: Boolean = false,
+      maxIter: Int = 10,
+      driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val c4 = TextStats.c4Filters(spark, sfDir)
     val c4Survivors = c4.filter(
@@ -45,7 +47,13 @@ object Curation {
         col("n_words").between(5, 100000))
       .select("doc_id")
     val exactKeepers = Dedup.exactSurvivorIds(spark, sfDir)
-    val nearDupKeepers = Dedup.minHashMembership(spark, sfDir, twinnable = true)
+    // maxIter/driverEdgeLimit thread through to connectedComponents: a dup
+    // graph with diameter > 10 on the distributed path fails LOUDLY there,
+    // and the caller needs a knob to raise the bound without forking the
+    // pipeline.
+    val nearDupKeepers = Dedup.minHashMembership(
+      spark, sfDir, twinnable = true, maxIter = maxIter,
+      driverEdgeLimit = driverEdgeLimit)
       .filter(col("cluster_id") === col("doc_id"))
       .select("doc_id")
     val sampled = Corpus.stratifiedSample(

@@ -456,15 +456,18 @@ object Dedup {
     * keeper (cluster representative or untouched).
     */
   def minHashMembership(
-      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false,
+      maxIter: Int = 10, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     connectedComponents(
-      minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs)
+      minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs,
+      maxIter, driverEdgeLimit)
   }
 
   def minHashClusters(
-      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
-    val cc = minHashMembership(spark, sfDir, twinnable)
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false,
+      maxIter: Int = 10, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+    val cc = minHashMembership(spark, sfDir, twinnable, maxIter, driverEdgeLimit)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)
@@ -550,14 +553,18 @@ object Dedup {
     * 64-bit collisions (~n²/2⁶⁵ per span set, same argument as
     * [[ngramJaccardPairs]]).
     */
-  def spanPairs(
-      spark: SparkSession, sfDir: String,
-      spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
+  /** Distinct (doc_id, span_h) rows — every `spanTokens`-token run, stride
+    * 1, hashed to 64 bits (see [[spanPairs]] for why stride 1 and why the
+    * span string never materializes). Shared by the pair producer and the
+    * stats/summary views so all three see the identical span relation.
+    */
+  private def docSpans(
+      spark: SparkSession, sfDir: String, spanTokens: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     // hash each token ONCE, then combine the 16 lead LONGS — ~100-char
     // span strings never materialize, the window moves fixed-width rows
     val hashLeads = (1 until spanTokens).map(i => lead(col("__th"), i).over(w))
-    val spans = tokenRows(spark, sfDir)
+    tokenRows(spark, sfDir)
       .withColumn("__th", xxhash64(col("tok")))
       .withColumn("span_h", xxhash64((col("__th") +: hashLeads): _*))
       // complete spans only: the last lead exists ⇒ all of them do.
@@ -567,6 +574,12 @@ object Dedup {
       .filter(col("__full"))
       .select(col("doc_id"), col("span_h"))
       .distinct()
+  }
+
+  def spanPairs(
+      spark: SparkSession, sfDir: String,
+      spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
+    val spans = docSpans(spark, sfDir, spanTokens)
     val eligible = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1 && col("n_docs") <= maxDocsPerSpan)
@@ -578,6 +591,61 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_spans"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** What the [[spanPairs]] boilerplate cap ATE — one summary row so a
+    * curation run can see the cliff instead of silently losing pairs: a
+    * span shared by `maxDocsPerSpan` docs contributes ~cap²/2 pairs, one
+    * shared by cap+1 contributes zero. Candidate pairs are counted in
+    * closed form (Σ n·(n−1)/2 over eligible spans) — no pair join runs.
+    */
+  def spanStats(
+      spark: SparkSession, sfDir: String,
+      spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
+    val grouped = docSpans(spark, sfDir, spanTokens)
+      .groupBy(col("span_h"))
+      .agg(count(lit(1)).as("n_docs"))
+    val eligible = col("n_docs") > 1 && col("n_docs") <= maxDocsPerSpan
+    grouped.agg(
+      count(lit(1)).as("n_spans_distinct"),
+      sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_spans_shared"),
+      sum(when(col("n_docs") > maxDocsPerSpan, 1L).otherwise(0L))
+        .as("n_spans_dropped"),
+      sum(when(eligible,
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+        .otherwise(0L)).as("candidate_pairs"))
+  }
+
+  /** Per-document dup-span exposure — the corpus-LINEAR view ExactSubstr
+    * deployments actually consume (pair lists grow with dup density; this
+    * stays one row per doc at any scale): how many of a doc's spans appear
+    * in at least one other document, as a fraction. Counts shared spans
+    * regardless of the pair-emission cap — the cap bounds the quadratic
+    * pair join, not the linear exposure measure.
+    */
+  def spanDocSummary(
+      spark: SparkSession, sfDir: String, spanTokens: Int = 16): DataFrame = {
+    val spans = docSpans(spark, sfDir, spanTokens)
+    val counts = spans.groupBy(col("span_h"))
+      .agg(count(lit(1)).as("__n_docs"))
+    val perDoc = spans.join(counts, Seq("span_h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__n_docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    // left join from documents: short docs (< spanTokens tokens) have no
+    // spans but still belong in the per-doc report
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 6))
+          .as("dup_span_frac"))
+      .orderBy(col("doc_id").asc)
   }
 
   /** Connected components over an EXACT, SQL-expressible pair relation —

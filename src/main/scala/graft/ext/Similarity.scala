@@ -234,7 +234,9 @@ object Similarity {
   def embeddingNearDupPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.4,
       maxExact: Long = 100000L): DataFrame = {
-    val n = Tables.embeddings(spark, sfDir).count()
+    // footer metadata count, not a count() action: the guard validates a
+    // precondition, it must not cost a corpus scan per call
+    val n = Tables.parquetRowCount(spark, sfDir, "embeddings")
     require(n <= maxExact,
       s"embeddingNearDupPairs: $n vectors exceeds the exact all-pairs cap " +
         s"$maxExact (${n * n / 2} candidate pairs); use " +
@@ -376,6 +378,20 @@ object Similarity {
     }
     assignFor(model)
   }
+
+  /** One assignment pass against the k lowest-id SEED centroids —
+    * [[kmeansAssignments]] with zero Lloyd iterations. Unlike the trained
+    * model, the seed assignment is closed-form (dot products + argmax
+    * against deterministically chosen unit vectors), so the DuckDB twin
+    * reproduces it exactly — hash-checking the codegen'd assignment
+    * machinery the iterative trainer reuses every round.
+    */
+  def kmeansSeedAssign(
+      spark: SparkSession, sfDir: String, k: Int = 16): DataFrame =
+    kmeansAssignments(spark, sfDir, k, iters = 0)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_id").asc)
 
   /** Cluster-size/cohesion summary of [[kmeansAssignments]] (rows-only —
     * iterative float means have no portable SQL twin).

@@ -150,13 +150,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * users need no special session bootstrap.)
   */
 object GraftFunctions {
+  /** Arity-checked builder: a wrong-arity SQL call (`graft_dot(x)`) must
+    * fail with an error naming the function, not an
+    * IndexOutOfBoundsException from `children(1)`.
+    */
+  private[graft] def binaryBuilder(
+      name: String, make: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    if (children.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${children.length}")
+    make(children(0), children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", (children: Seq[Expression]) => DotProduct(children(0), children(1)),
-      "built-in")
+      "graft_dot", binaryBuilder("graft_dot", DotProduct(_, _)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_isect",
-      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1)),
+      "graft_isect", binaryBuilder("graft_isect", SortedIntersectCount(_, _)),
       "built-in")
   }
 }

@@ -44,4 +44,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact row count from parquet footers — a driver-only metadata read, no
+    * Spark job. For size GUARDS (e.g. refusing an n² plan above a cap) this
+    * replaces a full `count()` action: at 100 TB a count() schedules a
+    * cluster-wide scan just to validate a precondition, while footers are a
+    * few KB per file. Not for query results — footer counts ignore any
+    * filters.
+    */
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files: Seq[Path] =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(root)
+    files.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 }

@@ -25,7 +25,7 @@ object Materialize {
     * transfer is capped BEFORE collect, so a mistake fails fast instead of
     * filling the driver heap.
     */
-  def smallLocal(df: DataFrame, maxRows: Int = 5_000_000): DataFrame = {
+  def smallLocal(df: DataFrame, maxRows: Int = 500_000): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,

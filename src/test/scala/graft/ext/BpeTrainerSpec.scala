@@ -73,6 +73,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(dist === referenceMerges(texts, 6))
   }
 
+  test("non-BMP argmax ties break identically on driver and distributed paths") {
+    // U+1F600 (a surrogate pair, D83D DE00) vs U+FFFD: UTF-16 code-UNIT
+    // order sorts the emoji first, UTF-8/code-point order (Spark's
+    // UTF8_BINARY) sorts U+FFFD first — a tie between pairs of these
+    // symbols distinguishes the two orderings.
+    val hi = "\uFFFD"
+    val emoji = new String(Character.toChars(0x1F600))
+    val texts = Seq(s"$emoji$emoji $hi$hi", s"$emoji$emoji $hi$hi")
+    val drv = trainOn(texts, "/tmp/graft_test_bpe_nonbmp", nMerges = 2)
+    val dist = trainOn(texts, "/tmp/graft_test_bpe_nonbmp_d", nMerges = 2,
+      driverVocabLimit = 0L)
+    assert(drv === dist)
+    // code-point order: U+FFFD < U+1F600 ⇒ the tied round-1 argmax is hi
+    assert(drv.head._2 === hi && drv.head._3 === hi)
+  }
+
   test("trainer matches the reference on random corpora (property)") {
     val docGen = Gen.listOfN(4, Gen.choose(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("ab", "aab", "abab", "ba", "bb", "a"))
