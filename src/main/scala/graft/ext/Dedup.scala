@@ -186,6 +186,22 @@ object Dedup {
     minHashPairsUnsorted(spark, sfDir, threshold, maxBucket, twinnable)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** [[minHashPairs]] for corpus-scale consumers: the verified pair list
+    * stays DISTRIBUTED — reliable-checkpointed to sever its lineage off
+    * the call-scoped signature cache — instead of driver-materialized.
+    * Pair counts grow with dup density (a 100-way-duplicated corpus emits
+    * ~n·dups/2 pairs), so past [[graft.ops.Materialize.smallLocal]]'s cap
+    * they must never transit the driver; this is the variant the 100×
+    * stress tier and any heavy-dup 100 TB run feeds into
+    * [[connectedComponents]].
+    */
+  def minHashPairsDistributed(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      twinnable: Boolean = false): DataFrame =
+    minHashPairsUnsorted(spark, sfDir, threshold, maxBucket, twinnable,
+      materialize = false)
+
   /** [[minHashPairs]] without the presentation sort — consumers that
     * reshuffle anyway (clustering) skip the global sort.
     *
@@ -202,7 +218,7 @@ object Dedup {
   private def minHashPairsUnsorted(
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64,
-      twinnable: Boolean = false): DataFrame = {
+      twinnable: Boolean = false, materialize: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     def rotl(c: Column, j: Int): Column =
       if (j == 0) c else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
@@ -253,18 +269,23 @@ object Dedup {
         .join(inBuckets.withColumnRenamed("doc_id", "doc_b"), bandKey)
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-      // eager: the verified pair list is tiny (ids + one double) and the
-      // signature cache must not outlive this call (CacheManager entries
-      // accumulate across queries and every later plan pays canonicalize-
-      // and-compare against each 64-aggregate cached plan). Driver-side
-      // materialization instead of localCheckpoint: no unreplicated block
-      // to lose with an executor, no write+read round trip.
-      graft.ops.Materialize.smallLocal(pairs
+      val verified = pairs
         .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
         .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
         .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
+      // Either way the result is pinned EAGERLY so the signature cache
+      // cannot outlive this call (CacheManager entries accumulate across
+      // queries and every later plan pays canonicalize-and-compare against
+      // each 64-aggregate cached plan). Normal corpora: the verified pair
+      // list is tiny (ids + one double) — driver-side materialization, no
+      // unreplicated block to lose with an executor, no write+read round
+      // trip. Heavy-dup corpora (materialize = false): pair counts scale
+      // with dup density, so the list reliable-checkpoints instead and
+      // stays distributed.
+      if (materialize) graft.ops.Materialize.smallLocal(verified)
+      else verified.checkpoint()
     } finally perDoc.unpersist()
   }
 

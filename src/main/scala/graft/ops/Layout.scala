@@ -59,6 +59,7 @@ object Layout {
         .getMostSignificantBits & Long.MaxValue)
     val ordersT = s"graft_orders_bkt_$tag"
     val itemsT = s"graft_lineitem_bkt_$tag"
+    dropStaleBucketed(spark, tag)
     def ensure(table: String, df: DataFrame, key: String): Unit =
       if (!spark.catalog.tableExists(table)) {
         // the in-memory catalog dies with the session but the warehouse
@@ -80,6 +81,30 @@ object Layout {
       .agg(count(lit(1)).as("n_items"), max(col("l_extendedprice")).as("max_item_price"))
       .orderBy(col("o_orderkey").asc)
       .limit(100)
+  }
+
+  /** GC for [[bucketedOrderItems]]' tagged copies: every fixture
+    * regeneration or `buckets` change mints a NEW tag, and without a sweep
+    * the older `graft_*_bkt_<tag>` tables (plus their warehouse dirs, which
+    * outlive the in-memory catalog across sessions) accumulate unboundedly.
+    * Drops every table/dir whose tag differs from the one about to be used.
+    */
+  private def dropStaleBucketed(spark: SparkSession, keepTag: String): Unit = {
+    val prefixes = Seq("graft_orders_bkt_", "graft_lineitem_bkt_")
+    def stale(name: String): Boolean =
+      prefixes.exists(name.startsWith) && !name.endsWith(keepTag)
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(stale)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    // dirs from PRIOR sessions have no catalog entry — sweep the warehouse
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(whRoot))
+      fs.listStatus(whRoot).foreach { st =>
+        if (st.isDirectory && stale(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
   }
 
   /** Morton (Z-order) interleave of two pre-quantized dimensions: bit j of

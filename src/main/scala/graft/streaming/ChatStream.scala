@@ -84,6 +84,14 @@ object ChatStream {
     * swaps out through a backup rename with crash auto-restore at the
     * next batch. No crash instant leaves the view unreadable or silently
     * truncated to one batch.
+    *
+    * Concurrent-reader contract: between the two renames (live→backup,
+    * tmp→live) the `latestPath` directory briefly does NOT exist — an
+    * atomic two-directory swap is not available on generic Hadoop
+    * filesystems. External readers of the latest view must tolerate (and
+    * retry) a transiently missing directory; the pipeline itself
+    * self-heals from the backup at the next batch if a crash lands inside
+    * the window.
     */
   def persistPipeline(
       raw: DataFrame,

@@ -1,0 +1,173 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, Dedup}
+
+/** The 100× duplicate stress tier — the scale proof the small-SF oracle
+  * runs cannot give. Replicates the `documents` table `reps`× with
+  * remapped ids (every document becomes a `reps`-way exact duplicate —
+  * the worst case for every pair producer), then drives the dedup
+  * operators through their REAL public entry points and asserts the
+  * behaviors that matter at 100 TB:
+  *
+  *   Tier A (sf0.1 × 100 ≈ 500k docs): the LINEAR paths. Exact dedup
+  *   collapses the families; span/minhash boilerplate caps keep the
+  *   pair producers bounded (zero pairs emitted, with `spanStats`
+  *   making the drop VISIBLE); the end-to-end curation pipeline stays
+  *   ~linear because exact dedup runs before near-dup.
+  *
+  *   Tier B (sf0.01 × 100 = 50k docs, maxBucket raised to admit the
+  *   100-doc buckets): the QUADRATIC-bounded path for real — ~2.5M
+  *   verified pairs (past connectedComponents' 2M driver edge limit),
+  *   so the DISTRIBUTED min-label loop runs on a multi-million-edge
+  *   graph and must converge with every replica family in one cluster.
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|all]"
+  * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
+  * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
+  */
+object StressTier {
+
+  private var failures = List.empty[String]
+
+  private def check(cond: Boolean, what: String): Unit =
+    if (!cond) {
+      failures ::= what
+      println(s"STRESS_CHECK FAIL: $what")
+    }
+
+  private def timed[A](phase: String)(f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    val s = (System.nanoTime() - t0) / 1e9
+    (r, s)
+  }
+
+  /** Replicate documents reps× with family-contiguous ids
+    * (new_id = base_id * reps + rep). One narrow generate + write.
+    */
+  private def replicate(
+      spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select(
+        (col("doc_id") * reps + col("rep")).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  private def tierA(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val (_, tRep) = timed("a.replicate")(replicate(spark, baseDir, dir, reps))
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS a.replicate seconds=$tRep%.1f base=$nBase docs=$n")
+    check(n == nBase * reps, s"tier A row count $n != $nBase*$reps")
+
+    // exact dedup: fixed-width fingerprint shuffle — the 100× families
+    // must collapse to the base corpus' distinct texts
+    val (exact, tExact) = timed("a.exact")(
+      Dedup.exactSummary(spark, dir).collect().head)
+    val distinctBase = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select(sha2(col("text"), 256)).distinct().count()
+    println(f"STRESS a.exact seconds=$tExact%.1f distinct=${exact.getAs[Long]("distinct_texts")} removed=${exact.getAs[Long]("dup_docs_removed")}")
+    check(exact.getAs[Long]("distinct_texts") == distinctBase,
+      "exact dedup must collapse each family to its base text")
+
+    // span stats: every span now lives in >= reps docs > the default cap,
+    // so ALL shared spans are dropped — visibly, not silently
+    val (st, tStats) = timed("a.span_stats")(
+      Dedup.spanStats(spark, dir).collect().head)
+    val shared = st.getAs[Long]("n_spans_shared")
+    val dropped = st.getAs[Long]("n_spans_dropped")
+    println(f"STRESS a.span_stats seconds=$tStats%.1f shared=$shared dropped=$dropped candidates=${st.getAs[Long]("candidate_pairs")}")
+    check(shared > 0, "stress corpus must actually share spans")
+    check(dropped == shared && st.getAs[Long]("candidate_pairs") == 0L,
+      "every shared span exceeds the cap: dropped must equal shared")
+
+    // the pair producers under their DEFAULT caps: bounded — zero pairs,
+    // not an n² attempt (every bucket/span group is >= 100 docs)
+    val (nSpanPairs, tSpan) = timed("a.span_dedup")(
+      Dedup.spanPairs(spark, dir).count())
+    println(f"STRESS a.span_dedup seconds=$tSpan%.1f pairs=$nSpanPairs")
+    check(nSpanPairs == 0L, "default span cap must drop the 100-doc span groups")
+    val (nMhPairs, tMh) = timed("a.minhash")(
+      Dedup.minHashPairs(spark, dir).count())
+    println(f"STRESS a.minhash seconds=$tMh%.1f pairs=$nMhPairs")
+    check(nMhPairs == 0L, "default maxBucket must drop the 100-doc buckets")
+
+    // end-to-end curation: exact dedup sits before sampling, so the
+    // pipeline stays ~linear in the replicated corpus
+    val (nTrain, tTrain) = timed("a.training_set")(
+      Curation.trainingSet(spark, dir).count())
+    println(f"STRESS a.training_set seconds=$tTrain%.1f rows=$nTrain")
+    check(nTrain > 0L, "curation pipeline must survive the stress corpus")
+  }
+
+  private def tierB(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val (_, tRep) = timed("b.replicate")(replicate(spark, baseDir, dir, reps))
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS b.replicate seconds=$tRep%.1f docs=$nDocs")
+
+    // admit the 100-doc buckets (maxBucket=128) and keep the pair list
+    // DISTRIBUTED: ~nBase * C(100,2) verified pairs — far past the
+    // smallLocal cap and past the 2M driver edge limit
+    val (pairs, tPairs) = timed("b.pairs")(
+      Dedup.minHashPairsDistributed(spark, dir, maxBucket = 128))
+    val nPairs = pairs.count()
+    println(f"STRESS b.pairs seconds=$tPairs%.1f pairs=$nPairs")
+    check(nPairs > 2_000_000L,
+      s"stress pairs $nPairs must cross the 2M driver edge limit")
+
+    // connected components: edge count (2*pairs) > driver limit forces the
+    // distributed min-label loop — the branch this tier exists to prove
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+    val (membership, tCC) = timed("b.cc")(
+      Dedup.connectedComponents(pairs, docs).persist())
+    val nLabeled = membership.count()
+    println(f"STRESS b.cc seconds=$tCC%.1f labeled=$nLabeled")
+    check(nLabeled == nDocs, "CC must label every doc exactly once")
+
+    // every replica family must land in ONE cluster: group by base id and
+    // count distinct labels — exactly one per family
+    val fams = membership
+      .withColumn("family", floor(col("doc_id") / reps).cast("long"))
+      .groupBy(col("family"))
+      .agg(countDistinct(col("cluster_id")).as("n_labels"))
+      .filter(col("n_labels") =!= 1L)
+      .count()
+    check(fams == 0L, s"$fams families split across clusters")
+    val clusters = membership.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+    val minSz = clusters.agg(min(col("sz"))).collect().head.getLong(0)
+    val nClusters = clusters.count()
+    println(s"STRESS b.cc_shape clusters=$nClusters min_size=$minSz")
+    check(minSz >= reps,
+      "every cluster holds at least one full 100-replica family")
+    membership.unpersist()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val tier = args.headOption.getOrElse("all")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = "/root/repo/target/stress"
+    val (_, total) = timed("total") {
+      if (tier == "a" || tier == "all")
+        tierA(spark, "/root/testdata/sf0.1", s"$root/sf0.1x100")
+      if (tier == "b" || tier == "all")
+        tierB(spark, "/root/testdata/sf0.01", s"$root/sf0.01x100")
+    }
+    println(f"STRESS total seconds=$total%.1f")
+    println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
+    spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
+  }
+}

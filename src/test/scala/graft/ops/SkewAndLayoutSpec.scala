@@ -144,6 +144,20 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum("v")).collect()(0).getLong(0) === sumBefore)
   }
 
+  test("bucketedOrderItems GCs stale-tagged bucketed copies") {
+    // plant a stale copy under a tag the census can never produce
+    Layout.writeBucketed(
+      spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey", "o_orderstatus"),
+      "graft_orders_bkt_deadstale", "o_orderkey", buckets = 8)
+    assert(spark.catalog.tableExists("graft_orders_bkt_deadstale"))
+    Layout.bucketedOrderItems(spark, sf).count()
+    assert(!spark.catalog.tableExists("graft_orders_bkt_deadstale"),
+      "stale bucketed table must be dropped when a new tag is ensured")
+    // the live tag's tables survive for reuse within the session
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_orders_bkt_")))
+  }
+
   test("registered bucketed_join query plans with no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
