@@ -73,6 +73,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-5 queries never degrade to cartesian/nested-loop") {
+    for (q <- Seq("span_stats", "span_doc_summary", "bpe_pair_counts",
+      "stream_quality_windows", "ads_search_newest")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("kmeans_assign_seed assigns join-free: scan + projections, no shuffle join") {
+    val p = plan("kmeans_assign_seed")
+    // the k centroid dot products are inlined literals over ONE embeddings
+    // scan — any join in this plan means the model leaked back distributed
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.toLowerCase.contains("dotproduct"), p.take(2000))
+  }
+
+  test("stream_quality_windows (batch mode) elides the watermark node") {
+    // EliminateEventTimeWatermark must strip the streaming-only operator so
+    // the batch twin is a plain hash aggregate
+    val p = plan("stream_quality_windows")
+    assert(!p.contains("EventTimeWatermark"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("training_set's stage filters are broadcast semi-joins, one window") {
     val p = plan("training_set")
     // survivor sets broadcast against the documents scan; the only

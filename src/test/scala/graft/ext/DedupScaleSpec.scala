@@ -49,6 +49,18 @@ class DedupScaleSpec extends SparkSpec {
       "both CC paths must leave the CacheManager empty")
   }
 
+  test("minHashPairsDistributed equals the driver-materialized pair list") {
+    writeFixture()
+    val local = Dedup.minHashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.minHashPairsDistributed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === dist)
+    assert(local.nonEmpty, "fixture must produce pairs (non-vacuous)")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the distributed variant must also leave the CacheManager empty")
+  }
+
   test("trainingSet maxIter knob threads through to the distributed CC loop") {
     writeFixture()
     // maxIter=2 on the distributed path: the planted families are cliques,
