@@ -100,6 +100,16 @@ class CorpusIngestSpec extends SparkSpec {
         (t(10, 0), "en", 2L, 22L, 1L), // the 2-token doc is low quality
         (t(10, 0), "de", 1L, 20L, 0L),
         (t(11, 0), "en", 1L, 20L, 0L)))
+      // unification: the SAME dataflow function over the SAME rows as a
+      // BATCH frame must produce the identical aggregate (this is the
+      // contract the registered stream_quality_windows query rests on)
+      val batch = CorpusIngest.qualityMonitor(
+        Seq(
+          (t(10, 5), "en", long), (t(10, 40), "en", "short doc"),
+          (t(10, 50), "de", long), (t(11, 10), "en", long))
+          .toDF("ts", "lang", "text"))
+        .as[(Timestamp, String, Long, Long, Long)].collect().toSet
+      assert(batch === rows, "batch-mode qualityMonitor must equal streaming")
     } finally q.stop()
   }
 }
