@@ -114,6 +114,11 @@ object SparkEntry {
     // the round-1 pair statistics the iterative argmax consumes — plain
     // SQL, so the trainer's input aggregation is hash-checked
     "bpe_pair_counts"    -> ((s, d) => BpeTrainer.pairCounts(s, d)),
+    // corpus-wide merge APPLICATION under a fixed merge table — the
+    // corpus-scale half of BPE, oracle-checked (the twin replays the same
+    // replace chain; the trained sequence stays spec-pinned in bpe_merges)
+    "bpe_apply"          -> ((s, d) =>
+      BpeTrainer.applyMerges(s, d, BpeTrainer.FixedMerges)),
     // closed-form seed assignment — hash-checks the codegen'd argmax
     // machinery kmeans_cells iterates
     "kmeans_assign_seed" -> ((s, d) => Similarity.kmeansSeedAssign(s, d)),
@@ -223,6 +228,40 @@ object SparkEntry {
     * `list_inner_product` and `graft_dot` fold identically, so the sign
     * bits agree.
     */
+  /** Twin for `bpe_apply`: the identical greedy merge application as a
+    * chain of non-overlapping `replace` calls over the double-delimiter
+    * symbol encoding (see BpeTrainer.applyMerges — both engines' replace
+    * scans left-to-right and continues AFTER each replacement, which IS
+    * the BPE fold order, property-proven in BpeTrainerSpec).
+    */
+  private def bpeApplySql: String = {
+    val d = "chr(31)"
+    val enc = s"$d || $d || regexp_replace(w, '(.)', '\\1' || $d || $d, 'g')"
+    val chain = BpeTrainer.FixedMerges.foldLeft(enc) { case (e, (a, b)) =>
+      s"replace($e, $d || '$a' || $d || $d || '$b' || $d, $d || '$a$b' || $d)"
+    }
+    s"""WITH dw AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                            t -> t <> '')) AS w
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM dw
+       |), mapping AS (
+       |  SELECT w, len(string_split($chain, $d || $d)) - 2 AS n_toks
+       |  FROM vocab
+       |), per AS (
+       |  SELECT dw.doc_id, count(*) AS n_words, sum(m.n_toks) AS n_bpe_tokens
+       |  FROM dw JOIN mapping m USING (w)
+       |  GROUP BY dw.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(n_words, 0)::BIGINT AS n_words,
+       |       coalesce(n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
   private def lshOracleCtes: String = {
     import graft.ext.Similarity.{hyperplaneSigns, Bands, BitsPerBand}
     val bandSelects = (0 until Bands).map { b =>
@@ -856,6 +895,7 @@ object SparkEntry {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY pair_count DESC, sym_left ASC, sym_right ASC
         |LIMIT 50""".stripMargin,
+    "bpe_apply" -> bpeApplySql,
     "kmeans_assign_seed" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,

@@ -180,6 +180,63 @@ object BpeTrainer {
       .orderBy(col("merge_rank").asc)
   }
 
+  /** Corpus-wide tokenization under a given merge table — the APPLICATION
+    * half of BPE, which is the corpus-scale cost in production (training
+    * touches only the word-frequency table; every document ever ingested
+    * pays application).
+    *
+    * Scale shape: merges are applied to the DISTINCT-WORD table (vocab —
+    * Heaps'-law sublinear), then the corpus joins against the resulting
+    * (word → token count) mapping: one hash join on the word key, one
+    * per-doc aggregation. The merge fold itself runs as CHAINED
+    * non-overlapping string `replace` calls over a double-delimiter
+    * symbol encoding ("␟␟a␟␟b␟␟" + replace("␟a␟␟b␟" → "␟ab␟")) — exactly
+    * the greedy left-to-right fold (property-proven in BpeTrainerSpec:
+    * replace continues scanning AFTER each replacement, so a merged
+    * symbol participates as the LEFT of the next pair, like the fold),
+    * but in codegen'd string expressions both Spark and the DuckDB twin
+    * evaluate identically.
+    *
+    * `merges` must be applied in learned order; symbols must not contain
+    * the U+001F delimiter (true for any text tokenizer).
+    */
+  def applyMerges(
+      spark: SparkSession, sfDir: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val D = "\u001f"
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(expr(
+        """filter(split(lower(text), '\\s+'), t -> t <> '')""")).as("w"))
+    val vocab0 = docWords.select("w").distinct()
+      // encode chars as ␟␟-separated symbols with ␟␟ sentinels
+      .withColumn("sym",
+        concat(lit(D + D), regexp_replace(col("w"), "(.)", "$1" + D + D)))
+    val folded = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.withColumn("sym", call_function("replace", col("sym"),
+        lit(D + a + D + D + b + D), lit(D + a + b + D)))
+    }
+    val mapping = folded
+      .select(col("w"), (size(split(col("sym"), D + D)) - 2).as("n_toks"))
+    docWords.join(mapping, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"))
+      .join(Tables.documents(spark, sfDir).select("doc_id"), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The fixed merge table the registered `bpe_apply` query uses: common
+    * English pair merges, applied in this order. Fixed (not trained) so
+    * the DuckDB twin can replay the application chain verbatim — the
+    * TRAINED merge sequence is iterative and stays pinned by
+    * [[train]]'s differential spec instead.
+    */
+  val FixedMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"))
+
   /** Round-1 weighted adjacent-pair counts — the distributed aggregation
     * that feeds every argmax round of [[train]], registered standalone:
     * unlike the iterative trainer it is plain SQL, so the oracle

@@ -89,6 +89,55 @@ class BpeTrainerSpec extends SparkSpec {
     assert(drv.head._2 === hi && drv.head._3 === hi)
   }
 
+  /** Reference tokenizer: the greedy left-to-right fold, per word. */
+  private def foldTokens(w: String, merges: Seq[(String, String)]): Int = {
+    var sym = w.split("").toList
+    for ((a, b) <- merges)
+      sym = sym.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    sym.length
+  }
+
+  private def applyOn(texts: Seq[String], dir: String) = {
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    BpeTrainer.applyMerges(spark, dir, BpeTrainer.FixedMerges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  private def referenceApply(texts: Seq[String]) =
+    texts.zipWithIndex.map { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (i.toLong, ws.length.toLong,
+        ws.map(foldTokens(_, BpeTrainer.FixedMerges)).sum.toLong)
+    }
+
+  test("applyMerges (chained replace) equals the brute-force fold") {
+    val texts = Seq(
+      "The rat sat on the mat in the rain",
+      "thththth anananan rere",  // chained + immediate re-participation
+      "xyz q",                   // no merge applies
+      "")                        // empty doc: 0 words, 0 tokens
+    assert(applyOn(texts, "/tmp/graft_test_bpe_apply") === referenceApply(texts))
+  }
+
+  test("applyMerges matches the fold on random corpora (property)") {
+    val wordGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('t', 'h', 'e', 'a', 'n', 'r', 'o')).map(_.mkString))
+    val docGen = Gen.listOfN(3, Gen.listOfN(5, wordGen).map(_.mkString(" ")))
+    val prop = Prop.forAll(docGen) { texts =>
+      applyOn(texts, "/tmp/graft_test_bpe_apply_prop") == referenceApply(texts)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(r.passed, s"property falsified: ${r.status}")
+  }
+
   test("trainer matches the reference on random corpora (property)") {
     val docGen = Gen.listOfN(4, Gen.choose(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf("ab", "aab", "abab", "ba", "bb", "a"))
