@@ -93,6 +93,10 @@ object SparkEntry {
     "curation_funnel"    -> ((s, d) => TextStats.curationFunnel(s, d)),
     "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.incrementalExact(s, d)),
+    // delta-vs-signature-index NEAR-dup (the 100 TB ingest shape: the
+    // corpus is never re-paired; the delta probes the banded index)
+    "dedup_incremental_near" -> ((s, d) =>
+      Dedup.incrementalMinHash(s, d, twinnable = true)),
     "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
     "chunk_packing"      -> ((s, d) => Corpus.packChunks(s, d)),
     "c4_filters"         -> ((s, d) => TextStats.c4Filters(s, d)),
@@ -612,6 +616,45 @@ object SparkEntry {
       """
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin),
+    "dedup_incremental_near" -> (minHashOracleCtes +
+      """, dbsz AS (
+        |  SELECT bi, k1, k2, k3, k4 FROM bands WHERE doc_id % 10 <> 9
+        |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) <= 64
+        |), dcand AS (
+        |  SELECT DISTINCT x.doc_id AS new_doc_id, y.doc_id AS corpus_doc_id
+        |  FROM bands x
+        |  JOIN bands y USING (bi, k1, k2, k3, k4)
+        |  JOIN dbsz USING (bi, k1, k2, k3, k4)
+        |  WHERE x.doc_id % 10 = 9 AND y.doc_id % 10 <> 9
+        |), disect AS (
+        |  SELECT c.new_doc_id, c.corpus_doc_id, count(*) AS inter
+        |  FROM dcand c
+        |  JOIN sh a ON a.doc_id = c.new_doc_id
+        |  JOIN sh b ON b.doc_id = c.corpus_doc_id AND b.shingle = a.shingle
+        |  GROUP BY 1, 2
+        |), dscored AS (
+        |  SELECT i.new_doc_id, i.corpus_doc_id,
+        |         inter::DOUBLE
+        |           / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE) AS jaccard
+        |  FROM disect i JOIN sz sa ON sa.doc_id = i.new_doc_id
+        |                JOIN sz sb ON sb.doc_id = i.corpus_doc_id
+        |  WHERE inter::DOUBLE
+        |           / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE) >= 0.5
+        |), dbest AS (
+        |  SELECT new_doc_id, corpus_doc_id, jaccard,
+        |         row_number() OVER (PARTITION BY new_doc_id
+        |                            ORDER BY jaccard DESC, corpus_doc_id ASC)
+        |           AS rk
+        |  FROM dscored
+        |)
+        |SELECT d.doc_id AS new_doc_id,
+        |       coalesce(b.corpus_doc_id, -1) AS dup_of,
+        |       coalesce(round(b.jaccard, 6), 0.0) AS best_jaccard,
+        |       b.corpus_doc_id IS NOT NULL AS is_dup
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM dbest WHERE rk = 1) b ON d.doc_id = b.new_doc_id
+        |WHERE d.doc_id % 10 = 9
+        |ORDER BY new_doc_id ASC""".stripMargin),
     "dedup_clusters" -> (minHashOracleCtes +
       """, p AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM scored

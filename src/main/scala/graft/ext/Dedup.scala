@@ -164,6 +164,71 @@ object Dedup {
       .orderBy(col("new_doc_id").asc)
   }
 
+  /** Incremental (delta-vs-index) NEAR-dup — the minhash counterpart of
+    * [[incrementalExact]], and the shape a 100 TB ingest actually runs:
+    * the corpus maintains its banded SIGNATURE index once; each arriving
+    * batch computes signatures only for itself, probes the index on band
+    * keys, and verifies exact Jaccard on the candidates. The corpus is
+    * never re-paired against itself — per batch, work is proportional to
+    * the delta's bucket collisions.
+    *
+    * The "new batch" is carved deterministically (`doc_id % deltaMod ==
+    * deltaRem`) so the report is oracle-checkable (with `twinnable` the
+    * DuckDB twin rebuilds both sides' Carter–Wegman signatures, the band
+    * probe, the corpus-side bucket cap, and the Jaccard verify).
+    * Index-side buckets larger than `maxBucket` (boilerplate chrome) are
+    * skipped, bounding skew. One row per delta doc: `dup_of` = the
+    * best-matching corpus doc (highest Jaccard, smallest id on ties),
+    * `-1` when nothing clears `threshold`.
+    */
+  def incrementalMinHash(
+      spark: SparkSession, sfDir: String,
+      deltaMod: Int = 10, deltaRem: Int = 9,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      twinnable: Boolean = false): DataFrame = {
+    val perDoc = minHashPerDoc(spark, sfDir, twinnable).persist()
+    val best = try {
+      val isDelta = col("doc_id") % deltaMod === deltaRem
+      val banded = bandRows(perDoc)
+      val corpusB = banded.filter(!isDelta)
+      val deltaB = banded.filter(isDelta)
+      // index-side cap only: a single corpus doc in a bucket is already a
+      // meaningful candidate here (unlike the pair producer's bsz > 1)
+      val okBuckets = corpusB.groupBy(bandKey.map(col): _*)
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBucket)
+      val cands = deltaB
+        .select(col("band_idx"), col("k1"), col("k2"), col("k3"), col("k4"),
+          col("doc_id").as("new_doc_id"))
+        .join(corpusB.join(okBuckets, bandKey, "left_semi")
+          .withColumnRenamed("doc_id", "corpus_doc_id"), bandKey)
+        .select("new_doc_id", "corpus_doc_id").distinct()
+      val sets = perDoc.select(col("doc_id"), col("shset"))
+      graft.ops.Materialize.smallLocal(cands
+        .join(sets.select(col("doc_id").as("new_doc_id"), col("shset").as("set_a")),
+          Seq("new_doc_id"))
+        .join(sets.select(col("doc_id").as("corpus_doc_id"), col("shset").as("set_b")),
+          Seq("corpus_doc_id"))
+        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("new_doc_id"))
+            .orderBy(col("jaccard").desc, col("corpus_doc_id").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("new_doc_id"), col("corpus_doc_id"), col("jaccard")))
+    } finally perDoc.unpersist()
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % deltaMod === deltaRem)
+      .select(col("doc_id").as("new_doc_id"))
+      .join(best, Seq("new_doc_id"), "left")
+      .select(
+        col("new_doc_id"),
+        coalesce(col("corpus_doc_id"), lit(-1L)).as("dup_of"),
+        coalesce(round(col("jaccard"), 6), lit(0.0)).as("best_jaccard"),
+        col("corpus_doc_id").isNotNull.as("is_dup"))
+      .orderBy(col("new_doc_id").asc)
+  }
+
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     * Deterministic; rows-only check (no xxhash64 in DuckDB) —
     * property-tested in DedupSpec instead.
@@ -215,10 +280,12 @@ object Dedup {
     * with constants from [[permA]]/[[permB]]: overflow-free in both
     * engines, so the DuckDB twin rebuilds the exact signatures.
     */
-  private def minHashPairsUnsorted(
-      spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxBucket: Int = 64,
-      twinnable: Boolean = false, materialize: Boolean = true): DataFrame = {
+  /** Per-doc signature + shingle-set frame shared by the pair producers
+    * and the incremental delta check: (doc_id, shset, __m0..__m63). One
+    * aggregation pass — the "signature table" every LSH consumer reads.
+    */
+  private def minHashPerDoc(
+      spark: SparkSession, sfDir: String, twinnable: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     def rotl(c: Column, j: Int): Column =
       if (j == 0) c else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
@@ -240,26 +307,39 @@ object Dedup {
       else hashed
         .withColumn("__h1", xxhash64(col("sh")))
         .withColumn("__h2", xxhash64(col("sh"), lit(1)))
-    val perDoc = based
+    based
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
-      .persist()
+  }
+
+  /** Band key = the 4 raw slot values (multi-column shuffle key) — no
+    * compaction hash between the signature and the bucket, so the
+    * twinnable path needs nothing DuckDB can't recompute.
+    */
+  private val bandKey = Seq("band_idx", "k1", "k2", "k3", "k4")
+
+  /** Explode a [[minHashPerDoc]] frame into its 16 band rows. */
+  private def bandRows(perDoc: DataFrame): DataFrame = {
+    val bandCols = (0 until 16).map { bnd =>
+      struct(lit(bnd).as("idx"),
+        col(s"__m${bnd * 4}").as("k1"), col(s"__m${bnd * 4 + 1}").as("k2"),
+        col(s"__m${bnd * 4 + 2}").as("k3"), col(s"__m${bnd * 4 + 3}").as("k4"))
+    }
+    perDoc
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.idx").as("band_idx"),
+        col("band.k1").as("k1"), col("band.k2").as("k2"),
+        col("band.k3").as("k3"), col("band.k4").as("k4"))
+  }
+
+  private def minHashPairsUnsorted(
+      spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      twinnable: Boolean = false, materialize: Boolean = true): DataFrame = {
+    val perDoc = minHashPerDoc(spark, sfDir, twinnable).persist()
     try {
       val sets = perDoc.select(col("doc_id"), col("shset"))
-      // band key = the 4 raw slot values (multi-column shuffle key) — no
-      // compaction hash between the signature and the bucket, so the
-      // twinnable path needs nothing DuckDB can't recompute
-      val bandCols = (0 until 16).map { bnd =>
-        struct(lit(bnd).as("idx"),
-          col(s"__m${bnd * 4}").as("k1"), col(s"__m${bnd * 4 + 1}").as("k2"),
-          col(s"__m${bnd * 4 + 2}").as("k3"), col(s"__m${bnd * 4 + 3}").as("k4"))
-      }
-      val bandKey = Seq("band_idx", "k1", "k2", "k3", "k4")
-      val banded = perDoc
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.idx").as("band_idx"),
-          col("band.k1").as("k1"), col("band.k2").as("k2"),
-          col("band.k3").as("k3"), col("band.k4").as("k4"))
+      val banded = bandRows(perDoc)
       val bucketSizes = banded.groupBy(bandKey.map(col): _*)
         .agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") > 1 && col("bsz") <= maxBucket)

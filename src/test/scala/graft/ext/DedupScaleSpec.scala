@@ -61,6 +61,21 @@ class DedupScaleSpec extends SparkSpec {
       "the distributed variant must also leave the CacheManager empty")
   }
 
+  test("incrementalMinHash reports the best corpus match per delta doc") {
+    writeFixture()
+    // delta = odd ids {1, 3}; corpus index = {2, 10, 20}
+    val rows = Dedup.incrementalMinHash(spark, dir, deltaMod = 2, deltaRem = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(rows.keySet === Set(1L, 3L))
+    // doc 1 has an exact twin (2) in the corpus: jaccard 1
+    assert(rows(1L)._1 === 2L && rows(1L)._2 === 1.0 && rows(1L)._3)
+    // doc 3 is one word off the family: near-dup of 2, jaccard < 1
+    assert(rows(3L)._1 === 2L && rows(3L)._2 < 1.0 && rows(3L)._3)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("trainingSet maxIter knob threads through to the distributed CC loop") {
     writeFixture()
     // maxIter=2 on the distributed path: the planted families are cliques,
