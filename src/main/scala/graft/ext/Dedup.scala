@@ -283,6 +283,16 @@ object Dedup {
   /** Per-doc signature + shingle-set frame shared by the pair producers
     * and the incremental delta check: (doc_id, shset, __m0..__m63). One
     * aggregation pass — the "signature table" every LSH consumer reads.
+    *
+    * Deliberately a SINGLE combined aggregate: collect_set does force the
+    * whole 65-buffer aggregate onto ObjectHashAggregateExec (the 64
+    * min-slot updates evaluate interpreted), but the measured alternative
+    * — persisting the shingle rows and running slot/set aggregations
+    * separately with a doc_id join — was NET SLOWER at sf0.1 (r5 bench:
+    * dedup_minhash 2.25→2.58 s, dedup_clusters 3.69→4.44 s): the extra
+    * materialization job, second aggregate, and join overhead exceed the
+    * interpreted-update cost. Revisit only if a corpus has ≫55 shingle
+    * rows per doc, where the per-row interpreted cost dominates.
     */
   private def minHashPerDoc(
       spark: SparkSession, sfDir: String, twinnable: Boolean): DataFrame = {

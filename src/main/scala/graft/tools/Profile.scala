@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Dev tool: stage-level timing probes for the heavy oracle-checkable
+  * queries — where does the signature pass actually spend its time?
+  * Usage: sbt "runMain graft.tools.Profile <sfDir>"
+  *
+  * Findings at sf0.1 (r5): tokenize+window+sha ≈ 0.5 s warm; the combined
+  * 64-slot + collect_set aggregate adds ≈ 0.8 s (ObjectHashAggregate,
+  * interpreted slot updates). The split-aggregation variant probed below
+  * looked cheaper stage-by-stage but benched NET SLOWER end-to-end (extra
+  * job + join overhead) — see Dedup.minHashPerDoc's scaladoc; kept here so
+  * the next tuning round starts from data, not guesses.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROFILE $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+    }
+    val toks = """filter(split(lower(text), '\\s+'), t -> t <> '')"""
+    def tokenRows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "tok")))
+    // stage 1: tokenize + explode only
+    timed("tokenize")(tokenRows.count())
+    // stage 2: + window leads (the doc_id shuffle) + concat
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    def shingles = tokenRows.withColumn("shingle",
+      concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
+    timed("tokenize+window")(shingles.count())
+    // stage 3: + sha2/conv hash
+    def hashed = shingles.select(col("doc_id"),
+      conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long").as("sh"))
+    timed("tokenize+window+sha")(hashed.count())
+    // stage 4: + the 64 Carter-Wegman min-aggregates + shingle set
+    val slots = (0 until 64).map { j =>
+      min(pmod(lit(graft.ext.Dedup.permA(j)) * col("__h") + lit(graft.ext.Dedup.permB(j)),
+        lit(graft.ext.Dedup.MinHashP))).as(s"__m$j")
+    }
+    timed("perDoc-agg")(hashed
+      .withColumn("__h", shiftrightunsigned(col("sh"), 32))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"), slots: _*)
+      .count())
+    // alternative hash: xxhash64 instead of sha2 (the non-twinnable family)
+    def hashedXx = shingles.select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    timed("tokenize+window+xxhash")(hashedXx.count())
+    // hypothesis: collect_set drags the 64 min-slots onto the object-hash
+    // aggregate path; split aggregations + join may beat the combined agg
+    def based = hashed.withColumn("__h", shiftrightunsigned(col("sh"), 32))
+    timed("agg-min-slots-only")(based
+      .groupBy(col("doc_id")).agg(slots.head, slots.tail: _*).count())
+    timed("agg-collect-set-only")(based
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset")).count())
+    timed("agg-split-join")(based
+      .groupBy(col("doc_id")).agg(slots.head, slots.tail: _*)
+      .join(based.groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("sh"))).as("shset")), Seq("doc_id"))
+      .count())
+    spark.stop()
+  }
+}

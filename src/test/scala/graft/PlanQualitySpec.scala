@@ -75,7 +75,8 @@ class PlanQualitySpec extends SparkSpec {
 
   test("round-5 queries never degrade to cartesian/nested-loop") {
     for (q <- Seq("span_stats", "span_doc_summary", "bpe_pair_counts",
-      "stream_quality_windows", "ads_search_newest")) {
+      "stream_quality_windows", "ads_search_newest", "bpe_apply",
+      "dedup_incremental_near")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
