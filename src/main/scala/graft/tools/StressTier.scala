@@ -150,6 +150,21 @@ object StressTier {
     check(minSz >= reps,
       "every cluster holds at least one full 100-replica family")
     membership.unpersist()
+
+    // incremental delta-vs-index near-dup at the same tier: ids ending in
+    // 9 (10 replicas per family) probe the index (90 per family) — every
+    // delta doc must report its family keeper (rep 0 = family * reps,
+    // jaccard 1, smallest corpus id wins the tie)
+    val (inc, tInc) = timed("b.incremental_near")(
+      Dedup.incrementalMinHash(spark, dir, maxBucket = 128).persist())
+    val nDelta = inc.count()
+    val missed = inc.filter(!col("is_dup") ||
+      col("dup_of") =!= (floor(col("new_doc_id") / reps) * reps).cast("long"))
+      .count()
+    println(f"STRESS b.incremental_near seconds=$tInc%.1f delta=$nDelta missed=$missed")
+    check(nDelta == nDocs / 10, s"delta carve must be 10% ($nDelta)")
+    check(missed == 0L, s"$missed delta docs missed their family keeper")
+    inc.unpersist()
     ()
   }
 
