@@ -51,9 +51,11 @@ object Dedup {
   private[graft] def permB(j: Int): Long = sha7(s"permB$j") % MinHashP
 
   /** (doc_id, pos, tok) token rows — the split runs once per doc. */
+  private def tokenRowsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+
   private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+    tokenRowsOf(Tables.documents(spark, sfDir))
 
   /** (doc_id, shingle_hash) rows: hashes of word-3-gram shingles (tail
     * positions yield 2/1-gram shingles so short docs still have one).
@@ -63,10 +65,9 @@ object Dedup {
     * oracle recomputes from the shingle STRING — set Jaccard over either
     * hash family equals string-set Jaccard absent collisions.
     */
-  private def shingleRows(
-      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
+  private def shingleRowsOf(docs: DataFrame, twinnable: Boolean): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val withShingle = tokenRows(spark, sfDir)
+    val withShingle = tokenRowsOf(docs)
       .withColumn("shingle",
         concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
     val hash =
@@ -75,6 +76,10 @@ object Dedup {
       else xxhash64(col("shingle"))
     withShingle.select(col("doc_id"), hash.as("sh"))
   }
+
+  private def shingleRows(
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame =
+    shingleRowsOf(Tables.documents(spark, sfDir), twinnable)
 
   /** (doc_id, shingle set as sorted distinct long array). */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
@@ -229,6 +234,79 @@ object Dedup {
       .orderBy(col("new_doc_id").asc)
   }
 
+  /** Near-dup one (micro-)batch of documents against a persistent
+    * SIGNATURE index — the batch kernel of the streaming near-dup ingest
+    * ([[graft.streaming.CorpusIngest.ingestNearDedup]]), mirroring
+    * [[graft.streaming.CorpusIngest.dedupBatch]]'s contract for exact
+    * dedup. `batchSig`/`index` are [[minHashSignaturesOf]] frames
+    * (doc_id, shset, __m0..__m63).
+    *
+    * Candidates: the batch's band rows probe the UNION of index and batch
+    * bands (bucket sizes capped at `maxBucket` over the union — the
+    * boilerplate guard); an index doc matches at any id, a batch-mate
+    * only at a smaller id (each in-batch pair resolves once, toward the
+    * smaller id — the keeper convention). Exact Jaccard verifies every
+    * candidate.
+    *
+    * Replay-idempotent like the exact kernel: a batch keeper already
+    * appended to the index matches itself only at its own id (excluded),
+    * reports as a keeper again, and is anti-joined out of `newEntries` —
+    * a crash between the index append and the stream commit reproduces
+    * the same report with no duplicate index rows.
+    *
+    * Returns (report: one row per batch doc — new_doc_id, dup_of,
+    * best_jaccard, is_dup; newEntries: signature rows of the batch's
+    * keepers not yet indexed).
+    */
+  def nearDupBatch(
+      batchSig: DataFrame, index: DataFrame,
+      threshold: Double = 0.5, maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(batchSig.sparkSession)
+    val batchBands = bandRows(batchSig).withColumn("__idx", lit(false))
+    val indexBands = bandRows(index).withColumn("__idx", lit(true))
+    val all = indexBands.unionByName(batchBands)
+    val okBuckets = all.groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+    val cands = batchBands
+      .select(col("band_idx"), col("k1"), col("k2"), col("k3"), col("k4"),
+        col("doc_id").as("new_doc_id"))
+      .join(all.join(okBuckets, bandKey, "left_semi")
+        .withColumnRenamed("doc_id", "cand_id"), bandKey)
+      .filter(col("cand_id") =!= col("new_doc_id") &&
+        (col("__idx") || col("cand_id") < col("new_doc_id")))
+      .select("new_doc_id", "cand_id").distinct()
+    // verify sets come from both sides; a replayed keeper appears in both,
+    // so collapse on doc_id before attaching
+    val sets = index.select(col("doc_id"), col("shset"))
+      .unionByName(batchSig.select(col("doc_id"), col("shset")))
+      .dropDuplicates("doc_id")
+    val best = cands
+      .join(sets.select(col("doc_id").as("new_doc_id"), col("shset").as("set_a")),
+        Seq("new_doc_id"))
+      .join(sets.select(col("doc_id").as("cand_id"), col("shset").as("set_b")),
+        Seq("cand_id"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("new_doc_id"))
+          .orderBy(col("jaccard").desc, col("cand_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("new_doc_id"), col("cand_id"), col("jaccard"))
+    val report = batchSig.select(col("doc_id").as("new_doc_id"))
+      .join(best, Seq("new_doc_id"), "left")
+      .select(
+        col("new_doc_id"),
+        coalesce(col("cand_id"), lit(-1L)).as("dup_of"),
+        coalesce(round(col("jaccard"), 6), lit(0.0)).as("best_jaccard"),
+        col("cand_id").isNotNull.as("is_dup"))
+    val newEntries = batchSig
+      .join(report.filter(!col("is_dup"))
+        .select(col("new_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(index.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    (report, newEntries)
+  }
+
   /** MinHash+LSH near-dup pairs with exact Jaccard verification.
     * Deterministic; rows-only check (no xxhash64 in DuckDB) —
     * property-tested in DedupSpec instead.
@@ -295,8 +373,16 @@ object Dedup {
     * rows per doc, where the per-row interpreted cost dominates.
     */
   private def minHashPerDoc(
-      spark: SparkSession, sfDir: String, twinnable: Boolean): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+      spark: SparkSession, sfDir: String, twinnable: Boolean): DataFrame =
+    minHashSignaturesOf(Tables.documents(spark, sfDir), twinnable)
+
+  /** Public form of the signature table over an arbitrary document frame
+    * (doc_id, text, ...) — what the STREAMING near-dup ingest computes
+    * per micro-batch and persists as its index rows.
+    */
+  def minHashSignaturesOf(
+      docs: DataFrame, twinnable: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     def rotl(c: Column, j: Int): Column =
       if (j == 0) c else shiftleft(c, j).bitwiseOR(shiftrightunsigned(c, 64 - j))
     val slots: Seq[Column] =
@@ -311,7 +397,7 @@ object Dedup {
             .bitwiseXOR(rotl(col("__h2"), j))
             .bitwiseXOR(lit(j * 0x9E3779B9L))).as(s"__m$j")
         }
-    val hashed = shingleRows(spark, sfDir, twinnable)
+    val hashed = shingleRowsOf(docs, twinnable)
     val based =
       if (twinnable) hashed.withColumn("__h", shiftrightunsigned(col("sh"), 32))
       else hashed

@@ -153,4 +153,70 @@ object CorpusIngest {
         } finally { batch.unpersist(); () }
       }
       .start()
+
+  /** The [[graft.ext.Dedup.minHashSignaturesOf]] index schema: doc_id,
+    * sorted shingle-hash set, 64 minhash slots.
+    */
+  private val sigIndexSchema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      StructField("shset", ArrayType(LongType)) +:
+      (0 until 64).map(j => StructField(s"__m$j", LongType)))
+
+  /** Snapshot read of the SIGNATURE index (same file-list binding as
+    * [[readIndex]] — parquet appends only add files, so the explicit list
+    * is a consistent snapshot while this batch appends).
+    */
+  private def readSigIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.exists(path))
+        fs.listStatus(path).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .map(_.toString)
+      else Array.empty[String]
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sigIndexSchema)
+    else spark.read.schema(sigIndexSchema).parquet(parts.toIndexedSeq: _*)
+  }
+
+  /** Streaming incremental NEAR-dup ingest — the minhash face of
+    * [[ingestDedup]], and the streaming face of
+    * [[graft.ext.Dedup.incrementalMinHash]]: per micro-batch, compute the
+    * batch's minhash signature table ONCE, probe the persistent signature
+    * index on band keys (plus smaller-id batch-mates), verify exact
+    * Jaccard on candidates, append the per-doc report, then append the
+    * batch's keeper signatures to the index so later batches see them.
+    * The corpus is never re-paired: per batch, work scales with the
+    * delta's bucket collisions — the 100 TB ingest shape, fed
+    * incrementally. Replay idempotence mirrors [[dedupBatch]]
+    * (see [[graft.ext.Dedup.nearDupBatch]]).
+    */
+  def ingestNearDedup(
+      docs: DataFrame,
+      indexPath: String,
+      reportPath: String,
+      checkpoint: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // persist the SIGNATURES, not the raw batch: both outputs (report
+        // + index append) read them, and the tokenize+window+64-agg pass
+        // is the expensive part worth running once
+        val sig = graft.ext.Dedup.minHashSignaturesOf(batch).persist()
+        try {
+          val index = readSigIndex(batch.sparkSession, indexPath)
+          val (report, newEntries) =
+            graft.ext.Dedup.nearDupBatch(sig, index, threshold, maxBucket)
+          report.write.mode("append").parquet(reportPath)
+          newEntries.write.mode("append").parquet(indexPath)
+        } finally { sig.unpersist(); () }
+      }
+      .start()
 }

@@ -78,6 +78,77 @@ class CorpusIngestSpec extends SparkSpec {
     assert(replayEntries.count() === 0L, "replay adds no duplicate index rows")
   }
 
+  private val baseText = "the quick brown fox jumps over the lazy dog " +
+    "and runs far away home tonight under bright winter stars"
+
+  test("nearDupBatch resolves index near-dups, batch-mates, and keepers") {
+    import spark.implicits._
+    val indexSig = graft.ext.Dedup.minHashSignaturesOf(
+      Seq((1L, baseText, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val batch = Seq(
+      (10L, baseText, "en", "s"),                          // exact dup of indexed 1
+      (11L, baseText.replace("lazy", "sleepy"), "en", "s"), // near-dup of indexed 1
+      (12L, "completely different words about columnar engines and shuffles everywhere", "en", "s"),
+      (13L, "completely different words about columnar engines and shuffles everywhere", "en", "s")) // batch-mate dup of 12
+      .toDF("doc_id", "text", "lang", "source")
+    val (report, newEntries) = graft.ext.Dedup.nearDupBatch(
+      graft.ext.Dedup.minHashSignaturesOf(batch), indexSig)
+    val got = report.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(10L) === ((1L, true)))
+    assert(got(11L) === ((1L, true)))
+    assert(got(12L) === ((-1L, false)))
+    assert(got(13L) === ((12L, true)))
+    // only the new keeper's signature joins the index
+    assert(newEntries.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(12L))
+  }
+
+  test("nearDupBatch replay (keeper already indexed) reproduces the report") {
+    import spark.implicits._
+    val batch = Seq(
+      (11L, baseText, "en", "s"),
+      (12L, baseText, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sig = graft.ext.Dedup.minHashSignaturesOf(batch)
+    val emptyIndex = sig.filter(lit(false))
+    val (first, entries) = graft.ext.Dedup.nearDupBatch(sig, emptyIndex)
+    // crash window: entries reached the index, the commit did not
+    val (replay, replayEntries) = graft.ext.Dedup.nearDupBatch(sig, entries)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSet
+    assert(norm(replay) === norm(first), "replayed report must be identical")
+    assert(norm(first) === Set((11L, -1L, false), (12L, 11L, true)))
+    assert(replayEntries.count() === 0L, "replay adds no duplicate index rows")
+  }
+
+  test("ingestNearDedup: later batches match keepers appended by earlier ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ingest_near").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        lit("en").as("lang"), lit("s").as("source"))
+    val q = CorpusIngest.ingestNearDedup(
+      docs, s"$dir/index", s"$dir/report", s"$dir/ckpt")
+    try {
+      input.addData((1L, baseText), (2L, "unrelated corpus text about engines and formats and very different things"))
+      q.processAllAvailable()
+      input.addData((3L, baseText.replace("lazy", "sleepy")), (4L, baseText))
+      q.processAllAvailable()
+    } finally q.stop()
+    val report = spark.read.parquet(s"$dir/report").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(report === Map(
+      1L -> ((-1L, false)), 2L -> ((-1L, false)),
+      3L -> ((1L, true)),   // near-dup of the batch-1 keeper via the index
+      4L -> ((1L, true))))  // exact dup via the index
+    val index = spark.read.parquet(s"$dir/index").collect()
+      .map(_.getLong(0)).toSet
+    assert(index === Set(1L, 2L)) // keepers only, batch-2 added none
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
