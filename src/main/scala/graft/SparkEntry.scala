@@ -92,6 +92,9 @@ object SparkEntry {
     "doc_repetition"     -> ((s, d) => TextStats.repetitionSignals(s, d)),
     "curation_funnel"    -> ((s, d) => TextStats.curationFunnel(s, d)),
     "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
+    // which benchmark doc a contaminated train doc leaked from (top-1
+    // attribution by shared 5-gram count)
+    "contamination_attribution" -> ((s, d) => Contamination.attribution(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.incrementalExact(s, d)),
     // delta-vs-signature-index NEAR-dup (the 100 TB ingest shape: the
     // corpus is never re-paired; the delta probes the banded index)
@@ -106,6 +109,19 @@ object SparkEntry {
     "stratified_sample"  -> ((s, d) => Corpus.stratifiedSample(s, d,
       Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
     "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
+    // language-balanced multi-epoch upsampling (the data-mix dual of
+    // stratified down-sampling)
+    "corpus_upsample"    -> ((s, d) => Corpus.upsampleBalanced(s, d)),
+    // tokenizer-vocab coverage / OOV per source (topK=16 of the fixture's
+    // 31-word vocabulary so the OOV tail is non-empty)
+    "vocab_coverage"     -> ((s, d) => TextStats.vocabCoverage(s, d)),
+    // per-source distinct-trigram novelty (data-mix diversity signal)
+    "source_novelty"     -> ((s, d) => TextStats.sourceNovelty(s, d)),
+    // hourly volume z-score anomalies per event type (exact integer
+    // moments — bit-equal across engines)
+    "event_anomalies"    -> ((s, d) => EventAnalytics.eventAnomalies(s, d)),
+    // per-label embedding L2-norm profile (decimal-summed mean)
+    "embedding_norms"    -> ((s, d) => Similarity.normStats(s, d)),
     "sample_budget"      -> ((s, d) => Corpus.sampleBudget(s, d)),
     "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
     // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
@@ -1299,6 +1315,122 @@ object SparkEntry {
         |WHERE g.doc_id % 13 <> 0
         |GROUP BY g.doc_id
         |ORDER BY g.doc_id ASC""".stripMargin,
+    "contamination_attribution" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         array_to_string(toks[i + 1 : i + 5], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 5)) AS u(i)
+        |), e AS (
+        |  SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % 13 = 0
+        |), p AS (
+        |  SELECT g.doc_id, e.eval_doc_id, count(*) AS n_shared_grams
+        |  FROM g JOIN e USING (gram)
+        |  WHERE g.doc_id % 13 <> 0
+        |  GROUP BY g.doc_id, e.eval_doc_id
+        |), r AS (
+        |  SELECT doc_id, eval_doc_id, n_shared_grams,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY n_shared_grams DESC, eval_doc_id ASC) AS rk
+        |  FROM p
+        |)
+        |SELECT doc_id, eval_doc_id, n_shared_grams
+        |FROM r WHERE rk = 1
+        |ORDER BY doc_id ASC""".stripMargin,
+    "corpus_upsample" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        |), r AS (
+        |  SELECT lang,
+        |         least(4, greatest(1, CAST(floor(
+        |           (SELECT max(n_docs) FROM c)::DOUBLE / n_docs::DOUBLE)
+        |           AS BIGINT))) AS n_epochs
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.lang, r.n_epochs, u.epoch_copy
+        |FROM documents d JOIN r USING (lang),
+        |     UNNEST(generate_series(1, r.n_epochs)) AS u(epoch_copy)
+        |ORDER BY d.doc_id ASC, u.epoch_copy ASC""".stripMargin,
+    "vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS tok
+        |  FROM documents
+        |), v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS wf FROM w GROUP BY tok
+        |    ORDER BY wf DESC, tok ASC LIMIT 16)
+        |)
+        |SELECT source, count(*) AS n_tokens,
+        |       count(v.tok) AS n_covered,
+        |       1.0 - count(v.tok)::DOUBLE / count(*)::DOUBLE
+        |         AS oov_rate,
+        |       count(DISTINCT CASE WHEN v.tok IS NULL THEN w.tok END)
+        |         AS n_oov_types
+        |FROM w LEFT JOIN v ON w.tok = v.tok
+        |GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
+    "source_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source,
+        |         array_to_string(toks[i + 1 : i + 3], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+        |), s AS (
+        |  SELECT gram, count(DISTINCT source) AS n_sources FROM g GROUP BY gram
+        |)
+        |SELECT g.source, count(*) AS n_grams,
+        |       count(*) FILTER (WHERE s.n_sources = 1) AS n_unique_grams,
+        |       (count(*) FILTER (WHERE s.n_sources = 1))::DOUBLE
+        |         / count(*)::DOUBLE AS novelty_rate
+        |FROM g JOIN s USING (gram)
+        |GROUP BY g.source
+        |ORDER BY g.source ASC""".stripMargin,
+    "event_anomalies" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |         sum(n_events) AS sum_n, sum(n_events * n_events) AS sum_sq
+        |  FROM h GROUP BY event_type HAVING count(*) > 1
+        |)
+        |SELECT h.event_type, h.hour, h.n_events,
+        |       round((h.n_events::DOUBLE - sum_n::DOUBLE / n_hours::DOUBLE) /
+        |             sqrt((sum_sq::DOUBLE -
+        |                   sum_n::DOUBLE * sum_n::DOUBLE / n_hours::DOUBLE) /
+        |                  (n_hours::DOUBLE - 1.0)), 6) AS z_score
+        |FROM h JOIN s USING (event_type)
+        |WHERE (sum_sq::DOUBLE - sum_n::DOUBLE * sum_n::DOUBLE / n_hours::DOUBLE)
+        |        / (n_hours::DOUBLE - 1.0) > 0.0
+        |  AND abs((h.n_events::DOUBLE - sum_n::DOUBLE / n_hours::DOUBLE) /
+        |          sqrt((sum_sq::DOUBLE -
+        |                sum_n::DOUBLE * sum_n::DOUBLE / n_hours::DOUBLE) /
+        |               (n_hours::DOUBLE - 1.0))) > 2.0
+        |ORDER BY event_type ASC, hour ASC""".stripMargin,
+    "embedding_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |         round(sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                       embedding::DOUBLE[])), 6) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vecs,
+        |       round(sum(nrm::DECIMAL(18,6))::DOUBLE / count(*)::DOUBLE, 6)
+        |         AS avg_norm,
+        |       min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM n GROUP BY label
+        |ORDER BY label ASC""".stripMargin,
     "pii_scan" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,

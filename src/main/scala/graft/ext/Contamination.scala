@@ -67,4 +67,35 @@ object Contamination {
       .withColumn("contaminated", col("n_contaminated") > 0)
       .orderBy(col("doc_id").asc)
   }
+
+  /** Contamination ATTRIBUTION: for each contaminated training doc, the
+    * single eval doc it shares the most `n`-grams with (ties → lowest
+    * eval id) — the "which benchmark did this leak from" report that
+    * turns [[benchmarkOverlap]]'s flag into an actionable answer.
+    *
+    * Scale shape: same gram assembly, then train-grams ⋈ eval-grams (the
+    * eval side is the benchmark suite — MBs at 100 TB, so a broadcast
+    * map-side join), one hash-agg on (train, eval) pairs — output bounded
+    * by contaminated-doc × matched-eval-doc pairs, NOT grams — and a
+    * top-1-per-group window on that already-reduced frame.
+    */
+  def attribution(
+      spark: SparkSession, sfDir: String,
+      n: Int = 5, evalMod: Int = 13): DataFrame = {
+    val grams = gramRows(spark, sfDir, n)
+    val evalGrams = grams
+      .filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc_id"), col("gram"))
+    grams
+      .filter(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col("doc_id"), col("eval_doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_shared_grams").desc, col("eval_doc_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("eval_doc_id"), col("n_shared_grams"))
+      .orderBy(col("doc_id").asc)
+  }
 }

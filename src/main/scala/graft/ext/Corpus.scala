@@ -241,4 +241,37 @@ object Corpus {
       .select("doc_id", "lang", "source", "bucket")
       .orderBy(col("doc_id").asc)
   }
+
+  /** Language-balanced epoch upsampling: each document is repeated
+    * `n_epochs = clamp(1, cap, floor(max_lang_docs / lang_docs))` times so
+    * under-represented languages see more training epochs — the standard
+    * domain/language re-weighting step of an LLM data mix (the multi-epoch
+    * dual of [[stratifiedSample]]'s down-sampling).
+    *
+    * Scale shape: the per-language census is a tiny aggregate (|langs|
+    * rows) attached back by broadcast join, and the repetition is a
+    * generator (`explode(sequence(...))`) — a narrow stage, no shuffle of
+    * the corpus itself. Deterministic: the repeat count depends only on
+    * corpus statistics, never row order. At 100 TB the same plan holds —
+    * the census result is bytes, and output size is bounded by
+    * `cap × corpus`.
+    */
+  def upsampleBalanced(spark: SparkSession, sfDir: String, cap: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val withMax = census.crossJoin(
+      broadcast(census.agg(max(col("n_docs")).as("max_docs"))))
+    // floor over an exact small-integer double division — bit-identical in
+    // the DuckDB twin, which writes the same expression
+    val epochs = withMax.select(
+      col("lang"),
+      least(lit(cap.toLong), greatest(lit(1L),
+        floor(col("max_docs").cast("double") / col("n_docs").cast("double"))))
+        .as("n_epochs"))
+    docs
+      .join(broadcast(epochs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch_copy"))
+      .orderBy(col("doc_id").asc, col("epoch_copy").asc)
+  }
 }

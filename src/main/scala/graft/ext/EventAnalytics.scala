@@ -209,4 +209,44 @@ object EventAnalytics {
       .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"),
         col("p_retailprice"))
       .orderBy(col("p_brand").asc, col("price_rank").asc)
+
+  /** Hourly volume anomalies per event type: hours whose event count sits
+    * more than `zThreshold` sample standard deviations from that type's
+    * hourly mean — the monitoring query behind ingestion alerting (traffic
+    * spike, pipeline stall).
+    *
+    * Cross-engine exactness: mean and variance come from EXACT integer
+    * moments (`Σn`, `Σn²` as longs) and the z-score is the identical
+    * double expression in the DuckDB twin, so values are bit-equal —
+    * no reliance on the engines' stddev implementations agreeing.
+    *
+    * Scale shape: two chained hash-aggs (hour×type, then type — the second
+    * input is |hours|×|types| rows, trivially small) and a broadcast join
+    * back; one shuffle of the raw events total, fully map-side-combined.
+    */
+  def eventAnomalies(spark: SparkSession, sfDir: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("sum_n"),
+        sum(col("n_events") * col("n_events")).as("sum_sq"))
+      .filter(col("n_hours") > 1)
+    val nH = col("n_hours").cast("double")
+    val mean = col("sum_n").cast("double") / nH
+    val variance = (col("sum_sq").cast("double") -
+      col("sum_n").cast("double") * col("sum_n").cast("double") / nH) /
+      (nH - lit(1.0))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .filter(variance > 0.0)
+      .withColumn("z_score",
+        (col("n_events").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("z_score")) > zThreshold)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round(col("z_score"), 6).as("z_score"))
+      .orderBy(col("event_type").asc, col("hour").asc)
+  }
 }

@@ -404,4 +404,35 @@ object Similarity {
         count(lit(1)).as("n_vectors"),
         round(avg(col("sim")), 6).as("avg_cohesion"))
       .orderBy(col("cell_id").asc)
+
+  /** Per-label embedding-norm profile: count, mean/min/max L2 norm — the
+    * sanity report run before any cosine-based pipeline stage (un-normalized
+    * or zero vectors silently corrupt LSH signs and cosine thresholds).
+    *
+    * Cross-engine exactness: each norm is the same sequential `graft_dot`
+    * fold the twins already match bit-for-bit; the MEAN is taken over
+    * norms rounded to 6dp and summed as DECIMAL(18,6) — exact, order-
+    * independent — then divided in double with the identical expression on
+    * both sides. (A plain `avg(double)` would depend on partial-aggregation
+    * order and can differ across engines in the last ulp.)
+    *
+    * Scale shape: one narrow projection + one hash-agg on label; output is
+    * |labels| rows at any corpus size.
+    */
+  def normStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    emb
+      .select(col("label"), round(col("__norm"), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("nrm").cast("decimal(18,6)")).as("__sum"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__sum").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("avg_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy(col("label").asc)
+  }
 }

@@ -400,4 +400,81 @@ object TextStats {
           .as("mean_rank"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** Tokenizer-vocabulary coverage per source: with a vocab of the `topK`
+    * most frequent corpus words (ties broken by word, the trainer's
+    * count-desc/token-asc order), how many token occurrences each source
+    * covers and how many OOV word TYPES it contributes. The go/no-go
+    * report before freezing a tokenizer on a new data mix — a source with
+    * high OOV rate will fragment into bytes at training time.
+    *
+    * Scale shape: one tokenize pass feeds both the frequency census and
+    * the coverage join; the vocab is `topK` rows (TakeOrdered — no global
+    * sort) and broadcasts, so coverage is a map-side pass over the token
+    * stream followed by one hash-agg on source. The OOV-type count is the
+    * only expand; at 100 TB swap it for approx_count_distinct.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String, topK: Int = 16): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+      .orderBy(col("wf").desc, col("w").asc).limit(topK)
+      .select(col("w"), lit(1).as("__in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_if(col("__in_vocab").isNotNull).as("n_covered"),
+        countDistinct(when(col("__in_vocab").isNull, col("w")))
+          .as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        // exact-integer division — the twin writes the same expression
+        (lit(1.0) - col("n_covered").cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"),
+        col("n_oov_types"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Per-source n-gram novelty: the fraction of a source's distinct word
+    * `n`-grams that occur in NO other source — the diversity signal data-
+    * mixing uses to decide whether a source adds new content or restates
+    * the corpus (high novelty → keep even if small; near-zero → a candidate
+    * to down-weight before training).
+    *
+    * Scale shape: gram assembly is the one doc_id-partitioned window pass
+    * (shared shape with [[graft.ext.Contamination]]); then two hash-aggs —
+    * per (gram → n_sources) and per source — joined on the gram. All keys
+    * are gram/source-rooted, fully parallel; at 100 TB join on
+    * `xxhash64(gram)` to keep shuffle rows fixed-width (string grams kept
+    * here for oracle parity).
+    */
+  def sourceNovelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+      // gram must be assembled BEFORE the boundary filter — a lead over
+      // the filtered frame would skip the dropped tail rows and corrupt
+      // the final grams of every document
+      .withColumn("__last", lead(col("tok"), n - 1).over(w))
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .filter(col("__last").isNotNull)
+      .select(col("source"), col("gram"))
+      .distinct()
+    val gramSpread = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    grams.join(gramSpread, Seq("gram"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count_if(col("n_sources") === 1).as("n_unique_grams"))
+      .select(col("source"), col("n_grams"), col("n_unique_grams"),
+        (col("n_unique_grams").cast("double") / col("n_grams").cast("double"))
+          .as("novelty_rate"))
+      .orderBy(col("source").asc)
+  }
 }

@@ -48,6 +48,48 @@ class ContaminationSpec extends SparkSpec {
     assert(r.getAs[Boolean]("contaminated"))
   }
 
+  test("attribution picks the eval doc sharing the most 5-grams, ties to lowest id") {
+    writeDocs(Seq(
+      // eval docs (id % 13 == 0)
+      0L  -> "alpha beta gamma delta epsilon zeta eta",
+      13L -> "alpha beta gamma delta epsilon theta iota",
+      // doc 1 shares 2 grams with eval 0 ("alpha..epsilon", "beta..zeta")
+      // and 1 with eval 13 ("alpha..epsilon") → attributed to 0
+      1L -> "alpha beta gamma delta epsilon zeta",
+      // doc 2 shares exactly 1 gram with each eval doc → tie → lowest id 0
+      2L -> "alpha beta gamma delta epsilon",
+      // doc 3 shares nothing → absent
+      3L -> "one two three four five six seven"))
+    val out = Contamination.attribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("eval_doc_id"), r.getAs[Long]("n_shared_grams")))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((0L, 2L)))
+    assert(out(2L) === ((0L, 1L)))
+  }
+
+  test("attribution agrees with a brute-force argmax on the fixture corpus") {
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toSet
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val evalDocs = docs.filter(_._1 % 13 == 0)
+    val expected = docs.filter(_._1 % 13 != 0).flatMap { case (id, gs) =>
+      val shared = evalDocs.toSeq
+        .map { case (eid, egs) => (eid, (gs & egs).size) }
+        .filter(_._2 > 0)
+      if (shared.isEmpty) None
+      else Some(id -> shared.minBy { case (eid, n) => (-n, eid) })
+    }
+    val out = Contamination.attribution(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("eval_doc_id"), r.getAs[Long]("n_shared_grams")))).toMap
+    assert(out === expected.map { case (id, (eid, n)) => id -> ((eid, n.toLong)) })
+  }
+
   test("repetitionSignals measures within-doc duplication exactly") {
     writeDocs(Seq(
       // "x x x x": 4 unigrams all "x" → top frac 1.0;

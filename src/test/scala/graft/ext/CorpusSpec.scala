@@ -165,4 +165,26 @@ class CorpusSpec extends SparkSpec {
     assert(out("mid") < midTotal, "weight 0.5 must drop some docs")
     assert(out("mid") > 0 && out("tail") > 0)
   }
+
+  test("upsampleBalanced repeats minority langs floor(max/n) times, capped") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val maxN = counts.values.max
+    val out = Corpus.upsampleBalanced(spark, sf, cap = 4).collect()
+    val copiesPerDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // every doc present, each with exactly n_epochs copies numbered 1..n
+    assert(copiesPerDoc.size === docs.count())
+    for ((_, rows) <- copiesPerDoc) {
+      val lang = rows.head.getAs[String]("lang")
+      val expect = math.min(4L, math.max(1L, maxN / counts(lang)))
+      assert(rows.map(_.getAs[Long]("epoch_copy")).sorted.toSeq
+        === (1L to expect))
+      assert(rows.forall(_.getAs[Long]("n_epochs") == expect))
+    }
+    // the majority language is never upsampled; at least one minority is
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n_epochs")).max }
+    assert(byLang(counts.maxBy(_._2)._1) === 1L)
+    assert(byLang.values.max > 1L, "fixture langs are skewed — expect upsampling")
+  }
 }

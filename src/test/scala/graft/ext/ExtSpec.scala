@@ -338,6 +338,20 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= lsh.length / 5,
       s"LSH/brute agreement too low: $hits of ${lsh.length}")
   }
+
+  test("normStats: per-label counts partition the corpus; mean within [min,max]") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.normStats(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    assert(out.map(_.getAs[Int]("label")).toSeq ===
+      out.map(_.getAs[Int]("label")).toSeq.sorted)
+    out.foreach { r =>
+      val (lo, avg, hi) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("avg_norm"), r.getAs[Double]("max_norm"))
+      assert(lo > 0.0, "zero-norm vector would corrupt cosine stages")
+      assert(lo <= avg && avg <= hi)
+    }
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
@@ -482,6 +496,47 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L) === ((4L, 1L + 2L + 1L + 3L, 7.0 / 4)))
     assert(out(2L) === ((5L, 1L + 1L + 2L + 3L + 4L, 11.0 / 5)))
     assert(out(3L) === ((0L, 0L, 0.0)), "empty doc surfaces with zeros")
+  }
+
+  test("vocabCoverage: full-vocab topK covers everything; tiny topK leaves OOV") {
+    val full = TextStats.vocabCoverage(spark, sf, topK = 1000).collect()
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_covered") === r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("oov_rate") === 0.0)
+      assert(r.getAs[Long]("n_oov_types") === 0L)
+    }
+    val tiny = TextStats.vocabCoverage(spark, sf, topK = 4).collect()
+    assert(tiny.exists(_.getAs[Long]("n_oov_types") > 0L))
+    tiny.foreach { r =>
+      val (tok, cov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_covered"))
+      assert(cov <= tok)
+      assert(r.getAs[Double]("oov_rate") === 1.0 - cov.toDouble / tok.toDouble)
+    }
+  }
+
+  test("sourceNovelty matches a brute-force per-source trigram set reference") {
+    def trigrams(text: String): Seq[String] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" "))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("source", "text").collect()
+    val bySource = docs.groupBy(_.getString(0)).map { case (src, rows) =>
+      src -> rows.flatMap(r => trigrams(r.getString(1))).toSet
+    }
+    val counts = bySource.values.flatten.groupBy(identity)
+      .view.mapValues(_.size).toMap // gram -> n_sources (sets, so distinct)
+    val expected = bySource.map { case (src, gs) =>
+      val unique = gs.count(counts(_) == 1)
+      src -> ((gs.size.toLong, unique.toLong))
+    }
+    val out = TextStats.sourceNovelty(spark, sf).collect().map { r =>
+      assert(r.getAs[Double]("novelty_rate") ===
+        r.getAs[Long]("n_unique_grams").toDouble / r.getAs[Long]("n_grams"))
+      r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique_grams")))
+    }.toMap
+    assert(out === expected)
   }
 }
 

@@ -119,4 +119,32 @@ class SearchSpec extends SparkSpec {
     val cells = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
     assert(cells.map(_.getAs[Long]("n_events")).sum === total)
   }
+
+  test("eventAnomalies flags exactly the hours beyond z from exact moments") {
+    import java.sql.Timestamp
+    val hourly = graft.io.Tables.events(spark, sf)
+      .selectExpr("date_trunc('hour', ts) AS hour", "event_type")
+      .groupBy("hour", "event_type").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("hour"),
+        r.getAs[Long]("count")))
+    val expected = hourly.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val ns = rows.map(_._3.toDouble)
+      val n = ns.length.toDouble
+      if (n <= 1) Seq.empty[(String, Timestamp, Long)]
+      else {
+        val mean = ns.sum / n
+        val variance = (ns.map(x => x * x).sum - ns.sum * ns.sum / n) / (n - 1)
+        if (variance <= 0) Seq.empty[(String, Timestamp, Long)]
+        else rows.toSeq.collect {
+          case (_, hour, cnt) if math.abs((cnt - mean) / math.sqrt(variance)) > 2.0 =>
+            (tpe, hour, cnt)
+        }
+      }
+    }.toSet
+    val got = EventAnalytics.eventAnomalies(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("hour"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty || expected.isEmpty)
+  }
 }
