@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -259,8 +260,11 @@ object Corpus {
   def upsampleBalanced(spark: SparkSession, sfDir: String, cap: Int = 4): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val withMax = census.crossJoin(
-      broadcast(census.agg(max(col("n_docs")).as("max_docs"))))
+    // global max over the |langs|-row census via an unpartitioned window —
+    // the frame is already tiny, and this keeps the plan free of the
+    // cross-join scalar attach
+    val withMax = census.withColumn("max_docs",
+      max(col("n_docs")).over(Window.partitionBy()))
     // floor over an exact small-integer double division — bit-identical in
     // the DuckDB twin, which writes the same expression
     val epochs = withMax.select(

@@ -99,6 +99,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("round-5b queries never degrade to cartesian/nested-loop") {
+    for (q <- Seq("corpus_upsample", "vocab_coverage", "source_novelty",
+      "event_anomalies", "embedding_norms", "contamination_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("corpus_upsample attaches the census by broadcast; corpus is never shuffled for the join") {
+    val p = plan("corpus_upsample")
+    // the |langs|-row epoch table must broadcast against the documents
+    // scan; a SortMergeJoin here would shuffle the whole corpus at scale
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    // repetition is a generator stage, not a join against a numbers table
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("vocab_coverage coverage join broadcasts the topK vocab") {
+    val p = plan("vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the vocab is TakeOrdered (per-partition top-k), never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("training_set's stage filters are broadcast semi-joins, one window") {
     val p = plan("training_set")
     // survivor sets broadcast against the documents scan; the only
