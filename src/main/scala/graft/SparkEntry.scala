@@ -120,6 +120,14 @@ object SparkEntry {
     // hourly volume z-score anomalies per event type (exact integer
     // moments — bit-equal across engines)
     "event_anomalies"    -> ((s, d) => EventAnalytics.eventAnomalies(s, d)),
+    // zero-filled hourly series (a missing hour IS the signal)
+    "hourly_gapfill"     -> ((s, d) => EventAnalytics.gapFill(s, d)),
+    // trailing 24-row rolling volume per type (exact integer sums)
+    "rolling_events"     -> ((s, d) => EventAnalytics.rollingCounts(s, d)),
+    // ordered view→click→purchase conversion funnel
+    "event_funnel"       -> ((s, d) => EventAnalytics.funnel(s, d)),
+    // typo-tolerant term search (vocab-level edit distance + broadcast)
+    "fuzzy_search"       -> ((s, d) => Search.fuzzySearch(s, d)),
     // per-label embedding L2-norm profile (decimal-summed mean)
     "embedding_norms"    -> ((s, d) => Similarity.normStats(s, d)),
     "sample_budget"      -> ((s, d) => Corpus.sampleBudget(s, d)),
@@ -1418,6 +1426,77 @@ object SparkEntry {
         |                sum_n::DOUBLE * sum_n::DOUBLE / n_hours::DOUBLE) /
         |               (n_hours::DOUBLE - 1.0))) > 2.0
         |ORDER BY event_type ASC, hour ASC""".stripMargin,
+    "hourly_gapfill" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |), g AS (
+        |  SELECT t.event_type, u.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, s,
+        |       UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS u(hour)
+        |)
+        |SELECT g.event_type, g.hour, coalesce(h.n_events, 0) AS n_events
+        |FROM g LEFT JOIN h USING (event_type, hour)
+        |ORDER BY event_type ASC, hour ASC""".stripMargin,
+    "rolling_events" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, hour, n_events,
+        |       (sum(n_events) OVER w)::BIGINT AS rolling_sum,
+        |       round((sum(n_events) OVER w)::DOUBLE /
+        |             (count(*) OVER w)::DOUBLE, 6) AS rolling_avg
+        |FROM h
+        |WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+        |             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type ASC, hour ASC""".stripMargin,
+    "event_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |  GROUP BY e.user_id
+        |)
+        |SELECT count(*) AS n_users,
+        |       count(v.view_ts) AS n_viewed,
+        |       count(c.click_ts) AS n_clicked_after_view,
+        |       count(p.purchase_ts) AS n_purchased_after_click
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+    "fuzzy_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS tok
+        |  FROM documents
+        |), m AS (
+        |  SELECT tok, levenshtein(tok, 'spak') AS edit_dist
+        |  FROM (SELECT DISTINCT tok FROM toks)
+        |  WHERE levenshtein(tok, 'spak') <= 1
+        |)
+        |SELECT t.doc_id, count(*) AS n_hits, min(m.edit_dist) AS best_dist,
+        |       count(DISTINCT t.tok) AS n_matched_terms
+        |FROM toks t JOIN m USING (tok)
+        |GROUP BY t.doc_id
+        |ORDER BY n_hits DESC, doc_id ASC
+        |LIMIT 20""".stripMargin,
     "embedding_norms" ->
       """WITH n AS (
         |  SELECT label,

@@ -249,4 +249,101 @@ object EventAnalytics {
         round(col("z_score"), 6).as("z_score"))
       .orderBy(col("event_type").asc, col("hour").asc)
   }
+
+  /** Zero-filled hourly series per event type: every hour of the corpus
+    * time span appears for every type, absent hours as 0 — the resample
+    * step dashboards and anomaly detectors need (a missing hour IS the
+    * anomaly; an aggregation that simply omits it hides the outage).
+    *
+    * Scale shape: the grid is |types| × |hours| rows built from a one-row
+    * span attach and a generator — never a scan of the raw events; the
+    * fill join runs grid-vs-hourly-counts, both already reduced. At 100 TB
+    * the events reduce to the same tiny hourly frame before anything
+    * cross-shaped happens.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      // one-row scalar attach (the span), then a generator — the only
+      // cross-shaped node touches |types| × 1 rows
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type").asc, col("hour").asc)
+  }
+
+  /** Trailing `windowHours`-row rolling volume per event type over the
+    * hourly series: rolling sum and mean — the smoothed load curve behind
+    * capacity planning and alert thresholds.
+    *
+    * The frame is ROWS-based over observed hours (combine with [[gapFill]]
+    * when absent hours must count as zeros). The mean divides the exact
+    * integer rolling sum by the exact frame row count with the identical
+    * expression in the DuckDB twin — bit-equal, no avg() dependence.
+    *
+    * Scale shape: one events shuffle into the hourly frame, then one
+    * window pass partitioned by type — |hours| rows per partition at any
+    * corpus size.
+    */
+  def rollingCounts(spark: SparkSession, sfDir: String,
+      windowHours: Int = 24): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(-(windowHours - 1), Window.currentRow)
+    hourly
+      .select(col("event_type"), col("hour"), col("n_events"),
+        sum(col("n_events")).over(w).as("rolling_sum"),
+        count(lit(1)).over(w).as("__n"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("rolling_sum"),
+        round(col("rolling_sum").cast("double") / col("__n").cast("double"), 6)
+          .as("rolling_avg"))
+      .orderBy(col("event_type").asc, col("hour").asc)
+  }
+
+  /** Ordered conversion funnel view → click → purchase: per user, the
+    * earliest view, the earliest click strictly AFTER that view, and the
+    * earliest purchase strictly after that click; reported as one summary
+    * row of stage survivor counts. Event ORDER is the point — a user who
+    * purchased before ever viewing does not convert through the funnel.
+    *
+    * Scale shape: three per-stage min-aggregations chained by user_id
+    * equi-joins — every shuffle keys on user_id, each stage's frame only
+    * shrinks, and the final count is a single-row aggregate.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .join(viewed, Seq("user_id"))
+      .filter(col("cts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("cts")).as("click_ts"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(clicked, Seq("user_id"))
+      .filter(col("pts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("pts")).as("purchase_ts"))
+    ev.select(col("user_id")).distinct()
+      .join(viewed, Seq("user_id"), "left")
+      .join(clicked, Seq("user_id"), "left")
+      .join(purchased, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("view_ts")).as("n_viewed"),
+        count(col("click_ts")).as("n_clicked_after_view"),
+        count(col("purchase_ts")).as("n_purchased_after_click"))
+  }
 }

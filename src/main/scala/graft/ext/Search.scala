@@ -170,4 +170,33 @@ object Search {
           slice(array_sort(collect_set(col("doc_id"))), 1, postingHead))
           .as("postings_head"))
       .orderBy(col("term").asc)
+
+  /** Typo-tolerant term search: expand `term` to every corpus-vocabulary
+    * token within `maxDist` edits (Levenshtein), then rank documents by
+    * matched occurrences. The fuzzy half of a search engine — the user
+    * typed "spak", the corpus says "spark".
+    *
+    * Scale shape: the edit-distance scan runs over the DISTINCT vocabulary
+    * (tiny vs the corpus — Heaps' law), never per token occurrence; the
+    * matched-term set broadcasts, so scoring is a map-side semi-join over
+    * the token stream plus one doc_id hash-agg, and the top-k is
+    * TakeOrdered. At 100 TB the vocabulary pass is still minutes of one
+    * executor; everything corpus-sized stays narrow.
+    */
+  def fuzzySearch(
+      spark: SparkSession, sfDir: String,
+      term: String = "spak", maxDist: Int = 1, topK: Int = 20): DataFrame = {
+    val toks = tokenRows(spark, sfDir)
+    val matched = toks.select(col("tok")).distinct()
+      .withColumn("edit_dist", levenshtein(col("tok"), lit(term)))
+      .filter(col("edit_dist") <= maxDist)
+    toks.join(broadcast(matched), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("edit_dist")).as("best_dist"),
+        countDistinct(col("tok")).as("n_matched_terms"))
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(topK)
+  }
 }

@@ -108,6 +108,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-5c queries stay cartesian-free; fuzzy_search top-k is TakeOrdered") {
+    for (q <- Seq("rolling_events", "event_funnel", "fuzzy_search")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // hourly_gapfill legitimately carries ONE nested-loop node: the
+    // one-row span attach (|types| × 1). No cartesian of real relations.
+    val gp = plan("hourly_gapfill")
+    assert(!gp.contains("CartesianProduct"), gp.take(2000))
+    val fz = plan("fuzzy_search")
+    assert(fz.contains("TakeOrderedAndProject"), fz.take(2000))
+  }
+
   test("corpus_upsample attaches the census by broadcast; corpus is never shuffled for the join") {
     val p = plan("corpus_upsample")
     // the |langs|-row epoch table must broadcast against the documents

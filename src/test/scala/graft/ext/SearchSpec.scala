@@ -147,4 +147,98 @@ class SearchSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty || expected.isEmpty)
   }
+
+  test("gapFill covers the full hour grid; zeros exactly where no events") {
+    import java.sql.Timestamp
+    val ev = graft.io.Tables.events(spark, sf)
+    val hourly = ev.selectExpr("event_type", "date_trunc('hour', ts) AS hour")
+      .groupBy("event_type", "hour").count().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("hour")) ->
+        r.getAs[Long]("count")).toMap
+    val out = EventAnalytics.gapFill(spark, sf).collect()
+    val types = hourly.keySet.map(_._1)
+    val hours = out.map(_.getAs[Timestamp]("hour")).distinct
+    assert(out.length === types.size * hours.length, "grid must be complete")
+    // grid hours are contiguous (1h stride)
+    val sortedH = hours.sorted(Ordering.by((t: Timestamp) => t.getTime))
+    sortedH.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getTime - a.getTime === 3600 * 1000L)
+    }
+    out.foreach { r =>
+      val k = (r.getAs[String]("event_type"), r.getAs[Timestamp]("hour"))
+      assert(r.getAs[Long]("n_events") === hourly.getOrElse(k, 0L))
+    }
+    // at sf0.001 the series is sparse — the fill must actually add zeros
+    assert(out.count(_.getAs[Long]("n_events") == 0L) > 0)
+  }
+
+  test("rollingCounts matches a brute-force trailing-24-row reference") {
+    import java.sql.Timestamp
+    val out = EventAnalytics.rollingCounts(spark, sf).collect()
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Timestamp]("hour").getTime)
+      val ns = sorted.map(_.getAs[Long]("n_events"))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val frame = ns.slice(math.max(0, i - 23), i + 1)
+        assert(r.getAs[Long]("rolling_sum") === frame.sum)
+        val avg = BigDecimal(frame.sum.toDouble / frame.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getAs[Double]("rolling_avg") - avg) < 1e-9)
+      }
+    }
+  }
+
+  test("funnel counts ordered stage survivors exactly") {
+    import java.sql.Timestamp
+    val ev = graft.io.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("ts").getTime))
+    val byUser = ev.groupBy(_._1)
+    def stageTs(rows: Array[(Long, String, Long)], tpe: String,
+        after: Option[Long]): Option[Long] = {
+      val ts = rows.collect { case (_, t, x) if t == tpe => x }
+      val eligible = after.fold(ts)(a => ts.filter(_ > a))
+      if (eligible.isEmpty) None else Some(eligible.min)
+    }
+    var (nViewed, nClicked, nPurchased) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val v = stageTs(rows, "view", None)
+      if (v.isDefined) nViewed += 1
+      val c = v.flatMap(vt => stageTs(rows, "click", Some(vt)))
+      if (c.isDefined) nClicked += 1
+      val p = c.flatMap(ct => stageTs(rows, "purchase", Some(ct)))
+      if (p.isDefined) nPurchased += 1
+    }
+    val r = EventAnalytics.funnel(spark, sf).collect().head
+    assert(r.getAs[Long]("n_users") === byUser.size.toLong)
+    assert(r.getAs[Long]("n_viewed") === nViewed)
+    assert(r.getAs[Long]("n_clicked_after_view") === nClicked)
+    assert(r.getAs[Long]("n_purchased_after_click") === nPurchased)
+    // funnels only narrow
+    assert(nViewed >= nClicked && nClicked >= nPurchased)
+  }
+
+  test("fuzzySearch expands the typo to near tokens and counts hits per doc") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocabHit = docs.values.flatten.toSet.filter(lev(_, "spak") <= 1)
+    assert(vocabHit.nonEmpty, "fixture vocab must contain a near token")
+    val expected = docs.view.mapValues(_.count(vocabHit)).toMap.filter(_._2 > 0)
+    val top = expected.toSeq.sortBy { case (id, n) => (-n, id) }.take(20)
+    val got = Search.fuzzySearch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits"))
+    assert(got.toSeq === top.map { case (id, n) => id -> n.toLong })
+  }
 }
