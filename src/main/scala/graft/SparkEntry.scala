@@ -130,6 +130,18 @@ object SparkEntry {
     "fuzzy_search"       -> ((s, d) => Search.fuzzySearch(s, d)),
     // per-label embedding L2-norm profile (decimal-summed mean)
     "embedding_norms"    -> ((s, d) => Similarity.normStats(s, d)),
+    // recall@k of the LSH path vs the exact path — the ANN quality gate
+    "ann_recall"         -> ((s, d) => Similarity.annRecall(s, d)),
+    // product-quantization codes (the IVF-PQ compression half)
+    "pq_codes"           -> ((s, d) => Similarity.pqCodes(s, d)),
+    // cohort retention matrix (first-seen day × day offset)
+    "user_retention"     -> ((s, d) => EventAnalytics.retention(s, d)),
+    // first-order event-type transition counts (Markov view)
+    "event_transitions"  -> ((s, d) => EventAnalytics.transitions(s, d)),
+    // p99-order-statistic winsorized per-type value stats
+    "winsorized_stats"   -> ((s, d) => EventAnalytics.winsorizedStats(s, d)),
+    // snapshot delta audit: added/removed/changed/unchanged by fingerprint
+    "corpus_diff"        -> ((s, d) => Corpus.snapshotDiff(s, d)),
     "sample_budget"      -> ((s, d) => Corpus.sampleBudget(s, d)),
     "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
     // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
@@ -1510,6 +1522,143 @@ object SparkEntry {
         |       min(nrm) AS min_norm, max(nrm) AS max_norm
         |FROM n GROUP BY label
         |ORDER BY label ASC""".stripMargin,
+    // both retrieval paths composed in one statement: the LSH CTEs plus a
+    // brute-force block over the shared `emb` CTE, joined on (probe, hit)
+    "ann_recall" -> (lshOracleCtes +
+      """, cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM bands q JOIN bands c ON q.bi = c.bi AND q.sig = c.sig
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), lranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |), lsh AS (
+        |  SELECT q_id, c_id FROM lranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM emb q, emb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |)
+        |SELECT b.q_id, count(l.c_id) AS n_hits,
+        |       round(count(l.c_id)::DOUBLE / 5.0, 6) AS recall_at_k
+        |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
+        |GROUP BY b.q_id
+        |ORDER BY b.q_id ASC""".stripMargin),
+    // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
+    // sub-vector — cannot change the argmin); only integer codes emitted
+    "pq_codes" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), sub AS (
+        |  SELECT vec_id, t.m, vec[t.m * 16 + 1 : t.m * 16 + 16] AS x
+        |  FROM emb, unnest([0, 1, 2, 3]) AS t(m)
+        |), csub AS (
+        |  SELECT j, t.m, c[t.m * 16 + 1 : t.m * 16 + 16] AS cx
+        |  FROM seeds, unnest([0, 1, 2, 3]) AS t(m)
+        |), d AS (
+        |  SELECT s.vec_id, s.m, c.j,
+        |         list_inner_product(c.cx, c.cx)
+        |           - 2 * list_inner_product(s.x, c.cx) AS dist
+        |  FROM sub s JOIN csub c ON s.m = c.m
+        |), best AS (
+        |  SELECT vec_id, m, j,
+        |         row_number() OVER (PARTITION BY vec_id, m
+        |                            ORDER BY dist ASC, j ASC) AS rk
+        |  FROM d
+        |)
+        |SELECT vec_id,
+        |       max(CASE WHEN m = 0 THEN j END) AS code0,
+        |       max(CASE WHEN m = 1 THEN j END) AS code1,
+        |       max(CASE WHEN m = 2 THEN j END) AS code2,
+        |       max(CASE WHEN m = 3 THEN j END) AS code3
+        |FROM best WHERE rk = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id ASC""".stripMargin,
+    "user_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+        |)
+        |SELECT f.cohort_day,
+        |       date_diff('day', f.cohort_day, d.day) AS day_offset,
+        |       count(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN f USING (user_id)
+        |WHERE date_diff('day', f.cohort_day, d.day) <= 13
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "event_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts ASC, event_id ASC)
+        |           AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // threshold = the exact ceil(0.99·n)-th order statistic (a SELECTED
+    // value — bit-equal across engines); capped values rounded to 6dp and
+    // summed as DECIMAL (exact, order-independent)
+    "winsorized_stats" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value ASC) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |), thr AS (
+        |  SELECT event_type, value AS p99 FROM t
+        |  WHERE rk = CAST(ceil(n * 0.99) AS BIGINT)
+        |), c AS (
+        |  SELECT e.event_type, e.value, thr.p99,
+        |         round(least(e.value, thr.p99), 6)::DECIMAL(18,6) AS capped
+        |  FROM events e JOIN thr USING (event_type)
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |       count(CASE WHEN value > p99 THEN 1 END) AS n_capped,
+        |       round(max(p99), 6) AS p99_value,
+        |       round(sum(capped)::DOUBLE, 6) AS sum_capped,
+        |       round(sum(capped)::DOUBLE / count(*)::DOUBLE, 6) AS mean_capped
+        |FROM c GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
+    "corpus_diff" ->
+      """WITH snap_a AS (
+        |  SELECT doc_id, sha256(text) AS old_fp FROM documents
+        |  WHERE doc_id % 10 <> 0
+        |), snap_b AS (
+        |  SELECT doc_id,
+        |         sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+        |                     ELSE text END) AS new_fp
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |), j AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |         CASE WHEN o.doc_id IS NULL THEN 'added'
+        |              WHEN n.doc_id IS NULL THEN 'removed'
+        |              WHEN o.old_fp <> n.new_fp THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM snap_a o FULL OUTER JOIN snap_b n ON o.doc_id = n.doc_id
+        |)
+        |SELECT status, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM j GROUP BY status
+        |ORDER BY status ASC""".stripMargin,
     "pii_scan" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text,

@@ -278,4 +278,43 @@ object Corpus {
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch_copy"))
       .orderBy(col("doc_id").asc, col("epoch_copy").asc)
   }
+
+  /** Snapshot delta report: two corpus versions compared by content
+    * fingerprint — per-status (added / removed / changed / unchanged) doc
+    * counts and id ranges. This is the audit a versioned-corpus pipeline
+    * runs between crawls: what churned, what a downstream incremental
+    * consumer must reprocess.
+    *
+    * The two "snapshots" are derived deterministically from `documents`
+    * (old = ids not ≡0 mod 10; new = ids not ≡3 mod 7, with every id ≡0
+    * mod 5 carrying revised text) so the oracle twin reproduces them
+    * exactly; in production the inputs are two real snapshot paths.
+    *
+    * Scale shape: each side reduces to (doc_id, 256-bit sha2 fingerprint)
+    * at scan time — the full-outer join compares fingerprints, never
+    * document bodies, and keys on doc_id (co-partitioned, linear). The
+    * report is a 4-row hash-agg. At 100 TB this is one shuffle of two
+    * fingerprint columns.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), sha2(col("text"), 256).as("old_fp"))
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        sha2(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")), 256).as("new_fp"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("status").asc)
+  }
 }

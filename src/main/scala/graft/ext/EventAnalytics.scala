@@ -312,6 +312,102 @@ object EventAnalytics {
       .orderBy(col("event_type").asc, col("hour").asc)
   }
 
+  /** Cohort retention matrix: users grouped by first-seen day, counted as
+    * active on each later day-offset — the activation/retention view every
+    * growth dashboard runs, and (for a training-data platform) the freshness
+    * curve of contributor activity.
+    *
+    * Scale shape: first-seen is a user_id hash-agg; the offset expansion is
+    * a user_id equi-join of the distinct (user, day) frame — both shuffles
+    * key on user_id and the result reduces to |cohorts|×|offsets| rows at
+    * any corpus size. No windows, no sort of the raw events.
+    */
+  def retention(spark: SparkSession, sfDir: String,
+      maxOffsetDays: Int = 13): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(firstSeen, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day").asc, col("day_offset").asc)
+  }
+
+  /** First-order event-type transition counts: for each user's time-ordered
+    * event stream, how often does type A directly precede type B — the
+    * Markov-chain view behind next-action prediction and bot detection
+    * (impossible transitions spike for scripted traffic).
+    *
+    * Determinism: simultaneous timestamps are broken by event_id, so the
+    * lag sequence — and therefore every count — is reproducible; the twin
+    * orders by the identical (ts, event_id) key.
+    *
+    * Scale shape: ONE window pass partitioned by user_id (the per-user
+    * streams are short), then a hash-agg to |types|² rows. The window
+    * shuffle keys on user_id — the same partitioning sessionize uses, so a
+    * multi-query pipeline over events reuses the exchange.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type").asc, col("to_type").asc)
+  }
+
+  /** Winsorized per-type value stats: values above the exact p99 ORDER
+    * STATISTIC are capped to it before aggregation — the outlier-robust
+    * summary used when a handful of corrupt readings would otherwise
+    * dominate a mean.
+    *
+    * Cross-engine exactness: the threshold is a SELECTED value (the
+    * ceil(0.99·n)-th smallest, exact rank arithmetic like length_band), not
+    * an interpolated quantile — bit-equal across engines by construction.
+    * Capped values are rounded to 6dp and summed as DECIMAL(18,6) (exact,
+    * order-independent); the mean divides that by the exact count with the
+    * identical expression in the twin.
+    *
+    * Scale shape: the threshold needs a per-type sort (window row_number) —
+    * at 100 TB that becomes approx_percentile or a sampled order statistic;
+    * the cap-and-aggregate pass itself is one broadcast join (|types| rows)
+    * plus a hash-agg.
+    */
+  def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc)
+    val thresholds = ev
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rk") === ceil(col("n") * lit(0.99)).cast("long"))
+      .select(col("event_type"), col("value").as("p99"))
+    ev.join(broadcast(thresholds), Seq("event_type"))
+      .withColumn("capped",
+        round(least(col("value"), col("p99")), 6).cast("decimal(18,6)"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("p99"), 1L).otherwise(0L)).as("n_capped"),
+        round(max(col("p99")), 6).as("p99_value"),
+        sum(col("capped")).as("__sum"))
+      .select(col("event_type"), col("n_events"), col("n_capped"),
+        col("p99_value"),
+        round(col("__sum").cast("double"), 6).as("sum_capped"),
+        round(col("__sum").cast("double") / col("n_events").cast("double"), 6)
+          .as("mean_capped"))
+      .orderBy(col("event_type").asc)
+  }
+
   /** Ordered conversion funnel view → click → purchase: per user, the
     * earliest view, the earliest click strictly AFTER that view, and the
     * earliest purchase strictly after that click; reported as one summary

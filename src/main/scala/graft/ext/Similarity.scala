@@ -435,4 +435,84 @@ object Similarity {
         col("min_norm"), col("max_norm"))
       .orderBy(col("label").asc)
   }
+
+  /** Recall@k of the LSH approximate top-k against the brute-force exact
+    * top-k, per probe — THE quality metric an ANN deployment tracks (a
+    * bucketing change that silently drops recall is worse than a slow
+    * index). Output is integers plus one exact division, oracle-checked
+    * end-to-end through BOTH retrieval paths.
+    *
+    * Scale shape: both sides are bounded (nProbes × k rows); the expensive
+    * parts are the underlying retrievals themselves, which keep their own
+    * documented shapes. In production this runs on a sampled probe set —
+    * recall is an estimate, the sample IS the method.
+    */
+  def annRecall(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir, nProbes, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val approx = lshTopK(spark, sfDir, nProbes, k)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+      .orderBy(col("q_id").asc)
+  }
+
+  /** Product-quantization codes — the compression half of an IVF-PQ index:
+    * each embedding split into `subspaces` contiguous sub-vectors, each
+    * sub-vector replaced by the id of its nearest codebook centroid
+    * (squared-L2 argmin, ties to the smallest code). 64 dims × 4 bytes
+    * become `subspaces` bytes — the difference between an ANN index that
+    * fits executor memory at 10⁹ vectors and one that doesn't.
+    *
+    * Codebooks here are seeded from the `codebookSize` lowest-id vectors'
+    * sub-vectors (deterministic; production would k-means-refine each
+    * subspace — [[kmeansCells]] shows that loop). The driver collects only
+    * the seed rows (a bounded model fetch, the IVF pattern) and embeds
+    * them as plan literals, so cell assignment is a pure narrow map stage:
+    * no shuffle, no join, corpus scanned once.
+    *
+    * Cross-engine exactness: squared L2 enters as `c·c − 2·x·c` (the ‖x‖²
+    * term is constant per sub-vector and cannot change the argmin, so both
+    * sides drop it); every dot is the same sequential fold the knn twins
+    * already match bit-for-bit, and only the integer codes are emitted.
+    */
+  def pqCodes(
+      spark: SparkSession, sfDir: String,
+      subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    require(EmbeddingDim % subspaces == 0, s"dim $EmbeddingDim not divisible")
+    val subDim = EmbeddingDim / subspaces
+    val emb = Tables.embeddings(spark, sfDir)
+    // bounded model fetch: codebookSize rows (the seed codebook), never
+    // the corpus — same contract as ivfTopK's coarse quantizer
+    val seeds: Seq[Seq[Float]] = emb
+      .orderBy(col("vec_id").asc).limit(codebookSize)
+      .select("embedding").collect().toSeq
+      .map(_.getSeq[Float](0).toSeq)
+    val subCols = (0 until subspaces).map { m =>
+      expr(s"slice(embedding, ${m * subDim + 1}, $subDim)").as(s"__sub$m")
+    }
+    val sliced = emb.select((col("vec_id") +: subCols): _*)
+    val codeCols = (0 until subspaces).map { m =>
+      val cands = (0 until codebookSize).map { j =>
+        val cLit = seeds(j).slice(m * subDim, (m + 1) * subDim)
+          .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+        // c·c folds to a literal at plan time (graft_dot is evaluable);
+        // x·c is one codegen'd dot per (row, code)
+        struct(
+          expr(s"graft_dot($cLit, $cLit) - 2D * graft_dot(__sub$m, $cLit)")
+            .as("dist"),
+          lit(j.toLong).as("j"))
+      }
+      // struct least = (dist asc, j asc) — argmin with deterministic ties
+      least(cands: _*).getField("j").as(s"code$m")
+    }
+    sliced.select((col("vec_id") +: codeCols): _*)
+      .orderBy(col("vec_id").asc)
+  }
 }

@@ -163,6 +163,36 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("pq_codes assigns join-free: one scan, codebook inlined as literals") {
+    val p = plan("pq_codes")
+    // like kmeans_assign_seed: any join means the codebook leaked back
+    // into the plan as a distributed relation
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.toLowerCase.contains("dotproduct"), p.take(2000))
+  }
+
+  test("winsorized_stats caps via a broadcast of the |types|-row thresholds") {
+    val p = plan("winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("round-5d queries stay cartesian/nested-loop-free") {
+    // ann_recall is excluded: its exact side IS the deliberate broadcast
+    // nested-loop brute baseline (knn_brute) by construction
+    for (q <- Seq("user_retention", "event_transitions", "corpus_diff")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // corpus_diff compares fingerprints, never bodies: the full-outer join
+    // must key on doc_id (a shuffled hash/merge join is the right shape —
+    // both sides are corpus-sized)
+    val p = plan("corpus_diff")
+    assert(p.contains("FullOuter"), p.take(2000))
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

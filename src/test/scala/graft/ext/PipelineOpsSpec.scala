@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential coverage for the round-5c operators: each result is
+  * recomputed independently in driver-side Scala from the collected
+  * fixture and compared exactly.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("pqCodes matches a driver-side argmin over the same seed codebook") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val seeds = emb.take(16).map(_._2)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val expected = emb.map { case (id, v) =>
+      val x = v.map(_.toDouble)
+      val codes = (0 until 4).map { m =>
+        val xs = x.slice(m * 16, m * 16 + 16)
+        (0 until 16).map { j =>
+          val c = seeds(j).map(_.toDouble).slice(m * 16, m * 16 + 16)
+          (dot(c, c) - 2.0 * dot(xs, c), j.toLong)
+        }.min._2
+      }
+      (id, codes(0), codes(1), codes(2), codes(3))
+    }.toSeq
+    val got = Similarity.pqCodes(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("annRecall equals the set intersection of the two retrieval paths") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecall(spark, sf)
+      .select("q_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(got.keySet === brute.keySet)
+    got.foreach { case (q, hits) =>
+      assert(hits === brute(q).intersect(lsh.getOrElse(q, Set.empty)).size.toLong)
+      assert(hits >= 0L && hits <= 5L)
+    }
+  }
+
+  test("retention: day-0 actives equal cohort sizes; totals cover all users") {
+    import spark.implicits._
+    val ret = EventAnalytics.retention(spark, sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val cohortSizes = graft.io.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("c"))
+      .groupBy(col("c")).count()
+      .as[(java.sql.Date, Long)].collect().toMap
+    val day0 = ret.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(day0 === cohortSizes)
+    // offsets bounded and non-negative, actives never exceed the cohort
+    ret.foreach { case (c, off, n) =>
+      assert(off >= 0L && off <= 13L)
+      assert(n <= cohortSizes(c))
+    }
+  }
+
+  test("transitions: counts sum to total events minus distinct users") {
+    import spark.implicits._
+    val t = EventAnalytics.transitions(spark, sf)
+      .as[(String, String, Long)].collect()
+    val ev = graft.io.Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    assert(t.map(_._3).sum === total - users)
+    assert(t.forall(_._3 > 0))
+  }
+
+  test("winsorizedStats: threshold is the exact order statistic; caps counted") {
+    import spark.implicits._
+    val byType = graft.io.Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = EventAnalytics.winsorizedStats(spark, sf).collect()
+    got.foreach { r =>
+      val vs = byType(r.getAs[String]("event_type"))
+      val p99 = vs(math.ceil(vs.length * 0.99).toInt - 1)
+      assert(r.getAs[Long]("n_events") === vs.length.toLong)
+      assert(math.abs(r.getAs[Double]("p99_value") - math.rint(p99 * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[Long]("n_capped") === vs.count(_ > p99).toLong)
+    }
+  }
+
+  test("snapshotDiff partitions ids into consistent statuses") {
+    import spark.implicits._
+    val ids = graft.io.Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val inOld = ids.filter(_ % 10 != 0)
+    val inNew = ids.filter(_ % 7 != 3)
+    val expected = Map(
+      "added" -> (inNew -- inOld).size.toLong,
+      "removed" -> (inOld -- inNew).size.toLong,
+      "changed" -> (inOld & inNew).count(_ % 5 == 0).toLong,
+      "unchanged" -> (inOld & inNew).count(_ % 5 != 0).toLong)
+      .filter(_._2 > 0)
+    val got = Corpus.snapshotDiff(spark, sf)
+      .select("status", "n_docs").as[(String, Long)].collect().toMap
+    assert(got === expected)
+  }
+}
