@@ -162,6 +162,12 @@ object SparkEntry {
     // closed-form seed assignment — hash-checks the codegen'd argmax
     // machinery kmeans_cells iterates
     "kmeans_assign_seed" -> ((s, d) => Similarity.kmeansSeedAssign(s, d)),
+    // SemDeDup: cell-scoped cosine near-dup, keeper = lowest id per pair
+    "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // per-cell quota in twinnable sha-bucket order (diversity sampling)
+    "cluster_sample"     -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
+    // ranked strip-list of the most-shared word n-grams
+    "boilerplate_ngrams" -> ((s, d) => Dedup.boilerplateNgrams(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     // what the span_dedup boilerplate cap ate (drop visibility)
     "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
@@ -998,6 +1004,88 @@ object SparkEntry {
         |SELECT vec_id, cell_id, round(sim, 6) AS sim
         |FROM best WHERE rk = 1
         |ORDER BY vec_id ASC""".stripMargin,
+    // SemDeDup: the dup search replays the identical seed-cell assignment,
+    // then pairs ONLY within a cell; dup_of = smallest lower-id cell-mate
+    // above the cosine threshold
+    "semantic_dedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), assigned AS (
+        |  SELECT b.vec_id, b.cell_id, e.vec, e.nrm
+        |  FROM best b JOIN emb e USING (vec_id) WHERE b.rk = 1
+        |), dups AS (
+        |  SELECT a.vec_id, min(b.vec_id) AS dup_of
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+        |  WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
+        |  GROUP BY a.vec_id
+        |)
+        |SELECT a.vec_id, a.cell_id, d.dup_of, d.dup_of IS NULL AS kept
+        |FROM assigned a LEFT JOIN dups d USING (vec_id)
+        |ORDER BY a.vec_id ASC""".stripMargin,
+    "cluster_sample" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), ranked AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (
+        |           PARTITION BY cell_id
+        |           ORDER BY ('0x' || substr(sha256(vec_id::VARCHAR || '#29'),
+        |                                    1, 8))::BIGINT % 1000 ASC,
+        |                    vec_id ASC) AS sample_rank
+        |  FROM best WHERE rk = 1
+        |)
+        |SELECT cell_id, sample_rank, vec_id
+        |FROM ranked WHERE sample_rank <= 8
+        |ORDER BY cell_id ASC, sample_rank ASC""".stripMargin,
+    "boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i + 1 : i + 8], ' ') AS gram
+        |  FROM t, unnest(range(0, len(ts) - 7, 1)) AS u(i)
+        |  WHERE len(ts) >= 8
+        |)
+        |SELECT gram, count(*) AS doc_freq, min(doc_id) AS first_doc_id
+        |FROM grams GROUP BY gram
+        |HAVING count(*) >= 3
+        |ORDER BY doc_freq DESC, gram ASC
+        |LIMIT 50""".stripMargin,
     "span_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

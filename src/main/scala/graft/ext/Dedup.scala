@@ -879,4 +879,35 @@ object Dedup {
       .select("cluster_id", "keeper_doc_id", "cluster_size")
       .orderBy(col("cluster_id").asc)
   }
+
+  /** Top boilerplate n-grams: the word n-grams appearing in the most
+    * DISTINCT documents — the ranked strip-list a template-removal pass
+    * consumes (nav bars, license footers, cookie banners at web scale).
+    * [[spanStats]] reports the aggregate cost of such spans; this emits
+    * the actual offenders.
+    *
+    * Scale shape: one tokenize pass, per-doc-distinct grams (map-side
+    * dedup), a hash-agg on the gram, and a TakeOrdered top-k — linear,
+    * no global sort, output bounded at `topK` rows. The gram STRINGS
+    * shuffle (they're the output), but only post-distinct — at most one
+    * row per (doc, distinct gram).
+    */
+  def boilerplateNgrams(
+      spark: SparkSession, sfDir: String,
+      n: Int = 8, minDf: Int = 3, topK: Int = 50): DataFrame = {
+    val docGrams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(toksExpr).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
+          .as("gram"))
+      .distinct()
+    docGrams
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("doc_freq"), min(col("doc_id")).as("first_doc_id"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(col("doc_freq").desc, col("gram").asc)
+      .limit(topK)
+  }
 }

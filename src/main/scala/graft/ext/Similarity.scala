@@ -515,4 +515,75 @@ object Similarity {
     sliced.select((col("vec_id") +: codeCols): _*)
       .orderBy(col("vec_id").asc)
   }
+
+  /** SemDeDup-style semantic deduplication: assign every vector to a
+    * quantizer cell, then search for near-duplicates ONLY within each cell
+    * — a vector is dropped when a lower-id cell-mate sits above the cosine
+    * threshold (`dup_of` = the smallest such id; deterministic keeper-
+    * election like [[Dedup]]'s exact path). Cell-scoping is the entire
+    * scale story: the cluster count is the knob that bounds per-cell pair
+    * production, exactly as SemDeDup runs ~100k clusters at web scale —
+    * here k=16 suits the test corpus; at 100 TB k grows with the corpus so
+    * cell sizes stay bounded and the cell-keyed self-join stays shuffle-
+    * local and sub-quadratic. Cross-cell near-dups are missed by design
+    * (recall < 1), the same trade [[embeddingNearDupPairsLSH]] makes.
+    *
+    * Cross-engine exactness: cell assignment reuses the seed quantizer
+    * ([[kmeansSeedAssign]]'s argmax, ties to the lowest cell), and each
+    * cosine is the same sequential `graft_dot` fold the twins match
+    * bit-for-bit; only ids, the cell, and a boolean are emitted.
+    */
+  def semanticDedup(
+      spark: SparkSession, sfDir: String, k: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+      .join(cells, Seq("vec_id"))
+    val q = emb.select(col("cell_id"), col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    val c = emb.select(col("cell_id"), col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    val dups = q.join(c, Seq("cell_id"))
+      .filter(col("c_id") < col("q_id"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= threshold)
+      .groupBy(col("q_id"))
+      .agg(min(col("c_id")).as("dup_of"))
+      .withColumnRenamed("q_id", "vec_id")
+    emb.select(col("vec_id"), col("cell_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** Cluster-balanced sample: an equal per-cell quota drawn in
+    * deterministic pseudo-random order — the diversity-sampling step that
+    * keeps a curated subset from collapsing onto the head clusters (the
+    * selection SemDeDup/DSIR-style pipelines run AFTER dedup). Order
+    * within a cell is the twinnable sha-bucket of [[Corpus.bucket1000]]
+    * (vec_id tie-break), so the exact sample reproduces in any engine
+    * with SHA-256.
+    *
+    * Scale shape: one assignment pass (join-free, centroid literals) + one
+    * window partitioned BY CELL — per-cell sorts of bounded cells, never a
+    * global sort; output is k×quota rows at any corpus size.
+    */
+  def clusterBalancedSample(
+      spark: SparkSession, sfDir: String, k: Int = 16,
+      perCell: Int = 8, salt: Int = 29): DataFrame = {
+    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    val bucket = Corpus.bucket1000(col("vec_id"), salt, twinnable = true)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("__bucket").asc, col("vec_id").asc)
+    cells
+      .withColumn("__bucket", bucket)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perCell)
+      .select(col("cell_id"), col("sample_rank"), col("vec_id"))
+      .orderBy(col("cell_id").asc, col("sample_rank").asc)
+  }
 }

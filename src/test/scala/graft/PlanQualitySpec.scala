@@ -193,6 +193,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("FullOuter"), p.take(2000))
   }
 
+  test("round-5e queries: cell-keyed joins and gram aggs, no cartesians") {
+    // semantic_dedup's pair search must be an equi-join ON CELL, never a
+    // cross product; cluster_sample sorts only within cells; the gram
+    // census is a straight hash-agg + TakeOrdered
+    for (q <- Seq("semantic_dedup", "cluster_sample", "boilerplate_ngrams")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    assert(plan("boilerplate_ngrams").contains("TakeOrderedAndProject"),
+      "boilerplate_ngrams should top-k, not globally sort")
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -113,4 +113,76 @@ class PipelineOpsSpec extends SparkSpec {
       .select("status", "n_docs").as[(String, Long)].collect().toMap
     assert(got === expected)
   }
+
+  test("semanticDedup matches a driver-side cell-scoped pair search") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = emb.map { case (id, v) =>
+      val x = v.map(_.toDouble); id -> (x, math.sqrt(dot(x, x)))
+    }.toMap
+    val seeds = emb.take(16).map { case (id, _) =>
+      val (x, n) = vecs(id); x.map(_ / n)
+    }
+    val cellOf = emb.map { case (id, _) =>
+      val (x, n) = vecs(id)
+      id -> (0 until 16).map(c => (-dot(x, seeds(c)) / n, c)).min._2.toLong
+    }.toMap
+    val expected = emb.map { case (id, _) =>
+      val (x, n) = vecs(id)
+      val dupOf = emb.map(_._1)
+        .filter(o => o < id && cellOf(o) == cellOf(id))
+        .filter { o =>
+          val (y, m) = vecs(o); dot(x, y) / (n * m) >= 0.4
+        }.minOption
+      (id, cellOf(id), dupOf, dupOf.isEmpty)
+    }.toSeq
+    val got = Similarity.semanticDedup(spark, sf)
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(got === expected)
+    // the synthetic corpus must actually exercise the drop path
+    assert(got.exists(!_._4) && got.exists(_._4))
+  }
+
+  test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
+    import spark.implicits._
+    val s1 = Similarity.clusterBalancedSample(spark, sf)
+      .as[(Long, Int, Long)].collect().toSeq
+    val s2 = Similarity.clusterBalancedSample(spark, sf)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(s1 === s2)
+    val byCell = s1.groupBy(_._1)
+    byCell.foreach { case (_, rows) =>
+      assert(rows.length <= 8)
+      assert(rows.map(_._2).sorted === (1 to rows.length))
+    }
+    assert(s1.map(_._3).distinct.length === s1.length)
+  }
+
+  test("boilerplateNgrams matches a driver-side gram census") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val gramDocs = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet.iterator
+        .map((g: String) => (g, id))
+    }
+    val census = gramDocs.groupBy(_._1).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._2).min)).toMap
+      .filter(_._2._1 >= 3L)
+    val expected = census.toSeq
+      .map { case (g, (df, first)) => (g, df, first) }
+      .sortBy { case (g, df, _) => (-df, g) }
+      .take(50)
+    val got = Dedup.boilerplateNgrams(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }
