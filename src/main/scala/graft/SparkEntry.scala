@@ -168,6 +168,13 @@ object SparkEntry {
     "cluster_sample"     -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // ranked strip-list of the most-shared word n-grams
     "boilerplate_ngrams" -> ((s, d) => Dedup.boilerplateNgrams(s, d)),
+    // collocations: top adjacent pairs with PMI (report ordered by the
+    // integer count — the float annotates, never sorts)
+    "pmi_pairs"          -> ((s, d) => TextStats.pmiPairs(s, d)),
+    // per-type fixed-width distribution profile, IEEE-exact bin arithmetic
+    "value_histogram"    -> ((s, d) => EventAnalytics.valueHistogram(s, d)),
+    // BPE tokens-per-word by language under the fixed merge table
+    "tokenizer_fertility" -> ((s, d) => BpeTrainer.fertility(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     // what the span_dedup boilerplate cap ate (drop visibility)
     "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
@@ -280,7 +287,7 @@ object SparkEntry {
     * scans left-to-right and continues AFTER each replacement, which IS
     * the BPE fold order, property-proven in BpeTrainerSpec).
     */
-  private def bpeApplySql: String = {
+  private def bpeApplyCtes: String = {
     val d = "chr(31)"
     val enc = s"$d || $d || regexp_replace(w, '(.)', '\\1' || $d || $d, 'g')"
     val chain = BpeTrainer.FixedMerges.foldLeft(enc) { case (e, (a, b)) =>
@@ -300,13 +307,17 @@ object SparkEntry {
        |  SELECT dw.doc_id, count(*) AS n_words, sum(m.n_toks) AS n_bpe_tokens
        |  FROM dw JOIN mapping m USING (w)
        |  GROUP BY dw.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  private def bpeApplySql: String =
+    bpeApplyCtes +
+      """
        |SELECT d.doc_id,
        |       coalesce(n_words, 0)::BIGINT AS n_words,
        |       coalesce(n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id ASC""".stripMargin
-  }
 
   private def lshOracleCtes: String = {
     import graft.ext.Similarity.{hyperplaneSigns, Bands, BitsPerBand}
@@ -1086,6 +1097,71 @@ object SparkEntry {
         |HAVING count(*) >= 3
         |ORDER BY doc_freq DESC, gram ASC
         |LIMIT 50""".stripMargin,
+    // PMI: ln on an integer-count ratio, rounded 6dp (tfidf precedent);
+    // ordering and limit are integer-deterministic
+    "pmi_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents
+        |), uni AS (
+        |  SELECT ts[i] AS tok FROM t, unnest(range(1, len(ts) + 1, 1)) AS u(i)
+        |), big AS (
+        |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(ts), 1)) AS u(i)
+        |), uc AS (
+        |  SELECT tok, count(*) AS c FROM uni GROUP BY tok
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS pair_count FROM big GROUP BY w1, w2
+        |), tot AS (
+        |  SELECT (SELECT sum(c) FROM uc) AS n_tokens,
+        |         (SELECT sum(pair_count) FROM bc) AS n_bigrams
+        |)
+        |SELECT b.w1, b.w2, b.pair_count,
+        |       round(ln((b.pair_count::DOUBLE / t.n_bigrams::DOUBLE) /
+        |             ((u1.c::DOUBLE / t.n_tokens::DOUBLE) *
+        |              (u2.c::DOUBLE / t.n_tokens::DOUBLE))), 6) AS pmi
+        |FROM bc b
+        |JOIN uc u1 ON b.w1 = u1.tok
+        |JOIN uc u2 ON b.w2 = u2.tok
+        |CROSS JOIN tot t
+        |WHERE b.pair_count >= 5
+        |ORDER BY b.pair_count DESC, b.w1 ASC, b.w2 ASC
+        |LIMIT 50""".stripMargin,
+    // bin index = floor((v − lo) · 20 / (hi − lo)) clamped — the identical
+    // IEEE-exact double chain on both sides, no transcendentals
+    "value_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type
+        |), binned AS (
+        |  SELECT e.event_type,
+        |         CASE WHEN b.hi = b.lo THEN 0
+        |              ELSE least(CAST(floor((e.value - b.lo) * 20.0
+        |                                    / (b.hi - b.lo)) AS BIGINT), 19)
+        |              END AS bin
+        |  FROM events e JOIN b USING (event_type)
+        |)
+        |SELECT x.event_type, x.bin, count(*) AS n_events,
+        |       round(b.lo + x.bin::DOUBLE * (b.hi - b.lo) / 20.0, 6) AS bin_lo,
+        |       round(b.lo + (x.bin + 1)::DOUBLE * (b.hi - b.lo) / 20.0, 6)
+        |         AS bin_hi
+        |FROM binned x JOIN b USING (event_type)
+        |GROUP BY x.event_type, x.bin, b.lo, b.hi
+        |ORDER BY x.event_type ASC, x.bin ASC""".stripMargin,
+    "tokenizer_fertility" -> (bpeApplyCtes +
+      """, perdoc AS (
+        |  SELECT d.doc_id, d.lang,
+        |         coalesce(n_words, 0)::BIGINT AS nw,
+        |         coalesce(n_bpe_tokens, 0)::BIGINT AS nt
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(nw)::BIGINT AS total_words,
+        |       sum(nt)::BIGINT AS total_bpe_tokens,
+        |       round(sum(nt)::DOUBLE / sum(nw)::DOUBLE, 6) AS fertility
+        |FROM perdoc GROUP BY lang ORDER BY lang ASC""".stripMargin),
     "span_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -257,4 +257,28 @@ object BpeTrainer {
       .agg(sum(col("wf")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("sym_left").asc, col("sym_right").asc)
       .limit(topN)
+
+  /** Per-language tokenizer fertility (BPE tokens per word) under a fixed
+    * merge table — the metric that decides whether a tokenizer needs more
+    * merges for a language before training on it (high fertility = the
+    * language pays more sequence length per word).
+    *
+    * Exactness: integer sums ([[applyMerges]]'s per-doc counts) and ONE
+    * double division rounded to 6dp, identical expression in the twin.
+    * Scale shape: [[applyMerges]]'s vocab-table fold + word join, then a
+    * |langs|-row hash-agg — nothing beyond the apply pass itself.
+    */
+  def fertility(spark: SparkSession, sfDir: String): DataFrame =
+    applyMerges(spark, sfDir, FixedMerges)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_bpe_tokens")).as("total_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_bpe_tokens"),
+        round(col("total_bpe_tokens").cast("double") /
+          col("total_words").cast("double"), 6).as("fertility"))
+      .orderBy(col("lang").asc)
 }

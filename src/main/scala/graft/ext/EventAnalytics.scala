@@ -442,4 +442,40 @@ object EventAnalytics {
         count(col("click_ts")).as("n_clicked_after_view"),
         count(col("purchase_ts")).as("n_purchased_after_click"))
   }
+
+  /** Fixed-width per-type value histogram — the distribution profile run
+    * before choosing winsorization/normalization constants ([[
+    * winsorizedStats]]'s exploratory sibling).
+    *
+    * Cross-engine exactness: no transcendentals — the bin index is
+    * `floor((v − min) · nBins / (max − min))` clamped to nBins−1, a chain
+    * of IEEE-exact double ops both engines evaluate identically (the twin
+    * spells the identical expression); bounds are emitted rounded to 6dp.
+    * A zero-width type (max = min) degenerates to bin 0 explicitly.
+    *
+    * Scale shape: one hash-agg for the |types|-row min/max, broadcast
+    * back, one hash-agg for the bins — two linear passes, output bounded
+    * at |types| × nBins rows.
+    */
+  def valueHistogram(
+      spark: SparkSession, sfDir: String, nBins: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val width = col("hi") - col("lo")
+    val rawBin = floor((col("value") - col("lo")) * lit(nBins.toDouble) / width)
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .withColumn("bin",
+        when(width === 0.0, lit(0L))
+          .otherwise(least(rawBin.cast("long"), lit(nBins - 1L))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("bin"), col("n_events"),
+        round(col("lo") + col("bin").cast("double") * (col("hi") - col("lo"))
+          / lit(nBins.toDouble), 6).as("bin_lo"),
+        round(col("lo") + (col("bin") + 1L).cast("double")
+          * (col("hi") - col("lo")) / lit(nBins.toDouble), 6).as("bin_hi"))
+      .orderBy(col("event_type").asc, col("bin").asc)
+  }
 }

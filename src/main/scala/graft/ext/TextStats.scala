@@ -477,4 +477,51 @@ object TextStats {
           .as("novelty_rate"))
       .orderBy(col("source").asc)
   }
+
+  /** Collocation mining: adjacent-token pair counts with pointwise mutual
+    * information — PMI = ln(P(ab) / (P(a)·P(b))) with P estimated from the
+    * bigram/unigram tables. High-PMI pairs are the multi-word expressions
+    * a tokenizer or phrase-merging pass should treat as units.
+    *
+    * Determinism: counts are exact integers; PMI is one double expression
+    * rounded to 6dp (the tfidf_terms precedent — ln agrees across engines
+    * far inside 6dp), and the REPORT is ordered/limited by the integer
+    * count with lexicographic tie-breaks, never by the float.
+    *
+    * Scale shape: one tokenize pass; bigrams come from a per-doc window
+    * lead (doc-local, like [[Dedup]]'s span windows); then two hash-aggs
+    * (pair and unigram) and a broadcast of the 1-row totals. Linear,
+    * TakeOrdered top-k.
+    */
+  def pmiPairs(
+      spark: SparkSession, sfDir: String,
+      minCount: Int = 5, topK: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+    val unigrams = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = unigrams.agg(
+      sum(col("c")).as("n_tokens")).crossJoin(
+      bigrams.agg(sum(col("pair_count")).as("n_bigrams")))
+    bigrams
+      .filter(col("pair_count") >= minCount)
+      .join(unigrams.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(unigrams.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log(
+          (col("pair_count").cast("double") / col("n_bigrams").cast("double")) /
+            ((col("c1").cast("double") / col("n_tokens").cast("double")) *
+              (col("c2").cast("double") / col("n_tokens").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy(col("pair_count").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

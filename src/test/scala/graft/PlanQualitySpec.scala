@@ -206,6 +206,20 @@ class PlanQualitySpec extends SparkSpec {
       "boilerplate_ngrams should top-k, not globally sort")
   }
 
+  test("round-5f queries: broadcast stat attaches, top-k never global-sorts") {
+    for (q <- Seq("pmi_pairs", "value_histogram", "tokenizer_fertility")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+    // pmi: the two totals rows attach via broadcast; the report is TakeOrdered
+    val pmi = plan("pmi_pairs")
+    assert(pmi.contains("TakeOrderedAndProject"), pmi.take(2000))
+    // histogram: the |types|-row bounds attach via broadcast hash join
+    val vh = plan("value_histogram")
+    assert(vh.contains("BroadcastHashJoin"), vh.take(2000))
+    assert(!vh.contains("SortMergeJoin"), vh.take(2000))
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

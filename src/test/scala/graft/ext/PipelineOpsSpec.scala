@@ -185,4 +185,73 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === expected)
   }
+
+  test("pmiPairs matches a driver-side bigram/unigram census") {
+    import spark.implicits._
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = docs.flatMap(_.sliding(2).filter(_.length == 2))
+      .map(p => (p(0), p(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val nBig = big.values.sum.toDouble
+    val expected = big.toSeq
+      .filter(_._2 >= 5L)
+      .sortBy { case ((a, b), c) => (-c, a, b) }
+      .take(50)
+      .map { case ((a, b), c) =>
+        val pmi = math.log((c / nBig) / ((uni(a) / nTok) * (uni(b) / nTok)))
+        (a, b, c, math.rint(pmi * 1e6) / 1e6)
+      }
+    val got = TextStats.pmiPairs(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("valueHistogram: bins partition each type's values exactly") {
+    import spark.implicits._
+    val byType = graft.io.Tables.events(spark, sf)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = EventAnalytics.valueHistogram(spark, sf).collect()
+      .groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, vs) =>
+      val lo = vs.min; val hi = vs.max
+      val expected = vs.groupBy { v =>
+        if (hi == lo) 0L
+        else math.min(math.floor((v - lo) * 20.0 / (hi - lo)).toLong, 19L)
+      }.view.mapValues(_.length.toLong).toMap
+      val rows = got(t).map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_events")).toMap
+      assert(rows === expected, s"type $t")
+      // bounds bracket the data
+      got(t).foreach { r =>
+        assert(r.getAs[Double]("bin_lo") <= r.getAs[Double]("bin_hi"))
+      }
+    }
+  }
+
+  test("fertility aggregates bpe_apply per language") {
+    import spark.implicits._
+    val langs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val per = BpeTrainer.applyMerges(spark, sf, BpeTrainer.FixedMerges)
+      .as[(Long, Long, Long)].collect()
+    val expected = per.groupBy(r => langs(r._1)).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum)
+    }.toMap
+    val got = BpeTrainer.fertility(spark, sf).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet === expected.keySet)
+    got.foreach { r =>
+      val (nd, w, t) = expected(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("total_words") === w)
+      assert(r.getAs[Long]("total_bpe_tokens") === t)
+      assert(math.abs(r.getAs[Double]("fertility")
+        - math.rint(t.toDouble / w.toDouble * 1e6) / 1e6) < 1e-9)
+      // merges can only shrink token counts to no less than one per word
+      assert(t >= w)
+    }
+  }
 }
