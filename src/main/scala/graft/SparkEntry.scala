@@ -175,6 +175,9 @@ object SparkEntry {
     "value_histogram"    -> ((s, d) => EventAnalytics.valueHistogram(s, d)),
     // BPE tokens-per-word by language under the fixed merge table
     "tokenizer_fertility" -> ((s, d) => BpeTrainer.fertility(s, d)),
+    // heaviest join keys + their multiple of the avg key weight — the
+    // pre-shuffle salting/AQE-skew decision report
+    "key_skew"           -> ((s, d) => EventAnalytics.keySkew(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     // what the span_dedup boilerplate cap ate (drop visibility)
     "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
@@ -1162,6 +1165,19 @@ object SparkEntry {
         |       sum(nt)::BIGINT AS total_bpe_tokens,
         |       round(sum(nt)::DOUBLE / sum(nw)::DOUBLE, 6) AS fertility
         |FROM perdoc GROUP BY lang ORDER BY lang ASC""".stripMargin),
+    "key_skew" ->
+      """WITH pk AS (
+        |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        |), c AS (
+        |  SELECT sum(n_rows) AS total_rows, count(*) AS n_keys FROM pk
+        |)
+        |SELECT pk.user_id, pk.n_rows,
+        |       round(pk.n_rows::DOUBLE / c.total_rows::DOUBLE, 6) AS share,
+        |       round(pk.n_rows::DOUBLE /
+        |             (c.total_rows::DOUBLE / c.n_keys::DOUBLE), 6) AS x_avg
+        |FROM pk CROSS JOIN c
+        |ORDER BY pk.n_rows DESC, pk.user_id ASC
+        |LIMIT 20""".stripMargin,
     "span_stats" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -478,4 +478,32 @@ object EventAnalytics {
           * (col("hi") - col("lo")) / lit(nBins.toDouble), 6).as("bin_hi"))
       .orderBy(col("event_type").asc, col("bin").asc)
   }
+
+  /** Join-key skew profile: the heaviest user_id keys with their share of
+    * all rows and their multiple of the average key weight — the report
+    * that decides whether a planned shuffle needs salting / AQE skew
+    * handling BEFORE the job runs (a key at 1000× avg means one straggler
+    * task owns the stage).
+    *
+    * Scale shape: one keyed hash-agg (map-side combined), a 1-row census
+    * broadcast back, TakeOrdered top-k. Exactness: counts are integers;
+    * the two ratios are single double divisions rounded to 6dp with
+    * identical expressions in the twin; ordering is (count desc, key asc).
+    */
+  def keySkew(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    val perKey = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val census = perKey.agg(
+      sum(col("n_rows")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    perKey.crossJoin(broadcast(census))
+      .select(col("user_id"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("total_rows").cast("double"), 6)
+          .as("share"),
+        round(col("n_rows").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("x_avg"))
+      .orderBy(col("n_rows").desc, col("user_id").asc)
+      .limit(topK)
+  }
 }

@@ -218,6 +218,10 @@ class PlanQualitySpec extends SparkSpec {
     val vh = plan("value_histogram")
     assert(vh.contains("BroadcastHashJoin"), vh.take(2000))
     assert(!vh.contains("SortMergeJoin"), vh.take(2000))
+    // key_skew: keyed hash-agg + 1-row census + TakeOrdered — no sort of
+    // the per-key frame
+    val ks = plan("key_skew")
+    assert(ks.contains("TakeOrderedAndProject"), ks.take(2000))
   }
 
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {

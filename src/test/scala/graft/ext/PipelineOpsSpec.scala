@@ -254,4 +254,20 @@ class PipelineOpsSpec extends SparkSpec {
       assert(t >= w)
     }
   }
+
+  test("keySkew reports the true heaviest keys with exact ratios") {
+    import spark.implicits._
+    val counts = graft.io.Tables.events(spark, sf)
+      .select("user_id").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum.toDouble
+    val avg = total / counts.size.toDouble
+    val expected = counts.toSeq.sortBy { case (k, n) => (-n, k) }.take(20)
+      .map { case (k, n) =>
+        (k, n, math.rint(n / total * 1e6) / 1e6, math.rint(n / avg * 1e6) / 1e6)
+      }
+    val got = EventAnalytics.keySkew(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === expected)
+  }
 }
