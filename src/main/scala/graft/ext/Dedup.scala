@@ -886,28 +886,60 @@ object Dedup {
     * [[spanStats]] reports the aggregate cost of such spans; this emits
     * the actual offenders.
     *
-    * Scale shape: one tokenize pass, per-doc-distinct grams (map-side
-    * dedup), a hash-agg on the gram, and a TakeOrdered top-k — linear,
-    * no global sort, output bounded at `topK` rows. The gram STRINGS
-    * shuffle (they're the output), but only post-distinct — at most one
-    * row per (doc, distinct gram).
+    * Scale shape: the census aggregates on an 8-byte xxhash64 of each
+    * gram, NOT the gram string — the (doc, gram)-distinct shuffle moves
+    * fixed-width longs, an order of magnitude narrower than ~100-char
+    * spans at web scale. Gram TEXT is recovered afterwards by a second
+    * scan semi-joined against the topK winning hashes (broadcast, ≤ topK
+    * rows) — strings only ever materialize for winners. Ranking ties and
+    * the `first_doc_id` witness stay exact because the per-hash agg
+    * carries `min(gram)`/`min(doc_id)` alongside the count (a 64-bit
+    * collision would need ~4B distinct grams; the min-gram tiebreak keeps
+    * even that deterministic).
     */
   def boilerplateNgrams(
       spark: SparkSession, sfDir: String,
       n: Int = 8, minDf: Int = 3, topK: Int = 50): DataFrame = {
-    val docGrams = Tables.documents(spark, sfDir)
+    val docGramRows = Tables.documents(spark, sfDir)
       .select(col("doc_id"), expr(toksExpr).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
           .as("gram"))
+    val winners = docGramRows
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
       .distinct()
-    docGrams
-      .groupBy(col("gram"))
+      .groupBy(col("gram_h"))
       .agg(count(lit(1)).as("doc_freq"), min(col("doc_id")).as("first_doc_id"))
       .filter(col("doc_freq") >= minDf)
-      .orderBy(col("doc_freq").desc, col("gram").asc)
-      .limit(topK)
+      .persist() // call-scoped: the census feeds the cut, the cands, the report
+    try {
+      // exact candidate cut: everything at or above the topK-th doc_freq —
+      // boundary TIES are all kept so the final string-order tiebreak sees
+      // every contender (a fixed headroom would silently drop ties). A
+      // bounded 1-row action inlined as a literal (the Search.scala stat
+      // idiom — a joined scalar here degrades to a nested-loop join).
+      val cut = winners.orderBy(col("doc_freq").desc).limit(topK)
+        .agg(min(col("doc_freq")).as("cut"))
+        .collect().headOption.flatMap(r => Option(r.get(0))) match {
+          case Some(v) => v.asInstanceOf[Long]
+          case None    => return winners
+            .select(lit("").as("gram"), col("doc_freq"), col("first_doc_id"))
+            .limit(0)
+        }
+      val cands = winners.filter(col("doc_freq") >= lit(cut))
+      val gramText = docGramRows
+        .select(xxhash64(col("gram")).as("gram_h"), col("gram"))
+        .join(broadcast(cands.select("gram_h")), Seq("gram_h"), "left_semi")
+        .groupBy(col("gram_h")).agg(min(col("gram")).as("gram"))
+      // ≤ topK rows hang off the call-scoped cache — driver-materialize
+      // before unpersisting (the smallLocal idiom, not localCheckpoint)
+      graft.ops.Materialize.smallLocal(
+        cands.join(broadcast(gramText), Seq("gram_h"))
+          .select(col("gram"), col("doc_freq"), col("first_doc_id"))
+          .orderBy(col("doc_freq").desc, col("gram").asc)
+          .limit(topK))
+    } finally winners.unpersist()
   }
 }
