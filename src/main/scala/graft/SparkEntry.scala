@@ -178,6 +178,8 @@ object SparkEntry {
     // heaviest join keys + their multiple of the avg key weight — the
     // pre-shuffle salting/AQE-skew decision report
     "key_skew"           -> ((s, d) => EventAnalytics.keySkew(s, d)),
+    // market-basket: order-keyed self-join, pair width bounded by order size
+    "copurchase_pairs"   -> ((s, d) => Marketplace.copurchasePairs(s, d)),
     "span_dedup"         -> ((s, d) => Dedup.spanPairs(s, d)),
     // what the span_dedup boilerplate cap ate (drop visibility)
     "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
@@ -1165,6 +1167,17 @@ object SparkEntry {
         |       sum(nt)::BIGINT AS total_bpe_tokens,
         |       round(sum(nt)::DOUBLE / sum(nw)::DOUBLE, 6) AS fertility
         |FROM perdoc GROUP BY lang ORDER BY lang ASC""".stripMargin),
+    "copurchase_pairs" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       count(*) AS n_orders
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a ASC, part_b ASC
+        |LIMIT 25""".stripMargin,
     "key_skew" ->
       """WITH pk AS (
         |  SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id

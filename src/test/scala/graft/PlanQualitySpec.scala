@@ -224,6 +224,12 @@ class PlanQualitySpec extends SparkSpec {
     // the per-key frame
     val ks = plan("key_skew")
     assert(ks.contains("TakeOrderedAndProject"), ks.take(2000))
+    // copurchase: the self-join must stay an order-keyed equi-join (the
+    // `<` dedup predicate rides the join, it must not force a BNLJ)
+    val cp = plan("copurchase_pairs")
+    assert(!cp.contains("CartesianProduct") &&
+      !cp.contains("BroadcastNestedLoopJoin"), cp.take(2000))
+    assert(cp.contains("TakeOrderedAndProject"), cp.take(2000))
   }
 
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {

@@ -270,4 +270,21 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect().toSeq
     assert(got === expected)
   }
+
+  test("copurchasePairs matches a driver-side per-order pair expansion") {
+    import spark.implicits._
+    val orders = graft.io.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val counts = orders.values.flatMap { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(25)
+      .map { case ((a, b), n) => (a, b, n) }
+    val got = graft.queries.Marketplace.copurchasePairs(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }
