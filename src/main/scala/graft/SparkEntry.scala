@@ -73,6 +73,9 @@ object SparkEntry {
     // twinnable=true: 60-bit sha2-derived signatures the oracle rebuilds
     "dedup_simhash"      -> ((s, d) => Dedup.simHashPairs(s, d, twinnable = true)),
     "ngram_jaccard"      -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // exact set-similarity join, candidates by rarest-first prefix tokens
+    // (AllPairs/PPJoin) — the lossless alternative to LSH banding
+    "jaccard_prefix"     -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -823,6 +826,52 @@ object SparkEntry {
         |)
         |SELECT doc_a, doc_b, lang, jaccard FROM scored
         |WHERE jaccard >= 0.3
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // AllPairs/PPJoin prefix filter rebuilt relationally: same sha-60
+    // shingle hashes, same (df asc, hash asc) global order, same df cap —
+    // candidate sets agree engine-to-engine, so the verified output does
+    "jaccard_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents
+        |), shs AS (
+        |  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) > 0
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(sha256(shingle), 1, 15))::BIGINT AS shh
+        |  FROM shs
+        |), dfreq AS (
+        |  SELECT shh, count(*) AS df FROM sh GROUP BY shh
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), rk AS (
+        |  SELECT s.doc_id, s.shh, d.df,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |                            ORDER BY d.df ASC, s.shh ASC) AS rk
+        |  FROM sh s JOIN dfreq d USING (shh)
+        |), pre AS (
+        |  SELECT r.doc_id, r.shh FROM rk r JOIN sz z USING (doc_id)
+        |  WHERE r.rk <= z.n - ceil(0.5 * z.n) + 1 AND r.df <= 256
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id
+        |), isect AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b,
+        |       inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
+        |         AS jaccard
+        |FROM isect i JOIN sz sa ON sa.doc_id = i.doc_a
+        |             JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
+        |        >= 0.5
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "knn_ivf" ->
       """WITH emb AS (

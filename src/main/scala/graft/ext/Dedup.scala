@@ -531,6 +531,83 @@ object Dedup {
     } finally sim.unpersist()
   }
 
+  /** Set-similarity join via GLOBAL-ORDER PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., WWW'07 "Scaling Up All Pairs
+    * Similarity Search"; Xiao et al., WWW'08 "Efficient Similarity Joins
+    * for Near Duplicate Detection"): EXACT Jaccard ≥ `threshold` pairs,
+    * the third candidate-generation strategy next to LSH banding
+    * ([[minHashPairs]] — probabilistic recall) and attribute blocking
+    * ([[ngramJaccardPairs]] — needs a blocking key).
+    *
+    * The filter: under any one global token order, two sets with
+    * Jaccard ≥ t must share a token within each side's first
+    * |s| − ⌈t·|s|⌉ + 1 tokens. Ordering tokens by ASCENDING corpus
+    * document frequency puts each doc's RAREST shingles in its prefix, so
+    * the candidate join key distribution is the inverse of the corpus
+    * token skew — the hot boilerplate shingles that make a naive
+    * token-join quadratic are precisely the ones the prefix join never
+    * keys on. Unlike LSH the filter is lossless: every qualifying pair is
+    * generated (subject only to the `maxPrefixDf` cap below).
+    *
+    * Scale shape: df-count and per-doc rank are two fixed-width hash
+    * shuffles + one doc-partitioned window over the (doc_id, shingle_hash)
+    * rows; the candidate join keys only on prefix entries with
+    * df ≤ `maxPrefixDf`, so a token contributes < maxPrefixDf² pairs —
+    * the same bound shape as [[minHashPairs]]' `maxBucket`. The cap's
+    * recall caveat (a pair whose ENTIRE prefix is capped-out tokens is
+    * missed) only bites docs built wholly from mass-duplicated
+    * boilerplate, which the span/minhash caps refuse identically. The
+    * length filter (t·max ≤ min) is implied by Jaccard ≥ t, so pruning on
+    * it drops no true pair.
+    *
+    * Reference anchor: the flagship search endpoint's fuzzy matching
+    * (`/root/reference/src/routes/ads.ts` contains-search) has no
+    * similarity join; this is part of the §7.5 LLM-pipeline extension
+    * surface.
+    */
+  def jaccardPrefixPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      maxPrefixDf: Long = 256L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // distinct (doc_id, sha-60 shingle-hash) rows feed FOUR consumers
+    // (df counts, doc sizes, the ranked prefix, the verify sets) — one
+    // tokenize+window pass, persisted call-scoped like the other dedups.
+    val rows = shingleRows(spark, sfDir, twinnable = true).distinct().persist()
+    try {
+      val dfreq = rows.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val sz = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("sh").asc)
+      val prefix = rows
+        .join(dfreq, Seq("sh"))
+        .withColumn("rk", row_number().over(w))
+        .join(sz, Seq("doc_id"))
+        .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .filter(col("df") <= maxPrefixDf)
+        .select(col("sh"), col("doc_id"), col("sz"))
+      val cand = prefix
+        .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+        .join(prefix
+          .select(col("sh"), col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+          Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+        .select("doc_a", "doc_b").distinct()
+      val sets = rows.groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("sh"))).as("shset"))
+      graft.ops.Materialize.smallLocal(cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+          Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+          Seq("doc_b"))
+        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy(col("doc_a").asc, col("doc_b").asc))
+    } finally rows.unpersist()
+  }
+
   /** Near-dup pairs → duplicate CLUSTERS by connected components
     * (iterative min-label propagation): each doc adopts the smallest label
     * among itself and its neighbors until fixpoint. The missing last step

@@ -230,6 +230,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!cp.contains("CartesianProduct") &&
       !cp.contains("BroadcastNestedLoopJoin"), cp.take(2000))
     assert(cp.contains("TakeOrderedAndProject"), cp.take(2000))
+    // prefix-filtered similarity join: candidates come from the shingle
+    // equi-join on prefix hashes — never a cartesian
+    val jp = plan("jaccard_prefix")
+    assert(!jp.contains("CartesianProduct") &&
+      !jp.contains("BroadcastNestedLoopJoin"), jp.take(2000))
   }
 
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {

@@ -246,6 +246,60 @@ class DedupSpec extends SparkSpec {
     short.write.mode("overwrite").parquet(s"$dir/short/documents.parquet")
     assert(Dedup.spanPairs(spark, s"$dir/short").count() === 0L)
   }
+
+  test("jaccardPrefixPairs matches brute-force all-pairs Jaccard (lossless)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val dir = "/tmp/graft_test_ppjoin_prop"
+    // word-3-gram shingles with 2/1-gram tails — the same family
+    // shingleRowsOf emits, so the reference measures the same sets
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.indices
+        .map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" "))
+        .toSet
+    }
+    val docGen = Gen.listOfN(8, Gen.choose(4, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    val prop = Prop.forAll(docGen) { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // uncapped: the prefix filter must be exact — every pair, no extras
+      val got = Dedup
+        .jaccardPrefixPairs(spark, dir, threshold = 0.5,
+          maxPrefixDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val sets = docs.map { case (id, t, _, _, _) => id -> shingleSet(t) }.toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size.toDouble
+        j = inter / (sets(a).size + sets(b).size - inter) if j >= 0.5
+      } yield (a, b) -> j).toMap
+      got == expected
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(r.passed, s"property falsified: ${r.status}")
+  }
+
+  test("jaccardPrefixPairs: df cap bounds an all-duplicate corpus") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_ppjoin_cap"
+    val boiler = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = (1L to 40L).map(i => (i, boiler, "en", "s", boiler.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // every shingle lives in all 40 docs — past maxPrefixDf=8, every
+    // prefix entry is dropped and the join emits zero candidates (the
+    // same refusal shape as minHashPairs' maxBucket)
+    assert(Dedup.jaccardPrefixPairs(spark, dir, maxPrefixDf = 8L).count() === 0L)
+    // uncapped, the same corpus yields all C(40,2) exact-dup pairs
+    assert(Dedup.jaccardPrefixPairs(spark, dir, maxPrefixDf = Long.MaxValue)
+      .count() === 40L * 39 / 2)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
