@@ -19,7 +19,11 @@ object Bench {
     // both directions while totals agreed within 2%. Running the whole
     // query list once per round and repeating the list spreads each query's
     // samples minutes apart, so a burst can poison at most one of them.
+    // optional args = query-name filter, for single-query iteration;
+    // no args (the driver's invocation) benches the full registry
+    val wanted = args.toSet
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted.isEmpty || wanted(q._1))
     val rounds = 4
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to rounds; (name, fn) <- names) {

@@ -574,14 +574,20 @@ object Dedup {
     // tokenize+window pass, persisted call-scoped like the other dedups.
     val rows = shingleRows(spark, sfDir, twinnable = true).distinct().persist()
     try {
-      val dfreq = rows.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      val sz = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val w = Window.partitionBy(col("doc_id"))
+      // df, doc size and prefix rank as WINDOW aggregates, not
+      // groupBy+join round-trips: the sh-partitioned count and the
+      // doc-partitioned count+rank are two exchanges of the rows table
+      // total (the two doc_id windows share one — EnsureRequirements
+      // reuses the partitioning, the ordered one just adds a sort),
+      // where the join formulation paid four full-table shuffles.
+      val wSh = Window.partitionBy(col("sh"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wRank = Window.partitionBy(col("doc_id"))
         .orderBy(col("df").asc, col("sh").asc)
       val prefix = rows
-        .join(dfreq, Seq("sh"))
-        .withColumn("rk", row_number().over(w))
-        .join(sz, Seq("doc_id"))
+        .withColumn("df", count(lit(1)).over(wSh))
+        .withColumn("sz", count(lit(1)).over(wDoc))
+        .withColumn("rk", row_number().over(wRank))
         .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
         .filter(col("df") <= maxPrefixDf)
         .select(col("sh"), col("doc_id"), col("sz"))
