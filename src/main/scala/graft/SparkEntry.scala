@@ -219,6 +219,16 @@ object SparkEntry {
     "user_distinct_values"   -> ((s, d) => EventAnalytics.distinctValuesPerUser(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
+    // per-source curation scorecard: volume + quality + exact-dup rate
+    "source_scorecard"   -> ((s, d) => TextStats.sourceScorecard(s, d)),
+    // Kneser–Ney continuation/fertility counts for the top vocabulary
+    "kn_counts"          -> ((s, d) => TextStats.knContinuationCounts(s, d)),
+    // ≥1‰ token census, integer threshold (Misra–Gries scale note inline)
+    "heavy_hitters"      -> ((s, d) => TextStats.heavyHitters(s, d)),
+    // leakage-safe split: near-dup clusters never straddle train/test
+    "cluster_split"      -> ((s, d) => Curation.clusterSplit(s, d)),
+    // per-column null/distinct census of orders (data-quality profile)
+    "column_profile"     -> ((s, d) => graft.ops.Profiling.ordersProfile(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -2230,5 +2240,118 @@ object SparkEntry {
         |SELECT p_brand, price_rank, p_partkey, p_name, p_retailprice
         |FROM ranked WHERE price_rank <= 3
         |ORDER BY p_brand ASC, price_rank ASC""".stripMargin,
+    "source_scorecard" ->
+      """WITH q AS (
+        |  SELECT source, doc_id, lang, n_chars,
+        |         length(text) AS text_len,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS toks,
+        |         min(doc_id) OVER (PARTITION BY sha256(text)) AS fp_keeper
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       sum(toks)::BIGINT AS total_tokens,
+        |       sum(n_chars)::BIGINT AS total_chars,
+        |       count(*) FILTER (WHERE text_len < 50 OR toks < 8)
+        |         AS n_low_quality,
+        |       count(*) FILTER (WHERE doc_id <> fp_keeper) AS n_exact_dups,
+        |       count(DISTINCT lang) AS n_langs,
+        |       (count(*) FILTER (WHERE doc_id <> fp_keeper))::DOUBLE
+        |         / count(*)::DOUBLE AS dup_rate
+        |FROM q GROUP BY source
+        |ORDER BY source ASC""".stripMargin,
+    "kn_counts" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), u AS (
+        |  SELECT unnest(toks) AS word FROM t
+        |), uni AS (
+        |  SELECT word, count(*) AS n_unigram FROM u GROUP BY word
+        |), b AS (
+        |  SELECT toks[i + 1] AS l, toks[i + 2] AS r
+        |  FROM t, unnest(generate_series(0, len(toks) - 2)) AS g(i)
+        |), lc AS (
+        |  SELECT r AS word, count(DISTINCT l) AS n_left_contexts
+        |  FROM b GROUP BY r
+        |), rc AS (
+        |  SELECT l AS word, count(DISTINCT r) AS n_right_contexts
+        |  FROM b GROUP BY l
+        |)
+        |SELECT uni.word, uni.n_unigram,
+        |       coalesce(lc.n_left_contexts, 0) AS n_left_contexts,
+        |       coalesce(rc.n_right_contexts, 0) AS n_right_contexts
+        |FROM uni LEFT JOIN lc USING (word) LEFT JOIN rc USING (word)
+        |ORDER BY uni.n_unigram DESC, uni.word ASC
+        |LIMIT 30""".stripMargin,
+    "heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |           '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT w, count(*) AS n FROM w GROUP BY w
+        |), t AS (
+        |  SELECT count(*) AS total_tokens FROM w
+        |)
+        |SELECT c.w AS word, c.n,
+        |       c.n::DOUBLE / t.total_tokens::DOUBLE AS share
+        |FROM c, t
+        |WHERE c.n * 1000 >= t.total_tokens
+        |ORDER BY c.n DESC, word ASC""".stripMargin,
+    "cluster_split" -> (minHashOracleCtes +
+      """, p AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |), sized AS (
+        |  SELECT doc_id, cluster_id,
+        |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |         ('0x' || substr(sha256(cluster_id::VARCHAR || '#29'), 1, 8))
+        |           ::BIGINT % 1000 AS bucket
+        |  FROM cc
+        |), lab AS (
+        |  SELECT *, CASE WHEN bucket < 100 THEN 'test'
+        |                 WHEN bucket < 200 THEN 'val'
+        |                 ELSE 'train' END AS split
+        |  FROM sized
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |       count(DISTINCT cluster_id) AS n_clusters,
+        |       count(*) FILTER (WHERE cluster_size > 1) AS n_clustered_docs
+        |FROM lab GROUP BY split
+        |ORDER BY split ASC""".stripMargin),
+    "column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey' AS column_name,
+        |         count(*) - count(o_custkey) AS n_nulls,
+        |         count(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL SELECT 'o_orderdate',
+        |         count(*) - count(o_orderdate),
+        |         count(DISTINCT o_orderdate) FROM orders
+        |  UNION ALL SELECT 'o_orderkey',
+        |         count(*) - count(o_orderkey),
+        |         count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority',
+        |         count(*) - count(o_orderpriority),
+        |         count(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus',
+        |         count(*) - count(o_orderstatus),
+        |         count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice',
+        |         count(*) - count(o_totalprice),
+        |         count(DISTINCT o_totalprice) FROM orders
+        |)
+        |ORDER BY column_name ASC""".stripMargin,
   )
 }

@@ -67,4 +67,52 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy(col("doc_id").asc)
   }
+
+  /** Leakage-safe train/val/test split: the split is assigned per near-dup
+    * CLUSTER, not per document, so two near-duplicates can never straddle
+    * train and test — the eval-contamination failure mode a plain
+    * per-doc hash split ([[Corpus.split]]) cannot prevent. Every member
+    * inherits its cluster's bucket (singletons are their own cluster,
+    * `cluster_id = doc_id`), and the bucket is the sha-256-derived
+    * twinnable hash of the cluster id, byte-reproducible in the oracle.
+    *
+    * Output is the per-split audit summary: sizes, distinct clusters, and
+    * how many docs sit in a multi-member family (the population the
+    * cluster-level assignment actually protects). Leak-freedom is
+    * structural — one bucket per cluster id — so there is no "leaky
+    * clusters" column to report; the DuckDB twin re-deriving identical
+    * numbers from its own recursive-CTE cluster walk IS the check.
+    *
+    * Scale shape: the membership pass is [[Dedup.minHashMembership]]
+    * (banded LSH + size-adaptive connected components); on top of it,
+    * one window for cluster size (cluster-keyed shuffle) and one tiny
+    * hash-agg. At 100 TB the countDistinct expand swaps for
+    * approx_count_distinct; exact here for oracle parity.
+    */
+  def clusterSplit(
+      spark: SparkSession, sfDir: String,
+      valPct: Int = 10, testPct: Int = 10, salt: Int = 29,
+      maxIter: Int = 10,
+      driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+    val membership = Dedup.minHashMembership(
+      spark, sfDir, twinnable = true, maxIter = maxIter,
+      driverEdgeLimit = driverEdgeLimit)
+    val bucket = conv(
+      substring(sha2(concat(col("cluster_id").cast("string"), lit(s"#$salt")),
+        256), 1, 8), 16, 10).cast("long") % 1000L
+    membership
+      .withColumn("cluster_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .withColumn("split",
+        when(bucket < testPct * 10L, "test")
+          .when(bucket < (testPct + valPct) * 10L, "val")
+          .otherwise("train"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        count_if(col("cluster_size") > 1).as("n_clustered_docs"))
+      .orderBy(col("split").asc)
+  }
 }

@@ -524,4 +524,113 @@ object TextStats {
       .orderBy(col("pair_count").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** Per-source curation scorecard: the one-page report a data-mixing team
+    * reads to set source weights — volume (docs, tokens, chars), quality
+    * (low-quality fraction via the [[qualityScore]] flag), redundancy
+    * (exact-duplicate fraction: docs that are not the keeper of their
+    * sha-256 fingerprint), and language spread. The reference has no
+    * analog; this is the `documents`-table capstone of its per-group
+    * aggregate patterns (`src/routes/admin.ts:20-45`'s dashboard shape).
+    *
+    * Scale shape: one projection pass computes the per-doc signals; the
+    * fingerprint-keeper window shuffles on the fixed-width sha-256 (text
+    * itself never moves, the [[Dedup.exactSummary]] argument); then a
+    * single hash-agg on source. The countDistinct(lang) expand is bounded
+    * by the tiny lang alphabet; everything else is map-side-combinable.
+    */
+  def sourceScorecard(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpW = Window.partitionBy(col("fp"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("lang"), col("n_chars"),
+        length(col("text")).as("text_len"),
+        tokenCount(col("text")).as("toks"),
+        sha2(col("text"), 256).as("fp"))
+      .withColumn("fp_keeper", min(col("doc_id")).over(fpW))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks").cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        count_if(col("text_len") < 50 || col("toks") < 8).as("n_low_quality"),
+        count_if(col("doc_id") =!= col("fp_keeper")).as("n_exact_dups"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("dup_rate",
+        col("n_exact_dups").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Kneser–Ney smoothing ingredients for the top-`topK` vocabulary: the
+    * raw unigram count plus the two CONTINUATION diversities KN interpolates
+    * with — N1+(·w) (distinct left contexts: how many different words
+    * precede w — the "novel continuation" numerator) and N1+(w·) (distinct
+    * right contexts — the normalizer of w's backoff mass). "san" vs "the"
+    * is the classic: both frequent, but "francisco" follows few distinct
+    * lefts, so its continuation count is tiny. Complements [[pmiPairs]]
+    * (association) with the smoothing-table view of the same bigram pass.
+    *
+    * Scale shape: one tokenize pass; bigrams from the doc-local window
+    * lead; three hash-aggs (unigram count + two distinct-context aggs,
+    * each shuffling (word, context) pairs once); TakeOrdered top-k. The
+    * distinct aggs are the expand — at 100 TB swap for
+    * approx_count_distinct, exact here for oracle parity.
+    */
+  def knContinuationCounts(
+      spark: SparkSession, sfDir: String, topK: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("tok").as("l"), col("nxt").as("r"))
+    val uni = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_unigram"))
+      .select(col("tok").as("word"), col("n_unigram"))
+    val leftCtx = bigrams.groupBy(col("r"))
+      .agg(countDistinct(col("l")).as("n_left_contexts"))
+      .select(col("r").as("word"), col("n_left_contexts"))
+    val rightCtx = bigrams.groupBy(col("l"))
+      .agg(countDistinct(col("r")).as("n_right_contexts"))
+      .select(col("l").as("word"), col("n_right_contexts"))
+    uni
+      .join(leftCtx, Seq("word"), "left")
+      .join(rightCtx, Seq("word"), "left")
+      .select(col("word"), col("n_unigram"),
+        coalesce(col("n_left_contexts"), lit(0L)).as("n_left_contexts"),
+        coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"))
+      .orderBy(col("n_unigram").desc, col("word").asc)
+      .limit(topK)
+  }
+
+  /** Corpus-global heavy hitters: every token whose frequency is at least
+    * `1/perMille` of the total token count. The threshold test is exact
+    * integer arithmetic (`n · perMille ≥ total`) so the cut is
+    * reproducible in any engine — no float boundary. The share column is
+    * reporting only; ordering is by the integer count.
+    *
+    * Scale shape: one tokenize pass + one map-side-combinable hash-agg;
+    * the total is a 1-row broadcast. Output is bounded by construction
+    * (≤ perMille items can each hold ≥ 1/perMille of the mass). At
+    * 100 TB the same report comes from a Misra–Gries/count-min pass with
+    * `perMille` capacity when an approximate cut is acceptable; the exact
+    * hash-agg here is itself scale-safe (token-keyed, fully parallel),
+    * just heavier.
+    */
+  def heavyHitters(
+      spark: SparkSession, sfDir: String, perMille: Int = 1000): DataFrame = {
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')""")).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = words.agg(count(lit(1)).as("total_tokens"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * perMille >= col("total_tokens"))
+      .select(col("w").as("word"), col("n"),
+        (col("n").cast("double") / col("total_tokens").cast("double"))
+          .as("share"))
+      .orderBy(col("n").desc, col("word").asc)
+  }
 }

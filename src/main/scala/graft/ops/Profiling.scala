@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Data-quality profiling — the schema-level health report an ingest
+  * pipeline runs before trusting a new drop of data. The reference's
+  * closest analog is its admin dashboard counts
+  * (`/root/reference/src/routes/admin.ts:20-45`); this generalizes that
+  * to a per-column census of any table.
+  */
+object Profiling {
+
+  /** Per-column profile: null count and exact distinct count for every
+    * column, as one long-format report (column_name, n_nulls,
+    * n_distinct). Integer-only output — min/max/mean are omitted on
+    * purpose: their string rendering is engine-specific (float and
+    * timestamp formatting), while the counts are exact in any engine.
+    *
+    * Scale shape: ONE aggregate job over the table — Spark plans the
+    * multi-column distinct set via a single Expand (one row per distinct
+    * column group, here `2 × n_cols`), then a map-side-combinable
+    * hash-agg; the result is one row, pivoted to long form on the driver
+    * side of the plan by `stack`. At 100 TB swap the exact distincts for
+    * approx_count_distinct to drop the Expand to a single HLL pass; exact
+    * here for oracle parity.
+    */
+  def columnProfile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count_if(col(c).isNull).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__distinct_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols
+      .map(c => s"'$c', `__nulls_$c`, `__distinct_$c`")
+      .mkString(", ")
+    row
+      .select(expr(
+        s"stack(${cols.size}, $stacked) AS (column_name, n_nulls, n_distinct)"))
+      .orderBy(col("column_name").asc)
+  }
+
+  /** [[columnProfile]] over the `orders` table — the registered,
+    * oracle-checked instance.
+    */
+  def ordersProfile(spark: SparkSession, sfDir: String): DataFrame =
+    columnProfile(Tables.orders(spark, sfDir))
+}
