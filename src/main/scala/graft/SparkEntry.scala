@@ -229,6 +229,19 @@ object SparkEntry {
     "cluster_split"      -> ((s, d) => Curation.clusterSplit(s, d)),
     // per-column null/distinct census of orders (data-quality profile)
     "column_profile"     -> ((s, d) => graft.ops.Profiling.ordersProfile(s, d)),
+    // day × type PIVOT with a pinned value list (no discovery scan)
+    "events_pivot"       -> ((s, d) => EventAnalytics.dailyTypePivot(s, d)),
+    // explicit GROUPING SETS — the general form of rollup/cube
+    "events_grouping_sets" -> ((s, d) => EventAnalytics.groupingSetsReport(s, d)),
+    // deterministic per-group mode (dominant language per source)
+    "dominant_lang"      -> ((s, d) => TextStats.dominantLang(s, d)),
+    // CCNet-style perplexity quartiles over the Zipf-rank LM score
+    "ppl_buckets"        -> ((s, d) => TextStats.perplexityBuckets(s, d)),
+    // TPC-H Q3 shape: selective 3-way join, decimal-exact revenue, top-10
+    "shipping_priority"  -> ((s, d) => Marketplace.shippingPriority(s, d)),
+    // materialized-view delta merge: base partial ⊕ delta partial ≡ full
+    "incremental_daily_counts" -> ((s, d) =>
+      EventAnalytics.incrementalDailyCounts(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -2353,5 +2366,94 @@ object SparkEntry {
         |         count(DISTINCT o_totalprice) FROM orders
         |)
         |ORDER BY column_name ASC""".stripMargin,
+    "events_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day ASC""".stripMargin,
+    "events_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
+        |              AS INT) AS dow,
+        |         user_id, value
+        |  FROM events
+        |)
+        |SELECT event_type, dow, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+        |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin,
+    "dominant_lang" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, lang, n_docs,
+        |         sum(n_docs) OVER (PARTITION BY source) AS total,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_docs DESC, lang ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT source, lang AS top_lang, n_docs,
+        |       n_docs::DOUBLE / total::DOUBLE AS share
+        |FROM r WHERE rk = 1 ORDER BY source ASC""".stripMargin,
+    "ppl_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> t <> '')) AS tok
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+        |  FROM toks GROUP BY tok
+        |), scored AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         CAST(sum(r) AS BIGINT) AS rank_sum
+        |  FROM toks t JOIN ranked USING (tok) GROUP BY t.doc_id
+        |), per_doc AS (
+        |  SELECT d.doc_id,
+        |         coalesce(n_tokens, 0) AS n_tokens,
+        |         coalesce(rank_sum, 0) AS rank_sum,
+        |         CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |              ELSE rank_sum::DOUBLE / n_tokens::DOUBLE END AS mean_rank
+        |  FROM documents d LEFT JOIN scored USING (doc_id)
+        |), bucketed AS (
+        |  SELECT *, ntile(4) OVER (ORDER BY mean_rank ASC, doc_id ASC)
+        |           AS ppl_bucket
+        |  FROM per_doc
+        |)
+        |SELECT ppl_bucket, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(sum(rank_sum) AS BIGINT) AS total_rank_sum,
+        |       min(mean_rank) AS min_mean_rank,
+        |       max(mean_rank) AS max_mean_rank
+        |FROM bucketed GROUP BY ppl_bucket ORDER BY ppl_bucket ASC""".stripMargin,
+    "shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice
+        |                                 * (1.0 - l.l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o.o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "incremental_daily_counts" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |       count(*) AS n_events,
+        |       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                  AS DOUBLE), 6) AS value_sum,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day ASC, event_type ASC""".stripMargin,
   )
 }

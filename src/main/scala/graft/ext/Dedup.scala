@@ -614,6 +614,46 @@ object Dedup {
     } finally rows.unpersist()
   }
 
+  /** Recall audit of the MinHash-LSH candidate generation against the
+    * LOSSLESS [[jaccardPrefixPairs]] ground truth: one row — how many
+    * true Jaccard-≥-threshold pairs exist, how many the banded signature
+    * path found, and the recall. Banding is the probabilistic stage (a
+    * pair whose signatures agree in no band is never considered;
+    * 16 bands × 4 rows gives ~50% capture odds AT the 0.5 threshold,
+    * rising steeply above it), so recall < 1 is expected and this report
+    * is how a curation run decides whether to add bands or lower the
+    * per-band width. Both sides verify exact Jaccard, so LSH pairs are a
+    * subset of the truth (modulo each side's skew cap) and precision is
+    * structurally 1 — the single interesting number is recall.
+    *
+    * Spec-pinned, not oracle-registered: the report is the composition of
+    * two already-hash-checked producers (`dedup_minhash`,
+    * `jaccard_prefix`); re-running both pipelines to oracle one division
+    * would double-charge the bench for zero new verified surface.
+    *
+    * Scale shape: at 100 TB the lossless side is the expensive one — run
+    * this audit on a hash-sampled slice (recall is a per-pair Bernoulli
+    * property, so a sample estimates it) rather than the full corpus; the
+    * full-corpus form here is exact at test scale.
+    */
+  def lshRecall(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      maxBucket: Int = 64, maxPrefixDf: Long = 256L): DataFrame = {
+    val exact = jaccardPrefixPairs(spark, sfDir, threshold, maxPrefixDf)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+    val lsh = minHashPairs(spark, sfDir, threshold, maxBucket, twinnable = true)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("__l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count_if(col("__e").isNotNull).as("n_true_pairs"),
+        count_if(col("__l").isNotNull).as("n_lsh_pairs"),
+        count_if(col("__e").isNotNull && col("__l").isNotNull).as("n_found"))
+      .select(col("n_true_pairs"), col("n_lsh_pairs"), col("n_found"),
+        when(col("n_true_pairs") === 0L, lit(1.0))
+          .otherwise(col("n_found").cast("double") /
+            col("n_true_pairs").cast("double")).as("recall"))
+  }
+
   /** Near-dup pairs → duplicate CLUSTERS by connected components
     * (iterative min-label propagation): each doc adopts the smallest label
     * among itself and its neighbors until fixpoint. The missing last step

@@ -80,12 +80,14 @@ object EventAnalytics {
       spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    // interval arithmetic, not unix_micros: the epoch helpers reject
+    // TIMESTAMP_NTZ (which `ts` is when the parquet writer leaves the
+    // isAdjustedToUTC flag off), while ts ± interval works for both types
     Tables.events(spark, sfDir)
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_sess",
         when(col("__prev").isNull ||
-          (unix_micros(col("ts")) - unix_micros(col("__prev"))) > gapMicros, 1L)
+          col("ts") > col("__prev") + expr(s"INTERVAL '$gapMinutes' MINUTE"), 1L)
           .otherwise(0L))
       .withColumn("__sess_id", sum(col("__new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -505,5 +507,112 @@ object EventAnalytics {
           .as("x_avg"))
       .orderBy(col("n_rows").desc, col("user_id").asc)
       .limit(topK)
+  }
+
+  /** The five event-type values, pinned so [[dailyTypePivot]] never runs
+    * the implicit values-discovery job (see its scaladoc).
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Day × event-type PIVOT — the wide dashboard matrix (one column per
+    * event type). The value list is PINNED: `pivot(col, values)` with an
+    * explicit list compiles straight to one conditional-aggregation pass,
+    * while the values-less overload first runs a separate distinct scan to
+    * discover columns — an extra corpus pass AND a nondeterministic schema
+    * if a new type appears, both wrong at 100 TB. Missing cells surface as
+    * NULL from pivot-count; coalesced to 0 like the FILTER twin.
+    *
+    * Scale shape: identical to a groupBy(day) hash-agg with 5 conditional
+    * counts — map-side combinable, one fixed-width shuffle, |days| rows
+    * out. The day is emitted as its string form (driver-compare
+    * convention, see [[eventTypeRollup]]).
+    */
+  def dailyTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .groupBy(col("day"))
+      .pivot(col("event_type"), EventTypes)
+      .agg(count(lit(1)))
+    pivoted.select(col("day") +:
+      EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy(col("day").asc)
+  }
+
+  /** Explicit GROUPING SETS — the general form [[eventTypeRollup]] /
+    * [[eventTypeCube]] are shorthands of: exactly the four requested
+    * levels (type×dow, type, dow, grand total) in ONE Expand+aggregate
+    * pass. The day-of-week key is derived as days-since-a-known-Monday
+    * mod 7 (0=Monday) — pure date arithmetic that folds identically in
+    * any engine, where native dow functions disagree on week start.
+    *
+    * Scale shape: one Expand (4×) + map-side-combinable hash-agg, same as
+    * cube; countDistinct is the only expand beyond it.
+    */
+  def groupingSetsReport(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("dow",
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-05"))), lit(7))
+          .cast("int"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+          Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+
+  /** Incremental aggregate maintenance — the materialized-view pattern: a
+    * standing daily (day × type) aggregate is kept current by merging the
+    * BASE's partial aggregate with the arriving DELTA's partial aggregate,
+    * never rescanning the base rows. Only mergeable state is kept — count
+    * (sum of counts), decimal value sum (associative), min/max (idempotent
+    * semilattice) — and deliberately NO countDistinct, which is not
+    * mergeable without a set/HLL sketch ([[graft.ext.TextStats]]'
+    * `corpus_sketch` carries the mergeable-sketch form).
+    *
+    * The delta is carved deterministically (`event_id % deltaMod ==
+    * deltaRem`) so the merged view is oracle-checkable: the twin
+    * recomputes the SAME numbers from a flat GROUP BY over all events —
+    * base⊕delta ≡ full is exactly the invariant an incremental MV must
+    * keep. Same shape family as [[graft.ext.Dedup.incrementalExact]]
+    * (delta-vs-index), applied to aggregation instead of membership.
+    *
+    * Scale shape: at 100 TB the base partial is a stored table of
+    * |days|×|types| rows; per batch, work is one hash-agg over the delta
+    * plus a merge-agg over two tiny partials — the base raw events are
+    * never touched. Here both partials derive from one scan-split for
+    * checkability.
+    */
+  def incrementalDailyCounts(
+      spark: SparkSession, sfDir: String,
+      deltaMod: Int = 10, deltaRem: Int = 9): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .withColumn("__v", round(col("value"), 6).cast("decimal(18,6)"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__v")).as("value_sum"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val base = partial(ev.filter(col("event_id") % deltaMod =!= deltaRem))
+    val delta = partial(ev.filter(col("event_id") % deltaMod === deltaRem))
+    base.unionByName(delta)
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("value_sum")).as("__vs"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      // exact decimal merge → deterministic double rendering (winsorized
+      // convention) so the twin's flat GROUP BY hash-matches
+      .withColumn("value_sum", round(col("__vs").cast("double"), 6))
+      .select("day", "event_type", "n_events", "value_sum",
+        "min_value", "max_value")
+      .orderBy(col("day").asc, col("event_type").asc)
   }
 }

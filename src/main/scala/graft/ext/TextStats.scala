@@ -633,4 +633,59 @@ object TextStats {
           .as("share"))
       .orderBy(col("n").desc, col("word").asc)
   }
+
+  /** Deterministic per-group MODE: the dominant language of each source,
+    * with its doc count and share. Mode via count + rank window, NOT a
+    * native `mode()` aggregate — engines break frequency ties arbitrarily
+    * (first-seen, hash order); ranking by (count desc, lang asc) pins one
+    * winner every engine reproduces.
+    *
+    * Scale shape: the mode of a 100 TB group never materializes the group —
+    * one (source, lang) hash-agg (map-side combinable, |sources|×|langs|
+    * rows out), then a window over that TINY aggregate, not over the
+    * corpus.
+    */
+  def dominantLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source"))
+    counts
+      .withColumn("total", sum(col("n_docs")).over(w))
+      .withColumn("__rk", row_number().over(
+        w.orderBy(col("n_docs").desc, col("lang").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Perplexity-bucketed corpus report: docs quartiled by the [[lmScore]]
+    * mean Zipf rank (the deterministic LM-score proxy), the standard
+    * pre-mixing view — CCNet's "head/middle/tail" perplexity thirds
+    * generalized to `nBuckets`. Bucket boundaries come from ntile over the
+    * TOTAL order (score asc, doc_id asc) so every engine assigns identical
+    * membership — no float quantile boundary to disagree on. Aggregates
+    * per bucket are integer sums and double min/max (order-independent).
+    *
+    * Scale shape: the scored frame is |docs| rows of three numbers; the
+    * ntile needs a total order — the one global sort in this family, which
+    * is what a 100 TB run replaces with approx_percentile boundaries +
+    * a broadcast range join. Exact here for oracle parity.
+    */
+  def perplexityBuckets(
+      spark: SparkSession, sfDir: String, nBuckets: Int = 4): DataFrame = {
+    lmScore(spark, sfDir)
+      .withColumn("ppl_bucket", ntile(nBuckets).over(
+        Window.orderBy(col("mean_rank").asc, col("doc_id").asc)))
+      .groupBy(col("ppl_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("rank_sum")).as("total_rank_sum"),
+        min(col("mean_rank")).as("min_mean_rank"),
+        max(col("mean_rank")).as("max_mean_rank"))
+      .orderBy(col("ppl_bucket").asc)
+  }
 }

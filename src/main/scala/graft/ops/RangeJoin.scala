@@ -20,17 +20,19 @@ object RangeJoin {
 
   /** Inner-join `points` rows to every `intervals` row whose CLOSED
     * interval [startCol, endCol] contains the point. Both time columns
-    * must be timestamps; bucket ids derive from epoch seconds.
+    * must be timestamps; bucket ids derive from epoch seconds. The
+    * intermediate cast to TIMESTAMP (not straight to long) keeps NTZ
+    * columns working — TIMESTAMP_NTZ has no direct numeric cast.
     */
   def pointInInterval(
       points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketSeconds: Long = 3600L): DataFrame = {
-    val pb = points.withColumn("__b",
-      floor(col(ptCol).cast("long") / bucketSeconds))
+    def secs(c: String) = col(c).cast("timestamp").cast("long")
+    val pb = points.withColumn("__b", floor(secs(ptCol) / bucketSeconds))
     val ib = intervals.withColumn("__b", explode(sequence(
-      floor(col(startCol).cast("long") / bucketSeconds),
-      floor(col(endCol).cast("long") / bucketSeconds))))
+      floor(secs(startCol) / bucketSeconds),
+      floor(secs(endCol) / bucketSeconds))))
     pb.join(ib, Seq("__b"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__b")

@@ -272,4 +272,50 @@ object Marketplace {
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
   }
+
+  /** TPC-H Q3-shaped shipping-priority report: revenue still unshipped as
+    * of the cutoff, for one market segment — the classic selective
+    * 3-way join (dim filter → fact join → grouped agg → top-k).
+    *
+    * Revenue is summed as DECIMAL(18,6) of the per-line double product
+    * (rounded at 6dp first): the product is IEEE-identical in any
+    * engine, and decimal addition is associative, so the sum
+    * hash-matches cross-engine where a double sum would depend on
+    * reduction order (the [[graft.ext.EventAnalytics.winsorizedStats]]
+    * convention).
+    *
+    * Scale shape: the segment filter prunes customer BEFORE the join and
+    * the date predicates push into both parquet scans; customer
+    * broadcasts (dim-sized), orders⋈lineitem co-partitions on orderkey;
+    * the aggregate is map-side combinable on (orderkey, date, priority);
+    * the top-10 is a TakeOrdered, never a global sort.
+    */
+  def shippingPriority(
+      spark: SparkSession, sfDir: String,
+      segment: String = "BUILDING", cutoff: String = "1998-07-01",
+      topK: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = broadcast(Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment)
+      .select("c_custkey"))
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+    ords.join(cust, ords("o_custkey") === cust("c_custkey"))
+      .join(li, ords("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).as("__rev"))
+      // exact decimal sum → one deterministic double rendering for output
+      // (the winsorizedStats convention: decimals add associatively, the
+      // final round(·,6) maps both engines' identical decimal to one double)
+      .withColumn("revenue", round(col("__rev").cast("double"), 6))
+      .drop("__rev")
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(topK)
+  }
 }

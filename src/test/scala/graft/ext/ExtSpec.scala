@@ -300,6 +300,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardPrefixPairs(spark, dir, maxPrefixDf = Long.MaxValue)
       .count() === 40L * 39 / 2)
   }
+
+  test("lshRecall: LSH pairs ⊆ lossless truth, recall consistent, exact dups found") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_lsh_recall"
+    // planted: 3 exact copies (signatures identical → every band agrees →
+    // LSH MUST find those pairs) + unrelated fillers
+    val copy = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (Seq((1L, copy), (2L, copy), (3L, copy)) ++
+      (4L to 12L).map(i => (i, (1 to 10).map(j => s"w${i}_$j").mkString(" "))))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Dedup.lshRecall(spark, dir).collect().head
+    val (nTrue, nLsh, nFound) = (r.getAs[Long]("n_true_pairs"),
+      r.getAs[Long]("n_lsh_pairs"), r.getAs[Long]("n_found"))
+    assert(nTrue === 3L)   // the 3 copy pairs; fillers share no shingle
+    assert(nLsh === 3L)    // identical signatures collide in every band
+    assert(nFound === nLsh) // verified LSH pairs are a subset of the truth
+    assert(r.getAs[Double]("recall") === 1.0)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

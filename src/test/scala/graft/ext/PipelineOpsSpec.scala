@@ -287,4 +287,103 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got === expected)
   }
+
+  test("dailyTypePivot: wide cells sum back to the raw event count") {
+    val out = EventAnalytics.dailyTypePivot(spark, sf).collect()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cellSum = out.map(r => types.map(t => r.getAs[Long](t)).sum).sum
+    assert(cellSum === graft.io.Tables.events(spark, sf).count())
+    // pinned value list → fixed schema regardless of which types occur
+    assert(out.head.schema.fieldNames.toSeq === "day" +: types)
+  }
+
+  test("groupingSetsReport: levels are consistent projections of the base") {
+    val rows = EventAnalytics.groupingSetsReport(spark, sf).collect()
+    def lvl(t: Boolean, d: Boolean) = rows.filter(r =>
+      (r.get(0) != null) == t && (r.get(1) != null) == d)
+    val base = lvl(t = true, d = true)
+    val total = graft.io.Tables.events(spark, sf).count()
+    // each marginal and the grand total re-aggregate the finest level
+    assert(lvl(t = false, d = false).map(_.getAs[Long]("n_events")).sum === total)
+    assert(lvl(t = true, d = false).map(_.getAs[Long]("n_events")).sum === total)
+    assert(lvl(t = false, d = true).map(_.getAs[Long]("n_events")).sum === total)
+    assert(base.map(_.getAs[Long]("n_events")).sum === total)
+    // dow derivation stays in [0, 6]
+    assert(base.forall { r => val d = r.getAs[Int]("dow"); d >= 0 && d <= 6 })
+  }
+
+  test("dominantLang agrees with a driver-side per-source argmax") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val byLang = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (lang, n) = byLang.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      src -> ((lang, n, n.toDouble / rows.size))
+    }
+    val got = TextStats.dominantLang(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (lang, n, share) = expected(r.getAs[String]("source"))
+      assert(r.getAs[String]("top_lang") === lang)
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-12)
+    }
+  }
+
+  test("shippingPriority matches an independent flat-SQL recompute") {
+    import graft.io.Tables
+    Tables.customer(spark, sf).createOrReplaceTempView("__sp_c")
+    Tables.orders(spark, sf).createOrReplaceTempView("__sp_o")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("__sp_l")
+    val expected = spark.sql(
+      """SELECT o_orderkey,
+        |       round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM __sp_c JOIN __sp_o ON o_custkey = c_custkey
+        |            JOIN __sp_l ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = graft.queries.Marketplace.shippingPriority(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Double]("revenue")))
+    assert(got.toSeq === expected.toSeq)
+    // the dim filter + date predicates actually select something at sf0.001
+    assert(got.nonEmpty)
+  }
+
+  test("incrementalDailyCounts: base ⊕ delta ≡ flat full aggregate") {
+    import graft.io.Tables
+    val merged = EventAnalytics.incrementalDailyCounts(spark, sf).collect()
+    val full = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .withColumn("__v", round(col("value"), 6).cast("decimal(18,6)"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__v")).cast("double"), 6).as("value_sum"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .orderBy(col("day").asc, col("event_type").asc)
+      .select("day", "event_type", "n_events", "value_sum",
+        "min_value", "max_value")
+      .collect()
+    assert(merged.length === full.length)
+    merged.zip(full).foreach { case (m, f) => assert(m === f) }
+  }
+
+  test("perplexityBuckets: buckets partition docs, boundaries are ordered") {
+    val out = TextStats.perplexityBuckets(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("ppl_bucket")).toSeq === (1 to out.length))
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      graft.io.Tables.documents(spark, sf).count())
+    // quartile score ranges must be disjoint and increasing
+    out.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_mean_rank") <=
+          hi.getAs[Double]("min_mean_rank"))
+      case _ =>
+    }
+  }
 }

@@ -189,11 +189,16 @@ class SearchSpec extends SparkSpec {
   }
 
   test("funnel counts ordered stage survivors exactly") {
-    import java.sql.Timestamp
+    // ts is TIMESTAMP_NTZ → LocalDateTime at collect time; accept either
+    def epochMs(x: Any): Long = x match {
+      case t: java.sql.Timestamp      => t.getTime
+      case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case i: java.time.Instant       => i.toEpochMilli
+    }
     val ev = graft.io.Tables.events(spark, sf)
       .selectExpr("user_id", "event_type", "ts").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
-        r.getAs[Timestamp]("ts").getTime))
+        epochMs(r.get(2))))
     val byUser = ev.groupBy(_._1)
     def stageTs(rows: Array[(Long, String, Long)], tpe: String,
         after: Option[Long]): Option[Long] = {
