@@ -242,6 +242,12 @@ object SparkEntry {
     // materialized-view delta merge: base partial ⊕ delta partial ≡ full
     "incremental_daily_counts" -> ((s, d) =>
       EventAnalytics.incrementalDailyCounts(s, d)),
+    // TPC-H Q1 shape: the scan-bound codegen showcase, decimal-exact sums
+    "pricing_summary"    -> ((s, d) => Marketplace.pricingSummary(s, d)),
+    // time-series repair: absent hours linearly interpolated (level form)
+    "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
+    // anti-entropy replica comparison: per-shard order-independent digests
+    "shard_checksums"    -> ((s, d) => graft.ops.Profiling.shardChecksums(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -2455,5 +2461,86 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "pricing_summary" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(l_quantity, 6) AS DECIMAL(18,6)) AS qty,
+        |         CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)) AS price,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |              AS DECIMAL(18,6)) AS disc_price,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount)
+        |                    * (1.0 + l_tax), 6) AS DECIMAL(18,6)) AS charge,
+        |         CAST(round(l_discount, 6) AS DECIMAL(18,6)) AS disc
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |)
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(qty) AS DOUBLE), 6) AS sum_qty,
+        |       round(CAST(sum(price) AS DOUBLE), 6) AS sum_base_price,
+        |       round(CAST(sum(disc_price) AS DOUBLE), 6) AS sum_disc_price,
+        |       round(CAST(sum(charge) AS DOUBLE), 6) AS sum_charge,
+        |       round(CAST(sum(qty) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_qty,
+        |       round(CAST(sum(price) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_price,
+        |       round(CAST(sum(disc) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM l GROUP BY 1, 2
+        |ORDER BY l_returnflag ASC, l_linestatus ASC""".stripMargin,
+    "gapfill_interpolate" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+        |                    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |           AS avg_value
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |), g AS (
+        |  SELECT t.event_type, u.hour
+        |  FROM (SELECT DISTINCT event_type FROM events) t, s,
+        |       UNNEST(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS u(hour)
+        |), j AS (
+        |  SELECT g.event_type, g.hour, h.avg_value,
+        |         date_diff('second', TIMESTAMP '1970-01-01', g.hour) AS he
+        |  FROM g LEFT JOIN h USING (event_type, hour)
+        |), w AS (
+        |  SELECT *,
+        |    last_value(avg_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN avg_value IS NOT NULL THEN he END
+        |               IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph,
+        |    first_value(avg_value IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN avg_value IS NOT NULL THEN he END
+        |                IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j
+        |)
+        |SELECT event_type, hour, avg_value IS NOT NULL AS observed,
+        |       round(coalesce(avg_value,
+        |               pv + (nv - pv) * CAST(he - ph AS DOUBLE)
+        |                    / CAST(nh - ph AS DOUBLE)), 6) AS value
+        |FROM w ORDER BY event_type ASC, hour ASC""".stripMargin,
+    "shard_checksums" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+        |           ::BIGINT % 8 AS shard,
+        |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '|' || text),
+        |                         1, 15))::BIGINT AS hh
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |       bit_xor(hh) AS xor_digest,
+        |       CAST(sum(hh % 1000000007) AS BIGINT) AS mod_digest
+        |FROM h GROUP BY shard ORDER BY shard ASC""".stripMargin,
   )
 }

@@ -615,4 +615,62 @@ object EventAnalytics {
         "min_value", "max_value")
       .orderBy(col("day").asc, col("event_type").asc)
   }
+
+  /** [[gapFill]]'s interpolating sibling: the hourly mean value per event
+    * type with ABSENT hours linearly interpolated between the surrounding
+    * observed hours — the time-series repair a monitoring/feature pipeline
+    * applies before feeding models that can't represent "missing". Counts
+    * zero-fill ([[gapFill]]); level-like measures interpolate — this is
+    * the level form.
+    *
+    * Observed hours keep their exact mean (decimal sum ÷ count, one
+    * deterministic double). Missing hours take
+    * `prev + (next − prev) · Δh/span` from the nearest observed values via
+    * IGNORE-NULLS window frames — two passes over the |types|×|hours| grid,
+    * never over raw events. Leading/trailing gaps (no neighbor on one
+    * side) stay NULL — extrapolation is a policy, not a repair. All
+    * arithmetic is the same expression tree in the twin, so the doubles
+    * agree bit-for-bit.
+    *
+    * Scale shape: one events hash-agg (map-side combinable) + a generated
+    * grid of |types|×|hours| rows + two window passes over that grid —
+    * grid size is independent of event volume, so at 100 TB this costs
+    * the same as at 100 GB once the hourly aggregate exists.
+    */
+  def gapFillInterpolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        round(sum(round(col("value"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_value"))
+    val span = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val hEpoch = col("hour").cast("timestamp").cast("long")
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .withColumn("__he", hEpoch)
+      .withColumn("__pv", last(col("avg_value"), ignoreNulls = true).over(before))
+      .withColumn("__ph",
+        last(when(col("avg_value").isNotNull, col("__he")), ignoreNulls = true)
+          .over(before))
+      .withColumn("__nv", first(col("avg_value"), ignoreNulls = true).over(after))
+      .withColumn("__nh",
+        first(when(col("avg_value").isNotNull, col("__he")), ignoreNulls = true)
+          .over(after))
+      .select(col("event_type"), col("hour"),
+        col("avg_value").isNotNull.as("observed"),
+        round(coalesce(col("avg_value"),
+          col("__pv") + (col("__nv") - col("__pv"))
+            * (col("__he") - col("__ph")).cast("double")
+            / (col("__nh") - col("__ph")).cast("double")), 6).as("value"))
+      .orderBy(col("event_type").asc, col("hour").asc)
+  }
 }

@@ -49,4 +49,41 @@ object Profiling {
     */
   def ordersProfile(spark: SparkSession, sfDir: String): DataFrame =
     columnProfile(Tables.orders(spark, sfDir))
+
+  /** Per-shard content checksums of the documents table — the
+    * anti-entropy primitive: two replicas (clusters, DCs, a pre- and
+    * post-migration copy) each run this locally and compare the tiny
+    * report; a mismatched shard pinpoints where to run the expensive
+    * row-level diff ([[graft.ext.Corpus]]' snapshot diff), so the full
+    * corpora never move. Classic Merkle-leaf / Cassandra-repair shape.
+    *
+    * Shard = sha-derived hash of doc_id mod `nShards` (content-independent
+    * placement); per shard, two ORDER-INDEPENDENT digests over the
+    * (doc_id, text) content hash: bit_xor of the 60-bit hashes and a sum
+    * of their mod-1e9+7 residues (two independent algebras — a collision
+    * in one is caught by the other), plus the row count. Everything is
+    * sha-256-derived integer arithmetic, so any engine reproduces it.
+    *
+    * Scale shape: one projection pass (text hashed at the scan, only
+    * fixed-width longs shuffle) + a `nShards`-row hash-agg; both digests
+    * are map-side combinable — at 100 TB this is scan-bound, exactly one
+    * pass per replica, zero data movement between them.
+    */
+  def shardChecksums(
+      spark: SparkSession, sfDir: String, nShards: Int = 8): DataFrame = {
+    val contentHash = conv(substring(
+      sha2(concat_ws("|", col("doc_id"), col("text")), 256), 1, 15), 16, 10)
+      .cast("long")
+    val shard = pmod(conv(substring(
+      sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    Tables.documents(spark, sfDir)
+      .select(shard.as("shard"), contentHash.as("__h"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        bit_xor(col("__h")).as("xor_digest"),
+        sum(pmod(col("__h"), lit(1000000007L))).as("mod_digest"))
+      .orderBy(col("shard").asc)
+  }
 }

@@ -318,4 +318,49 @@ object Marketplace {
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(topK)
   }
+
+  /** TPC-H Q1-shaped pricing summary: the canonical scan-heavy aggregate —
+    * one pass over lineitem, grouped by the two status flags, producing
+    * the sum/avg/count battery. The classic whole-stage-codegen
+    * benchmark query: no join, no window; throughput is the parquet scan
+    * plus a map-side-combinable hash-agg with 4 distinct groups.
+    *
+    * All sums accumulate as DECIMAL(18,6) of 6dp-rounded doubles
+    * (associative → engine-exact, the [[shippingPriority]] convention);
+    * averages derive from the exact sums and the count, so they too are
+    * one deterministic double each. Output columns are rounded doubles.
+    */
+  def pricingSummary(
+      spark: SparkSession, sfDir: String,
+      cutoff: String = "2001-06-01"): DataFrame = {
+    def dec(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice")).as("price"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charge"),
+        dec(col("l_discount")).as("disc"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty")).as("__sq"), sum(col("price")).as("__sp"),
+        sum(col("disc_price")).as("__sdp"), sum(col("charge")).as("__sc"),
+        sum(col("disc")).as("__sd"), count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        round(col("__sq").cast("double"), 6).as("sum_qty"),
+        round(col("__sp").cast("double"), 6).as("sum_base_price"),
+        round(col("__sdp").cast("double"), 6).as("sum_disc_price"),
+        round(col("__sc").cast("double"), 6).as("sum_charge"),
+        round((col("__sq").cast("double") / col("count_order").cast("double")), 6)
+          .as("avg_qty"),
+        round((col("__sp").cast("double") / col("count_order").cast("double")), 6)
+          .as("avg_price"),
+        round((col("__sd").cast("double") / col("count_order").cast("double")), 6)
+          .as("avg_disc"),
+        col("count_order"))
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
+  }
 }

@@ -373,6 +373,74 @@ class PipelineOpsSpec extends SparkSpec {
     merged.zip(full).foreach { case (m, f) => assert(m === f) }
   }
 
+  test("pricingSummary: groups cover the filtered scan; avgs derive from sums") {
+    val out = graft.queries.Marketplace.pricingSummary(spark, sf).collect()
+    val filtered = graft.io.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp")).count()
+    assert(out.map(_.getAs[Long]("count_order")).sum === filtered)
+    out.foreach { r =>
+      val n = r.getAs[Long]("count_order").toDouble
+      assert(math.abs(r.getAs[Double]("avg_qty") -
+        r.getAs[Double]("sum_qty") / n) < 1e-5)
+      assert(r.getAs[Double]("sum_disc_price") <=
+        r.getAs[Double]("sum_base_price") + 1e-9)
+      assert(r.getAs[Double]("sum_charge") >=
+        r.getAs[Double]("sum_disc_price") - 1e-9)
+    }
+  }
+
+  test("gapFillInterpolate: observed exact, gaps strictly between neighbors") {
+    val out = EventAnalytics.gapFillInterpolate(spark, sf).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    val hours = out.map(_.getAs[Any]("hour")).distinct
+    assert(out.length === types.length * hours.length) // full grid
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      // rows arrive sorted by hour; interior gaps interpolate between the
+      // nearest observed values, so they must lie inside that bracket
+      var lastObs: Option[Double] = None
+      val obsIdx = rows.zipWithIndex.filter(_._1.getAs[Boolean]("observed"))
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val v = Option(r.getAs[Any]("value")).map(_.asInstanceOf[Double])
+        if (r.getAs[Boolean]("observed")) { assert(v.isDefined); lastObs = v }
+        else {
+          val before = obsIdx.filter(_._2 < i).lastOption.map(_._1.getAs[Double]("value"))
+          val after = obsIdx.find(_._2 > i).map(_._1.getAs[Double]("value"))
+          (before, after) match {
+            case (Some(b), Some(a)) =>
+              val (lo, hi) = (math.min(b, a), math.max(b, a))
+              assert(v.isDefined && v.get >= lo - 1e-6 && v.get <= hi + 1e-6)
+            case _ => assert(v.isEmpty) // leading/trailing gap: stays null
+          }
+        }
+      }
+    }
+  }
+
+  test("shardChecksums matches a driver-side sha-256 digest recompute") {
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy { case (id, _) =>
+      java.lang.Long.parseLong(sha(id.toString).substring(0, 8), 16) % 8
+    }.view.mapValues { rows =>
+      val hs = rows.map { case (id, t) =>
+        java.lang.Long.parseLong(sha(s"$id|$t").substring(0, 15), 16)
+      }
+      (rows.size.toLong, hs.reduce(_ ^ _), hs.map(_ % 1000000007L).sum)
+    }.toMap
+    val got = graft.ops.Profiling.shardChecksums(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === docs.length.toLong)
+    got.foreach { r =>
+      val (n, x, m) = expected(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("xor_digest") === x)
+      assert(r.getAs[Long]("mod_digest") === m)
+    }
+  }
+
   test("perplexityBuckets: buckets partition docs, boundaries are ordered") {
     val out = TextStats.perplexityBuckets(spark, sf).collect()
     assert(out.map(_.getAs[Int]("ppl_bucket")).toSeq === (1 to out.length))
