@@ -250,4 +250,51 @@ class PlanQualitySpec extends SparkSpec {
       assert(!c.startsWith("Found 0 WholeStageCodegen"), s"$q: ${c.take(200)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("shipping_priority: dim broadcasts, date predicates in-plan, top-k") {
+    val p = plan("shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // customer side
+    // both date filters must reach their scans, not run post-join
+    assert(p.contains("LessThan(o_orderdate,") ||
+      "o_orderdate#\\d+ < ".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("GreaterThan(l_shipdate,") ||
+      "l_shipdate#\\d+ > ".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pricing_summary: one pruned scan, partial agg, no join/exchange bloat") {
+    val p = plan("pricing_summary")
+    assert(!p.contains("Join"), p.take(2000)) // pure scan + aggregate
+    // the shipdate cutoff reaches the scan
+    assert(p.contains("LessThanOrEqual(l_shipdate,") ||
+      "l_shipdate#\\d+ <= ".r.findFirstIn(p).isDefined, p.take(2000))
+    // map-side combine: a partial_ aggregate precedes the exchange
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("events_pivot reads events exactly once (pinned values, no discovery)") {
+    val p = plan("events_pivot")
+    val scans = "FileScan parquet".r.findAllMatchIn(p).size
+    assert(scans === 1, s"expected a single events scan, got $scans")
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("round-5g/5h queries stay cartesian/nested-loop-free") {
+    for (q <- Seq("source_scorecard", "kn_counts", "cluster_split",
+      "column_profile", "events_grouping_sets", "dominant_lang",
+      "ppl_buckets", "incremental_daily_counts", "shard_checksums")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // heavy_hitters (1-row total) and gapfill_interpolate (1-row span)
+    // attach scalars via broadcast — the accepted scalar-attach BNLJ, same
+    // as key_skew/pmi — so only cartesians are banned for them
+    for (q <- Seq("heavy_hitters", "gapfill_interpolate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
 }
