@@ -248,6 +248,9 @@ object SparkEntry {
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
     "shard_checksums"    -> ((s, d) => graft.ops.Profiling.shardChecksums(s, d)),
+    // embedding-space eval-leak detection (semantic twin of decontaminate)
+    "semantic_decontaminate" -> ((s, d) =>
+      Similarity.semanticDecontaminate(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -2542,5 +2545,48 @@ object SparkEntry {
         |       bit_xor(hh) AS xor_digest,
         |       CAST(sum(hh % 1000000007) AS BIGINT) AS mod_digest
         |FROM h GROUP BY shard ORDER BY shard ASC""".stripMargin,
+    "semantic_decontaminate" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), assigned AS (
+        |  SELECT b.vec_id, b.cell_id, e.vec, e.nrm
+        |  FROM best b JOIN emb e USING (vec_id) WHERE b.rk = 1
+        |), ev AS (
+        |  SELECT * FROM assigned WHERE vec_id % 10 = 9
+        |), tr AS (
+        |  SELECT * FROM assigned WHERE vec_id % 10 <> 9
+        |), hits AS (
+        |  SELECT e.vec_id, t.vec_id AS t_id,
+        |         list_inner_product(e.vec, t.vec) / (e.nrm * t.nrm) AS sim
+        |  FROM ev e JOIN tr t ON e.cell_id = t.cell_id
+        |  WHERE list_inner_product(e.vec, t.vec) / (e.nrm * t.nrm) >= 0.4
+        |), best2 AS (
+        |  SELECT vec_id, t_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, t_id ASC) AS rk
+        |  FROM hits
+        |)
+        |SELECT e.vec_id,
+        |       coalesce(b.t_id, -1) AS nearest_train_id,
+        |       coalesce(round(b.sim, 6), 0.0) AS similarity,
+        |       b.t_id IS NOT NULL AS contaminated
+        |FROM ev e LEFT JOIN best2 b ON b.vec_id = e.vec_id AND b.rk = 1
+        |ORDER BY e.vec_id ASC""".stripMargin,
   )
 }

@@ -559,6 +559,59 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Embedding-space DECONTAMINATION — the semantic twin of the n-gram
+    * [[Contamination.decontaminate]]: for each EVAL-split vector, find the
+    * most similar TRAIN-split vector; cosine ≥ `threshold` flags the eval
+    * item as leaked into (or paraphrased in) the training pool, which
+    * n-gram overlap misses once wording shifts. Eval is carved
+    * deterministically (`vec_id % evalMod == evalRem`) so the report is
+    * oracle-checkable.
+    *
+    * Pair production is bounded the same way as [[semanticDedup]]: both
+    * sides assign to quantizer cells first and only same-cell pairs
+    * score — at 100 TB this is the standard probe-the-index ANN shape
+    * (and like any single-probe IVF it can miss a neighbor straddling a
+    * cell boundary; raise k/probes or rerank for recall, the
+    * [[annRecall]]-style audit quantifies it). One row per eval vector:
+    * best train neighbor, similarity, contaminated flag.
+    *
+    * Scale shape: assignment is join-free (centroid literals), the probe
+    * join keys on cell_id, and the per-eval argmax is a window over the
+    * threshold survivors — work is cell-local, never eval × train.
+    */
+  def semanticDecontaminate(
+      spark: SparkSession, sfDir: String, k: Int = 16,
+      threshold: Double = 0.4, evalMod: Int = 10, evalRem: Int = 9): DataFrame = {
+    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+      .join(cells, Seq("vec_id"))
+    val isEval = pmod(col("vec_id"), lit(evalMod.toLong)) === evalRem.toLong
+    val q = emb.filter(isEval).select(col("cell_id"),
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("__norm").as("q_norm"))
+    val c = emb.filter(!isEval).select(col("cell_id"),
+      col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+      col("__norm").as("c_norm"))
+    val best = q.join(c, Seq("cell_id"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= threshold)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("q_id").as("vec_id"), col("c_id").as("nearest_train_id"),
+        round(col("sim"), 6).as("similarity"))
+    emb.filter(isEval).select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("nearest_train_id"), lit(-1L)).as("nearest_train_id"),
+        coalesce(col("similarity"), lit(0.0)).as("similarity"),
+        col("nearest_train_id").isNotNull.as("contaminated"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Cluster-balanced sample: an equal per-cell quota drawn in
     * deterministic pseudo-random order — the diversity-sampling step that
     * keeps a curated subset from collapsing onto the head clusters (the

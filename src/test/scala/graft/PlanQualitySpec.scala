@@ -284,7 +284,8 @@ class PlanQualitySpec extends SparkSpec {
   test("round-5g/5h queries stay cartesian/nested-loop-free") {
     for (q <- Seq("source_scorecard", "kn_counts", "cluster_split",
       "column_profile", "events_grouping_sets", "dominant_lang",
-      "ppl_buckets", "incremental_daily_counts", "shard_checksums")) {
+      "ppl_buckets", "incremental_daily_counts", "shard_checksums",
+      "semantic_decontaminate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

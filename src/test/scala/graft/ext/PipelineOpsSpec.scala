@@ -150,6 +150,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(!_._4) && got.exists(_._4))
   }
 
+  test("semanticDecontaminate matches a driver-side eval-vs-train probe") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = emb.map { case (id, v) =>
+      val x = v.map(_.toDouble); id -> (x, math.sqrt(dot(x, x)))
+    }.toMap
+    val seeds = emb.take(16).map { case (id, _) =>
+      val (x, n) = vecs(id); x.map(_ / n)
+    }
+    val cellOf = emb.map { case (id, _) =>
+      val (x, n) = vecs(id)
+      id -> (0 until 16).map(c => (-dot(x, seeds(c)) / n, c)).min._2.toLong
+    }.toMap
+    val evalIds = emb.map(_._1).filter(_ % 10 == 9)
+    val trainIds = emb.map(_._1).filter(_ % 10 != 9)
+    val expected = evalIds.map { id =>
+      val (x, n) = vecs(id)
+      val hits = trainIds.filter(t => cellOf(t) == cellOf(id))
+        .map { t => val (y, m) = vecs(t); (t, dot(x, y) / (n * m)) }
+        .filter(_._2 >= 0.4)
+      if (hits.isEmpty) (id, -1L, 0.0, false)
+      else {
+        val (t, s) = hits.minBy { case (t, s) => (-s, t) }
+        (id, t, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_EVEN)
+          .toDouble, true)
+      }
+    }.toSeq
+    val got = Similarity.semanticDecontaminate(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) ===
+      expected.map(r => (r._1, r._2, r._4)))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-6, s"similarity mismatch at ${g._1}")
+    }
+    // both outcomes must occur for the spec to mean anything
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
     import spark.implicits._
     val s1 = Similarity.clusterBalancedSample(spark, sf)
