@@ -251,6 +251,8 @@ object SparkEntry {
     // embedding-space eval-leak detection (semantic twin of decontaminate)
     "semantic_decontaminate" -> ((s, d) =>
       Similarity.semanticDecontaminate(s, d)),
+    // decimal-exact PageRank over the co-purchase part graph (5 rounds)
+    "part_pagerank"      -> ((s, d) => ext.Graph.partPageRank(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -260,6 +262,51 @@ object SparkEntry {
     * the >1-and-≤64 size gate → exact string-set Jaccard ≥ 0.5. Starts
     * `WITH RECURSIVE` so the clusters twin can append its min-label walk.
     */
+  /** Twin for `part_pagerank`: the same `iters` power-iteration rounds
+    * UNROLLED as CTEs, in the same FIXED-POINT INTEGER arithmetic as the
+    * Spark plan (BIGINT picounit ranks, `//` floor division, `(85·s)//100`
+    * damping) — no float touches either engine's recurrence, so the
+    * values match bit-for-bit. A double-based first attempt failed
+    * exactly as the scaladoc on [[graft.ext.Graph.partPageRank]] records:
+    * Spark's decimal-string HALF_UP and DuckDB's binary rounding disagree
+    * at half-ulp boundaries of round(·,12).
+    */
+  private def pageRankOracle(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { i =>
+      s""", c$i AS (
+         |  SELECT e.dst AS node, sum(r.rank_e12 // d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |), r$i AS (
+         |  SELECT nd.node,
+         |         (1000000000000 - (1000000000000 * 85) // 100)
+         |           // (SELECT n FROM nn)
+         |           + (85 * coalesce(c.s, 0)) // 100 AS rank_e12
+         |  FROM nd LEFT JOIN c$i c USING (node)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH op AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e AS (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM e GROUP BY src
+       |), nn AS (
+       |  SELECT count(*) AS n FROM deg
+       |), nd AS (
+       |  SELECT src AS node FROM deg
+       |), r0 AS (
+       |  SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12 FROM nd
+       |)$rounds
+       |SELECT node AS p_partkey, CAST(rank_e12 AS BIGINT) AS rank_e12,
+       |       CAST(rank_e12 AS DOUBLE) / 1e12 AS rank
+       |FROM r$iters
+       |ORDER BY rank_e12 DESC, p_partkey ASC LIMIT 25""".stripMargin
+  }
+
   private def minHashOracleCtes: String = {
     val slots = (0 until 64)
       .map(j => s"min((${graft.ext.Dedup.permA(j)} * h + ${graft.ext.Dedup.permB(j)})" +
@@ -2588,5 +2635,6 @@ object SparkEntry {
         |       b.t_id IS NOT NULL AS contaminated
         |FROM ev e LEFT JOIN best2 b ON b.vec_id = e.vec_id AND b.rk = 1
         |ORDER BY e.vec_id ASC""".stripMargin,
+    "part_pagerank" -> pageRankOracle(),
   )
 }

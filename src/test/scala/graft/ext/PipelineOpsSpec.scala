@@ -195,6 +195,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("partPageRank matches a driver-side power iteration, mass conserved") {
+    import spark.implicits._
+    val op = graft.io.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    // multigraph: parallel edges weight rank flow by co-purchase frequency
+    val edges = for {
+      (o1, p1) <- op; (o2, p2) <- op if o1 == o2 && p1 != p2
+    } yield (p1, p2)
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    val unit = 1000000000000L
+    val base = (unit - unit * 85L / 100L) / n
+    var rank = nodes.map(_ -> unit / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .map { case (s, d) => d -> rank(s) / deg(s) } // integer floor div
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = nodes.map { v =>
+        v -> (base + 85L * contrib.getOrElse(v, 0L) / 100L)
+      }.toMap
+    }
+    val expected = rank.toSeq
+      .map { case (k, v) => (k, v, v.toDouble / 1e12) }
+      .sortBy { case (k, v, _) => (-v, k) }.take(25)
+    val got = Graph.partPageRank(spark, sf).as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got === expected)
+    // total rank mass stays ≈ unit (floor-division leakage < n·(deg+1))
+    val mass = rank.values.sum
+    assert(math.abs(mass - unit).toDouble / unit < 1e-3, s"mass drifted: $mass")
+  }
+
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
     import spark.implicits._
     val s1 = Similarity.clusterBalancedSample(spark, sf)
