@@ -253,6 +253,8 @@ object SparkEntry {
       Similarity.semanticDecontaminate(s, d)),
     // decimal-exact PageRank over the co-purchase part graph (5 rounds)
     "part_pagerank"      -> ((s, d) => ext.Graph.partPageRank(s, d)),
+    // degree-ordered triangle counting (bounded-wedge formulation)
+    "part_triangles"     -> ((s, d) => ext.Graph.partTriangles(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -2636,5 +2638,43 @@ object SparkEntry {
         |FROM ev e LEFT JOIN best2 b ON b.vec_id = e.vec_id AND b.rk = 1
         |ORDER BY e.vec_id ASC""".stripMargin,
     "part_pagerank" -> pageRankOracle(),
+    "part_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 4 = 0
+        |), und AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT src AS node FROM und
+        |    UNION ALL SELECT dst AS node FROM und
+        |  ) GROUP BY node
+        |), oriented AS (
+        |  SELECT CASE WHEN ds.deg < dd.deg
+        |                OR (ds.deg = dd.deg AND e.src < e.dst)
+        |              THEN e.src ELSE e.dst END AS u,
+        |         CASE WHEN ds.deg < dd.deg
+        |                OR (ds.deg = dd.deg AND e.src < e.dst)
+        |              THEN e.dst ELSE e.src END AS v
+        |  FROM und e JOIN deg ds ON ds.node = e.src
+        |             JOIN deg dd ON dd.node = e.dst
+        |), wedges AS (
+        |  SELECT a.u, a.v AS v1, b.v AS v2
+        |  FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v
+        |), tri AS (
+        |  SELECT w.u, w.v1, w.v2
+        |  FROM wedges w JOIN und e ON e.src = w.v1 AND e.dst = w.v2
+        |), nodes3 AS (
+        |  SELECT u AS p_partkey FROM tri
+        |  UNION ALL SELECT v1 FROM tri
+        |  UNION ALL SELECT v2 FROM tri
+        |)
+        |SELECT p_partkey, count(*) AS n_triangles
+        |FROM nodes3 GROUP BY p_partkey
+        |ORDER BY n_triangles DESC, p_partkey ASC
+        |LIMIT 25""".stripMargin,
   )
 }

@@ -91,4 +91,81 @@ object Graph {
         .limit(topK)
     } finally { deg.unpersist(); edges.unpersist() }
   }
+
+  /** Triangle participation per part in the co-purchase graph (simple,
+    * undirected): how many part-triples are mutually co-purchased through
+    * each part — the local clustering signal behind bundle detection and
+    * graph-density profiling.
+    *
+    * The count uses the DEGREE-ORDERED orientation (each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher): every
+    * triangle then has exactly one vertex with two OUT-edges, so counting
+    * closed wedges once — no ×6 overcount, and the wedge fan-out per
+    * vertex is bounded by its oriented out-degree ≤ O(√|E|) (arboricity
+    * bound), which is what keeps the join sub-quadratic on skewed graphs
+    * where a hub's raw degree would explode a naive wedge join.
+    *
+    * The census runs on a DETERMINISTIC VERTEX SAMPLE (sha-bucket of the
+    * part key, keep 1/`sampleMod`): the co-purchase graph is dense (sf0.1:
+    * 1.2M edges over 20k parts, mean degree ~90), and an induced-subgraph
+    * census is the standard triangle estimator — the full-graph count is
+    * the sampled count × sampleMod³ in expectation, while edges fall by
+    * p², wedges by p³. `sampleMod = 1` is the exact full census when the
+    * graph affords it. The sample predicate prunes BEFORE edge
+    * construction, so the whole pipeline shrinks, not just the last join.
+    *
+    * Scale shape: one edge-dedup shuffle, a |nodes|-sized degree table
+    * broadcast into the orientation pass, one self-join of the oriented
+    * edges on the wedge apex, one semi-ish join closing the wedge against
+    * the canonical edge list, then an explode-to-3-vertices hash-agg.
+    * Everything shuffles fixed-width (long, long) rows; counts are
+    * integers, so the twin is exact.
+    */
+  def partTriangles(
+      spark: SparkSession, sfDir: String, topK: Int = 25,
+      sampleMod: Int = 4): DataFrame = {
+    val keep = pmod(conv(substring(
+      sha2(col("l_partkey").cast("string"), 256), 1, 8), 16, 10).cast("long"),
+      lit(sampleMod.toLong)) === 0L
+    val op = Tables.lineitem(spark, sfDir)
+      .filter(keep)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    // canonical simple edges: src < dst, deduped across orders
+    val und = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .persist()
+    try {
+      val deg = und.select(col("src").as("node"))
+        .unionAll(und.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val withDeg = und
+        .join(broadcast(deg.select(col("node").as("src"),
+          col("deg").as("__ds"))), Seq("src"))
+        .join(broadcast(deg.select(col("node").as("dst"),
+          col("deg").as("__dd"))), Seq("dst"))
+      // orient low-(deg, id) → high-(deg, id)
+      val oriented = withDeg.select(
+        when(col("__ds") < col("__dd") ||
+          (col("__ds") === col("__dd") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(col("__ds") < col("__dd") ||
+          (col("__ds") === col("__dd") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("v"))
+      val wedges = oriented.select(col("u"), col("v").as("v1"))
+        .join(oriented.select(col("u"), col("v").as("v2")), Seq("u"))
+        .filter(col("v1") < col("v2"))
+      val triangles = wedges.join(und,
+        wedges("v1") === und("src") && wedges("v2") === und("dst"))
+        .select(col("u"), col("v1"), col("v2"))
+      triangles
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("p_partkey"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("p_partkey").asc)
+        .limit(topK)
+    } finally und.unpersist()
+  }
 }

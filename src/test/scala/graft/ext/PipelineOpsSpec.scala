@@ -228,6 +228,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(mass - unit).toDouble / unit < 1e-3, s"mass drifted: $mass")
   }
 
+  test("partTriangles matches a brute-force clique-3 census") {
+    import spark.implicits._
+    def sha8(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8), 16)
+    val op = graft.io.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+      .filter { case (_, p) => sha8(p) % 4 == 0 } // the vertex sample
+    val und = (for {
+      (o1, p1) <- op; (o2, p2) <- op if o1 == o2 && p1 < p2
+    } yield (p1, p2)).distinct.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triCount = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if und((a, b)) && und((a, c)) && und((b, c))
+      v <- Seq(a, b, c)
+    } triCount(v) = triCount.getOrElse(v, 0L) + 1L
+    val expected = triCount.toSeq
+      .sortBy { case (k, n) => (-n, k) }.take(25)
+    val got = Graph.partTriangles(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty) // the fixture must actually contain triangles
+  }
+
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
     import spark.implicits._
     val s1 = Similarity.clusterBalancedSample(spark, sf)
