@@ -25,13 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) cannot represent natively — with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder) it arrives as a LongType of ns since epoch and is converted
-    * here (exact: the generator's values are µs-grained). At cluster scale
-    * this is the standard ns-parquet ingestion shape: convert once at the
-    * scan boundary, keep TimestampType everywhere downstream.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations, which Spark's TimestampType (micros) cannot represent
+    * natively — with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * every session builder) it arrives as a LongType of ns since epoch and
+    * is converted here (exact: the generator's values are µs-grained).
+    * Current fixtures write TIMESTAMP(MICROS) without the UTC flag, which
+    * passes through as TIMESTAMP_NTZ — downstream session/range ops use
+    * NTZ-safe arithmetic (interval comparison, TIMESTAMP-intermediate
+    * casts) so both generations work. At cluster scale this is the
+    * standard ingestion shape: normalize once at the scan boundary.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
