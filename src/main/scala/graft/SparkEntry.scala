@@ -276,7 +276,7 @@ object SparkEntry {
   private def pageRankOracle(iters: Int = 5): String = {
     val rounds = (1 to iters).map { i =>
       s""", c$i AS (
-         |  SELECT e.dst AS node, sum(r.rank_e12 // d.deg) AS s
+         |  SELECT e.dst AS node, sum(e.w * (r.rank_e12 // d.deg)) AS s
          |  FROM e JOIN r${i - 1} r ON r.node = e.src
          |         JOIN deg d ON d.src = e.src
          |  GROUP BY e.dst
@@ -291,11 +291,12 @@ object SparkEntry {
     s"""WITH op AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
        |), e AS (
-       |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
        |  WHERE a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2
        |), deg AS (
-       |  SELECT src, count(*) AS deg FROM e GROUP BY src
+       |  SELECT src, sum(w) AS deg FROM e GROUP BY src
        |), nn AS (
        |  SELECT count(*) AS n FROM deg
        |), nd AS (
