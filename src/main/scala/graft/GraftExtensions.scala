@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, GraftFunctions, SortedIntersectCount}
+import graft.functions.{DotProduct, GraftFunctions, MisraGriesAgg, SortedIntersectCount}
 
 /** `spark.sql.extensions` entry point: a deployment that cannot call
   * [[graft.functions.GraftFunctions.register]] programmatically (e.g. a
@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_isect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "graft_isect"),
       GraftFunctions.binaryBuilder("graft_isect", SortedIntersectCount(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+      GraftFunctions.binaryBuilder("graft_heavy_hitters", (c, k) => {
+        if (!k.foldable)
+          throw new IllegalArgumentException(
+            "graft_heavy_hitters(col, k): k must be a literal")
+        MisraGriesAgg(c, k.eval().asInstanceOf[Number].intValue())
+      })))
   }
 }

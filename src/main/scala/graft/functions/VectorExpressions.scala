@@ -169,5 +169,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_isect", binaryBuilder("graft_isect", SortedIntersectCount(_, _)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters",
+      binaryBuilder("graft_heavy_hitters", (c, k) => {
+        // capacity must be a foldable integer literal — evaluate it now so
+        // a non-literal second argument fails at analysis, not execution
+        if (!k.foldable)
+          throw new IllegalArgumentException(
+            "graft_heavy_hitters(col, k): k must be a literal")
+        MisraGriesAgg(c, k.eval().asInstanceOf[Number].intValue())
+      }), "built-in")
   }
 }
