@@ -168,6 +168,49 @@ object StressTier {
     ()
   }
 
+  /** Tier C: the ITERATIVE GRAPH operators under 10× order volume.
+    * Lineitem replicates 10× with remapped order keys (same part
+    * universe), so co-purchase pair MULTIPLICITY grows 10× while the
+    * distinct (src,dst) pair set stays ~fixed — exactly the shape the
+    * weighted-edge collapse in [[graft.ext.Graph.partPageRank]] exists
+    * for: per-round join input must stay flat (a multigraph formulation
+    * would pay 10× per round). Asserts rank-mass conservation over the
+    * FULL node set and a bounded triangle census.
+    */
+  private def tierC(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 10
+    val (_, tRep) = timed("c.replicate") {
+      spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select(
+          (col("l_orderkey") * reps + col("rep")).as("l_orderkey"),
+          col("l_partkey"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    }
+    val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    println(f"STRESS c.replicate seconds=$tRep%.1f lines=$nLines")
+
+    // full-node pagerank: topK past |nodes| returns every node, so the
+    // fixed-point mass conservation is checkable end-to-end
+    val (ranks, tPr) = timed("c.pagerank")(
+      graft.ext.Graph.partPageRank(spark, dir, topK = 1000000).persist())
+    val nNodes = ranks.count()
+    val mass = ranks.agg(sum(col("rank_e12"))).collect().head.getLong(0)
+    val unit = 1000000000000L
+    println(f"STRESS c.pagerank seconds=$tPr%.1f nodes=$nNodes mass_e12=$mass")
+    check(nNodes > 0, "pagerank must label nodes")
+    check(math.abs(mass - unit).toDouble / unit < 1e-3,
+      s"rank mass $mass drifted past the floor-division bound")
+    ranks.unpersist()
+
+    val (nTri, tTri) = timed("c.triangles")(
+      graft.ext.Graph.partTriangles(spark, dir).count())
+    println(f"STRESS c.triangles seconds=$tTri%.1f rows=$nTri")
+    check(nTri > 0, "sampled triangle census must find triangles")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -179,6 +222,8 @@ object StressTier {
         tierA(spark, "/root/testdata/sf0.1", s"$root/sf0.1x100")
       if (tier == "b" || tier == "all")
         tierB(spark, "/root/testdata/sf0.01", s"$root/sf0.01x100")
+      if (tier == "c" || tier == "all")
+        tierC(spark, "/root/testdata/sf0.1", s"$root/sf0.1li10")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
