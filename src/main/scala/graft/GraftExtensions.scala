@@ -32,11 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
-      GraftFunctions.binaryBuilder("graft_heavy_hitters", (c, k) => {
-        if (!k.foldable)
-          throw new IllegalArgumentException(
-            "graft_heavy_hitters(col, k): k must be a literal")
-        MisraGriesAgg(c, k.eval().asInstanceOf[Number].intValue())
-      })))
+      GraftFunctions.binaryBuilder("graft_heavy_hitters", (c, k) =>
+        MisraGriesAgg(c,
+          GraftFunctions.literalCapacity("graft_heavy_hitters", k)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters_w"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters_w"),
+      GraftFunctions.heavyHittersWeightedBuilder))
   }
 }

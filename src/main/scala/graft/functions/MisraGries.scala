@@ -5,9 +5,8 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,12 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGriesAgg(
     child: Expression,
     capacity: Int,
+    weight: Expression = Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
-  with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
   require(capacity > 0, "graft_heavy_hitters capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child, weight)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
@@ -67,7 +68,12 @@ case class MisraGriesAgg(
       buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) {
+      val w = weight.eval(input)
+      if (w != null && w.asInstanceOf[Number].longValue() > 0L)
+        add(buf, v.asInstanceOf[UTF8String].toString,
+          w.asInstanceOf[Number].longValue())
+    }
     buf
   }
 
@@ -112,6 +118,7 @@ case class MisraGriesAgg(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): MisraGriesAgg =
     copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren(0), weight = newChildren(1))
 }

@@ -171,13 +171,33 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters",
-      binaryBuilder("graft_heavy_hitters", (c, k) => {
-        // capacity must be a foldable integer literal — evaluate it now so
-        // a non-literal second argument fails at analysis, not execution
-        if (!k.foldable)
-          throw new IllegalArgumentException(
-            "graft_heavy_hitters(col, k): k must be a literal")
-        MisraGriesAgg(c, k.eval().asInstanceOf[Number].intValue())
-      }), "built-in")
+      binaryBuilder("graft_heavy_hitters",
+        (c, k) => MisraGriesAgg(c, literalCapacity("graft_heavy_hitters", k))),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters_w", heavyHittersWeightedBuilder, "built-in")
+  }
+
+  /** capacity must be a foldable integer literal — evaluate it now so a
+    * non-literal argument fails at analysis, not execution.
+    */
+  private[graft] def literalCapacity(name: String, k: Expression): Int = {
+    if (!k.foldable)
+      throw new IllegalArgumentException(s"$name: capacity must be a literal")
+    k.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** `graft_heavy_hitters_w(item, weight, k)` — the weighted Misra–Gries
+    * update, the form that re-compacts stored summaries (items re-enter
+    * at their counter weight) without materializing weight-many rows.
+    */
+  private[graft] val heavyHittersWeightedBuilder
+      : Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_heavy_hitters_w requires exactly 3 arguments, got ${children.length}")
+    MisraGriesAgg(children(0),
+      literalCapacity("graft_heavy_hitters_w", children(2)),
+      weight = children(1))
   }
 }

@@ -219,4 +219,58 @@ object CorpusIngest {
         } finally { sig.unpersist(); () }
       }
       .start()
+
+  /** Streaming heavy-hitter monitor: a RUNNING Misra–Gries summary of the
+    * token stream, maintained by merging each micro-batch's summary into
+    * the stored one — the across-TIME face of the same mergeability that
+    * [[graft.functions.MisraGriesAgg]] uses across partitions. Per batch:
+    * tokenize → one `graft_heavy_hitters` aggregation (bounded k-counter
+    * state, map-side partials) → union with the persisted summary →
+    * re-compact through the same aggregate (items replayed at their
+    * counter weight — MG's weighted update, so the ε-guarantee
+    * f(x) − n/(k+1) ≤ e(x) ≤ f(x) holds over the whole stream seen so
+    * far, not just this batch). The summary is ≤ k rows, overwritten
+    * per batch via a write-aside temp dir + rename (the
+    * [[graft.streaming.ChatStream]] latest-view convention).
+    *
+    * Scale shape: per batch one tokenize pass + one bounded aggregate;
+    * the merged state is k rows regardless of stream length — this never
+    * re-reads the corpus, which is the point of a mergeable summary.
+    */
+  def heavyHitterMonitor(
+      docs: DataFrame,
+      summaryPath: String,
+      checkpoint: String,
+      k: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.register(spark)
+        val words = batch.select(explode(
+          expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("item")).withColumn("weight", lit(1L))
+        val prior =
+          try spark.read.parquet(summaryPath)
+            .select(col("item"), col("count_est").as("weight"))
+          catch { case _: Throwable => words.limit(0).select("item", "weight") }
+        // weighted MG replay: each stored item re-enters at its counter
+        // weight through the aggregate's weighted update — never
+        // materialized as weight-many rows
+        val merged = words.unionByName(prior)
+          .agg(expr(s"graft_heavy_hitters_w(item, weight, $k)").as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("item"), col("e.count_est"))
+        val fs = new org.apache.hadoop.fs.Path(summaryPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(summaryPath + "__next")
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val live = new org.apache.hadoop.fs.Path(summaryPath)
+        if (fs.exists(live)) fs.delete(live, true)
+        if (!fs.rename(tmp, live))
+          throw new IllegalStateException(
+            s"heavyHitterMonitor: failed to publish $summaryPath")
+        ()
+      }
+      .start()
 }

@@ -183,4 +183,40 @@ class CorpusIngestSpec extends SparkSpec {
       assert(batch === rows, "batch-mode qualityMonitor must equal streaming")
     } finally q.stop()
   }
+
+  test("heavyHitterMonitor: running MG summary keeps the ε bound across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_hh").toString
+    val input = MemoryStream[String]
+    val docs = input.toDF().select(col("value").as("text"))
+    val k = 8
+    val q = CorpusIngest.heavyHitterMonitor(
+      docs, s"$dir/summary", s"$dir/ckpt", k = k)
+    val all = scala.collection.mutable.ArrayBuffer.empty[String]
+    def feed(batch: Seq[String]): Unit = {
+      input.addData(batch)
+      q.processAllAvailable()
+      all ++= batch.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    }
+    try {
+      feed(Seq("alpha alpha alpha beta", "alpha gamma t1 t2"))
+      feed(Seq("alpha alpha beta beta beta", "t3 t4 t5 t6 gamma"))
+      feed(Seq("alpha beta t7 t8", "alpha alpha t9 t10 t11"))
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size.toLong
+      val eps = n / (k + 1).toLong
+      val est = spark.read.parquet(s"$dir/summary").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k)
+      est.foreach { case (item, e) =>
+        assert(e <= exact(item), s"$item overcounted across batches")
+        assert(e >= exact(item) - eps, s"$item undercounted past stream n/(k+1)")
+      }
+      // items heavy over the WHOLE stream must survive the per-batch merges
+      exact.filter(_._2 > eps).keys.foreach { h =>
+        assert(est.contains(h), s"stream-heavy $h missing from running summary")
+      }
+    } finally q.stop()
+  }
 }
