@@ -91,11 +91,17 @@ case class MisraGriesAgg(
     }.toArray[Any])
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF caps strings at 64 KB
+  // of encoded bytes and a pathological unbroken "token" must round-trip,
+  // not kill the executor
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    buf.foreach { case (k, v) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(v)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -104,7 +110,11 @@ case class MisraGriesAgg(
     val in = new DataInputStream(new ByteArrayInputStream(b))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (1 to n).foreach(_ => buf.update(in.readUTF(), in.readLong()))
+    (1 to n).foreach { _ =>
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.update(new String(kb, "UTF-8"), in.readLong())
+    }
     buf
   }
 

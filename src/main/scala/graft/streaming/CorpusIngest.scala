@@ -220,22 +220,75 @@ object CorpusIngest {
       }
       .start()
 
+  /** One micro-batch of the running heavy-hitter summary — the testable
+    * kernel of [[heavyHitterMonitor]], mirroring [[dedupBatch]]'s
+    * contract. Reads the summary state AS OF A BATCH BEFORE `batchId`,
+    * merges this batch's tokens through the WEIGHTED Misra–Gries update
+    * (`graft_heavy_hitters_w`: stored items re-enter at their counter
+    * weight — never materialized as weight-many rows), and publishes the
+    * new ≤k-row state stamped with `batchId`.
+    *
+    * REPLAY-IDEMPOTENT via two state generations: publish rotates
+    * live→prev before tmp→live, and the read side uses `prev` whenever
+    * `live` already carries a batch_id ≥ the current one — so a batch
+    * replayed after a crash (foreachBatch is at-least-once) re-merges
+    * against the PRE-batch state and overwrites its own earlier attempt
+    * instead of double-counting. A crash between the two renames leaves
+    * only `prev`, which is exactly the pre-batch state the retry needs.
+    */
+  def heavyHitterBatch(
+      batch: DataFrame, summaryPath: String, batchId: Long, k: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val words = batch.select(explode(
+      expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .as("item")).withColumn("weight", lit(1L))
+    // missing state (first batch, or a generation lost to the crash
+    // window) is the ONLY silent fallback — any other read failure must
+    // surface, not silently reset the stream's summary
+    def readState(p: String): Option[DataFrame] =
+      try {
+        val df = spark.read.parquet(p)
+        df.first() // force: an empty/corrupt dir fails here, not lazily
+        Some(df)
+      } catch { case _: org.apache.spark.sql.AnalysisException => None
+                case _: java.util.NoSuchElementException => None }
+    val prior = readState(summaryPath)
+      .filter(_.select(max(col("batch_id"))).first().getLong(0) < batchId)
+      .orElse(readState(summaryPath + "__prev"))
+      .map(_.select(col("item"), col("count_est").as("weight")))
+      .getOrElse(words.limit(0).select(col("item"), col("weight")))
+    val merged = words.unionByName(prior)
+      .agg(expr(s"graft_heavy_hitters_w(item, weight, $k)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count_est"),
+        lit(batchId).as("batch_id"))
+    val fs = new org.apache.hadoop.fs.Path(summaryPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(summaryPath + "__next")
+    val prev = new org.apache.hadoop.fs.Path(summaryPath + "__prev")
+    val live = new org.apache.hadoop.fs.Path(summaryPath)
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      throw new IllegalStateException(
+        s"heavyHitterBatch: failed to rotate $summaryPath to __prev")
+    if (!fs.rename(tmp, live))
+      throw new IllegalStateException(
+        s"heavyHitterBatch: failed to publish $summaryPath")
+    ()
+  }
+
   /** Streaming heavy-hitter monitor: a RUNNING Misra–Gries summary of the
     * token stream, maintained by merging each micro-batch's summary into
     * the stored one — the across-TIME face of the same mergeability that
-    * [[graft.functions.MisraGriesAgg]] uses across partitions. Per batch:
-    * tokenize → one `graft_heavy_hitters` aggregation (bounded k-counter
-    * state, map-side partials) → union with the persisted summary →
-    * re-compact through the same aggregate (items replayed at their
-    * counter weight — MG's weighted update, so the ε-guarantee
-    * f(x) − n/(k+1) ≤ e(x) ≤ f(x) holds over the whole stream seen so
-    * far, not just this batch). The summary is ≤ k rows, overwritten
-    * per batch via a write-aside temp dir + rename (the
-    * [[graft.streaming.ChatStream]] latest-view convention).
+    * [[graft.functions.MisraGriesAgg]] uses across partitions; see
+    * [[heavyHitterBatch]] for the per-batch contract and replay story.
     *
     * Scale shape: per batch one tokenize pass + one bounded aggregate;
-    * the merged state is k rows regardless of stream length — this never
-    * re-reads the corpus, which is the point of a mergeable summary.
+    * the merged state is ≤ k rows regardless of stream length — this
+    * never re-reads the corpus, which is the point of a mergeable
+    * summary.
     */
   def heavyHitterMonitor(
       docs: DataFrame,
@@ -244,33 +297,8 @@ object CorpusIngest {
       k: Int = 64): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        graft.functions.GraftFunctions.register(spark)
-        val words = batch.select(explode(
-          expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as("item")).withColumn("weight", lit(1L))
-        val prior =
-          try spark.read.parquet(summaryPath)
-            .select(col("item"), col("count_est").as("weight"))
-          catch { case _: Throwable => words.limit(0).select("item", "weight") }
-        // weighted MG replay: each stored item re-enters at its counter
-        // weight through the aggregate's weighted update — never
-        // materialized as weight-many rows
-        val merged = words.unionByName(prior)
-          .agg(expr(s"graft_heavy_hitters_w(item, weight, $k)").as("hh"))
-          .select(explode(col("hh")).as("e"))
-          .select(col("e.item").as("item"), col("e.count_est"))
-        val fs = new org.apache.hadoop.fs.Path(summaryPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(summaryPath + "__next")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val live = new org.apache.hadoop.fs.Path(summaryPath)
-        if (fs.exists(live)) fs.delete(live, true)
-        if (!fs.rename(tmp, live))
-          throw new IllegalStateException(
-            s"heavyHitterMonitor: failed to publish $summaryPath")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        heavyHitterBatch(batch, summaryPath, batchId, k)
       }
       .start()
 }

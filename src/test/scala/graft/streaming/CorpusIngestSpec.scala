@@ -219,4 +219,25 @@ class CorpusIngestSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("heavyHitterBatch: replaying a batch is idempotent (crash-retry path)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hh_replay").toString
+    val path = s"$dir/summary"
+    def state(): Map[String, Long] = spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("count_est")).toMap
+    val b0 = Seq("alpha alpha beta").toDF("text")
+    val b1 = Seq("alpha gamma gamma").toDF("text")
+    CorpusIngest.heavyHitterBatch(b0, path, batchId = 0L, k = 8)
+    CorpusIngest.heavyHitterBatch(b1, path, batchId = 1L, k = 8)
+    val once = state()
+    assert(once === Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 2L))
+    // at-least-once foreachBatch: batch 1 fires again after a crash —
+    // it must re-merge against the PRE-batch state, not double-count
+    CorpusIngest.heavyHitterBatch(b1, path, batchId = 1L, k = 8)
+    assert(state() === once, "replayed batch double-counted")
+    // and the stream continues normally afterwards
+    CorpusIngest.heavyHitterBatch(Seq("beta").toDF("text"), path, 2L, k = 8)
+    assert(state() === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
+  }
 }
