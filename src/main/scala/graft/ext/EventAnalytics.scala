@@ -378,19 +378,20 @@ object EventAnalytics {
     * order-independent); the mean divides that by the exact count with the
     * identical expression in the twin.
     *
-    * Scale shape: the threshold needs a per-type sort (window row_number) —
-    * at 100 TB that becomes approx_percentile or a sampled order statistic;
-    * the cap-and-aggregate pass itself is one broadcast join (|types| rows)
-    * plus a hash-agg.
+    * Scale shape: the threshold rank runs as a TWO-LEVEL exact rank
+    * ([[graft.ops.Ranks.withExactRank]]) — sampled literal value boundaries
+    * bucket each type's values, every task ranks one bucket, and a tiny
+    * histogram of per-bucket counts broadcasts back as offsets — so no
+    * event type ever funnels through a single reducer (the naive
+    * `row_number OVER (PARTITION BY event_type)` collapses 100 TB of
+    * events onto |types| tasks). The cap-and-aggregate pass itself is one
+    * broadcast join (|types| rows) plus a hash-agg.
     */
   def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("value"))
-    val wRank = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc)
-    val thresholds = ev
-      .withColumn("rk", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val thresholds = graft.ops.Ranks.withExactRank(
+        ev, Seq("event_type"), Seq(col("value")), "rk", Some("n"))
       .filter(col("rk") === ceil(col("n") * lit(0.99)).cast("long"))
       .select(col("event_type"), col("value").as("p99"))
     ev.join(broadcast(thresholds), Seq("event_type"))

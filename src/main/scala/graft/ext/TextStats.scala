@@ -338,18 +338,20 @@ object TextStats {
     * ranks are cross-engine-exact where interpolation drifts; ties break
     * on doc_id so the cut is total and reproducible.
     *
-    * Scale shape: one window over (lang) — ranks need a per-lang sort,
-    * the same shuffle a percentile would; emitted columns are fixed-width.
+    * Scale shape: a TWO-LEVEL exact rank
+    * ([[graft.ops.Ranks.withExactRankDense]]) — `n_chars` has bounded
+    * distinct values, so the per-(lang, n_chars) histogram is tiny and the
+    * only corpus-touching window partitions on (lang, n_chars), never on
+    * `lang` alone (which would funnel each language's 100 TB slice through
+    * one reducer). Emitted columns are fixed-width.
     */
   def lengthBand(
       spark: SparkSession, sfDir: String,
       lowPct: Int = 10, highPct: Int = 90): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    graft.ops.Ranks.withExactRankDense(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), Seq(col("n_chars"), col("doc_id")), "rk", Some("n"))
       // keep rk in (n*low/100, n*high/100]: integer products, no rounding
       .filter(col("rk") * 100 > col("n") * lowPct &&
         col("rk") * 100 <= col("n") * highPct)
@@ -370,22 +372,24 @@ object TextStats {
     * ranking must complete before scoring can start, and caching the
     * corpus-sized token rows between them would cost more than the second
     * tokenize (they are a multiple of the corpus bytes) — then one
-    * vocab-sized join. The rank
-    * window runs over the VOCABULARY, not the corpus — Heaps'-law
-    * sublinear (~1e8 rows at 100 TB) but still single-partition as
-    * written; at that size swap it for a two-level rank (per-partition
-    * sort + offset) or accept rank-by-frequency-only ties. Docs with no
-    * tokens surface with zero counts rather than vanishing.
+    * vocab-sized join. The rank runs as a TWO-LEVEL exact rank over the
+    * VOCABULARY, not the corpus ([[graft.ops.Ranks.withExactRankDense]]
+    * bucketed by `-tf`): Heaps'-law sublinear (~1e8 rows at 100 TB) and
+    * never single-partition — each tf class ranks in its own task, with
+    * the tiny tf histogram broadcast back as offsets. The Zipf tail
+    * (`tf = 1`, roughly half the vocab) is the widest single class and
+    * bounds the largest rank task; it costs one extra vocab derivation
+    * (a third corpus tokenize) versus the one-reducer window it replaces.
+    * Docs with no tokens surface with zero counts rather than vanishing.
     */
   def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
           .as("tok"))
-    val ranked = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("tf").desc, col("tok").asc)))
+    val ranked = graft.ops.Ranks.withExactRankDense(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("tf")),
+      Nil, Seq(col("tf") * lit(-1L), col("tok")), "rank")
     val scored = toks.join(ranked.select("tok", "rank"), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("rank_sum"))
@@ -669,23 +673,35 @@ object TextStats {
     * membership — no float quantile boundary to disagree on. Aggregates
     * per bucket are integer sums and double min/max (order-independent).
     *
-    * Scale shape: the scored frame is |docs| rows of three numbers; the
-    * ntile needs a total order — the one global sort in this family, which
-    * is what a 100 TB run replaces with approx_percentile boundaries +
-    * a broadcast range join. Exact here for oracle parity.
+    * Scale shape: the scored frame is |docs| rows of four numbers,
+    * persisted call-scoped (it would otherwise recompute the two-pass
+    * [[lmScore]] per rank stage); the ntile derives from a TWO-LEVEL exact
+    * rank ([[graft.ops.Ranks.withExactRank]] — sampled literal boundaries
+    * on (mean_rank, doc_id), per-bucket parallel sort, histogram offsets
+    * broadcast back) plus pure integer `ntile` arithmetic
+    * ([[graft.ops.Ranks.ntileFromRank]]) — bit-equal to
+    * `ntile() OVER (ORDER BY ...)` with NO single-partition sort anywhere.
+    * The nBuckets-row report is driver-materialized so the cache drops
+    * before returning (library convention for call-scoped caches).
     */
   def perplexityBuckets(
       spark: SparkSession, sfDir: String, nBuckets: Int = 4): DataFrame = {
-    lmScore(spark, sfDir)
-      .withColumn("ppl_bucket", ntile(nBuckets).over(
-        Window.orderBy(col("mean_rank").asc, col("doc_id").asc)))
-      .groupBy(col("ppl_bucket"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(col("rank_sum")).as("total_rank_sum"),
-        min(col("mean_rank")).as("min_mean_rank"),
-        max(col("mean_rank")).as("max_mean_rank"))
-      .orderBy(col("ppl_bucket").asc)
+    val scored = lmScore(spark, sfDir).persist()
+    try {
+      val out = graft.ops.Ranks.withExactRank(
+          scored, Nil, Seq(col("mean_rank"), col("doc_id")), "__rk",
+          Some("__n"))
+        .withColumn("ppl_bucket",
+          graft.ops.Ranks.ntileFromRank("__rk", "__n", nBuckets))
+        .groupBy(col("ppl_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("rank_sum")).as("total_rank_sum"),
+          min(col("mean_rank")).as("min_mean_rank"),
+          max(col("mean_rank")).as("max_mean_rank"))
+        .orderBy(col("ppl_bucket").asc)
+      graft.ops.Materialize.smallLocal(out, maxRows = math.max(nBuckets, 1024))
+    } finally scored.unpersist()
   }
 }

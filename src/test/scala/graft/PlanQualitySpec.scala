@@ -237,6 +237,40 @@ class PlanQualitySpec extends SparkSpec {
       !jp.contains("BroadcastNestedLoopJoin"), jp.take(2000))
   }
 
+  test("rank-based plans carry no single-reducer window sort (r6 two-level rank)") {
+    // winsorized_stats / length_band / lm_score formerly ranked with a
+    // window partitioned only by a low-cardinality column (or nothing) —
+    // 100 TB through a handful of tasks. With Ranks.withExactRank* every
+    // WindowExec must either partition on the synthetic bucket column or
+    // run over an already-aggregated (tiny) frame.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try for (q <- Seq("winsorized_stats", "length_band", "lm_score")) {
+      val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = phys.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$q lost its rank windows entirely")
+      windows.foreach { w =>
+        val overBucket = w.partitionSpec.exists(
+          _.toString.contains("__graft_rk_bkt"))
+        val aboveAgg = w.child.exists {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _ => false
+        }
+        assert(overBucket || aboveAgg,
+          s"$q: window neither bucket-partitioned nor over an aggregate:\n$w")
+      }
+      assert(windows.exists(_.partitionSpec.exists(
+        _.toString.contains("__graft_rk_bkt"))),
+        s"$q: two-level rank machinery missing from the plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // ppl_buckets drains its call-scoped cache through a driver-side
+    // materialization — the registered plan is the bounded local report
+    // (its rank machinery is covered above via lm_score and by RanksSpec)
+    assert(plan("ppl_buckets").contains("LocalTableScan"))
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
