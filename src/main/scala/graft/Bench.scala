@@ -26,12 +26,15 @@ object Bench {
       .filter(q => wanted.isEmpty || wanted(q._1))
     val rounds = 4
     val best = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.Set.empty[String]
     for (_ <- 1 to rounds; (name, fn) <- names) {
       val t0 = System.nanoTime()
       // failures must be VISIBLE: a throwing query would otherwise "bench"
-      // as near-zero and silently flatter the total
+      // as near-zero and silently flatter the total — record it in the
+      // emitted JSON too, not just on stderr
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val t = (System.nanoTime() - t0) / 1e9
@@ -49,7 +52,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"failed_queries":$fails,"queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of the output: the per-query map
+    // above can push the headline total past the capture window, so emit a
+    // short trailing duplicate that always survives truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

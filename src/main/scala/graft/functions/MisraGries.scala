@@ -49,6 +49,23 @@ case class MisraGriesAgg(
 
   override def children: Seq[Expression] = Seq(child, weight)
 
+  // Analysis-time type guard (matching the analysis-time capacity guard in
+  // the SQL builder): without it, a non-string item or a non-integral
+  // weight reaches `update`'s casts and dies mid-job with a
+  // ClassCastException inside the aggregate instead of a clear error.
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(s"$prettyName requires a STRING item column, got " +
+        child.dataType.catalogString)
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(weight.dataType))
+      TypeCheckFailure(s"$prettyName requires an integral weight, got " +
+        weight.dataType.catalogString)
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 

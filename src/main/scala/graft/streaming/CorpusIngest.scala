@@ -228,13 +228,19 @@ object CorpusIngest {
     * weight — never materialized as weight-many rows), and publishes the
     * new ≤k-row state stamped with `batchId`.
     *
-    * REPLAY-IDEMPOTENT via two state generations: publish rotates
-    * live→prev before tmp→live, and the read side uses `prev` whenever
-    * `live` already carries a batch_id ≥ the current one — so a batch
-    * replayed after a crash (foreachBatch is at-least-once) re-merges
-    * against the PRE-batch state and overwrites its own earlier attempt
-    * instead of double-counting. A crash between the two renames leaves
-    * only `prev`, which is exactly the pre-batch state the retry needs.
+    * REPLAY-IDEMPOTENT via two state generations, for ANY number of
+    * retries: on the normal path publish rotates live→prev before
+    * tmp→live; on the REPLAY path (live already carries batch_id ≥ the
+    * current one, i.e. live is this batch's own earlier attempt) the read
+    * side uses `prev` — the pre-batch state — and publish DELETES the
+    * stale live instead of rotating it, so `prev` keeps the pre-batch
+    * state across repeated crashes of the same batch (rotating the stale
+    * attempt into `prev` would make a SECOND retry re-merge the batch's
+    * own tokens and double-count). A crash between the delete/rename
+    * pair leaves only `prev`, which is exactly the pre-batch state the
+    * retry needs. A `prev` generation stamped ≥ the current batch (an
+    * out-of-order replay this scheme cannot serve) fails loudly rather
+    * than double-counting.
     */
   def heavyHitterBatch(
       batch: DataFrame, summaryPath: String, batchId: Long, k: Int): Unit = {
@@ -253,9 +259,28 @@ object CorpusIngest {
         Some(df)
       } catch { case _: org.apache.spark.sql.AnalysisException => None
                 case _: java.util.NoSuchElementException => None }
-    val prior = readState(summaryPath)
-      .filter(_.select(max(col("batch_id"))).first().getLong(0) < batchId)
-      .orElse(readState(summaryPath + "__prev"))
+    val liveState = readState(summaryPath)
+    // live stamped ≥ this batch = this batch's own earlier attempt (replay)
+    val liveIsReplay = liveState.exists(
+      _.select(max(col("batch_id"))).first().getLong(0) >= batchId)
+    val prior = (if (liveState.isDefined && !liveIsReplay) liveState
+    else {
+      // live is this batch's stale attempt (replay) or missing (crash
+      // window): the pre-batch state lives in __prev
+      val prevState = readState(summaryPath + "__prev")
+      prevState.foreach { p =>
+        val pb = p.select(max(col("batch_id"))).first().getLong(0)
+        if (pb >= batchId) throw new IllegalStateException(
+          s"heavyHitterBatch: __prev generation is stamped batch $pb >= " +
+            s"current batch $batchId — pre-batch state is unrecoverable; " +
+            "refusing to double-count")
+      }
+      if (prevState.isEmpty && liveIsReplay && batchId > 0L)
+        throw new IllegalStateException(
+          s"heavyHitterBatch: replaying batch $batchId but no __prev " +
+            "generation exists — pre-batch state lost; refusing to guess")
+      prevState
+    })
       .map(_.select(col("item"), col("count_est").as("weight")))
       .getOrElse(words.limit(0).select(col("item"), col("weight")))
     val merged = words.unionByName(prior)
@@ -269,10 +294,16 @@ object CorpusIngest {
     val prev = new org.apache.hadoop.fs.Path(summaryPath + "__prev")
     val live = new org.apache.hadoop.fs.Path(summaryPath)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(prev)) fs.delete(prev, true)
-    if (fs.exists(live) && !fs.rename(live, prev))
-      throw new IllegalStateException(
-        s"heavyHitterBatch: failed to rotate $summaryPath to __prev")
+    if (liveIsReplay) {
+      // live is this batch's own stale attempt: drop it so __prev keeps the
+      // PRE-batch state for any further retry — never rotate it into __prev
+      if (fs.exists(live)) fs.delete(live, true)
+    } else {
+      if (fs.exists(prev)) fs.delete(prev, true)
+      if (fs.exists(live) && !fs.rename(live, prev))
+        throw new IllegalStateException(
+          s"heavyHitterBatch: failed to rotate $summaryPath to __prev")
+    }
     if (!fs.rename(tmp, live))
       throw new IllegalStateException(
         s"heavyHitterBatch: failed to publish $summaryPath")

@@ -70,4 +70,26 @@ class MisraGriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_heavy_hitters"))
   }
+
+  test("wrong input types fail at ANALYSIS, not mid-job in the aggregate") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // non-string item: previously a ClassCastException inside update()
+    val nums = Seq(1L, 2L, 2L).toDF("v")
+    val e1 = intercept[Exception] {
+      nums.selectExpr("graft_heavy_hitters(v, 4)").collect()
+    }
+    assert(e1.getMessage.contains("STRING item"), e1.getMessage)
+    // non-integral weight on the weighted form
+    val weighted = Seq(("a", "x")).toDF("tok", "w")
+    val e2 = intercept[Exception] {
+      weighted.selectExpr("graft_heavy_hitters_w(tok, w, 4)").collect()
+    }
+    assert(e2.getMessage.contains("integral weight"), e2.getMessage)
+    // integral non-long weights keep working (int column)
+    val ints = Seq(("a", 3), ("b", 1), ("a", 2)).toDF("tok", "w")
+    val hh = ints.selectExpr("graft_heavy_hitters_w(tok, w, 4) AS hh")
+      .collect().head.getSeq[Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 5L), ("b", 1L)))
+  }
 }

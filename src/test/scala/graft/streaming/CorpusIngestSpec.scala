@@ -236,8 +236,40 @@ class CorpusIngestSpec extends SparkSpec {
     // it must re-merge against the PRE-batch state, not double-count
     CorpusIngest.heavyHitterBatch(b1, path, batchId = 1L, k = 8)
     assert(state() === once, "replayed batch double-counted")
+    // a SECOND retry of the same batch: publish must not have rotated the
+    // first retry's own output into __prev (that stale generation holds
+    // the batch's tokens and a further retry would re-merge them)
+    CorpusIngest.heavyHitterBatch(b1, path, batchId = 1L, k = 8)
+    assert(state() === once, "second replay double-counted — __prev lost the pre-batch state")
+    CorpusIngest.heavyHitterBatch(b1, path, batchId = 1L, k = 8)
+    assert(state() === once, "third replay double-counted")
     // and the stream continues normally afterwards
     CorpusIngest.heavyHitterBatch(Seq("beta").toDF("text"), path, 2L, k = 8)
     assert(state() === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
+  }
+
+  test("heavyHitterBatch: crash INSIDE a replay's publish window still recovers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hh_replay2").toString
+    val path = s"$dir/summary"
+    def state(): Map[String, Long] = spark.read.parquet(path).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("count_est")).toMap
+    CorpusIngest.heavyHitterBatch(Seq("a a b").toDF("text"), path, 0L, k = 8)
+    CorpusIngest.heavyHitterBatch(Seq("a c").toDF("text"), path, 1L, k = 8)
+    val once = state()
+    // simulate the replay-path crash between delete(live) and rename(tmp):
+    // live gone, __prev = pre-batch state — the retry must read __prev
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    CorpusIngest.heavyHitterBatch(Seq("a c").toDF("text"), path, 1L, k = 8)
+    assert(state() === once, "crash-window replay diverged")
+    // an out-of-order replay the two-generation scheme cannot serve must
+    // fail loudly, never double-count: batch 1 again after batch 2 landed
+    CorpusIngest.heavyHitterBatch(Seq("d").toDF("text"), path, 2L, k = 8)
+    val e = intercept[IllegalStateException] {
+      CorpusIngest.heavyHitterBatch(Seq("a c").toDF("text"), path, 1L, k = 8)
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
   }
 }
