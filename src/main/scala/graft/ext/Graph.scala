@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -12,6 +12,34 @@ import graft.io.Tables
   * this is part of the §7.5 extension surface.
   */
 object Graph {
+
+  /** The COLLAPSED WEIGHTED co-purchase edge list — nodes are parts, an
+    * edge (src, dst, w) says the two parts share `w` distinct orders; both
+    * orientations present (symmetric), self-loops excluded — materialized
+    * ONCE per sfDir as a bucketed derived table
+    * ([[graft.ops.Layout.ensureDerived]], bucketed on `src`) and shared by
+    * the whole graph family ([[partPageRank]], [[partTriangles]],
+    * [[graft.queries.Marketplace.copurchasePairs]]), which previously
+    * re-derived this same lineitem self-join + aggregation independently —
+    * roughly a third of the graph family's cost re-spent twice. First call
+    * pays one build (lineitem self-join keyed on the order key, pair
+    * hash-agg); every later call — and later session over the same
+    * warehouse — is a columnar scan of the bucketed copy, and a future
+    * src-keyed shuffle join against another src-bucketed artifact would be
+    * exchange-free.
+    */
+  private[graft] def coPurchaseEdges(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
+      Seq("lineitem.parquet"), "src") {
+      val op = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      op.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")),
+          Seq("l_orderkey"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    }
 
   /** PageRank over the co-purchase part graph (parts are nodes; an edge
     * connects two parts that share an order — both orientations, so the
@@ -42,21 +70,17 @@ object Graph {
     */
   def partPageRank(
       spark: SparkSession, sfDir: String, iters: Int = 5,
-      damping: Double = 0.85, topK: Int = 25): DataFrame = {
+      damping: Double = 0.85, topK: Int = 25,
+      maxBroadcastNodes: Long = 50_000_000L): DataFrame = {
     // weighted multigraph: two parts sharing k orders hold an edge of
     // weight k, so rank flows in proportion to co-purchase FREQUENCY.
     // Parallel edges are COLLAPSED to (src, dst, w) — k instances each
     // contributing `rank div deg` is exactly `w · (rank div deg)` in
     // integer arithmetic, so the aggregation is a pure optimization
-    // (bit-identical result) that halves every round's join input
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val edges = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .persist()
+    // (bit-identical result) that halves every round's join input.
+    // The edge list is the family-shared derived table; persisting its
+    // scan keeps the five rounds off storage
+    val edges = coPurchaseEdges(spark, sfDir).persist()
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("deg"))
       .persist()
     try {
@@ -70,9 +94,14 @@ object Graph {
       // node alone, so it folds into a |nodes|-sized table BEFORE touching
       // edges: each round is then exactly one broadcast join over the
       // persisted edge list + one dst-keyed map-side-combinable sum.
-      // (Entity tables are dwarfed by their edge tables — broadcast is the
-      // right plan until |nodes| outgrows executor memory, where dropping
-      // the hint falls back to a src-keyed shuffle join.)
+      // Entity tables are dwarfed by their edge tables — broadcast is the
+      // right plan until |nodes| outgrows executor memory; past
+      // `maxBroadcastNodes` the hint is DROPPED and each round runs as a
+      // src-keyed shuffle join instead (bit-identical result — the
+      // recurrence is pure integer arithmetic either way; exercised at
+      // tier C volume by StressTier's c.pagerank_shuffle phase).
+      val hint: DataFrame => DataFrame =
+        if (n <= maxBroadcastNodes) broadcast(_) else identity(_)
       // each round's rank frame is persisted and materialized EAGERLY:
       // left lazy, round i's broadcast job re-walks the whole chain of
       // rounds 1..i−1 serially (measured 5 s warm at sf0.1 — broadcast
@@ -83,11 +112,11 @@ object Graph {
           Seq("node"))
           .select(col("node").as("src"), expr("rank_e12 div deg").as("__c"))
         val contrib = edges
-          .join(broadcast(nodeContrib), Seq("src"))
+          .join(hint(nodeContrib), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("w") * col("__c")).as("__s"))
         val prev = ranks
-        ranks = nodes.join(broadcast(contrib), Seq("node"), "left")
+        ranks = nodes.join(hint(contrib), Seq("node"), "left")
           .select(col("node"),
             (lit(baseE12) +
               expr(s"($dPct * coalesce(__s, 0L)) div 100")).as("rank_e12"))
@@ -139,18 +168,17 @@ object Graph {
   def partTriangles(
       spark: SparkSession, sfDir: String, topK: Int = 25,
       sampleMod: Int = 4): DataFrame = {
-    val keep = pmod(conv(substring(
-      sha2(col("l_partkey").cast("string"), 256), 1, 8), 16, 10).cast("long"),
+    def keep(c: Column) = pmod(conv(substring(
+      sha2(c.cast("string"), 256), 1, 8), 16, 10).cast("long"),
       lit(sampleMod.toLong)) === 0L
-    val op = Tables.lineitem(spark, sfDir)
-      .filter(keep)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    // canonical simple edges: src < dst, deduped across orders
-    val und = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
-      .filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    // canonical simple edges of the vertex-sampled induced subgraph:
+    // src < dst halves the shared symmetric edge table to one orientation
+    // (already order-deduped by the artifact's aggregation); keeping both
+    // endpoints in the sha-bucket sample yields EXACTLY the edge set the
+    // former pre-join lineitem filter produced
+    val und = coPurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst") && keep(col("src")) && keep(col("dst")))
+      .select("src", "dst")
       .persist()
     try {
       val deg = und.select(col("src").as("node"))

@@ -28,24 +28,29 @@ object Layout {
       .format("parquet")
       .saveAsTable(table)
 
-  /** The bucketed-layout join as a registered query: orders and lineitem
-    * written bucketed+sorted on the order key (once per sfDir — reused
-    * across calls in a session), then joined and aggregated per order.
-    * With both sides pre-shuffled into matching buckets the join needs NO
-    * exchange, and the per-key aggregation rides the same distribution —
-    * at 100 TB this removes the dominant fact⋈fact shuffle entirely
-    * (asserted in LayoutSpec's no-Exchange plan guard). Aggregates are
-    * order-independent (count/max) so the result is oracle-exact.
+  /** Session-cached DERIVED TABLE per (sfDir, sources, buckets): ensure a
+    * bucketed+sorted catalog table named `graft_<family>_<tag>` exists —
+    * building it with `build` on first use — and return it. The tag covers
+    * everything the derived copy depends on: the source dir, the bucket
+    * count, AND the source files' (name, length, mtime) census —
+    * regenerating the fixture or changing `buckets` must never silently
+    * reuse a stale copy; stale tags of the same family are GC'd
+    * ([[dropStaleDerived]]).
+    *
+    * This is the library's share-the-intermediate primitive: a pipeline
+    * family that re-derives the same expensive aggregate (the co-purchase
+    * edge list, a bucketed fact copy) materializes it ONCE per sfDir and
+    * every caller — and every later session over the same warehouse —
+    * rejoins it exchange-free on the bucket key.
     */
-  def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
-    // cache key covers everything the cached tables depend on: the source
-    // dir, the bucket count, AND the source files' (name, length, mtime)
-    // census — regenerating the fixture or changing `buckets` must never
-    // silently reuse a stale bucketed copy
+  def ensureDerived(
+      spark: SparkSession, sfDir: String, family: String,
+      sources: Seq[String], key: String, buckets: Int = 32)
+      (build: => DataFrame): DataFrame = {
     val census = {
       val fs = new org.apache.hadoop.fs.Path(sfDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("orders.parquet", "lineitem.parquet").flatMap { t =>
+      sources.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(sfDir, t)
         if (fs.exists(p))
           fs.listStatus(p).map(s =>
@@ -57,42 +62,62 @@ object Layout {
       java.util.UUID.nameUUIDFromBytes(
         s"$sfDir#$buckets#$census".getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
-    val ordersT = s"graft_orders_bkt_$tag"
-    val itemsT = s"graft_lineitem_bkt_$tag"
-    dropStaleBucketed(spark, tag)
-    def ensure(table: String, df: DataFrame, key: String): Unit =
-      if (!spark.catalog.tableExists(table)) {
-        // the in-memory catalog dies with the session but the warehouse
-        // directory survives — a stale dir would fail the managed-table
-        // CREATE ("location already exists"), so clear it first
-        val wh = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-        val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(wh)) fs.delete(wh, true)
-        writeBucketed(df, table, key, buckets)
-      }
-    ensure(ordersT, graft.io.Tables.orders(spark, sfDir)
-      .select("o_orderkey", "o_orderstatus"), "o_orderkey")
-    ensure(itemsT, graft.io.Tables.lineitem(spark, sfDir)
-      .select("l_orderkey", "l_extendedprice"), "l_orderkey")
-    spark.table(itemsT)
-      .join(spark.table(ordersT), col("l_orderkey") === col("o_orderkey"))
+    val table = s"graft_${family}_$tag"
+    dropStaleDerived(spark, family, tag)
+    if (!spark.catalog.tableExists(table)) {
+      // the in-memory catalog dies with the session but the warehouse
+      // directory survives — a stale dir would fail the managed-table
+      // CREATE ("location already exists"), so clear it first
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+      writeBucketed(build, table, key, buckets)
+    }
+    spark.table(table)
+  }
+
+  /** The bucketed-layout join as a registered query: orders and lineitem
+    * written bucketed+sorted on the order key (once per sfDir — reused
+    * across calls in a session), then joined and aggregated per order.
+    * With both sides pre-shuffled into matching buckets the join needs NO
+    * exchange, and the per-key aggregation rides the same distribution —
+    * at 100 TB this removes the dominant fact⋈fact shuffle entirely
+    * (asserted in LayoutSpec's no-Exchange plan guard). Aggregates are
+    * order-independent (count/max) so the result is oracle-exact.
+    */
+  def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
+    val srcFiles = Seq("orders.parquet", "lineitem.parquet")
+    val ordersBkt = ensureDerived(spark, sfDir, "orders_bkt", srcFiles,
+      "o_orderkey", buckets) {
+      graft.io.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderstatus")
+    }
+    val itemsBkt = ensureDerived(spark, sfDir, "lineitem_bkt", srcFiles,
+      "l_orderkey", buckets) {
+      graft.io.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_extendedprice")
+    }
+    itemsBkt
+      .join(ordersBkt, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"), max(col("l_extendedprice")).as("max_item_price"))
       .orderBy(col("o_orderkey").asc)
       .limit(100)
   }
 
-  /** GC for [[bucketedOrderItems]]' tagged copies: every fixture
-    * regeneration or `buckets` change mints a NEW tag, and without a sweep
-    * the older `graft_*_bkt_<tag>` tables (plus their warehouse dirs, which
+  /** GC for [[ensureDerived]]' tagged copies: every fixture regeneration
+    * or `buckets` change mints a NEW tag, and without a sweep the older
+    * `graft_<family>_<tag>` tables (plus their warehouse dirs, which
     * outlive the in-memory catalog across sessions) accumulate unboundedly.
-    * Drops every table/dir whose tag differs from the one about to be used.
+    * Drops every table/dir of THIS family whose tag differs from the one
+    * about to be used.
     */
-  private def dropStaleBucketed(spark: SparkSession, keepTag: String): Unit = {
-    val prefixes = Seq("graft_orders_bkt_", "graft_lineitem_bkt_")
+  private def dropStaleDerived(
+      spark: SparkSession, family: String, keepTag: String): Unit = {
+    val prefix = s"graft_${family}_"
     def stale(name: String): Boolean =
-      prefixes.exists(name.startsWith) && !name.endsWith(keepTag)
+      name.startsWith(prefix) && !name.endsWith(keepTag)
     spark.catalog.listTables().collect()
       .map(_.name).filter(stale)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))

@@ -251,27 +251,23 @@ object Marketplace {
     * ranked by how many orders contain both — the "bought together"
     * recommendation seed.
     *
-    * Scale shape: the self-join keys on l_orderkey, and pair production
-    * per order is C(parts-in-order, 2) — bounded by the natural order
-    * width (TPC-H ≤ 7 lines), so output is linear in orders. The
-    * order-keyed equi-join co-partitions both sides on the same shuffle;
-    * the `<` predicate halves the pairs and deduplicates orientation.
+    * Scale shape: reads the graph family's shared co-purchase edge
+    * artifact ([[graft.ext.Graph.coPurchaseEdges]] — built once per sfDir:
+    * the order-keyed self-join co-partitions both sides on one shuffle,
+    * pair production per order is C(parts-in-order, 2), bounded by the
+    * natural order width). Here the `<` filter keeps one orientation of
+    * the symmetric table and the top-k is a TakeOrdered — no global sort.
     * A pathological mega-order would need the same cap treatment as
     * [[graft.ext.Dedup]]'s bucket guards — TPC-H's schema bounds it here.
     */
   def copurchasePairs(
-      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame =
+    graft.ext.Graph.coPurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("part_a"), col("dst").as("part_b"),
+        col("w").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a").asc, col("part_b").asc)
       .limit(topK)
-  }
 
   /** TPC-H Q3-shaped shipping-priority report: revenue still unshipped as
     * of the cutoff, for one market segment — the classic selective
