@@ -11,8 +11,10 @@ import graft.io.Tables
   * north star): media as opaque `binary` columns + typed metadata structs,
   * with decode / feature-extract / frame-sample stages.
   *
-  * The actual codecs (image/audio/video) are NOT in this container, so the
-  * decode kernel is a clearly-marked deterministic STUB — but the
+  * The actual codecs (pixel/sample decode) are NOT in this container, so
+  * the decode kernel is a clearly-marked deterministic STUB — though
+  * still-image DIMENSIONS (BMP/PNG/GIF/JPEG) are parsed for real from
+  * their public headers, leaving only audio/video duration stubbed — but the
   * Spark-side plumbing is real and tested: schema shape, binary column
   * handling, partition-wise batch processing (`mapPartitions`, the Scala
   * analog of `mapInPandas` batch UDFs — one iterator per partition is
@@ -53,9 +55,10 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Partition-wise decode. BMP and PNG payloads are REALLY parsed (their
-    * headers are plain struct reads — no codec library needed for
-    * dimensions); everything else falls back to the deterministic stub. A
+  /** Partition-wise decode. BMP, PNG, GIF and JPEG payloads are REALLY
+    * parsed (their dimensions are plain header math — no codec library
+    * needed; see [[parseDims]]/[[jpegDims]]), leaving only audio/video
+    * duration on the deterministic stub. A
     * real deployment swaps the stub for the native codec call
     * (libjpeg/ffmpeg via JNI, or hand the iterator to an Arrow batch for a
     * Python `mapInPandas` stage) — this partition-local iterator is
@@ -83,20 +86,38 @@ object Multimodal {
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
 
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+
   private val pngMagic =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  /** Real header parse for the formats whose dimensions are plain struct
-    * fields: BMP (BITMAPINFOHEADER: width LE32 @18, height LE32 @22 —
-    * negative height means top-down row order, magnitude is the size) and
-    * PNG (IHDR: width BE32 @16, height BE32 @20). Returns None for
-    * payloads that are neither — those take the stub path.
+  /** Real header parse for the formats whose dimensions are public header
+    * math — the full still-image set, leaving ONLY audio/video on the stub:
     *
-    * The BMP branch validates the DIB header size field @14 (one of the
-    * published header sizes) and sane dimensions, not just the 2-byte
-    * "BM" magic: stand-in payloads here are TEXT bytes, and any document
-    * starting with "BM…" (BM25, BMW) would otherwise decode ASCII bytes
-    * as garbage geometry.
+    *   - BMP: BITMAPINFOHEADER width LE32 @18, height LE32 @22 (negative
+    *     height = top-down row order, magnitude is the size);
+    *   - PNG: IHDR width BE32 @16, height BE32 @20;
+    *   - GIF: "GIF87a"/"GIF89a" magic, logical-screen-descriptor width
+    *     LE16 @6, height LE16 @8;
+    *   - JPEG: SOI then a marker scan to the first frame header (SOFn) —
+    *     see [[jpegDims]].
+    *
+    * Returns None for payloads that are none of these — those take the
+    * stub path.
+    *
+    * False-positive guards for the text stand-in payloads: the BMP branch
+    * validates the DIB header size field @14 (one of the published header
+    * sizes) and sane dimensions, not just the 2-byte "BM" magic — any
+    * document starting "BM…" (BM25, BMW) would otherwise decode ASCII
+    * bytes as garbage geometry. JPEG's 0xFF D8 magic cannot occur in
+    * UTF-8 text at all. GIF's 6-byte magic has no structural field to
+    * validate beyond positive dims — a document literally starting
+    * "GIF89a" parses as GIF, the same residual ambiguity as any
+    * magic-sniffing ingest; real deployments carry a declared MIME type.
     */
   private[ext] def parseDims(
       mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Long)] =
@@ -106,7 +127,52 @@ object Multimodal {
       Some((le32(bytes, 18), math.abs(le32(bytes, 22)), 0L))
     else if (bytes.length >= 24 && bytes.take(8).sameElements(pngMagic))
       Some((be32(bytes, 16), be32(bytes, 20), 0L))
+    else if (bytes.length >= 13 && bytes(0) == 'G'.toByte &&
+      bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
+      bytes(3) == '8'.toByte &&
+      (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+      bytes(5) == 'a'.toByte && le16(bytes, 6) > 0 && le16(bytes, 8) > 0)
+      Some((le16(bytes, 6), le16(bytes, 8), 0L))
+    else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8)
+      jpegDims(bytes)
     else None
+
+  /** JPEG dimension scan (public JFIF/EXIF marker structure): after the
+    * SOI marker, segments are [0xFF, marker, len BE16, payload]; walk them
+    * to the first frame header SOF0–SOF15 (excluding DHT 0xC4, JPG 0xC8,
+    * DAC 0xCC which reuse the 0xCn space), whose payload is
+    * [precision u8][height BE16][width BE16]. Standalone markers
+    * (TEM/RSTn) have no length; 0xFF fill bytes pad between segments;
+    * hitting SOS (entropy-coded data) or EOI without a SOF means no
+    * parseable dimensions — stub path, not a guess.
+    */
+  private[ext] def jpegDims(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var o = 2
+    while (o + 1 < b.length) {
+      if ((b(o) & 0xFF) != 0xFF) return None // marker misalignment
+      var mOff = o + 1
+      while (mOff < b.length && (b(mOff) & 0xFF) == 0xFF) mOff += 1 // fill
+      if (mOff >= b.length) return None
+      val m = b(mOff) & 0xFF
+      val seg = mOff + 1
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) o = seg // standalone
+      else if (m == 0xD9 || m == 0xDA) return None // EOI / SOS before SOF
+      else {
+        if (seg + 1 >= b.length) return None
+        val len = be16(b, seg)
+        if (len < 2) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          if (seg + 6 >= b.length || len < 7) return None
+          val h = be16(b, seg + 3)
+          val w = be16(b, seg + 5)
+          return if (w > 0 && h > 0) Some((w, h, 0L)) else None
+        }
+        o = seg + len
+      }
+    }
+    None
+  }
 
   /** STUB standing in for the real media codec (not available in this
     * container). Deterministic pure function of the payload: dimensions

@@ -679,6 +679,56 @@ class MultimodalSpec extends SparkSpec {
     assert(dims === Map(1L -> ((640, 480)), 2L -> ((31, 7)), 3L -> ((123, 456))))
   }
 
+  /** A minimal but REAL GIF89a: header + logical screen descriptor (no
+    * global color table) + trailer.
+    */
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array(
+      (w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+      (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte,
+      0x00.toByte, 0x00.toByte, 0x00.toByte, // packed, bg index, aspect
+      0x3B.toByte) // trailer
+
+  /** A structurally real JPEG marker stream: SOI, APP0/JFIF, DQT, a 0xFF
+    * fill byte, then the frame header (`sofMarker`, default baseline SOF0)
+    * and SOS. Exercises every branch of the marker walk: variable-length
+    * skips, fill-byte padding, and the SOFn dimension read.
+    */
+  private def jpegBytes(w: Int, h: Int, sofMarker: Int = 0xC0): Array[Byte] = {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val app0 = seg(0xE0, "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = seg(0xDB, Array.fill[Byte](65)(1))
+    val sof = seg(sofMarker, Array[Byte](8,
+      ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+      ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte,
+      1, 1, 0x11, 0))
+    val sos = seg(0xDA, Array[Byte](1, 1, 0, 0, 63, 0))
+    Array(0xFF.toByte, 0xD8.toByte) ++ app0 ++ dqt ++
+      Array(0xFF.toByte) ++ sof ++ sos // fill byte before the SOF marker
+  }
+
+  test("parseDims reads GIF and JPEG headers for real (r6: stub = audio/video only)") {
+    assert(Multimodal.parseDims("image", gifBytes(320, 200)) === Some((320, 200, 0L)))
+    assert(Multimodal.parseDims("image", gifBytes(65535, 1)) === Some((65535, 1, 0L)))
+    // baseline AND progressive frame headers; DHT's 0xC4 must be skipped
+    assert(Multimodal.parseDims("image", jpegBytes(640, 480)) === Some((640, 480, 0L)))
+    assert(Multimodal.parseDims("image", jpegBytes(19, 7, sofMarker = 0xC2))
+      === Some((19, 7, 0L)))
+    // SOS before any SOF → no guess, stub path
+    assert(Multimodal.jpegDims(
+      Array(0xFF, 0xD8, 0xFF, 0xDA, 0, 4, 0, 0).map(_.toByte)).isEmpty)
+    // truncated mid-segment → None, never an index crash
+    assert(Multimodal.parseDims("image", jpegBytes(640, 480).take(9)).isEmpty)
+    assert(Multimodal.parseDims("image", gifBytes(320, 200).take(7)).isEmpty)
+    // text that merely mentions GIF fails the 6-byte magic
+    assert(Multimodal.parseDims("image",
+      "GIF is an image format from 1987".getBytes("UTF-8")).isEmpty)
+  }
+
   test("parseDims rejects text payloads that merely start with 'BM'") {
     // stand-in payloads are TEXT; a doc opening with "BM25..." must fall
     // through to the stub, not decode ASCII bytes as BMP geometry
