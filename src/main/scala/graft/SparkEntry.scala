@@ -76,6 +76,7 @@ object SparkEntry {
     // exact set-similarity join, candidates by rarest-first prefix tokens
     // (AllPairs/PPJoin) — the lossless alternative to LSH banding
     "jaccard_prefix"     -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
+    "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -310,7 +311,7 @@ object SparkEntry {
        |ORDER BY rank_e12 DESC, p_partkey ASC LIMIT 25""".stripMargin
   }
 
-  private def minHashOracleCtes: String = {
+  private def minHashOracleCtes(docSource: String = "documents"): String = {
     val slots = (0 until 64)
       .map(j => s"min((${graft.ext.Dedup.permA(j)} * h + ${graft.ext.Dedup.permB(j)})" +
         s" % ${graft.ext.Dedup.MinHashP}) AS m$j")
@@ -322,7 +323,7 @@ object SparkEntry {
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |                             x -> x <> '') AS toks
-       |  FROM documents
+       |  FROM $docSource
        |), shs AS (
        |  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
@@ -755,11 +756,11 @@ object SparkEntry {
         |          JOIN emb b ON cand.vec_b = b.vec_id
         |WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.4
         |ORDER BY vec_a ASC, vec_b ASC""".stripMargin),
-    "dedup_minhash" -> (minHashOracleCtes +
+    "dedup_minhash" -> (minHashOracleCtes() +
       """
         |SELECT doc_a, doc_b, jaccard FROM scored
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin),
-    "dedup_incremental_near" -> (minHashOracleCtes +
+    "dedup_incremental_near" -> (minHashOracleCtes() +
       """, dbsz AS (
         |  SELECT bi, k1, k2, k3, k4 FROM bands WHERE doc_id % 10 <> 9
         |  GROUP BY 1, 2, 3, 4, 5 HAVING count(*) <= 64
@@ -798,7 +799,7 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM dbest WHERE rk = 1) b ON d.doc_id = b.new_doc_id
         |WHERE d.doc_id % 10 = 9
         |ORDER BY new_doc_id ASC""".stripMargin),
-    "dedup_clusters" -> (minHashOracleCtes +
+    "dedup_clusters" -> (minHashOracleCtes() +
       """, p AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM scored
         |), e AS (
@@ -815,7 +816,7 @@ object SparkEntry {
         |       count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin),
-    "training_set" -> (minHashOracleCtes +
+    "training_set" -> (minHashOracleCtes() +
       """, p AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM scored
         |), e AS (
@@ -955,6 +956,57 @@ object SparkEntry {
         |WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
         |        >= 0.5
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // The sampled LSH-recall audit: BOTH pipelines (banded CW minhash and
+    // the lossless prefix-filter join) rebuilt over the SAME sha-bucketed
+    // 1/8 slice of documents, then the outer-join census. `scored` (the
+    // verified LSH pairs) and `sh` come from the shared minhash CTEs; the
+    // lossless side mirrors the jaccard_prefix twin over hash-distinct
+    // shingle rows.
+    "lsh_recall_sampled" -> (minHashOracleCtes(
+      "(SELECT doc_id, text FROM documents " +
+        "WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0)") +
+      """, shr AS (
+        |  SELECT DISTINCT doc_id, shh FROM sh
+        |), dfreq AS (
+        |  SELECT shh, count(*) AS df FROM shr GROUP BY shh
+        |), szr AS (
+        |  SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
+        |), rk2 AS (
+        |  SELECT s.doc_id, s.shh, d.df,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |                            ORDER BY d.df ASC, s.shh ASC) AS rk
+        |  FROM shr s JOIN dfreq d USING (shh)
+        |), pre AS (
+        |  SELECT r.doc_id, r.shh FROM rk2 r JOIN szr z USING (doc_id)
+        |  WHERE r.rk <= z.n - ceil(0.5 * z.n) + 1 AND r.df <= 256
+        |), cand2 AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id
+        |), isect2 AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand2 c
+        |  JOIN shr a ON a.doc_id = c.doc_a
+        |  JOIN shr b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM isect2 i JOIN szr sa ON sa.doc_id = i.doc_a
+        |                JOIN szr sb ON sb.doc_id = i.doc_b
+        |  WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
+        |          >= 0.5
+        |), j AS (
+        |  SELECT t2.doc_a IS NOT NULL AS in_t, l.doc_a IS NOT NULL AS in_l
+        |  FROM truth t2 FULL OUTER JOIN (SELECT doc_a, doc_b FROM scored) l
+        |    ON t2.doc_a = l.doc_a AND t2.doc_b = l.doc_b
+        |)
+        |SELECT count(CASE WHEN in_t THEN 1 END) AS n_true_pairs,
+        |       count(CASE WHEN in_l THEN 1 END) AS n_lsh_pairs,
+        |       count(CASE WHEN in_t AND in_l THEN 1 END) AS n_found,
+        |       CASE WHEN count(CASE WHEN in_t THEN 1 END) = 0 THEN 1.0::DOUBLE
+        |            ELSE count(CASE WHEN in_t AND in_l THEN 1 END)::DOUBLE
+        |                 / count(CASE WHEN in_t THEN 1 END)::DOUBLE
+        |       END AS recall
+        |FROM j""".stripMargin),
     "knn_ivf" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -2374,7 +2426,7 @@ object SparkEntry {
         |FROM c, t
         |WHERE c.n * 1000 >= t.total_tokens
         |ORDER BY c.n DESC, word ASC""".stripMargin,
-    "cluster_split" -> (minHashOracleCtes +
+    "cluster_split" -> (minHashOracleCtes() +
       """, p AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM scored
         |), e AS (
@@ -2436,8 +2488,11 @@ object SparkEntry {
     "events_grouping_sets" ->
       """WITH e AS (
         |  SELECT event_type,
-        |         CAST(date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7
-        |              AS INT) AS dow,
+        |         -- ((x % 7) + 7) % 7, not x % 7: DuckDB's % returns negative
+        |         -- remainders for pre-1970-01-05 dates while Spark uses pmod
+        |         -- — total-domain-correct, not fixture-dependent
+        |         CAST(((date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) % 7)
+        |               + 7) % 7 AS INT) AS dow,
         |         user_id, value
         |  FROM events
         |)

@@ -431,8 +431,19 @@ object Dedup {
   private def minHashPairsUnsorted(
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64,
-      twinnable: Boolean = false, materialize: Boolean = true): DataFrame = {
-    val perDoc = minHashPerDoc(spark, sfDir, twinnable).persist()
+      twinnable: Boolean = false, materialize: Boolean = true): DataFrame =
+    minHashPairsUnsortedOf(Tables.documents(spark, sfDir), threshold,
+      maxBucket, twinnable, materialize)
+
+  /** [[minHashPairs]] over an arbitrary (doc_id, text, ...) frame — the
+    * building block behind the sfDir entry points and the hash-sampled
+    * recall audit ([[lshRecallSampled]]).
+    */
+  private def minHashPairsUnsortedOf(
+      docs: DataFrame,
+      threshold: Double, maxBucket: Int,
+      twinnable: Boolean, materialize: Boolean): DataFrame = {
+    val perDoc = minHashSignaturesOf(docs, twinnable).persist()
     try {
       val sets = perDoc.select(col("doc_id"), col("shset"))
       val banded = bandRows(perDoc)
@@ -567,12 +578,20 @@ object Dedup {
     */
   def jaccardPrefixPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      maxPrefixDf: Long = 256L): DataFrame =
+    jaccardPrefixPairsOf(Tables.documents(spark, sfDir), threshold, maxPrefixDf)
+
+  /** [[jaccardPrefixPairs]] over an arbitrary (doc_id, text, ...) frame —
+    * shared by the sfDir entry point and [[lshRecallSampled]].
+    */
+  def jaccardPrefixPairsOf(
+      docs: DataFrame, threshold: Double = 0.5,
       maxPrefixDf: Long = 256L): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // distinct (doc_id, sha-60 shingle-hash) rows feed FOUR consumers
     // (df counts, doc sizes, the ranked prefix, the verify sets) — one
     // tokenize+window pass, persisted call-scoped like the other dedups.
-    val rows = shingleRows(spark, sfDir, twinnable = true).distinct().persist()
+    val rows = shingleRowsOf(docs, twinnable = true).distinct().persist()
     try {
       // df, doc size and prefix rank as WINDOW aggregates, not
       // groupBy+join round-trips: the sh-partitioned count and the
@@ -638,11 +657,41 @@ object Dedup {
     */
   def lshRecall(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
-      maxBucket: Int = 64, maxPrefixDf: Long = 256L): DataFrame = {
-    val exact = jaccardPrefixPairs(spark, sfDir, threshold, maxPrefixDf)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
-    val lsh = minHashPairs(spark, sfDir, threshold, maxBucket, twinnable = true)
-      .select(col("doc_a"), col("doc_b"), lit(1).as("__l"))
+      maxBucket: Int = 64, maxPrefixDf: Long = 256L): DataFrame =
+    recallReport(
+      jaccardPrefixPairs(spark, sfDir, threshold, maxPrefixDf),
+      minHashPairs(spark, sfDir, threshold, maxBucket, twinnable = true))
+
+  /** The SAMPLED form of [[lshRecall]] its scaladoc prescribes for scale,
+    * as a registrable (oracle-checkable) query: restrict the corpus to a
+    * deterministic sha-bucket of documents (keep 1/`sampleMod` by doc_id
+    * hash — content-independent, so near-dup pairs inside the slice are an
+    * unbiased pair sample) and run BOTH producers on the slice only.
+    * Recall is a per-pair Bernoulli property, so the sampled report
+    * estimates the corpus number at 1/sampleMod² of the lossless side's
+    * cost — the audit a 100 TB curation run can actually afford per
+    * banding decision. Exact over the slice it measures, hence
+    * hash-checkable against the DuckDB twin.
+    */
+  def lshRecallSampled(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      sampleMod: Int = 8, maxBucket: Int = 64,
+      maxPrefixDf: Long = 256L): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).filter(
+      pmod(conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8),
+        16, 10).cast("long"), lit(sampleMod.toLong)) === 0L)
+    recallReport(
+      jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),
+      minHashPairsUnsortedOf(docs, threshold, maxBucket, twinnable = true,
+        materialize = true))
+  }
+
+  /** One-row recall report from the lossless truth and the LSH pair list
+    * (shared by [[lshRecall]] and [[lshRecallSampled]]).
+    */
+  private def recallReport(exactPairs: DataFrame, lshPairs: DataFrame): DataFrame = {
+    val exact = exactPairs.select(col("doc_a"), col("doc_b"), lit(1).as("__e"))
+    val lsh = lshPairs.select(col("doc_a"), col("doc_b"), lit(1).as("__l"))
     exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         count_if(col("__e").isNotNull).as("n_true_pairs"),
