@@ -24,7 +24,15 @@ import graft.ext.{Curation, Dedup}
   *   so the DISTRIBUTED min-label loop runs on a multi-million-edge
   *   graph and must converge with every replica family in one cluster.
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|all]"
+  *   Tier C (lineitem × 10): the iterative graph operators — weighted-
+  *   edge collapse keeps per-round cost flat; both pagerank join plans
+  *   (broadcast and the shuffle fallback) must agree bit-exactly.
+  *
+  *   Tier D (events × 100 ≈ 10M): the event-analytics family — the
+  *   two-level exact rank, sessionization and the as-of join must
+  *   reproduce replication-invariants exactly (see [[tierD]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -209,6 +217,113 @@ object StressTier {
       graft.ext.Graph.partTriangles(spark, dir).count())
     println(f"STRESS c.triangles seconds=$tTri%.1f rows=$nTri")
     check(nTri > 0, "sampled triangle census must find triangles")
+
+    // the broadcast FALLBACK: maxBroadcastNodes=0 strips the hint, so every
+    // round runs the src-keyed shuffle join — the documented plan past
+    // broadcastable node counts. The integer recurrence must be
+    // bit-identical to the broadcast run
+    val (shuffled, tPrS) = timed("c.pagerank_shuffle")(
+      graft.ext.Graph.partPageRank(spark, dir, topK = 1000000,
+        maxBroadcastNodes = 0L).persist())
+    val nShuffled = shuffled.count()
+    println(f"STRESS c.pagerank_shuffle seconds=$tPrS%.1f nodes=$nShuffled")
+    val broadcastRun = graft.ext.Graph.partPageRank(spark, dir, topK = 1000000)
+    val diverged = shuffled.select("p_partkey", "rank_e12")
+      .except(broadcastRun.select("p_partkey", "rank_e12")).count()
+    check(nShuffled > 0, "shuffle-fallback pagerank must label nodes")
+    check(diverged == 0L,
+      s"$diverged nodes diverged between broadcast and shuffle-join plans")
+    shuffled.unpersist()
+    ()
+  }
+
+  /** Tier D: the EVENT-ANALYTICS family at 100× event volume (sf0.1 ×
+    * 100 ≈ 10M events; ids remapped, timestamps kept — every base event
+    * becomes a 100-way twin). The replication fixes exact invariants the
+    * operators must reproduce, proving their bounded shapes rather than
+    * just surviving:
+    *
+    *   - `winsorized_stats` (the round-6 two-level exact rank): the p99
+    *     ORDER STATISTIC is replication-invariant — rank ceil(0.99·100n)
+    *     of the 100× multiset selects the same value as rank ceil(0.99·n)
+    *     of the base — so per-type p99 must match the base run EXACTLY,
+    *     with n_events and n_capped scaling by exactly 100.
+    *   - `sessionize`: identical timestamp sets per user → identical
+    *     session boundaries — per-user session COUNTS equal the base
+    *     run's; only per-session event counts scale.
+    *   - `events_asof_orders`: each twin matches its base event's order —
+    *     row count scales by 100, the matched-key multiset by exactly 100.
+    */
+  private def tierD(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val (_, tRep) = timed("d.replicate") {
+      spark.read.parquet(s"$baseDir/events.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select(
+          (col("event_id") * reps + col("rep")).as("event_id"),
+          col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("props"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // as-of needs the order side too — copied 1:1 (dim-sized)
+      spark.read.parquet(s"$baseDir/orders.parquet")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    }
+    val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+    val nBase = spark.read.parquet(s"$baseDir/events.parquet").count()
+    println(f"STRESS d.replicate seconds=$tRep%.1f events=$nEv")
+    check(nEv == nBase * reps, s"tier D row count $nEv != $nBase*$reps")
+
+    import graft.ext.EventAnalytics
+    // winsorized: two-level rank at 10M rows — p99 replication-invariant
+    val (w, tW) = timed("d.winsorized")(
+      EventAnalytics.winsorizedStats(spark, dir).collect())
+    val base = EventAnalytics.winsorizedStats(spark, baseDir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    println(f"STRESS d.winsorized seconds=$tW%.1f types=${w.length}")
+    check(w.length == base.size, "per-type row count changed under replication")
+    w.foreach { r =>
+      val b = base(r.getAs[String]("event_type"))
+      check(r.getAs[Double]("p99_value") == b.getAs[Double]("p99_value"),
+        s"${r.getAs[String]("event_type")}: p99 not replication-invariant " +
+          s"(${r.getAs[Double]("p99_value")} vs ${b.getAs[Double]("p99_value")})")
+      check(r.getAs[Long]("n_events") == b.getAs[Long]("n_events") * reps,
+        s"${r.getAs[String]("event_type")}: n_events did not scale by $reps")
+      check(r.getAs[Long]("n_capped") == b.getAs[Long]("n_capped") * reps,
+        s"${r.getAs[String]("event_type")}: n_capped did not scale by $reps")
+    }
+
+    // sessionize: same per-user timestamp SET → same session boundaries
+    val (sessAndCount, tS) = timed("d.sessionize") {
+      val s = EventAnalytics.sessionize(spark, dir).persist()
+      (s, s.count()) // force inside the timer
+    }
+    val (sess, nUsers) = sessAndCount
+    val sessBase = EventAnalytics.sessionize(spark, baseDir)
+      .select(col("user_id"), col("n_sessions"))
+    val sessDiff = sess.select(col("user_id"), col("n_sessions"))
+      .except(sessBase).count()
+    val evTotal = sess.agg(sum(col("total_events"))).collect().head.getLong(0)
+    println(f"STRESS d.sessionize seconds=$tS%.1f users=$nUsers")
+    check(sessDiff == 0L, s"$sessDiff users changed session counts under replication")
+    check(evTotal == nEv, "sessionize must account for every event")
+    sess.unpersist()
+
+    // as-of join: every twin matches its base event's order
+    val (asofAndCount, tA) = timed("d.asof") {
+      val a = EventAnalytics.eventsAsOfOrders(spark, dir).persist()
+      (a, a.count()) // force inside the timer
+    }
+    val (asof, nAsof) = asofAndCount
+    val keySum = asof.agg(sum(col("last_order_key"))).collect().head.getLong(0)
+    val baseKeySum = EventAnalytics.eventsAsOfOrders(spark, baseDir)
+      .agg(sum(col("last_order_key"))).collect().head.getLong(0)
+    println(f"STRESS d.asof seconds=$tA%.1f rows=$nAsof")
+    check(nAsof == nEv, "as-of must emit one row per event")
+    check(keySum == baseKeySum * reps,
+      s"as-of matches changed under replication ($keySum vs ${baseKeySum}*$reps)")
+    asof.unpersist()
+    ()
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,6 +339,8 @@ object StressTier {
         tierB(spark, "/root/testdata/sf0.01", s"$root/sf0.01x100")
       if (tier == "c" || tier == "all")
         tierC(spark, "/root/testdata/sf0.1", s"$root/sf0.1li10")
+      if (tier == "d" || tier == "all")
+        tierD(spark, "/root/testdata/sf0.1", s"$root/sf0.1ev100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

@@ -248,6 +248,73 @@ class CorpusIngestSpec extends SparkSpec {
     assert(state() === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
   }
 
+  test("restart: a NEW session resumes qualityMonitor from the on-disk checkpoint/state store") {
+    // The real crash path at scale: the driver dies, a fresh session
+    // rebuilds the SAME query from checkpointLocation and must recover
+    // (a) source offsets — committed batches are not reprocessed — and
+    // (b) the STATE STORE — open windows keep their pre-crash partial
+    // counts. newSession() gives a fresh SessionState/StreamingQueryManager
+    // over the shared context; everything that matters to recovery (offset
+    // log, commit log, state store) is on disk under the checkpoint.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_restart").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def start(s: org.apache.spark.sql.SparkSession) = {
+      val docs = s.readStream
+        .schema("ts TIMESTAMP, text STRING, lang STRING")
+        .parquet(in)
+      CorpusIngest.qualityMonitor(docs)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append") // closed windows only — the file-sink mode
+        .format("parquet")
+        .option("path", out)
+        .start()
+    }
+    // Session A: three docs land in window W1 [00:00,01:00), one in W2;
+    // the W2 event advances the watermark past W1, closing it into the sink
+    Seq(
+      (ts("2024-01-01 00:10:00"), "a sufficiently long english document with many words in it", "en"),
+      (ts("2024-01-01 00:20:00"), "x", "en"), // low-quality (short)
+      (ts("2024-01-01 00:30:00"), "strumpf zehn elf zwölf dreizehn vierzehn fünfzehn sechzehn", "de"),
+      (ts("2024-01-01 01:20:00"), "one two three four five six seven eight nine ten eleven", "en"))
+      .toDF("ts", "text", "lang").write.parquet(in)
+    val q1 = start(spark)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterA = spark.read.parquet(out)
+      .select("window_start", "lang", "n_docs").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterA === Map(
+      (ts("2024-01-01 00:00:00"), "en") -> 2L,
+      (ts("2024-01-01 00:00:00"), "de") -> 1L),
+      "window W1 must close before the crash")
+    // "crash": q1 is stopped. While down, two more W2 docs arrive, plus a
+    // W3 doc whose watermark closes W2
+    Seq(
+      (ts("2024-01-01 01:30:00"), "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (ts("2024-01-01 01:40:00"), "y", "en"), // low-quality
+      (ts("2024-01-01 02:30:00"), "closer doc that advances the watermark past W2 end", "en"))
+      .toDF("ts", "text", "lang").write.mode("append").parquet(in)
+    // Session B: rebuilt from disk only
+    val spark2 = spark.newSession()
+    val q2 = start(spark2)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterB = spark2.read.parquet(out)
+      .select("window_start", "lang", "n_docs", "n_low_quality").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // W2's count merges the PRE-crash doc (held only in the recovered
+    // state store) with the two post-restart arrivals — 3 docs, 1 low
+    assert(afterB((ts("2024-01-01 01:00:00"), "en")) === ((3L, 1L)),
+      s"state store did not recover W2's pre-crash partial: $afterB")
+    // and the committed batch was NOT reprocessed: W1 rows stay single
+    assert(afterB((ts("2024-01-01 00:00:00"), "en")) === ((2L, 1L)))
+    assert(afterB((ts("2024-01-01 00:00:00"), "de"))._1 === 1L)
+  }
+
   test("heavyHitterBatch: crash INSIDE a replay's publish window still recovers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hh_replay2").toString
