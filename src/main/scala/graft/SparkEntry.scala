@@ -956,17 +956,17 @@ object SparkEntry {
         |WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
         |        >= 0.5
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
-    // The sampled LSH-recall audit: BOTH pipelines (banded CW minhash and
-    // the lossless prefix-filter join) rebuilt over the SAME sha-bucketed
-    // 1/8 slice of documents, then the outer-join census. `scored` (the
-    // verified LSH pairs) and `sh` come from the shared minhash CTEs; the
-    // lossless side mirrors the jaccard_prefix twin over hash-distinct
-    // shingle rows.
-    "lsh_recall_sampled" -> (minHashOracleCtes(
-      "(SELECT doc_id, text FROM documents " +
-        "WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0)") +
+    // The sampled LSH-recall audit: the lossless prefix-filter truth over
+    // a sha-bucketed 1/8 slice of documents, against the CORPUS-WIDE
+    // verified minhash pairs (`scored`, from the shared CTEs — the same
+    // production banding dedup_minhash checks) restricted to pairs with
+    // both endpoints in the slice. `sh` comes from the full-corpus CTEs;
+    // the truth side mirrors the jaccard_prefix twin over the slice's
+    // hash-distinct shingle rows.
+    "lsh_recall_sampled" -> (minHashOracleCtes() +
       """, shr AS (
         |  SELECT DISTINCT doc_id, shh FROM sh
+        |  WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0
         |), dfreq AS (
         |  SELECT shh, count(*) AS df FROM shr GROUP BY shh
         |), szr AS (
@@ -994,9 +994,13 @@ object SparkEntry {
         |                JOIN szr sb ON sb.doc_id = i.doc_b
         |  WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
         |          >= 0.5
+        |), lshp AS (
+        |  SELECT doc_a, doc_b FROM scored
+        |  WHERE ('0x' || substr(sha256(doc_a::VARCHAR), 1, 8))::BIGINT % 8 = 0
+        |    AND ('0x' || substr(sha256(doc_b::VARCHAR), 1, 8))::BIGINT % 8 = 0
         |), j AS (
         |  SELECT t2.doc_a IS NOT NULL AS in_t, l.doc_a IS NOT NULL AS in_l
-        |  FROM truth t2 FULL OUTER JOIN (SELECT doc_a, doc_b FROM scored) l
+        |  FROM truth t2 FULL OUTER JOIN lshp l
         |    ON t2.doc_a = l.doc_a AND t2.doc_b = l.doc_b
         |)
         |SELECT count(CASE WHEN in_t THEN 1 END) AS n_true_pairs,

@@ -432,8 +432,40 @@ object Dedup {
       spark: SparkSession, sfDir: String,
       threshold: Double = 0.5, maxBucket: Int = 64,
       twinnable: Boolean = false, materialize: Boolean = true): DataFrame =
-    minHashPairsUnsortedOf(Tables.documents(spark, sfDir), threshold,
-      maxBucket, twinnable, materialize)
+    if (threshold == 0.5 && maxBucket == 64 && twinnable && materialize)
+      minHashPairsShared(spark, sfDir)
+    else
+      minHashPairsUnsortedOf(Tables.documents(spark, sfDir), threshold,
+        maxBucket, twinnable, materialize)
+
+  /** The verified near-dup pair list at the CANONICAL parameters
+    * (threshold 0.5, 16×4 banding with maxBucket 64, twinnable sha
+    * permutations) as a per-sfDir DERIVED TABLE
+    * ([[graft.ops.Layout.ensureDerived]]): `dedup_minhash`,
+    * `dedup_clusters`, `cluster_split` and `training_set` all consume
+    * exactly this list, and each previously re-derived the full
+    * signature + banding + verification pipeline from the corpus. A
+    * production curation stack maintains precisely this artifact as its
+    * persistent signature/pair index (the streaming ingest already does,
+    * incrementally — [[graft.streaming.CorpusIngest.ingestNearDedup]]);
+    * here it is built once per (sfDir, source census) and every consumer
+    * reads the bucketed copy. Values round-trip parquet bit-exactly, so
+    * the oracle twins are untouched.
+    *
+    * Non-canonical parameters (stress tiers' maxBucket=128, the
+    * distributed heavy-dup path, throughput-mode xxhash signatures)
+    * bypass the artifact and derive directly — the driver-side build
+    * would refuse heavy-dup pair volumes anyway
+    * ([[graft.ops.Materialize.smallLocal]]'s cap).
+    */
+  private[graft] def minHashPairsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "minhash_pairs",
+      Seq("documents.parquet"), "doc_a") {
+      minHashPairsUnsortedOf(Tables.documents(spark, sfDir),
+        threshold = 0.5, maxBucket = 64, twinnable = true,
+        materialize = true)
+    }
 
   /** [[minHashPairs]] over an arbitrary (doc_id, text, ...) frame — the
     * building block behind the sfDir entry points and the hash-sampled
@@ -663,27 +695,32 @@ object Dedup {
       minHashPairs(spark, sfDir, threshold, maxBucket, twinnable = true))
 
   /** The SAMPLED form of [[lshRecall]] its scaladoc prescribes for scale,
-    * as a registrable (oracle-checkable) query: restrict the corpus to a
-    * deterministic sha-bucket of documents (keep 1/`sampleMod` by doc_id
-    * hash — content-independent, so near-dup pairs inside the slice are an
-    * unbiased pair sample) and run BOTH producers on the slice only.
+    * as a registrable (oracle-checkable) query — and sharper than a
+    * slice-rerun: it audits the PRODUCTION pair index. The lossless
+    * ground truth runs over a deterministic sha-bucket of documents (keep
+    * 1/`sampleMod` by doc_id hash — content-independent, so qualifying
+    * pairs land inside the slice with probability 1/mod², an unbiased
+    * pair sample), while the LSH side is the corpus-wide shared artifact
+    * ([[minHashPairsShared]] — the banding actually deployed, bucket caps
+    * and all) restricted to pairs with both endpoints in the slice.
     * Recall is a per-pair Bernoulli property, so the sampled report
-    * estimates the corpus number at 1/sampleMod² of the lossless side's
+    * estimates the corpus number at a fraction of the lossless side's
     * cost — the audit a 100 TB curation run can actually afford per
-    * banding decision. Exact over the slice it measures, hence
-    * hash-checkable against the DuckDB twin.
+    * banding decision — and measures the REAL index, not a re-banding of
+    * the slice (whose smaller buckets would dodge the caps). Exact over
+    * the slice it measures, hence hash-checkable against the DuckDB twin.
     */
   def lshRecallSampled(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
-      sampleMod: Int = 8, maxBucket: Int = 64,
-      maxPrefixDf: Long = 256L): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).filter(
-      pmod(conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8),
-        16, 10).cast("long"), lit(sampleMod.toLong)) === 0L)
+      sampleMod: Int = 8, maxPrefixDf: Long = 256L): DataFrame = {
+    def inSlice(c: Column) =
+      pmod(conv(substring(sha2(c.cast("string"), 256), 1, 8),
+        16, 10).cast("long"), lit(sampleMod.toLong)) === 0L
+    val docs = Tables.documents(spark, sfDir).filter(inSlice(col("doc_id")))
     recallReport(
       jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),
-      minHashPairsUnsortedOf(docs, threshold, maxBucket, twinnable = true,
-        materialize = true))
+      minHashPairsShared(spark, sfDir)
+        .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
   }
 
   /** One-row recall report from the lossless truth and the LSH pair list
