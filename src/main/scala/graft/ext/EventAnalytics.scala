@@ -378,22 +378,22 @@ object EventAnalytics {
     * order-independent); the mean divides that by the exact count with the
     * identical expression in the twin.
     *
-    * Scale shape: the threshold rank runs as a TWO-LEVEL exact rank
-    * ([[graft.ops.Ranks.withExactRank]]) — sampled literal value boundaries
-    * bucket each type's values, every task ranks one bucket, and a tiny
-    * histogram of per-bucket counts broadcasts back as offsets — so no
+    * Scale shape: the threshold is an exact order-statistic SELECTION
+    * ([[graft.ops.Ranks.selectOrderStatistic]]) — sampled literal value
+    * boundaries bucket each type's values, a tiny per-(type, bucket)
+    * histogram locates the bucket holding rank ceil(0.99·n), and ONLY
+    * that bucket's rows (~1/buckets of each type) are ever sorted — so no
     * event type ever funnels through a single reducer (the naive
     * `row_number OVER (PARTITION BY event_type)` collapses 100 TB of
-    * events onto |types| tasks). The cap-and-aggregate pass itself is one
-    * broadcast join (|types| rows) plus a hash-agg.
+    * events onto |types| tasks) and no full per-type sort happens at all.
+    * The cap-and-aggregate pass itself is one broadcast join (|types|
+    * rows) plus a hash-agg.
     */
   def winsorizedStats(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("value"))
-    val thresholds = graft.ops.Ranks.withExactRank(
-        ev, Seq("event_type"), Seq(col("value")), "rk", Some("n"))
-      .filter(col("rk") === ceil(col("n") * lit(0.99)).cast("long"))
-      .select(col("event_type"), col("value").as("p99"))
+    val thresholds = graft.ops.Ranks.selectOrderStatistic(
+      ev, Seq("event_type"), col("value"), 0.99, "p99")
     ev.join(broadcast(thresholds), Seq("event_type"))
       .withColumn("capped",
         round(least(col("value"), col("p99")), 6).cast("decimal(18,6)"))

@@ -114,6 +114,66 @@ object Ranks {
     rankedByBucket(df, partCols, orderKeys, orderKeys.head, rankCol, nCol)
   }
 
+  /** Exact order-statistic SELECTION per group — the value at rank
+    * `ceil(pct·n)` of `key` ascending within each `partCols` group —
+    * without ranking (or even fully sorting) the frame: bucket by sampled
+    * literal boundaries, aggregate the tiny per-(group, bucket) histogram,
+    * locate the single bucket containing each group's target rank from
+    * the prefix sums, then rank ONLY that bucket's rows. Per group,
+    * exactly one bucket (~1/buckets of its rows) is ever sorted; every
+    * other row is dropped at the scan by the broadcast of the
+    * |groups|-row target-bucket table. This is the percentile-threshold
+    * shape ([[graft.ext.EventAnalytics.winsorizedStats]]): cheaper than
+    * [[withExactRank]] when only a cut VALUE is needed, same exactness
+    * (the selected value is an actual data element, reproducible in any
+    * engine — no interpolation).
+    *
+    * Returns one row per group: `partCols`, the selected value as
+    * `valueCol`. The target rank uses `ceil(pct · n)` with the same
+    * double arithmetic as the SQL twin (`CAST(ceil(n * pct) AS BIGINT)`).
+    */
+  def selectOrderStatistic(
+      df: DataFrame,
+      partCols: Seq[String],
+      key: Column,
+      pct: Double,
+      valueCol: String,
+      buckets: Int = 32,
+      sampleMod: Long = 64L,
+      sampleCap: Int = 65536): DataFrame = {
+    val sample = df
+      .filter(pmod(xxhash64(key), lit(sampleMod)) === 0L)
+      .select(key.as("__gk0"))
+      .limit(sampleCap)
+      .collect()
+    val sorted = sample.map(_.get(0)).sortWith((a, b) => cmpAny(a, b) < 0)
+    val cuts = (1 until buckets).iterator
+      .map(b => (b.toLong * sorted.length / buckets).toInt)
+      .filter(i => i > 0 && i < sorted.length)
+      .map(sorted(_)).toSeq.distinct
+    val bucket = cuts.foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(key > lit(cut), 1).otherwise(0)
+    }
+    val part = partCols.map(col)
+    val b = df.withColumn(BKT, bucket)
+    val hist = b.groupBy(part :+ col(BKT): _*).agg(count(lit(1)).as(CNT))
+    // tiny frame: locate each group's target bucket from the prefix sums
+    val targets = hist
+      .withColumn(OFF,
+        sum(col(CNT)).over(
+          Window.partitionBy(part: _*).orderBy(col(BKT).asc)) - col(CNT))
+      .withColumn(TOT, sum(col(CNT)).over(Window.partitionBy(part: _*)))
+      .withColumn("__graft_rk_r", ceil(col(TOT) * lit(pct)).cast("long"))
+      .filter(col("__graft_rk_r") > col(OFF) &&
+        col("__graft_rk_r") <= col(OFF) + col(CNT))
+      .select(part :+ col(BKT) :+ col(OFF) :+ col("__graft_rk_r"): _*)
+    val wIn = Window.partitionBy(part :+ col(BKT): _*).orderBy(key.asc)
+    b.join(broadcast(targets), partCols :+ BKT) // drops every non-target bucket
+      .withColumn("__graft_rk_lrk", row_number().over(wIn).cast("long"))
+      .filter(col(OFF) + col("__graft_rk_lrk") === col("__graft_rk_r"))
+      .select(part :+ key.as(valueCol): _*)
+  }
+
   /** SQL-standard `ntile(b)` bucket (INT) derived from an exact 1-based
     * rank column and the partition size column — the first `n % b` buckets
     * take `n div b + 1` rows, the rest `n div b`. Lets a two-level rank

@@ -95,6 +95,26 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("selectOrderStatistic picks the exact ceil(pct·n)-th value per group") {
+    for (pct <- Seq(0.5, 0.9, 0.99)) {
+      val got = Ranks.selectOrderStatistic(
+        skewed, Seq("part"), col("v"), pct, "sel", buckets = 8, sampleMod = 4L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = skewed
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("part")).orderBy(col("v").asc)).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("part"))))
+        .filter(col("rk") === ceil(col("n") * lit(pct)).cast("long"))
+        .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("v")).toMap
+      assert(got === want, s"pct=$pct")
+    }
+    // unpartitioned + all-ties degenerate
+    val flat = (1 to 100).map(i => (7L, i)).toDF("v", "i")
+    val sel = Ranks.selectOrderStatistic(flat, Nil, col("v"), 0.99, "sel")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sel === Seq(7L))
+  }
+
   test("the only unpartitioned window runs over the bucket histogram") {
     // physical-plan shape: every WindowExec with an EMPTY partition spec
     // must sit above a HashAggregate (the tiny histogram), and at least one
