@@ -382,7 +382,15 @@ object TextStats {
     * (a third corpus tokenize) versus the one-reducer window it replaces.
     * Docs with no tokens surface with zero counts rather than vanishing.
     */
-  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmScored(spark, sfDir).orderBy(col("doc_id").asc)
+
+  /** [[lmScore]] WITHOUT the presentation sort — what [[perplexityBuckets]]
+    * persists: caching the sorted form would re-execute the whole scoring
+    * pipeline a second time just to sample the range-partition boundaries
+    * of an ordering the consumer immediately discards.
+    */
+  private def lmScored(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
@@ -402,7 +410,6 @@ object TextStats {
         when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
           .otherwise(col("rank_sum").cast("double") / col("n_tokens").cast("double"))
           .as("mean_rank"))
-      .orderBy(col("doc_id").asc)
   }
 
   /** Tokenizer-vocabulary coverage per source: with a vocab of the `topK`
@@ -686,7 +693,7 @@ object TextStats {
     */
   def perplexityBuckets(
       spark: SparkSession, sfDir: String, nBuckets: Int = 4): DataFrame = {
-    val scored = lmScore(spark, sfDir).persist()
+    val scored = lmScored(spark, sfDir).persist()
     try {
       val out = graft.ops.Ranks.withExactRank(
           scored, Nil, Seq(col("mean_rank"), col("doc_id")), "__rk",
