@@ -173,11 +173,21 @@ object Graph {
       lit(sampleMod.toLong)) === 0L
     // canonical simple edges of the vertex-sampled induced subgraph:
     // src < dst halves the shared symmetric edge table to one orientation
-    // (already order-deduped by the artifact's aggregation); keeping both
-    // endpoints in the sha-bucket sample yields EXACTLY the edge set the
-    // former pre-join lineitem filter produced
+    // (already order-deduped by the artifact's aggregation). The sample
+    // membership is evaluated ONCE over the |parts| node universe and
+    // broadcast-semi-joined into the edge table — hashing each node once
+    // instead of sha-256ing both endpoints of every edge row (2 per edge,
+    // measured ~0.7 s of pure hashing at sf0.1's 2.4M edge rows). Same
+    // edge set as the former pre-join lineitem filter.
+    val sampledNodes = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("node"))
+      .filter(keep(col("node")))
     val und = coPurchaseEdges(spark, sfDir)
-      .filter(col("src") < col("dst") && keep(col("src")) && keep(col("dst")))
+      .filter(col("src") < col("dst"))
+      .join(broadcast(sampledNodes.select(col("node").as("src"))),
+        Seq("src"), "left_semi")
+      .join(broadcast(sampledNodes.select(col("node").as("dst"))),
+        Seq("dst"), "left_semi")
       .select("src", "dst")
       .persist()
     try {
