@@ -13,8 +13,11 @@ import graft.io.Tables
   *
   * The actual codecs (pixel/sample decode) are NOT in this container, so
   * the decode kernel is a clearly-marked deterministic STUB — though
-  * still-image DIMENSIONS (BMP/PNG/GIF/JPEG) are parsed for real from
-  * their public headers, leaving only audio/video duration stubbed — but the
+  * CONTAINER METADATA is parsed for real across all three modalities
+  * (BMP/PNG/GIF/JPEG dimensions, RIFF/WAVE duration, ISO-BMFF/MP4
+  * dimensions+duration, all public header math), so the stub only fires
+  * for payloads with no parseable container header (such as the text
+  * stand-ins in TESTDATA) — but the
   * Spark-side plumbing is real and tested: schema shape, binary column
   * handling, partition-wise batch processing (`mapPartitions`, the Scala
   * analog of `mapInPandas` batch UDFs — one iterator per partition is
@@ -55,10 +58,12 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
-  /** Partition-wise decode. BMP, PNG, GIF and JPEG payloads are REALLY
-    * parsed (their dimensions are plain header math — no codec library
-    * needed; see [[parseDims]]/[[jpegDims]]), leaving only audio/video
-    * duration on the deterministic stub. A
+  /** Partition-wise decode. Container metadata is REALLY parsed for all
+    * three modalities — BMP/PNG/GIF/JPEG dimensions
+    * ([[parseDims]]/[[jpegDims]]), RIFF/WAVE duration ([[wavDuration]]),
+    * ISO-BMFF/MP4 dimensions + duration ([[mp4Info]]) — plain public
+    * header math, no codec library needed. Only payloads with NO
+    * parseable container header take the deterministic stub. A
     * real deployment swaps the stub for the native codec call
     * (libjpeg/ffmpeg via JNI, or hand the iterator to an Arrow batch for a
     * Python `mapInPandas` stage) — this partition-local iterator is
@@ -71,8 +76,13 @@ object Multimodal {
         val id = r.getLong(0)
         val mt = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        val (w, h, d) = (if (mt == "image") parseDims(mt, bytes) else None)
-          .getOrElse(fakeDecode(mt, bytes))
+        val parsed = mt match {
+          case "image" => parseDims(mt, bytes)
+          // .m4a audio is an ISO-BMFF container too — try both
+          case "audio" => wavDuration(bytes).orElse(mp4Info(bytes))
+          case _       => mp4Info(bytes)
+        }
+        val (w, h, d) = parsed.getOrElse(fakeDecode(mt, bytes))
         Row(id, mt, bytes.length, w, h, d)
       }
     }(enc)
@@ -172,6 +182,131 @@ object Multimodal {
       }
     }
     None
+  }
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xFFFFFFFFL) << 32) | (be32(b, o + 4) & 0xFFFFFFFFL)
+
+  /** Real audio header parse — RIFF/WAVE (public container spec, same
+    * header-math family as [[parseDims]]):
+    *
+    *   "RIFF" @0, riff size LE32 @4, "WAVE" @8, then a chunk walk of
+    *   [id(4), size LE32, payload (even-padded)]. The `fmt ` chunk gives
+    *   byte_rate LE32 @+8 (validated: channels/sample_rate positive); the
+    *   `data` chunk's size is the sample byte count. duration_ms =
+    *   data_bytes * 1000 / byte_rate.
+    *
+    * Returns `(0, 0, duration_ms)` — audio has no dimensions. None on
+    * anything malformed/truncated: those rows take the stub path, never a
+    * guess or an index crash.
+    */
+  private[ext] def wavDuration(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var o = 12
+    var byteRate = 0L
+    var dataBytes = -1L
+    while (o + 8 <= b.length && (byteRate == 0L || dataBytes < 0L)) {
+      val id = new String(b, o, 4, "US-ASCII")
+      val sz = le32(b, o + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt ") {
+        if (o + 8 + 16 > b.length) return None
+        val channels = le16(b, o + 10)
+        val sampleRate = le32(b, o + 12)
+        val br = le32(b, o + 16).toLong & 0xFFFFFFFFL
+        if (channels <= 0 || sampleRate <= 0 || br <= 0L) return None
+        byteRate = br
+      } else if (id == "data") dataBytes = sz
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are even-padded
+      if (sz > Int.MaxValue - 16) return None
+    }
+    if (byteRate > 0L && dataBytes >= 0L)
+      Some((0, 0, dataBytes * 1000L / byteRate))
+    else None
+  }
+
+  /** Real video/audio container parse — ISO Base Media File Format (MP4,
+    * public spec ISO/IEC 14496-12): a box walk of [size BE32, type(4)]
+    * (size==1 → 64-bit largesize follows; size==0 → box runs to EOF).
+    * Sniffing requires a leading `ftyp` box (its magic cannot occur in
+    * UTF-8 text: the size word would need to be tiny AND "ftyp" at @4).
+    * Inside `moov`:
+    *
+    *   - `mvhd` v0: timescale BE32 @+12, duration BE32 @+16 (after the
+    *     8-byte box header); v1: @+20 / BE64 @+24. duration_ms =
+    *     duration * 1000 / timescale.
+    *   - first `trak`/`tkhd` with nonzero geometry: width/height are
+    *     16.16 fixed point at content offset 76/80 (v0) or 88/92 (v1) —
+    *     audio tracks carry zeros there, so the scan lands on the video
+    *     track.
+    *
+    * Returns `(w, h, duration_ms)` (0×0 for pure-audio .m4a). None on
+    * malformed/truncated payloads — stub path, never a guess.
+    */
+  private[ext] def mp4Info(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    // walk boxes in [from, until); return the content span of `typ`
+    def findBox(typ: String, from: Int, until: Int): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val sz32 = be32(b, o).toLong & 0xFFFFFFFFL
+        val id = new String(b, o + 4, 4, "US-ASCII")
+        val (hdr, sz) =
+          if (sz32 == 1L) {
+            if (o + 16 > until) return None
+            (16, be64(b, o + 8))
+          } else if (sz32 == 0L) (8, (until - o).toLong)
+          else (8, sz32)
+        if (sz < hdr || o + sz > until.toLong) return None
+        if (id == typ) return Some((o + hdr, (o + sz).toInt))
+        o += sz.toInt
+      }
+      None
+    }
+    if (b.length < 12 || findBox("ftyp", 0, b.length).isEmpty) return None
+    findBox("moov", 0, b.length).flatMap { case (ms, me) =>
+      findBox("mvhd", ms, me).flatMap { case (hs, he) =>
+        if (hs >= he) None
+        else {
+          val v = b(hs) & 0xFF
+          val (tsOff, need, durMs) =
+            if (v == 1)
+              (20, 32, (ts: Int) => be64(b, hs + 24) * 1000L / ts)
+            else
+              (12, 20,
+                (ts: Int) => (be32(b, hs + 16).toLong & 0xFFFFFFFFL) * 1000L / ts)
+          if (hs + need > he) None
+          else {
+            val ts = be32(b, hs + tsOff)
+            if (ts <= 0) None
+            else {
+              val ms1 = durMs(ts)
+              // first trak whose tkhd carries nonzero 16.16 geometry
+              var w = 0; var h = 0; var o = ms
+              var done = false
+              while (!done) {
+                findBox("trak", o, me) match {
+                  case Some((tks, tke)) =>
+                    findBox("tkhd", tks, tke).foreach { case (ks, ke) =>
+                      val kv = if (ks < ke) b(ks) & 0xFF else -1
+                      val geomOff = if (kv == 1) 88 else 76
+                      if (kv >= 0 && ks + geomOff + 8 <= ke) {
+                        val tw = be32(b, ks + geomOff) >>> 16
+                        val th = be32(b, ks + geomOff + 4) >>> 16
+                        if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+                      }
+                    }
+                    o = tke
+                    if (w > 0) done = true
+                  case None => done = true
+                }
+              }
+              Some((w, h, ms1))
+            }
+          }
+        }
+      }
+    }
   }
 
   /** STUB standing in for the real media codec (not available in this

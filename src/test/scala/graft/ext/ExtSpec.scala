@@ -729,6 +729,100 @@ class MultimodalSpec extends SparkSpec {
       "GIF is an image format from 1987".getBytes("UTF-8")).isEmpty)
   }
 
+  /** A structurally real RIFF/WAVE header: fmt chunk (PCM, `channels`,
+    * `sampleRate`, 16-bit) followed by a `data` chunk of `dataBytes`
+    * zeros. An extra odd-sized LIST chunk exercises the even-padding walk.
+    */
+  private def wavBytes(sampleRate: Int, channels: Int,
+      dataBytes: Int): Array[Byte] = {
+    def le32b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val byteRate = sampleRate * channels * 2
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++ le32b(byteRate) ++
+      le16b(channels * 2) ++ le16b(16)
+    val list = "LIST".getBytes("US-ASCII") ++ le32b(5) ++
+      "INFOx ".getBytes("US-ASCII") // 5 data bytes + 1 pad byte
+    val data = "data".getBytes("US-ASCII") ++ le32b(dataBytes) ++
+      Array.fill[Byte](dataBytes)(0)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** A structurally real ISO-BMFF skeleton: ftyp + moov(mvhd v0 + an
+    * audio trak (zero geometry) + a video trak with 16.16 fixed-point
+    * `w`×`h`). Duration is `durMs` at a 1000-tick timescale.
+    */
+  private def mp4Bytes(w: Int, h: Int, durMs: Long,
+      mvhdV1: Boolean = false): Array[Byte] = {
+    def be32b(v: Int) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be64b(v: Long) = be32b((v >> 32).toInt) ++ be32b(v.toInt)
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32b(content.length + 8) ++ typ.getBytes("US-ASCII") ++ content
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32b(512) ++
+      "isomiso2avc1mp41".getBytes("US-ASCII"))
+    val mvhd =
+      if (mvhdV1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64b(0L) ++
+        be64b(0L) ++ be32b(1000) ++ be64b(durMs) ++ Array.fill[Byte](80)(0))
+      else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32b(0) ++ be32b(0) ++
+        be32b(1000) ++ be32b(durMs.toInt) ++ Array.fill[Byte](80)(0))
+    def tkhd(tw: Int, th: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 0) ++ Array.fill[Byte](72)(0) ++
+        be32b(tw << 16) ++ be32b(th << 16))
+    val audioTrak = box("trak", tkhd(0, 0))
+    val videoTrak = box("trak", tkhd(w, h))
+    ftyp ++ box("moov", mvhd ++ audioTrak ++ videoTrak)
+  }
+
+  test("wavDuration parses real RIFF/WAVE headers (r6: stub = headerless only)") {
+    // 44.1k stereo 16-bit = 176400 B/s; 882000 data bytes = 5000 ms
+    assert(Multimodal.wavDuration(wavBytes(44100, 2, 882000))
+      === Some((0, 0, 5000L)))
+    assert(Multimodal.wavDuration(wavBytes(8000, 1, 16000)) // 1 s mono
+      === Some((0, 0, 1000L)))
+    // truncated mid-chunk / wrong magic / text → None, never a crash
+    assert(Multimodal.wavDuration(wavBytes(8000, 1, 16000).take(20)).isEmpty)
+    assert(Multimodal.wavDuration(
+      "RIFF raff audio essay".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mp4Info parses real ISO-BMFF geometry + duration, v0 and v1 mvhd") {
+    assert(Multimodal.mp4Info(mp4Bytes(1920, 1080, 42000L))
+      === Some((1920, 1080, 42000L)))
+    assert(Multimodal.mp4Info(mp4Bytes(640, 360, 90000L, mvhdV1 = true))
+      === Some((640, 360, 90000L)))
+    // audio-only .m4a: no video trak → zero geometry, real duration
+    val m4a = {
+      val full = mp4Bytes(0, 0, 7500L)
+      full // both traks carry zero geometry when w=h=0
+    }
+    assert(Multimodal.mp4Info(m4a) === Some((0, 0, 7500L)))
+    // truncation and text payloads fall through to the stub path
+    assert(Multimodal.mp4Info(mp4Bytes(640, 360, 1000L).take(30)).isEmpty)
+    assert(Multimodal.mp4Info(
+      "ftyp is a box type in mp4 files".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decode routes audio through WAV/MP4 parse and video through MP4") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wavBytes(16000, 1, 64000)), // 2000 ms
+      (2L, "audio", mp4Bytes(0, 0, 3000L)),     // .m4a route
+      (3L, "video", mp4Bytes(1280, 720, 60000L)),
+      (4L, "video", "no header here".getBytes("UTF-8")) // stub fallback
+    ).toDF("media_id", "media_type", "content")
+    val out = Multimodal.decode(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Long]("duration_ms")))).toMap
+    assert(out(1L) === ((0, 0, 2000L)))
+    assert(out(2L) === ((0, 0, 3000L)))
+    assert(out(3L) === ((1280, 720, 60000L)))
+    assert(out(4L)._3 >= 1L) // deterministic stub kicked in
+  }
+
   test("parseDims rejects text payloads that merely start with 'BM'") {
     // stand-in payloads are TEXT; a doc opening with "BM25..." must fall
     // through to the stub, not decode ASCII bytes as BMP geometry
