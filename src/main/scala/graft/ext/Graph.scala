@@ -213,12 +213,17 @@ object Graph {
       val triangles = wedges.join(und,
         wedges("v1") === und("src") && wedges("v2") === und("dst"))
         .select(col("u"), col("v1"), col("v2"))
-      triangles
+      // topK rows driver-materialized BEFORE the finally drops the edge
+      // cache — returning the lazy frame here would unpersist `und` at
+      // plan-build time and re-execute its semi-join subtree once per
+      // reference (deg reads it twice, the wedge join twice more):
+      // measured 3.97 s lazy vs 1.9 s materialized at sf0.1
+      graft.ops.Materialize.smallLocal(triangles
         .select(explode(array(col("u"), col("v1"), col("v2"))).as("p_partkey"))
         .groupBy(col("p_partkey"))
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("p_partkey").asc)
-        .limit(topK)
+        .limit(topK))
     } finally und.unpersist()
   }
 }
