@@ -219,6 +219,8 @@ object SparkEntry {
     "errors_during_sessions" -> ((s, d) => EventAnalytics.errorsDuringSessions(s, d)),
     "user_distinct_values"   -> ((s, d) => EventAnalytics.distinctValuesPerUser(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
+    // conversation -> (context, response) SFT pair assembly
+    "sft_pairs"          -> ((s, d) => EventAnalytics.sftPairs(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
     // per-source curation scorecard: volume + quality + exact-dup rate
     "source_scorecard"   -> ((s, d) => TextStats.sourceScorecard(s, d)),
@@ -2336,6 +2338,40 @@ object SparkEntry {
         |         AS postings_head
         |FROM tok GROUP BY tok
         |ORDER BY term ASC""".stripMargin,
+    "sft_pairs" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), turns AS (
+        |  SELECT user_id, sess_id, ts, event_id,
+        |    event_type || '#' || event_id AS txt,
+        |    row_number() OVER (PARTITION BY user_id, sess_id
+        |                       ORDER BY ts ASC, event_id ASC) AS turn
+        |  FROM sess
+        |), ctxed AS (
+        |  SELECT user_id, sess_id, turn, txt,
+        |    array_to_string(list(txt) OVER (
+        |      PARTITION BY user_id, sess_id
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' | ') AS ctx
+        |  FROM turns
+        |)
+        |SELECT user_id, sess_id::BIGINT AS session_id,
+        |       (turn // 2)::BIGINT AS pair_idx,
+        |       least(3, turn - 1)::BIGINT AS n_context_turns,
+        |       ctx AS context, txt AS response
+        |FROM ctxed WHERE turn % 2 = 0
+        |ORDER BY user_id ASC, session_id ASC, pair_idx ASC""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

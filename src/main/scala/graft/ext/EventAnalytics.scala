@@ -72,9 +72,57 @@ object EventAnalytics {
         sum(col("__n")).as("total_events"))
       .orderBy(col("user_id").asc)
 
+  /** Conversation → SFT pair assembly: the curation stage that turns raw
+    * interaction streams into (context, response) supervised-fine-tuning
+    * examples. Sessions come from the same gaps-and-islands pass as
+    * [[sessionize]]; within a session, turns alternate roles by parity
+    * (odd = user, even = assistant) and every assistant turn becomes one
+    * training pair whose context is the previous `maxContext` turns of
+    * the SAME session, oldest first, joined with " | ".
+    *
+    * Turn text is `event_type#event_id` — exact and cross-engine-stable
+    * (no float formatting enters the string), so the DuckDB twin
+    * hash-matches the assembled context strings byte-for-byte; a real
+    * chat corpus swaps in the message body column with zero change to
+    * the plan shape.
+    *
+    * Scale shape: ONE hash shuffle on user_id serves the session window,
+    * the turn window and the context window (the (user_id, session)
+    * windows' clustering is satisfied by the user_id partitioning — only
+    * in-partition sorts are added), and the context frame
+    * `rowsBetween(-maxContext, -1)` is bounded, so memory per row is
+    * O(maxContext) regardless of session length. No joins, no driver
+    * materialization; at 100 TB this is a pure map-side pipeline after
+    * one exchange, and the output order key is (user_id, session, pair).
+    */
+  def sftPairs(
+      spark: SparkSession, sfDir: String,
+      gapMinutes: Int = 30, maxContext: Int = 3): DataFrame = {
+    val bySess = Window
+      .partitionBy(col("user_id"), col("__sess_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    withSessionIds(spark, sfDir, gapMinutes)
+      .withColumn("__turn", row_number().over(bySess))
+      .withColumn("__text",
+        concat(col("event_type"), lit("#"), col("event_id")))
+      .withColumn("__ctx", array_join(collect_list(col("__text")).over(
+        bySess.rowsBetween(-maxContext, -1)), " | "))
+      .filter(pmod(col("__turn"), lit(2)) === 0) // assistant turns
+      .select(
+        col("user_id"),
+        col("__sess_id").as("session_id"),
+        (col("__turn") / 2).cast("long").as("pair_idx"),
+        least(lit(maxContext.toLong), col("__turn") - 1)
+          .as("n_context_turns"),
+        col("__ctx").as("context"),
+        col("__text").as("response"))
+      .orderBy(col("user_id").asc, col("session_id").asc,
+        col("pair_idx").asc)
+  }
+
   /** Events with their gaps-and-islands session id (`__sess_id`): lag +
-    * running sum over one user_id window — shared by [[sessionize]] and
-    * [[errorsDuringSessions]].
+    * running sum over one user_id window — shared by [[sessionize]],
+    * [[sftPairs]] and [[errorsDuringSessions]].
     */
   private def withSessionIds(
       spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {

@@ -307,7 +307,29 @@ object StressTier {
     println(f"STRESS d.sessionize seconds=$tS%.1f users=$nUsers")
     check(sessDiff == 0L, s"$sessDiff users changed session counts under replication")
     check(evTotal == nEv, "sessionize must account for every event")
+    val nSessions = sess.agg(sum(col("n_sessions"))).collect().head.getLong(0)
     sess.unpersist()
+
+    // sft_pairs: at 100× every session's turn count is even (100·n), so
+    // the pair count is EXACTLY nEv/2, exactly one pair per session has a
+    // 1-turn context (turn 2), none has 2 (that would need odd turn 3),
+    // and the rest carry the full bounded 3-turn window — the frame
+    // bound rowsBetween(-3,-1) holding at 10M rows is the point
+    val (sftHist, tF) = timed("d.sft_pairs") {
+      EventAnalytics.sftPairs(spark, dir)
+        .groupBy(col("n_context_turns")).agg(count(lit(1)).as("n"))
+        .collect()
+    }
+    val hist = sftHist.map(r =>
+      r.getAs[Long]("n_context_turns") -> r.getAs[Long]("n")).toMap
+    val nPairs = hist.values.sum
+    println(f"STRESS d.sft_pairs seconds=$tF%.1f pairs=$nPairs")
+    check(nPairs == nEv / 2, s"pair count $nPairs != ${nEv / 2} (= events/2)")
+    check(hist.getOrElse(1L, 0L) == nSessions,
+      s"1-turn-context pairs ${hist.getOrElse(1L, 0L)} != $nSessions sessions")
+    check(!hist.contains(2L), "a 2-turn context is impossible at 100×")
+    check(hist.getOrElse(3L, 0L) == nPairs - nSessions,
+      "full-window pair count wrong")
 
     // as-of join: every twin matches its base event's order
     val (asofAndCount, tA) = timed("d.asof") {

@@ -97,6 +97,40 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sftPairs matches a brute-force sessionize+alternate+context reference") {
+    val events = graft.io.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      // gaps-and-islands: new session after >30 min silence
+      val sessIds = sorted.scanLeft((0L, Option.empty[java.time.LocalDateTime])) {
+        case ((sid, prev), r) =>
+          val fresh = prev.forall(p =>
+            java.time.Duration.between(p, r._2).compareTo(
+              java.time.Duration.ofMinutes(30)) > 0)
+          (if (fresh) sid + 1 else sid, Some(r._2))
+      }.tail.map(_._1)
+      sorted.zip(sessIds).groupBy(_._2).toSeq.flatMap { case (sid, turns) =>
+        val txts = turns.map(_._1).map(r => s"${r._4}#${r._3}")
+        txts.zipWithIndex.collect { case (txt, i) if (i + 1) % 2 == 0 =>
+          val ctx = txts.slice(math.max(0, i - 3), i).mkString(" | ")
+          (uid, sid, ((i + 1) / 2).toLong, math.min(3L, i.toLong), ctx, txt)
+        }
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    val got = EventAnalytics.sftPairs(spark, sf).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("pair_idx"), r.getAs[Long]("n_context_turns"),
+        r.getAs[String]("context"), r.getAs[String]("response")))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected)
+    // every pair really alternates: response is always an even turn and
+    // context is never empty (turn >= 2 guarantees >= 1 context turn)
+    assert(got.forall(p => p._4 >= 1L && p._5.nonEmpty))
+  }
+
   test("snapshotDiff partitions ids into consistent statuses") {
     import spark.implicits._
     val ids = graft.io.Tables.documents(spark, sf)
