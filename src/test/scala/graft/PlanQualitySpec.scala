@@ -271,6 +271,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("ppl_buckets").contains("LocalTableScan"))
   }
 
+  test("sft_pairs runs all three windows on ONE user_id exchange") {
+    // the session window (user_id), turn window and context window
+    // (user_id, __sess_id) must share a single hash exchange — the
+    // subset-clustering rule means partitioning by user_id alone
+    // satisfies the two-key windows, so only in-partition sorts differ.
+    // A second exchange here would double the operator's 100 TB cost.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("sft_pairs")(spark, sf)
+        .queryExecution.executedPlan
+      val exchanges = phys.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one hash exchange for the windows + the presentation range sort
+      val hashEx = exchanges.filterNot(
+        _.outputPartitioning.toString.contains("rangepartitioning"))
+      assert(hashEx.length == 1,
+        s"sft_pairs: expected exactly 1 hash exchange, got ${hashEx.length}:\n" +
+          hashEx.mkString("\n"))
+      assert(hashEx.head.outputPartitioning.toString.contains("user_id"),
+        "the single exchange must key on user_id")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
