@@ -32,7 +32,13 @@ import graft.ext.{Curation, Dedup}
   *   two-level exact rank, sessionization and the as-of join must
   *   reproduce replication-invariants exactly (see [[tierD]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|all]"
+  *   Tier E (embeddings × 10 = 20k identical-twin vectors): the
+  *   similarity family — LSH top-k combinatorics exact under bucket
+  *   flooding, near-dup pair counts exact where bounded, and the
+  *   driver-materialization cap REFUSING loudly past its budget
+  *   (see [[tierE]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -348,6 +354,123 @@ object StressTier {
     ()
   }
 
+  /** Tier E: the SIMILARITY family under replication pressure (sf0.1
+    * embeddings × 10 = 20k vectors; ids remapped `vec_id·R + rep`,
+    * VECTORS KEPT — every base vector becomes an R-way exact duplicate,
+    * the worst case for LSH bucket occupancy). Identical vectors mean
+    * identical hyperplane signatures, so the replication pins exact
+    * combinatorics the banded ops must reproduce:
+    *
+    *   - `lshTopK` (probes = the twins of the first two base vectors):
+    *     each probe's first R−1 neighbors must be its OWN other twins at
+    *     cosine 1.0 in id order, and the first non-twin neighbor must be
+    *     the base run's rank-1 neighbor (same base id, same rounded
+    *     similarity) — bucket flooding must not displace or reorder the
+    *     exact re-rank.
+    *   - `embeddingNearDupPairsLSH`: the pair count is EXACTLY
+    *     P·R² + N₊·C(R,2) (P = base pairs, N₊ = positive-norm base
+    *     vectors), and the found base-pair SET projected back through
+    *     `id div R` is exactly the base run's — no pair lost to bucket
+    *     collisions, none invented.
+    */
+  private def tierE(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 10
+    import graft.ext.Similarity
+    val (_, tRep) = timed("e.replicate") {
+      spark.read.parquet(s"$baseDir/embeddings.parquet")
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select((col("vec_id") * reps + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val nBase = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+    val nRep = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(f"STRESS e.replicate seconds=$tRep%.1f vectors=$nRep")
+    check(nRep == nBase * reps, s"tier E row count $nRep != $nBase*$reps")
+
+    // base reference runs (tiny) — the invariants are stated against them
+    val baseTop = Similarity.lshTopK(spark, baseDir, nProbes = 2, k = 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine_sim")))).toMap
+    check(baseTop.size == 2 && baseTop.values.forall(_._2 < 0.999999),
+      "tier E precondition: base probes 0/1 need a sub-1.0 rank-1 neighbor")
+
+    val k = reps + 4
+    val (top, tT) = timed("e.lsh_topk")(
+      Similarity.lshTopK(spark, dir, nProbes = 2 * reps, k = k).collect())
+    println(f"STRESS e.lsh_topk seconds=$tT%.1f rows=${top.length}")
+    check(top.length == 2 * reps * k,
+      s"lshTopK rows ${top.length} != ${2 * reps * k} (every probe full-k)")
+    top.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("nn_rank"))
+      val twinBlock = byRank.take(reps - 1)
+      check(twinBlock.forall(r =>
+        r.getAs[Long]("neighbor_id") / reps == q / reps &&
+          r.getAs[Double]("cosine_sim") >= 0.999999),
+        s"probe $q: ranks 1..${reps - 1} are not its cosine-1 twins")
+      val (expBase, expSim) = baseTop(q / reps)
+      val firstReal = byRank(reps - 1)
+      check(firstReal.getAs[Long]("neighbor_id") / reps == expBase &&
+        firstReal.getAs[Double]("cosine_sim") == expSim,
+        s"probe $q: first non-twin neighbor " +
+          s"${firstReal.getAs[Long]("neighbor_id")}/${firstReal.getAs[Double]("cosine_sim")} " +
+          s"!= base rank-1 $expBase/$expSim")
+    }
+
+    // near-dup count exactness at R=2 (the candidate volume scales R², so
+    // the exact-count proof runs where the driver materialization still
+    // fits)…
+    val r3 = 2
+    spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .withColumn("rep", explode(sequence(lit(0), lit(r3 - 1))))
+      .select((col("vec_id") * r3 + col("rep")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/../sf0.1em2/embeddings.parquet")
+    val basePairs = Similarity.embeddingNearDupPairsLSH(spark, baseDir)
+      .select(col("vec_a"), col("vec_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nPos = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      .select(expr("aggregate(embedding, 0D, (a, x) -> a + x * x)").as("sq"))
+      .filter(col("sq") > 0D).count()
+    val (rep3, tN) = timed("e.near_dup")(
+      Similarity.embeddingNearDupPairsLSH(spark, s"$dir/../sf0.1em2")
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+    println(f"STRESS e.near_dup seconds=$tN%.1f pairs=${rep3.length}")
+    val expected = basePairs.size.toLong * r3 * r3 +
+      nPos * r3 * (r3 - 1) / 2
+    check(rep3.length.toLong == expected,
+      s"near-dup pair count ${rep3.length} != $expected " +
+        s"(= ${basePairs.size}*$r3^2 + ${nPos}*C($r3,2))")
+    val crossBase = rep3.map(p => (p._1 / r3, p._2 / r3))
+      .filter(p => p._1 != p._2).toSet
+    check(crossBase == basePairs,
+      s"cross-family base-pair set diverged: ${
+        (crossBase diff basePairs).take(3)} extra, ${
+        (basePairs diff crossBase).take(3)} missing")
+
+    // …and at R=10 the candidate volume (≈ base·R² + N·C(R,2) rows)
+    // exceeds the driver-materialization budget: the op must REFUSE with
+    // the named smallLocal cap — loudly, never a silent truncation. The
+    // keep-distributed alternative for genuinely heavy-dup corpora is the
+    // checkpointed pair path minHashPairsDistributed already proves at
+    // tier B.
+    val (capFired, tC) = timed("e.near_dup_cap") {
+      try {
+        Similarity.embeddingNearDupPairsLSH(spark, dir).collect()
+        false
+      } catch {
+        case e: IllegalArgumentException
+          if e.getMessage.contains("smallLocal") => true
+      }
+    }
+    println(f"STRESS e.near_dup_cap seconds=$tC%.1f fired=$capFired")
+    check(capFired,
+      s"expected the smallLocal cap to refuse ${reps}x candidate volume")
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -363,6 +486,8 @@ object StressTier {
         tierC(spark, "/root/testdata/sf0.1", s"$root/sf0.1li10")
       if (tier == "d" || tier == "all")
         tierD(spark, "/root/testdata/sf0.1", s"$root/sf0.1ev100")
+      if (tier == "e" || tier == "all")
+        tierE(spark, "/root/testdata/sf0.1", s"$root/sf0.1em10")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
