@@ -87,6 +87,8 @@ object SparkEntry {
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
     "corpus_sketch"      -> ((s, d) => TextStats.corpusSketch(s, d)),
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
+    // hashed-feature linear classifier score (fastText-shape filtering)
+    "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(s, d)),
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
@@ -1485,6 +1487,27 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang
         |ORDER BY lang ASC""".stripMargin,
+    "quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(toks, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS feats
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, len(feats)::BIGINT AS n_feats,
+        |  (0 + coalesce(list_sum(list_transform(feats, f ->
+        |     (('0x' || substr(sha256(f), 1, 8))::BIGINT % 2001) - 1000)),
+        |     0))::BIGINT AS logit,
+        |  (0 + coalesce(list_sum(list_transform(feats, f ->
+        |     (('0x' || substr(sha256(f), 1, 8))::BIGINT % 2001) - 1000)),
+        |     0)) > 0 AS kept
+        |FROM f
+        |ORDER BY doc_id ASC""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, lang, length(text) AS text_len,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

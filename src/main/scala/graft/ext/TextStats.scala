@@ -38,6 +38,49 @@ object TextStats {
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("lang").asc)
 
+  /** Model-scored quality filtering — the fastText-style HASHED LINEAR
+    * CLASSIFIER shape (CCNet/fineweb-style curation scores documents with
+    * a cheap linear model over hashed n-gram features, then filters on
+    * the score): unigram + bigram token features, an integer weight per
+    * hashed feature, logit = intercept + Σ weights, kept = logit > 0.
+    *
+    * The weights here are sha-derived integer PLACEHOLDERS — a stand-in
+    * model with the real serving shape: a production run swaps the hash
+    * formula for a broadcast weight table (or bakes trained weights into
+    * the plan as literals) with zero change to the dataflow. Everything
+    * stays in integer arithmetic, so the DuckDB twin reproduces every
+    * logit bit-exactly (a float sigmoid would hash-mismatch at ulp
+    * boundaries; monotone in the logit, so filtering on logit > 0 is
+    * filtering on probability > 0.5).
+    *
+    * Scale shape: a NARROW projection — tokenize, feature-expand and
+    * score are per-row higher-order-function expressions inside one
+    * codegen stage; no shuffle, no join, no state. At 100 TB this runs
+    * at scan speed next to the parquet reader, which is exactly why the
+    * hashed-linear family (not a transformer) is the industry's bulk
+    * pre-filter.
+    */
+  def qualityClassifier(
+      spark: SparkSession, sfDir: String, intercept: Long = 0L): DataFrame = {
+    // w(f) = (sha32(f) mod 2001) - 1000 ∈ [-1000, 1000] — integer, exact
+    val w = "(cast(conv(substring(sha2(f, 256), 1, 8), 16, 10) as bigint)" +
+      " % 2001) - 1000"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')""").as("toks"))
+      .withColumn("feats", expr(
+        """concat(toks, case when size(toks) >= 2
+          |  then transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  else slice(toks, 1, 0) end)""".stripMargin))
+      .select(col("doc_id"), col("lang"),
+        size(col("feats")).cast("long").as("n_feats"),
+        expr(s"aggregate(feats, ${intercept}L, (a, f) -> a + ($w))")
+          .as("logit"))
+      .withColumn("kept", col("logit") > 0L)
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Per-document quality signals: length, token count, punctuation /
     * digit / uppercase ratios, mean word length, and a low-quality flag.
     * Pure replace/regex counting — identical in the DuckDB twin.
