@@ -271,6 +271,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("ppl_buckets").contains("LocalTableScan"))
   }
 
+  test("quality_classifier scores at scan speed: no hash exchange, no join") {
+    // tokenize → feature-expand → hashed-weight sum are per-row
+    // expressions; the only exchange allowed is the presentation
+    // range sort
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("quality_classifier")(spark, sf)
+        .queryExecution.executedPlan
+      val hashEx = phys.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("rangepartitioning") => e
+      }
+      assert(hashEx.isEmpty,
+        s"quality_classifier must not shuffle, found:\n${hashEx.mkString("\n")}")
+      assert(!phys.toString.toLowerCase.contains("join"),
+        "quality_classifier must not join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("sft_pairs runs all three windows on ONE user_id exchange") {
     // the session window (user_id), turn window and context window
     // (user_id, __sess_id) must share a single hash exchange — the
