@@ -89,6 +89,8 @@ object SparkEntry {
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
     // hashed-feature linear classifier score (fastText-shape filtering)
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(s, d)),
+    // classifier-score deciles vs C4 rule pass rate (calibration curve)
+    "quality_calibration" -> ((s, d) => TextStats.qualityCalibration(s, d)),
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
@@ -115,6 +117,8 @@ object SparkEntry {
     "stratified_sample"  -> ((s, d) => Corpus.stratifiedSample(s, d,
       Map("en" -> 0.5), defaultFraction = 0.2, twinnable = true)),
     "corpus_mix"         -> ((s, d) => Corpus.mixSummary(s, d)),
+    // temperature-weighted (α=1/2) per-source sampling-weight proposal
+    "domain_mix_report"  -> ((s, d) => Corpus.domainMixReport(s, d)),
     // language-balanced multi-epoch upsampling (the data-mix dual of
     // stratified down-sampling)
     "corpus_upsample"    -> ((s, d) => Corpus.upsampleBalanced(s, d)),
@@ -223,6 +227,8 @@ object SparkEntry {
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
     // conversation -> (context, response) SFT pair assembly
     "sft_pairs"          -> ((s, d) => EventAnalytics.sftPairs(s, d)),
+    // per-session (prompt, chosen, rejected) DPO preference assembly
+    "preference_pairs"   -> ((s, d) => EventAnalytics.preferencePairs(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
     // per-source curation scorecard: volume + quality + exact-dup rate
     "source_scorecard"   -> ((s, d) => TextStats.sourceScorecard(s, d)),
@@ -260,6 +266,9 @@ object SparkEntry {
     "part_pagerank"      -> ((s, d) => ext.Graph.partPageRank(s, d)),
     // degree-ordered triangle counting (bounded-wedge formulation)
     "part_triangles"     -> ((s, d) => ext.Graph.partTriangles(s, d)),
+    // connected components over the strong (w>=2) co-purchase edges
+    "copurchase_communities" -> ((s, d) =>
+      ext.Graph.copurchaseCommunities(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -729,6 +738,38 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "copurchase_communities" ->
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pe AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), strong AS (
+        |  SELECT src, dst, w FROM pe WHERE w >= 2
+        |), e AS (
+        |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM e
+        |), walk(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node, min(label) AS community_id FROM walk GROUP BY node
+        |), sizes AS (
+        |  SELECT community_id, count(*) AS n_parts FROM cc GROUP BY 1
+        |), estat AS (
+        |  SELECT c.community_id, count(*) AS n_edges,
+        |         CAST(sum(s.w) AS BIGINT) AS total_weight
+        |  FROM strong s JOIN cc c ON c.node = s.src
+        |  GROUP BY 1
+        |)
+        |SELECT s.community_id, s.n_parts, e.n_edges, e.total_weight
+        |FROM sizes s JOIN estat e USING (community_id)
+        |ORDER BY s.n_parts DESC, s.community_id ASC""".stripMargin,
     "knn_lsh" -> (lshOracleCtes +
       """, cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
@@ -1107,6 +1148,35 @@ object SparkEntry {
         |  AND bkt < CASE mix_source WHEN 'head' THEN 1000
         |                            WHEN 'mid' THEN 500 ELSE 250 END
         |GROUP BY mix_source ORDER BY mix_source ASC""".stripMargin,
+    "domain_mix_report" ->
+      """WITH q AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |         END AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(toks) AS BIGINT) AS total_tokens
+        |  FROM q GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(total_tokens) AS BIGINT) AS tt FROM t
+        |), s AS (
+        |  SELECT source, n_docs, total_tokens,
+        |         total_tokens::DOUBLE / tot.tt::DOUBLE AS p,
+        |         round(sqrt(total_tokens::DOUBLE / tot.tt::DOUBLE),
+        |               6)::DECIMAL(18,6) AS s6
+        |  FROM t, tot
+        |), ss AS (
+        |  SELECT sum(s6) AS sum_s FROM s
+        |)
+        |SELECT source, n_docs, total_tokens,
+        |       round(p, 6) AS token_share,
+        |       round(s6::DOUBLE / ss.sum_s::DOUBLE, 6) AS mix_weight,
+        |       round((s6::DOUBLE / ss.sum_s::DOUBLE) / p, 6)
+        |         AS effective_epochs
+        |FROM s, ss
+        |ORDER BY source ASC""".stripMargin,
     "media_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id,
@@ -1508,6 +1578,42 @@ object SparkEntry {
         |     0)) > 0 AS kept
         |FROM f
         |ORDER BY doc_id ASC""".stripMargin,
+    "quality_calibration" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text,
+        |    list_concat(toks, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS feats
+        |  FROM t
+        |), scored AS (
+        |  SELECT doc_id,
+        |    (0 + coalesce(list_sum(list_transform(feats, f ->
+        |       (('0x' || substr(sha256(f), 1, 8))::BIGINT % 2001) - 1000)),
+        |       0))::BIGINT AS logit,
+        |    (strpos(lower(text), 'lorem ipsum') = 0
+        |     AND strpos(text, '{') = 0
+        |     AND strpos(lower(text), 'javascript') = 0
+        |     AND right(trim(text), 1) IN ('.', '!', '?', '"')
+        |     AND (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |         BETWEEN 5 AND 100000) AS keep
+        |  FROM f
+        |), bucketed AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY logit ASC, doc_id ASC)
+        |           AS score_decile
+        |  FROM scored
+        |)
+        |SELECT score_decile, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE keep) AS n_rule_pass,
+        |       min(logit) AS min_logit, max(logit) AS max_logit,
+        |       (count(*) FILTER (WHERE keep))::DOUBLE / count(*)::DOUBLE
+        |         AS rule_pass_rate
+        |FROM bucketed GROUP BY score_decile
+        |ORDER BY score_decile ASC""".stripMargin,
     "quality_score" ->
       """SELECT doc_id, lang, length(text) AS text_len,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2395,6 +2501,46 @@ object SparkEntry {
         |       ctx AS context, txt AS response
         |FROM ctxed WHERE turn % 2 = 0
         |ORDER BY user_id ASC, session_id ASC, pair_idx ASC""".stripMargin,
+    "preference_pairs" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), turns AS (
+        |  SELECT user_id, sess_id, event_id, value,
+        |    event_type || '#' || event_id AS txt,
+        |    row_number() OVER (PARTITION BY user_id, sess_id
+        |                       ORDER BY ts ASC, event_id ASC) AS turn
+        |  FROM sess
+        |), ranked AS (
+        |  SELECT user_id, sess_id, txt, value,
+        |    row_number() OVER (PARTITION BY user_id, sess_id
+        |                       ORDER BY value DESC, event_id ASC) AS r_best,
+        |    row_number() OVER (PARTITION BY user_id, sess_id
+        |                       ORDER BY value ASC, event_id DESC) AS r_worst,
+        |    count(*) OVER (PARTITION BY user_id, sess_id) AS n_cand
+        |  FROM turns WHERE turn >= 2
+        |)
+        |SELECT p.user_id, p.sess_id::BIGINT AS session_id, p.txt AS prompt,
+        |       b.txt AS chosen, w.txt AS rejected,
+        |       b.value AS chosen_score, w.value AS rejected_score,
+        |       b.value - w.value AS margin, b.n_cand::BIGINT AS n_candidates
+        |FROM turns p
+        |JOIN ranked b ON b.user_id = p.user_id AND b.sess_id = p.sess_id
+        |             AND b.r_best = 1
+        |JOIN ranked w ON w.user_id = p.user_id AND w.sess_id = p.sess_id
+        |             AND w.r_worst = 1
+        |WHERE p.turn = 1 AND b.n_cand >= 2 AND b.value > w.value
+        |ORDER BY p.user_id ASC, session_id ASC""".stripMargin,
     "sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -170,6 +170,54 @@ object Corpus {
       .orderBy(col("mix_source").asc)
   }
 
+  /** Temperature-weighted source-mixing proposal — the "how much of each
+    * domain goes into the next mix" planning report. Per source:
+    * volume (docs, whitespace tokens), its natural token share p, the
+    * temperature-sampled mix weight w ∝ p^(1/2) (α = 0.5, the standard
+    * multilingual/domain rebalancing curve — sqrt because IEEE sqrt is
+    * EXACTLY rounded, so both engines derive bit-identical weights; a
+    * free-exponent pow is not), and the effective epoch count w/p the
+    * weight implies (>1 ⇒ the source is over-sampled / repeated).
+    *
+    * Cross-engine float discipline: every derived number is built from
+    * exactly-rounded ops only (÷, sqrt, ×) in the same evaluation order
+    * as the twin, and the only SUM over non-integers runs on
+    * DECIMAL(18,6) (exact, order-independent) — the round(·,6) quantizes
+    * BEFORE the sum, never after.
+    *
+    * Scale shape: one map-side-combinable aggregation collapses the
+    * corpus to |sources| rows; everything after runs on that tiny frame
+    * (persisted call-scoped so the two scalar attaches don't rescan the
+    * corpus). Driver-materialized report (|sources| rows).
+    */
+  def domainMixReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text")).cast("long"))
+          .as("total_tokens"))
+      .persist()
+    try {
+      val tot = perSource.agg(sum(col("total_tokens")).as("__tot"))
+      val scored = perSource.crossJoin(broadcast(tot))
+        .withColumn("__p",
+          col("total_tokens").cast("double") / col("__tot").cast("double"))
+        .withColumn("__s", round(sqrt(col("__p")), 6).cast("decimal(18,6)"))
+      val sumS = scored.agg(sum(col("__s")).as("__sum_s"))
+      val out = scored.crossJoin(broadcast(sumS))
+        .withColumn("__w",
+          col("__s").cast("double") / col("__sum_s").cast("double"))
+        .select(
+          col("source"), col("n_docs"), col("total_tokens"),
+          round(col("__p"), 6).as("token_share"),
+          round(col("__w"), 6).as("mix_weight"),
+          round(col("__w") / col("__p"), 6).as("effective_epochs"))
+        .orderBy(col("source").asc)
+      graft.ops.Materialize.smallLocal(out, maxRows = 65536)
+    } finally perSource.unpersist()
+  }
+
   /** Deterministic global shuffle + shard manifest — the write-side step
     * that turns a curated corpus into training shards: every doc gets a
     * reproducible pseudo-random order key (60-bit sha2 prefix, the

@@ -120,9 +120,69 @@ object EventAnalytics {
         col("pair_idx").asc)
   }
 
+  /** Conversation → preference (DPO/RLHF) pair assembly — the reward-model
+    * counterpart of [[sftPairs]]: per session, the first turn is the
+    * prompt, every later turn is a candidate response scored by `value`,
+    * and the emitted pair is (chosen = highest-scored candidate,
+    * rejected = lowest-scored). Sessions with fewer than two candidates,
+    * or where every candidate ties (no strict margin), produce no pair —
+    * a preference with zero margin teaches nothing.
+    *
+    * Determinism: ties inside the extremes break on event_id (lowest id
+    * wins `chosen`, highest id loses to `rejected`) via lexicographic
+    * MIN/MAX over (value, -event_id, payload) structs — the struct
+    * comparison never reaches the payload fields because event_id is
+    * unique, so both engines pick identical rows. `margin` is one double
+    * subtraction (exactly rounded → cross-engine-stable; no float SUM
+    * enters the verified output).
+    *
+    * Scale shape: the same single user_id hash exchange as [[sftPairs]]
+    * serves the session window, the turn window AND the final
+    * (user_id, session) aggregation (subset-clustering rule), and the
+    * aggregation carries two bounded structs + two counters per group —
+    * map-side combinable, no joins, no driver materialization. At 100 TB
+    * this is one shuffle of (ids, ts, value, short text).
+    */
+  def preferencePairs(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val bySess = Window
+      .partitionBy(col("user_id"), col("__sess_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    // (score, -id) leads the struct so MIN/MAX order on it; text/score
+    // ride along as payload extracted after the aggregate
+    val cand = when(col("__turn") >= 2, struct(
+      col("value").as("v"),
+      (-col("event_id")).as("neg_id"),
+      col("__text").as("txt")))
+    withSessionIds(spark, sfDir, gapMinutes)
+      .withColumn("__turn", row_number().over(bySess))
+      .withColumn("__text",
+        concat(col("event_type"), lit("#"), col("event_id")))
+      .groupBy(col("user_id"), col("__sess_id"))
+      .agg(
+        // exactly one turn-1 row per session → max over a single non-null
+        max(when(col("__turn") === 1, col("__text"))).as("prompt"),
+        max(cand).as("__best"),
+        min(cand).as("__worst"),
+        count(when(col("__turn") >= 2, lit(1))).as("n_candidates"))
+      .filter(col("n_candidates") >= 2 &&
+        col("__best.v") > col("__worst.v"))
+      .select(
+        col("user_id"),
+        col("__sess_id").as("session_id"),
+        col("prompt"),
+        col("__best.txt").as("chosen"),
+        col("__worst.txt").as("rejected"),
+        col("__best.v").as("chosen_score"),
+        col("__worst.v").as("rejected_score"),
+        (col("__best.v") - col("__worst.v")).as("margin"),
+        col("n_candidates"))
+      .orderBy(col("user_id").asc, col("session_id").asc)
+  }
+
   /** Events with their gaps-and-islands session id (`__sess_id`): lag +
     * running sum over one user_id window — shared by [[sessionize]],
-    * [[sftPairs]] and [[errorsDuringSessions]].
+    * [[sftPairs]], [[preferencePairs]] and [[errorsDuringSessions]].
     */
   private def withSessionIds(
       spark: SparkSession, sfDir: String, gapMinutes: Int): DataFrame = {

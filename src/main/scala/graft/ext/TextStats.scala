@@ -17,7 +17,7 @@ import graft.io.Tables
 object TextStats {
 
   /** Whitespace token count with the empty-string edge pinned to 0. */
-  private def tokenCount(text: Column): Column =
+  private[ext] def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
@@ -61,24 +61,35 @@ object TextStats {
     * pre-filter.
     */
   def qualityClassifier(
-      spark: SparkSession, sfDir: String, intercept: Long = 0L): DataFrame = {
+      spark: SparkSession, sfDir: String, intercept: Long = 0L): DataFrame =
+    classifierScored(Tables.documents(spark, sfDir), intercept)
+      .select(col("doc_id"), col("lang"), col("n_feats"), col("logit"))
+      .withColumn("kept", col("logit") > 0L)
+      .orderBy(col("doc_id").asc)
+
+  /** The [[qualityClassifier]] scoring pass as a frame transform: appends
+    * `n_feats` (LONG) and `logit` (LONG) to a frame carrying `text` —
+    * shared with the calibration report so the model definition has one
+    * home. Narrow (no shuffle); original columns ride through.
+    */
+  private[ext] def classifierScored(
+      docs: DataFrame, intercept: Long = 0L): DataFrame = {
     // w(f) = (sha32(f) mod 2001) - 1000 ∈ [-1000, 1000] — integer, exact
     val w = "(cast(conv(substring(sha2(f, 256), 1, 8), 16, 10) as bigint)" +
       " % 2001) - 1000"
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')""").as("toks"))
-      .withColumn("feats", expr(
-        """concat(toks, case when size(toks) >= 2
-          |  then transform(sequence(1, size(toks) - 1),
-          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-          |  else slice(toks, 1, 0) end)""".stripMargin))
-      .select(col("doc_id"), col("lang"),
-        size(col("feats")).cast("long").as("n_feats"),
-        expr(s"aggregate(feats, ${intercept}L, (a, f) -> a + ($w))")
-          .as("logit"))
-      .withColumn("kept", col("logit") > 0L)
-      .orderBy(col("doc_id").asc)
+    docs
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .withColumn("__feats", expr(
+        """concat(__toks, case when size(__toks) >= 2
+          |  then transform(sequence(1, size(__toks) - 1),
+          |    i -> concat(element_at(__toks, i), ' ',
+          |                element_at(__toks, i + 1)))
+          |  else slice(__toks, 1, 0) end)""".stripMargin))
+      .withColumn("n_feats", size(col("__feats")).cast("long"))
+      .withColumn("logit",
+        expr(s"aggregate(__feats, ${intercept}L, (a, f) -> a + ($w))"))
+      .drop("__toks", "__feats")
   }
 
   /** Per-document quality signals: length, token count, punctuation /
@@ -323,23 +334,80 @@ object TextStats {
   def c4Filters(
       spark: SparkSession, sfDir: String,
       minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
-    val lower_ = lower(col("text"))
-    val toks = tokenCount(col("text"))
-    val hasLorem = lower_.contains("lorem ipsum")
-    val hasBrace = col("text").contains("{")
-    val hasJs = lower_.contains("javascript")
-    val endsTerminal = expr("right(trim(text), 1)").isin(".", "!", "?", "\"")
-    val wordOk = toks >= minWords && toks <= maxWords
+    val f = c4FlagExprs
+    val wordOk = f.toks >= minWords && f.toks <= maxWords
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
-        hasLorem.as("has_lorem"),
-        hasBrace.as("has_brace"),
-        hasJs.as("has_js"),
-        endsTerminal.as("ends_terminal"),
-        toks.cast("long").as("n_words"),
-        (!hasLorem && !hasBrace && !hasJs && endsTerminal && wordOk).as("keep"))
+        f.hasLorem.as("has_lorem"),
+        f.hasBrace.as("has_brace"),
+        f.hasJs.as("has_js"),
+        f.endsTerminal.as("ends_terminal"),
+        f.toks.cast("long").as("n_words"),
+        (f.keep(minWords, maxWords)).as("keep"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** The C4 rule expressions over a `text` column, shared by [[c4Filters]]
+    * and the calibration report so the rule set has one definition.
+    */
+  private[ext] final case class C4Flags(
+      hasLorem: Column, hasBrace: Column, hasJs: Column,
+      endsTerminal: Column, toks: Column) {
+    def keep(minWords: Int, maxWords: Int): Column =
+      !hasLorem && !hasBrace && !hasJs && endsTerminal &&
+        toks >= minWords && toks <= maxWords
+  }
+
+  private[ext] def c4FlagExprs: C4Flags = {
+    val lower_ = lower(col("text"))
+    C4Flags(
+      hasLorem = lower_.contains("lorem ipsum"),
+      hasBrace = col("text").contains("{"),
+      hasJs = lower_.contains("javascript"),
+      endsTerminal = expr("right(trim(text), 1)").isin(".", "!", "?", "\""),
+      toks = tokenCount(col("text")))
+  }
+
+  /** Classifier-vs-rules calibration report — the curation sanity check
+    * run before trusting a model score as the bulk filter: bucket the
+    * corpus into score deciles (exact rank over the [[qualityClassifier]]
+    * logit) and measure the C4 rule-pass rate inside each. A monotone
+    * keep_rate curve means the score orders quality the way the rules do;
+    * a flat one means the model adds nothing over the rules.
+    *
+    * One scan computes BOTH signals (the logit and the rule flags are
+    * narrow expressions over the same `text` column — no self-join of two
+    * doc-level frames); deciles come from the two-level exact rank
+    * ([[graft.ops.Ranks.withExactRank]] on (logit, doc_id) + integer
+    * ntile arithmetic — no single-partition sort), and the report
+    * collapses to `nBuckets` rows of integer counts plus one exact
+    * count-ratio division. The scored frame is persisted call-scoped
+    * (the rank primitive reads it multiple times).
+    */
+  def qualityCalibration(
+      spark: SparkSession, sfDir: String, nBuckets: Int = 10,
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val scored = classifierScored(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("logit"),
+        c4FlagExprs.keep(minWords, maxWords).as("__keep"))
+      .persist()
+    try {
+      val out = graft.ops.Ranks.withExactRank(
+          scored, Nil, Seq(col("logit"), col("doc_id")), "__rk", Some("__n"))
+        .withColumn("score_decile",
+          graft.ops.Ranks.ntileFromRank("__rk", "__n", nBuckets))
+        .groupBy(col("score_decile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if(col("__keep")).as("n_rule_pass"),
+          min(col("logit")).as("min_logit"),
+          max(col("logit")).as("max_logit"))
+        .withColumn("rule_pass_rate",
+          col("n_rule_pass").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("score_decile").asc)
+      graft.ops.Materialize.smallLocal(out, maxRows = math.max(nBuckets, 1024))
+    } finally scored.unpersist()
   }
 
   /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */

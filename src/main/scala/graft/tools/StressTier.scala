@@ -337,6 +337,40 @@ object StressTier {
     check(hist.getOrElse(3L, 0L) == nPairs - nSessions,
       "full-window pair count wrong")
 
+    // preference_pairs: session ids survive replication; for every session
+    // the base run emitted, the 100× run must emit too (candidate pool only
+    // grows), its chosen/rejected scores bracket the base run's (the 99
+    // extra prompt twins join the candidate pool, so the extremes can only
+    // widen), and the candidate count is pinned EXACTLY:
+    // r.n_candidates = reps·(b.n_candidates + 1) − 1 (all twins of all
+    // base turns, minus the one twin serving as prompt)
+    val (prefAndCount, tP) = timed("d.preference_pairs") {
+      val p = EventAnalytics.preferencePairs(spark, dir).persist()
+      (p, p.count())
+    }
+    val (pref, nPref) = prefAndCount
+    val basePref = EventAnalytics.preferencePairs(spark, baseDir)
+      .select(col("user_id"), col("session_id"),
+        col("chosen_score").as("b_ch"), col("rejected_score").as("b_rj"),
+        col("n_candidates").as("b_nc"))
+    val nBasePref = basePref.count()
+    val prefJoined = pref.join(basePref, Seq("user_id", "session_id"))
+      .collect()
+    println(f"STRESS d.preference_pairs seconds=$tP%.1f pairs=$nPref")
+    check(prefJoined.length.toLong == nBasePref,
+      s"only ${prefJoined.length} of $nBasePref base pair sessions emitted at 100×")
+    prefJoined.foreach { r =>
+      check(r.getAs[Double]("chosen_score") >= r.getAs[Double]("b_ch"),
+        "chosen score must not shrink under replication")
+      check(r.getAs[Double]("rejected_score") <= r.getAs[Double]("b_rj"),
+        "rejected score must not grow under replication")
+      check(r.getAs[Long]("n_candidates") ==
+        reps.toLong * (r.getAs[Long]("b_nc") + 1L) - 1L,
+        "candidate count must be exactly reps·(base+1)−1")
+      check(r.getAs[Double]("margin") > 0.0, "margin must stay strict")
+    }
+    pref.unpersist()
+
     // as-of join: every twin matches its base event's order
     val (asofAndCount, tA) = timed("d.asof") {
       val a = EventAnalytics.eventsAsOfOrders(spark, dir).persist()

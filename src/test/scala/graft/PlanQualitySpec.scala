@@ -316,6 +316,41 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("preference_pairs: one user_id exchange, no joins (agg reuses it)") {
+    // session window, turn window AND the (user_id, session) aggregation
+    // must all ride the single user_id hash exchange — the aggregation's
+    // ClusteredDistribution on (user_id, __sess_id) is satisfied by the
+    // subset partitioning, same rule as the sft_pairs windows.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = SparkEntry.queries("preference_pairs")(spark, sf)
+        .queryExecution.executedPlan
+      val hashEx = phys.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("rangepartitioning") => e
+      }
+      assert(hashEx.length == 1,
+        s"preference_pairs: expected exactly 1 hash exchange, got " +
+          s"${hashEx.length}:\n" + hashEx.mkString("\n"))
+      assert(hashEx.head.outputPartitioning.toString.contains("user_id"),
+        "the single exchange must key on user_id")
+      assert(!phys.toString.toLowerCase.contains("join"),
+        "preference_pairs must not join — extremes come from struct min/max")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("calibration + mix reports drain through bounded local materialization") {
+    // both collapse the corpus to a tiny report and refuse past the cap —
+    // the registered plan is the LocalTableScan of that bounded frame
+    // (rank machinery covered by the two-level-rank guard + RanksSpec)
+    for (q <- Seq("quality_calibration", "domain_mix_report")) {
+      val p = plan(q)
+      assert(p.contains("LocalTableScan"), s"$q must materialize via smallLocal")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

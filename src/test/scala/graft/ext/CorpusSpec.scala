@@ -166,6 +166,34 @@ class CorpusSpec extends SparkSpec {
     assert(out("mid") > 0 && out("tail") > 0)
   }
 
+  test("domainMixReport: α=1/2 temperature flattens shares toward uniform") {
+    val rows = Corpus.domainMixReport(spark, sf).collect()
+    val share = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("token_share")).toMap
+    val weight = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("mix_weight")).toMap
+    val epochs = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Double]("effective_epochs")).toMap
+    // shares and weights are each a (rounded) partition of 1
+    assert(math.abs(share.values.sum - 1.0) < 1e-4)
+    assert(math.abs(weight.values.sum - 1.0) < 1e-4)
+    // sqrt-temperature preserves the ORDER of shares but compresses the
+    // ratio: biggest/smallest weight ratio is ~sqrt of the share ratio
+    val bySh = share.toSeq.sortBy(_._2)
+    val (lo, hi) = (bySh.head._1, bySh.last._1)
+    assert(weight(hi) > weight(lo))
+    assert(weight(hi) / weight(lo) < share(hi) / share(lo),
+      "temperature must compress the spread")
+    // effective epochs: over-sampled small sources repeat (>1), the
+    // largest source is under-sampled (<1); epochs = weight/share
+    assert(epochs(lo) > 1.0 && epochs(hi) < 1.0)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("mix_weight"); val p = r.getAs[Double]("token_share")
+      val e = r.getAs[Double]("effective_epochs")
+      assert(p > 0 && math.abs(e - w / p) < 0.02 * e + 1e-6)
+    }
+  }
+
   test("upsampleBalanced repeats minority langs floor(max/n) times, capped") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap

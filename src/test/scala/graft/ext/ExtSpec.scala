@@ -448,6 +448,31 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("qualityCalibration deciles partition the corpus in logit order") {
+    val rows = TextStats.qualityCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Int]("score_decile"))
+    assert(rows.map(_.getAs[Int]("score_decile")).toSeq === (1 to 10))
+    // deciles partition: sizes within 1 of each other, total = |docs|
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.sum === 500L)
+    assert(sizes.max - sizes.min <= 1L)
+    // rule-pass totals reconcile with the independently-tested c4Filters
+    val c4Keep = TextStats.c4Filters(spark, sf)
+      .filter(col("keep")).count()
+    assert(rows.map(_.getAs[Long]("n_rule_pass")).sum === c4Keep)
+    // buckets are logit-ordered and internally consistent
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_logit") <= r.getAs[Long]("max_logit"))
+      assert(r.getAs[Long]("n_rule_pass") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("rule_pass_rate") ===
+        r.getAs[Long]("n_rule_pass").toDouble / r.getAs[Long]("n_docs"))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_logit") <= b.getAs[Long]("min_logit"),
+        "decile boundaries must respect the logit order")
+    }
+  }
+
   test("curationFunnel counts monotone survivors per stage") {
     import spark.implicits._
     val dir = "/tmp/graft_test_funnel"

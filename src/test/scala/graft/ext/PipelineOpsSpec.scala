@@ -131,6 +131,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(p => p._4 >= 1L && p._5.nonEmpty))
   }
 
+  test("preferencePairs matches a brute-force best/worst-candidate reference") {
+    val events = graft.io.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.time.LocalDateTime]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessIds = sorted.scanLeft((0L, Option.empty[java.time.LocalDateTime])) {
+        case ((sid, prev), r) =>
+          val fresh = prev.forall(p =>
+            java.time.Duration.between(p, r._2).compareTo(
+              java.time.Duration.ofMinutes(30)) > 0)
+          (if (fresh) sid + 1 else sid, Some(r._2))
+      }.tail.map(_._1)
+      sorted.zip(sessIds).groupBy(_._2).toSeq.flatMap { case (sid, turns) =>
+        val ordered = turns.map(_._1)
+        val prompt = s"${ordered.head._4}#${ordered.head._3}"
+        val cands = ordered.tail
+        if (cands.length < 2) Nil
+        else {
+          // chosen: max value, tie → lowest id; rejected: min value, tie → highest id
+          val best = cands.maxBy(c => (c._5, -c._3))
+          val worst = cands.minBy(c => (c._5, -c._3))
+          if (best._5 > worst._5)
+            Seq((uid, sid, prompt, s"${best._4}#${best._3}",
+              s"${worst._4}#${worst._3}", best._5, worst._5,
+              best._5 - worst._5, cands.length.toLong))
+          else Nil
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = EventAnalytics.preferencePairs(spark, sf).collect().map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[String]("prompt"), r.getAs[String]("chosen"),
+        r.getAs[String]("rejected"), r.getAs[Double]("chosen_score"),
+        r.getAs[Double]("rejected_score"), r.getAs[Double]("margin"),
+        r.getAs[Long]("n_candidates")))
+    assert(got.length === expected.length)
+    assert(got.toSeq === expected)
+    // a preference pair is only useful with a strict margin
+    assert(got.forall(p => p._8 > 0.0 && p._4 != p._5))
+  }
+
   test("snapshotDiff partitions ids into consistent statuses") {
     import spark.implicits._
     val ids = graft.io.Tables.documents(spark, sf)
@@ -286,6 +330,43 @@ class PipelineOpsSpec extends SparkSpec {
     val got = Graph.partTriangles(spark, sf).as[(Long, Long)].collect().toSeq
     assert(got === expected)
     assert(got.nonEmpty) // the fixture must actually contain triangles
+  }
+
+  test("copurchaseCommunities matches a brute-force union-find over strong edges") {
+    import spark.implicits._
+    val op = graft.io.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect().distinct
+    val weights = (for {
+      (o1, p1) <- op; (o2, p2) <- op if o1 == o2 && p1 < p2
+    } yield (p1, p2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val strong = weights.filter(_._2 >= 2L)
+    // union-find over the strong edges
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    strong.keys.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = strong.keys.flatMap(e => Seq(e._1, e._2)).toSet
+    val label = nodes.map(v => v -> {
+      // min-label: the root after union-by-min IS the min of the component
+      var r = find(v)
+      r
+    }).toMap
+    val expected = nodes.groupBy(label).map { case (lbl, members) =>
+      val internal = strong.filter { case ((a, _), _) => label(a) == lbl }
+      (lbl, members.size.toLong, internal.size.toLong, internal.values.sum)
+    }.toSeq.sortBy { case (lbl, np, _, _) => (-np, lbl) }
+    val got = Graph.copurchaseCommunities(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must contain repeat co-purchases")
+    // labels really are the component minimum
+    got.foreach { case (lbl, np, ne, tw) =>
+      assert(np >= 2L && ne >= 1L && tw >= 2L * ne)
+    }
   }
 
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
