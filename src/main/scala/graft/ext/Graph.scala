@@ -166,20 +166,24 @@ object Graph {
       val pairs = strong.select(col("src").as("doc_a"), col("dst").as("doc_b"))
       val nodes = strong.select(col("src").as("doc_id"))
         .unionByName(strong.select(col("dst").as("doc_id"))).distinct()
-      val cc = Dedup.connectedComponents(pairs, nodes)
-      val sizes = cc.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_parts"))
-      val estat = strong
-        .join(cc.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("total_weight"))
-      // every community has ≥1 internal edge by construction (labels come
-      // from the edge set), so the join is total
-      graft.ops.Materialize.smallLocal(
-        sizes.join(estat, Seq("cluster_id"))
-          .select(col("cluster_id").as("community_id"), col("n_parts"),
-            col("n_edges"), col("total_weight"))
-          .orderBy(col("n_parts").desc, col("community_id").asc))
+      // labels feed BOTH summary aggregations — cached so the CC result
+      // (incl. its singleton anti-join tail) executes once, not per branch
+      val cc = Dedup.connectedComponents(pairs, nodes).persist()
+      try {
+        val sizes = cc.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_parts"))
+        val estat = strong
+          .join(cc.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("total_weight"))
+        // every community has ≥1 internal edge by construction (labels come
+        // from the edge set), so the join is total
+        graft.ops.Materialize.smallLocal(
+          sizes.join(estat, Seq("cluster_id"))
+            .select(col("cluster_id").as("community_id"), col("n_parts"),
+              col("n_edges"), col("total_weight"))
+            .orderBy(col("n_parts").desc, col("community_id").asc))
+      } finally cc.unpersist()
     } finally strong.unpersist()
   }
 

@@ -19,9 +19,18 @@ object Layout {
 
   /** Write `df` as a bucketed+sorted catalog table on `key`. Joins between
     * tables written with the same (key domain, buckets) are exchange-free.
+    *
+    * The writer is pre-shuffled onto the bucket key first: without it,
+    * every upstream task writes its own file per bucket (tasks × buckets
+    * small files — measured 513 for the co-purchase artifact, and ~0.5 s
+    * of extra open/list cost on every later scan); aligned, each bucket
+    * is one file. The one-time build pays one extra exchange; every
+    * consumer scan is cheaper forever. Bucket count is the lever if the
+    * per-bucket file outgrows comfortable task sizes at cluster scale.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int = 32): Unit =
-    df.write
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
@@ -66,13 +75,29 @@ object Layout {
     dropStaleDerived(spark, family, tag)
     if (!spark.catalog.tableExists(table)) {
       // the in-memory catalog dies with the session but the warehouse
-      // directory survives — a stale dir would fail the managed-table
-      // CREATE ("location already exists"), so clear it first
+      // directory survives. A COMPLETE surviving dir (current tag +
+      // _SUCCESS commit marker) is the artifact itself — re-REGISTER it
+      // as an external bucketed table instead of rebuilding: bucket ids
+      // live in the file names, so bucketed (exchange-free) reads apply
+      // to the re-registered copy exactly as to the original. Anything
+      // else (no dir, or a partial dir from a killed writer — no
+      // _SUCCESS) is cleared and rebuilt; a stale-tag dir never reaches
+      // here (the census tag changes and dropStaleDerived swept it).
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.delete(wh, true)
-      writeBucketed(build, table, key, buckets)
+      val committed = fs.exists(wh) &&
+        fs.exists(new org.apache.hadoop.fs.Path(wh, "_SUCCESS"))
+      if (committed) {
+        val schema = spark.read.parquet(wh.toString).schema.toDDL
+        spark.sql(
+          s"CREATE TABLE `$table` ($schema) USING PARQUET " +
+            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+            s"LOCATION '$wh'")
+      } else {
+        if (fs.exists(wh)) fs.delete(wh, true)
+        writeBucketed(build, table, key, buckets)
+      }
     }
     spark.table(table)
   }

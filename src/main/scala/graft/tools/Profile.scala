@@ -67,6 +67,16 @@ object Profile {
       .join(based.groupBy(col("doc_id"))
         .agg(array_sort(collect_set(col("sh"))).as("shset")), Seq("doc_id"))
       .count())
+    // where does copurchase_communities spend its ~2 s? (r6 probe)
+    timed("comm-artifact-scan")(
+      graft.ext.Graph.coPurchaseEdges(spark, sfDir).count())
+    timed("comm-strong-filter")(
+      graft.ext.Graph.coPurchaseEdges(spark, sfDir)
+        .filter(col("src") < col("dst") && col("w") >= 2L).count())
+    timed("comm-full")(
+      graft.ext.Graph.copurchaseCommunities(spark, sfDir).count())
+    timed("comm-full-again")(
+      graft.ext.Graph.copurchaseCommunities(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -38,7 +38,14 @@ import graft.ext.{Curation, Dedup}
   *   driver-materialization cap REFUSING loudly past its budget
   *   (see [[tierE]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|all]"
+  *   Tier F (documents × 100 = 500k twin docs): the text/rank family —
+  *   Zipf mean_ranks and classifier logits are replication-invariant,
+  *   so ppl_buckets and quality_calibration must reproduce the base
+  *   report with integer fields × reps and identical boundaries,
+  *   proving the two-level exact rank's boundary-independence under
+  *   resampled cuts (see [[tierF]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -505,6 +512,74 @@ object StressTier {
     ()
   }
 
+  /** Tier F: the TEXT/RANK family under 100× document replication
+    * (sf0.1 × 100 = 500k docs, every doc a 100-way exact twin). Zipf
+    * ranks are ORDER statistics of the vocabulary — frequencies scale by
+    * reps, their order does not — so every twin carries its base doc's
+    * mean_rank and classifier logit exactly; twins are ADJACENT in each
+    * ranking's total order (ids are remapped family-contiguously) and
+    * |docs| stays divisible by the bucket counts, so every ntile cut
+    * lands exactly on a twin-family boundary: each report row must equal
+    * the base row with integer fields × reps and IDENTICAL boundary
+    * values. The two-level exact rank RESAMPLES its bucket boundaries
+    * from the 100× corpus, so agreement also proves the primitive's
+    * boundary-independence claim at volume.
+    */
+  private def tierF(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val (_, tRep) = timed("f.replicate")(replicate(spark, baseDir, dir, reps))
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nRep = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS f.replicate seconds=$tRep%.1f docs=$nRep")
+    check(nRep == nBase * reps, s"tier F doc count $nRep != $nBase*$reps")
+
+    import graft.ext.TextStats
+    val (pplR, tP) = timed("f.ppl_buckets")(
+      TextStats.perplexityBuckets(spark, dir).collect())
+    val pplB = TextStats.perplexityBuckets(spark, baseDir).collect()
+      .map(r => r.getAs[Int]("ppl_bucket") -> r).toMap
+    println(f"STRESS f.ppl_buckets seconds=$tP%.1f buckets=${pplR.length}")
+    check(pplB.values.map(_.getAs[Long]("n_docs")).toSet.size == 1,
+      "base ppl buckets must be equal-sized for exact cut alignment")
+    check(pplR.length == pplB.size, "ppl bucket count changed under replication")
+    pplR.foreach { r =>
+      val b = pplB(r.getAs[Int]("ppl_bucket"))
+      val k = r.getAs[Int]("ppl_bucket")
+      check(r.getAs[Long]("n_docs") == b.getAs[Long]("n_docs") * reps,
+        s"ppl bucket $k: n_docs did not scale by $reps")
+      check(r.getAs[Long]("total_tokens") == b.getAs[Long]("total_tokens") * reps,
+        s"ppl bucket $k: total_tokens did not scale by $reps")
+      check(r.getAs[Long]("total_rank_sum") ==
+        b.getAs[Long]("total_rank_sum") * reps,
+        s"ppl bucket $k: rank sums not replication-invariant (Zipf order moved)")
+      check(r.getAs[Double]("min_mean_rank") == b.getAs[Double]("min_mean_rank"),
+        s"ppl bucket $k: min_mean_rank moved — a cut missed its twin boundary")
+      check(r.getAs[Double]("max_mean_rank") == b.getAs[Double]("max_mean_rank"),
+        s"ppl bucket $k: max_mean_rank moved — a cut missed its twin boundary")
+    }
+
+    val (calR, tQ) = timed("f.calibration")(
+      TextStats.qualityCalibration(spark, dir).collect())
+    val calB = TextStats.qualityCalibration(spark, baseDir).collect()
+      .map(r => r.getAs[Int]("score_decile") -> r).toMap
+    println(f"STRESS f.calibration seconds=$tQ%.1f deciles=${calR.length}")
+    check(calR.length == calB.size, "decile count changed under replication")
+    calR.foreach { r =>
+      val b = calB(r.getAs[Int]("score_decile"))
+      val k = r.getAs[Int]("score_decile")
+      check(r.getAs[Long]("n_docs") == b.getAs[Long]("n_docs") * reps,
+        s"decile $k: n_docs did not scale by $reps")
+      check(r.getAs[Long]("n_rule_pass") == b.getAs[Long]("n_rule_pass") * reps,
+        s"decile $k: rule-pass count did not scale by $reps")
+      check(r.getAs[Long]("min_logit") == b.getAs[Long]("min_logit"),
+        s"decile $k: min_logit moved")
+      check(r.getAs[Long]("max_logit") == b.getAs[Long]("max_logit"),
+        s"decile $k: max_logit moved")
+      check(r.getAs[Double]("rule_pass_rate") == b.getAs[Double]("rule_pass_rate"),
+        s"decile $k: pass rate moved (same rational, same division)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -522,6 +597,8 @@ object StressTier {
         tierD(spark, "/root/testdata/sf0.1", s"$root/sf0.1ev100")
       if (tier == "e" || tier == "all")
         tierE(spark, "/root/testdata/sf0.1", s"$root/sf0.1em10")
+      if (tier == "f" || tier == "all")
+        tierF(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

@@ -158,6 +158,71 @@ class LayoutSpec extends SparkSpec {
       .exists(_.name.startsWith("graft_orders_bkt_")))
   }
 
+  test("ensureDerived re-registers a committed artifact from a prior session") {
+    import org.apache.hadoop.fs.Path
+    def src = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val built = Layout.ensureDerived(spark, sf, "test_reuse_src",
+      Seq("orders.parquet"), "o_orderkey", buckets = 4)(src)
+    val expected = built.count()
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcDir = fs.listStatus(wh).map(_.getPath)
+      .find(_.getName.startsWith("graft_test_reuse_src_")).get
+    val tag = srcDir.getName.stripPrefix("graft_test_reuse_src_")
+    // the on-disk state a NEW session sees: a committed dir, no catalog
+    // entry (the tag hash does not include the family, so a copy under a
+    // never-registered family simulates the fresh-session catalog)
+    val dstDir = new Path(wh, s"graft_test_reuse_dst_$tag")
+    org.apache.hadoop.fs.FileUtil.copy(fs, srcDir, fs, dstDir, false,
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val reused = Layout.ensureDerived(spark, sf, "test_reuse_dst",
+        Seq("orders.parquet"), "o_orderkey", buckets = 4)(
+        fail("a committed surviving artifact must be re-registered, not rebuilt"))
+      assert(reused.count() === expected)
+      // the re-registered table keeps its bucket spec (exchange-free joins)
+      val desc = spark.sql(
+        s"DESCRIBE TABLE EXTENDED graft_test_reuse_dst_$tag")
+        .collect().map(r => s"${r.get(0)}=${r.get(1)}").mkString("\n")
+      assert(desc.contains("Num Buckets=4"), s"bucket spec lost:\n$desc")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_test_reuse_dst_$tag")
+      fs.delete(dstDir, true)
+      spark.sql(s"DROP TABLE IF EXISTS graft_test_reuse_src_$tag")
+    }
+  }
+
+  test("ensureDerived rebuilds over a partial (uncommitted) surviving dir") {
+    import org.apache.hadoop.fs.Path
+    def src = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Layout.ensureDerived(spark, sf, "test_partial",
+      Seq("orders.parquet"), "o_orderkey", buckets = 4)(src)
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = fs.listStatus(wh).map(_.getPath)
+      .find(_.getName.startsWith("graft_test_partial_")).get
+    val tag = dir.getName.stripPrefix("graft_test_partial_")
+    // simulate a writer killed mid-job: drop the table (managed → files
+    // go too), leave a partial dir with data but NO _SUCCESS marker
+    spark.sql(s"DROP TABLE IF EXISTS graft_test_partial_$tag")
+    fs.mkdirs(dir)
+    val junk = new Path(dir, "part-00000-junk.snappy.parquet")
+    fs.create(junk).close()
+    try {
+      var rebuilt = false
+      val out = Layout.ensureDerived(spark, sf, "test_partial",
+        Seq("orders.parquet"), "o_orderkey", buckets = 4) {
+        rebuilt = true; src
+      }
+      assert(rebuilt, "an uncommitted dir must be cleared and rebuilt")
+      assert(out.count() === src.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_test_partial_$tag")
+    }
+  }
+
   test("registered bucketed_join query plans with no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
