@@ -87,6 +87,8 @@ object SparkEntry {
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
     "corpus_sketch"      -> ((s, d) => TextStats.corpusSketch(s, d)),
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
+    // Shannon char/token entropy + TTR (compression-proxy quality family)
+    "entropy_signals"    -> ((s, d) => TextStats.entropySignals(s, d)),
     // hashed-feature linear classifier score (fastText-shape filtering)
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(s, d)),
     // classifier-score deciles vs C4 rule pass rate (calibration curve)
@@ -240,6 +242,8 @@ object SparkEntry {
     "cluster_split"      -> ((s, d) => Curation.clusterSplit(s, d)),
     // per-column null/distinct census of orders (data-quality profile)
     "column_profile"     -> ((s, d) => graft.ops.Profiling.ordersProfile(s, d)),
+    // referential-integrity audit over the warehouse's FK edges
+    "fk_audit"           -> ((s, d) => graft.ops.Profiling.fkAudit(s, d)),
     // day × type PIVOT with a pinned value list (no discovery scan)
     "events_pivot"       -> ((s, d) => EventAnalytics.dailyTypePivot(s, d)),
     // explicit GROUPING SETS — the general form of rollup/cube
@@ -322,6 +326,32 @@ object SparkEntry {
        |       CAST(rank_e12 AS DOUBLE) / 1e12 AS rank
        |FROM r$iters
        |ORDER BY rank_e12 DESC, p_partkey ASC LIMIT 25""".stripMargin
+  }
+
+  /** Twin for `fk_audit`: one UNION ALL branch per FK edge, orphan /
+    * unreferenced counts as NOT EXISTS scalar subqueries — the same edge
+    * list the Spark plan iterates.
+    */
+  private def fkAuditOracle: String = {
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (ct, fk, pt, pk) =>
+      s"""SELECT '$ct' AS child_table, '$fk' AS fk_column,
+         |  '$pt' AS parent_table,
+         |  (SELECT count(*) FROM $ct) AS n_child_rows,
+         |  (SELECT count(*) FROM $ct c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $pt p WHERE p.$pk = c.$fk))
+         |    AS n_orphan_child_rows,
+         |  (SELECT count(*) FROM $pt) AS n_parent_keys,
+         |  (SELECT count(*) FROM $pt p
+         |   WHERE NOT EXISTS (SELECT 1 FROM $ct c WHERE c.$fk = p.$pk))
+         |    AS n_unreferenced_parents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table ASC, fk_column ASC")
   }
 
   private def minHashOracleCtes(docSource: String = "documents"): String = {
@@ -738,6 +768,7 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "fk_audit" -> fkAuditOracle,
     "copurchase_communities" ->
       """WITH RECURSIVE op AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1642,6 +1673,50 @@ object SparkEntry {
         |    AS is_low_quality
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "entropy_signals" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), cc AS (
+        |  SELECT doc_id, ch, count(*) AS cnt FROM ch
+        |  WHERE ch <> '' GROUP BY 1, 2
+        |), ca AS (
+        |  SELECT doc_id, count(*) AS n_distinct_chars,
+        |         CAST(sum(cnt) AS BIGINT) AS nch,
+        |         sum(round(cnt::DOUBLE * ln(cnt::DOUBLE), 6)::DECIMAL(18,6))
+        |           AS csum
+        |  FROM cc GROUP BY doc_id
+        |), tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM tk GROUP BY 1, 2
+        |), ta AS (
+        |  SELECT doc_id, count(*) AS n_distinct_tokens,
+        |         CAST(sum(cnt) AS BIGINT) AS ntk,
+        |         sum(round(cnt::DOUBLE * ln(cnt::DOUBLE), 6)::DECIMAL(18,6))
+        |           AS tsum
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(nch, 0) AS n_chars_total,
+        |  coalesce(n_distinct_chars, 0) AS n_distinct_chars,
+        |  CASE WHEN coalesce(nch, 0) = 0 THEN 0.0
+        |       ELSE round((ln(nch::DOUBLE) - csum::DOUBLE / nch::DOUBLE)
+        |                  / ln(2.0), 6) END AS char_entropy_bits,
+        |  coalesce(ntk, 0) AS n_tokens,
+        |  coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+        |  CASE WHEN coalesce(ntk, 0) = 0 THEN 0.0
+        |       ELSE round((ln(ntk::DOUBLE) - tsum::DOUBLE / ntk::DOUBLE)
+        |                  / ln(2.0), 6) END AS token_entropy_bits,
+        |  CASE WHEN coalesce(ntk, 0) = 0 THEN 0.0
+        |       ELSE round(n_distinct_tokens::DOUBLE / ntk::DOUBLE, 6)
+        |  END AS type_token_ratio
+        |FROM documents d
+        |LEFT JOIN ca USING (doc_id)
+        |LEFT JOIN ta USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -410,6 +410,69 @@ object TextStats {
     } finally scored.unpersist()
   }
 
+  /** Per-doc Shannon entropy signals — the compression-proxy quality
+    * family (low char entropy ⇒ repetitive/boilerplate text, low token
+    * entropy or type-token ratio ⇒ keyword stuffing / template spam;
+    * the cheap stand-in for the gzip-ratio filters of the Gopher/C4
+    * lineage). H = ln(n) − (Σ cnt·ln cnt)/n, in bits.
+    *
+    * Cross-engine float discipline: the only float SUM (Σ cnt·ln cnt)
+    * runs over per-term values ROUNDED to 6 decimals and cast to
+    * DECIMAL(18,6) — exact and order-independent, so engines agree
+    * regardless of aggregation order ([[Similarity.normStats]]'s
+    * pattern); the final entropy is exactly-rounded arithmetic over
+    * that exact sum, rounded once at the end.
+    *
+    * Scale shape: two explode → two-level hash aggregations (per
+    * (doc, term) then per doc), each map-side combinable and keyed by
+    * doc_id — the same shuffle the other corpus statistics ride; no
+    * windows, no driver state. Left joins restore empty docs as
+    * zero-entropy rows.
+    */
+  def entropySignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    def level2(exploded: DataFrame, term: String, nDistinct: String,
+        total: String, tsum: String): DataFrame =
+      exploded
+        .groupBy(col("doc_id"), col(term)).agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as(nDistinct),
+          sum(col("__cnt")).as(total),
+          sum(round(col("__cnt").cast("double") *
+            log(col("__cnt").cast("double")), 6).cast("decimal(18,6)"))
+            .as(tsum))
+    val chars = level2(
+      docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= ""),
+      "ch", "n_distinct_chars", "__nch", "__csum")
+    val tokens = level2(
+      docs.select(col("doc_id"),
+        explode(expr("""filter(split(text, '\\s+'), x -> x <> '')"""))
+          .as("w")),
+      "w", "n_distinct_tokens", "__ntk", "__tsum")
+    def entropyBits(n: Column, s: Column): Column =
+      when(n.isNull || n === 0L, lit(0.0))
+        .otherwise(round(
+          (log(n.cast("double")) - s.cast("double") / n.cast("double")) /
+            log(lit(2.0).cast("double")), 6))
+    docs.select(col("doc_id"))
+      .join(chars, Seq("doc_id"), "left")
+      .join(tokens, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__nch"), lit(0L)).as("n_chars_total"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        entropyBits(col("__nch"), col("__csum")).as("char_entropy_bits"),
+        coalesce(col("__ntk"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        entropyBits(col("__ntk"), col("__tsum")).as("token_entropy_bits"),
+        when(col("__ntk").isNull || col("__ntk") === 0L, lit(0.0))
+          .otherwise(round(col("n_distinct_tokens").cast("double") /
+            col("__ntk").cast("double"), 6)).as("type_token_ratio"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */
   def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame =
     langId(spark, sfDir)

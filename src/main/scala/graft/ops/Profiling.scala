@@ -86,4 +86,47 @@ object Profiling {
         sum(pmod(col("__h"), lit(1000000007L))).as("mod_digest"))
       .orderBy(col("shard").asc)
   }
+
+  /** Referential-integrity audit across the warehouse's declared
+    * foreign keys — the ingest gate that catches a partial drop (orphan
+    * children) or an over-filtered extract (unreferenced parents)
+    * before a pipeline run trusts the data. One row per FK edge:
+    * child row count, orphan child rows (fk value with no parent),
+    * parent key count, parents never referenced. All integers.
+    *
+    * Scale shape: per edge one left-anti join child→parent (orphans;
+    * Catalyst broadcasts the parent side when dim-sized — the TPC-H
+    * dims here — and shuffles for the fact⋈fact orders edge) and one
+    * left-anti parent→DISTINCT child keys (unreferenced; the distinct
+    * collapses the fact side to its key domain before it moves). The
+    * report is |edges| rows; each edge is independent so the plan is
+    * an embarrassingly parallel union.
+    */
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    edges.map { case (ct, fk, pt, pk) =>
+      val child = Tables.table(spark, sfDir, ct).select(col(fk))
+      val parent = Tables.table(spark, sfDir, pt).select(col(pk))
+      val orphans = child.join(parent, child(fk) === parent(pk), "left_anti")
+      val unref = parent.join(
+        child.select(col(fk)).distinct(),
+        parent(pk) === col(fk), "left_anti")
+      child.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_child_rows")))
+        .crossJoin(parent.agg(count(lit(1)).as("n_parent_keys")))
+        .crossJoin(unref.agg(count(lit(1)).as("n_unreferenced_parents")))
+        .select(
+          lit(ct).as("child_table"), lit(fk).as("fk_column"),
+          lit(pt).as("parent_table"),
+          col("n_child_rows"), col("n_orphan_child_rows"),
+          col("n_parent_keys"), col("n_unreferenced_parents"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("child_table").asc, col("fk_column").asc)
+  }
 }

@@ -448,6 +448,41 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("entropySignals matches a driver-side Shannon recompute") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def entropy(counts: Seq[Long]): Double = {
+      val n = counts.sum
+      // mirror the engine's decimal-quantized term sum exactly
+      val s = counts.map(c => BigDecimal(c.toDouble * math.log(c.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (math.log(n.toDouble) - s.toDouble / n) / math.log(2.0)
+    }
+    val got = TextStats.entropySignals(spark, sf).collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val chCounts = text.toSeq.groupBy(identity).values.map(_.size.toLong).toSeq
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val tkCounts = toks.groupBy(identity).values.map(_.size.toLong).toSeq
+      assert(r.getAs[Long]("n_chars_total") === text.length.toLong)
+      assert(r.getAs[Long]("n_distinct_chars") === chCounts.size.toLong)
+      assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
+      assert(r.getAs[Long]("n_distinct_tokens") === tkCounts.size.toLong)
+      assert(math.abs(r.getAs[Double]("char_entropy_bits") -
+        entropy(chCounts)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("token_entropy_bits") -
+        entropy(tkCounts)) < 1e-5)
+      // entropy is bounded by the uniform distribution over the alphabet
+      assert(r.getAs[Double]("char_entropy_bits") >= 0.0)
+      assert(r.getAs[Double]("char_entropy_bits") <=
+        math.log(chCounts.size.toDouble) / math.log(2.0) + 1e-6)
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
   test("qualityCalibration deciles partition the corpus in logit order") {
     val rows = TextStats.qualityCalibration(spark, sf).collect()
       .sortBy(_.getAs[Int]("score_decile"))

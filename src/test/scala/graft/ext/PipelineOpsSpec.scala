@@ -635,6 +635,36 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("fkAudit matches driver-side set arithmetic on every edge") {
+    import spark.implicits._
+    def keys(t: String, c: String): Seq[Long] =
+      graft.io.Tables.table(spark, sf, t).select(col(c).cast("long"))
+        .as[Long].collect().toSeq
+    val edges = Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey"))
+    val expected = edges.map { case (ct, fk, pt, pk) =>
+      val child = keys(ct, fk)
+      val parent = keys(pt, pk).toSet
+      (ct, fk, pt, child.size.toLong,
+        child.count(k => !parent(k)).toLong,
+        parent.size.toLong,
+        (parent -- child.toSet).size.toLong)
+    }.sortBy(e => (e._1, e._2))
+    val got = graft.ops.Profiling.fkAudit(spark, sf).collect().map(r =>
+      (r.getAs[String]("child_table"), r.getAs[String]("fk_column"),
+        r.getAs[String]("parent_table"), r.getAs[Long]("n_child_rows"),
+        r.getAs[Long]("n_orphan_child_rows"), r.getAs[Long]("n_parent_keys"),
+        r.getAs[Long]("n_unreferenced_parents"))).toSeq
+    assert(got === expected)
+    // the fixture warehouse is internally consistent on the dim edges
+    got.filter(_._3 != "orders").foreach(e => assert(e._5 === 0L, e.toString))
+  }
+
   test("shardChecksums matches a driver-side sha-256 digest recompute") {
     def sha(s: String): String = java.security.MessageDigest
       .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
