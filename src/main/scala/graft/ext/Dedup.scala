@@ -43,6 +43,17 @@ object Dedup {
         .digest(s.getBytes("UTF-8"))
         .take(4).map(b => f"$b%02x").mkString.substring(0, 7), 16)
 
+  /** Deterministic sha-256 bucket of a key (first 8 hex digits mod
+    * `mod`) — THE engine-portable sampling predicate. One definition so
+    * every sampling site and every hand-mirrored DuckDB twin
+    * (`('0x' || substr(sha256(k::VARCHAR), 1, 8))::BIGINT % mod`)
+    * tracks the same recipe; used by [[lshRecallSampled]]'s doc slice
+    * and [[graft.ext.Graph.partTriangles]]' vertex sample.
+    */
+  private[graft] def shaBucket(c: Column, mod: Long): Column =
+    pmod(conv(substring(sha2(c.cast("string"), 256), 1, 8), 16, 10)
+      .cast("long"), lit(mod))
+
   /** j-th permutation constants — derived from sha-256 of a fixed tag, so
     * the generated DuckDB twin embeds the SAME literals (SparkEntry calls
     * these while assembling its SQL string).
@@ -713,9 +724,7 @@ object Dedup {
   def lshRecallSampled(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
       sampleMod: Int = 8, maxPrefixDf: Long = 256L): DataFrame = {
-    def inSlice(c: Column) =
-      pmod(conv(substring(sha2(c.cast("string"), 256), 1, 8),
-        16, 10).cast("long"), lit(sampleMod.toLong)) === 0L
+    def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
     val docs = Tables.documents(spark, sfDir).filter(inSlice(col("doc_id")))
     recallReport(
       jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),

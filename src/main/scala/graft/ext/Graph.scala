@@ -219,9 +219,7 @@ object Graph {
   def partTriangles(
       spark: SparkSession, sfDir: String, topK: Int = 25,
       sampleMod: Int = 4): DataFrame = {
-    def keep(c: Column) = pmod(conv(substring(
-      sha2(c.cast("string"), 256), 1, 8), 16, 10).cast("long"),
-      lit(sampleMod.toLong)) === 0L
+    def keep(c: Column) = Dedup.shaBucket(c, sampleMod.toLong) === 0L
     // canonical simple edges of the vertex-sampled induced subgraph:
     // src < dst halves the shared symmetric edge table to one orientation
     // (already order-deduped by the artifact's aggregation). The sample

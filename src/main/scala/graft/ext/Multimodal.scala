@@ -218,8 +218,12 @@ object Multimodal {
         if (channels <= 0 || sampleRate <= 0 || br <= 0L) return None
         byteRate = br
       } else if (id == "data") dataBytes = sz
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are even-padded
-      if (sz > Int.MaxValue - 16) return None
+      // advance in LONG arithmetic: a 32-bit declared size near IntMax
+      // would wrap an Int sum negative BEFORE any guard and send the
+      // next header read out of bounds (chunks are even-padded)
+      val next = o.toLong + 8L + sz + (sz & 1L)
+      if (next > Int.MaxValue.toLong) return None
+      o = next.toInt
     }
     if (byteRate > 0L && dataBytes >= 0L)
       Some((0, 0, dataBytes * 1000L / byteRate))

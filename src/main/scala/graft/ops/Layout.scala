@@ -67,12 +67,16 @@ object Layout {
         else Seq.empty
       }.sorted.mkString("|")
     }
-    val tag = java.lang.Long.toHexString(
-      java.util.UUID.nameUUIDFromBytes(
-        s"$sfDir#$buckets#$census".getBytes("UTF-8"))
+    def hex(s: String): String = java.lang.Long.toHexString(
+      java.util.UUID.nameUUIDFromBytes(s.getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
-    val table = s"graft_${family}_$tag"
-    dropStaleDerived(spark, family, tag)
+    // two-segment tag: <dir identity>_<source census>. GC is scoped to
+    // the SAME dir segment, so a session serving several sfDirs (base +
+    // stress replicas, multiple fixtures) keeps one live artifact per
+    // dir instead of destroying A's copy every time B is ensured
+    val dirTag = hex(s"$sfDir#$buckets")
+    val table = s"graft_${family}_${dirTag}_${hex(census)}"
+    dropStaleDerived(spark, family, dirTag, table)
     if (!spark.catalog.tableExists(table)) {
       // the in-memory catalog dies with the session but the warehouse
       // directory survives. A COMPLETE surviving dir (current tag +
@@ -139,10 +143,18 @@ object Layout {
     * about to be used.
     */
   private def dropStaleDerived(
-      spark: SparkSession, family: String, keepTag: String): Unit = {
+      spark: SparkSession, family: String, dirTag: String,
+      keepName: String): Unit = {
     val prefix = s"graft_${family}_"
-    def stale(name: String): Boolean =
-      name.startsWith(prefix) && !name.endsWith(keepTag)
+    def stale(name: String): Boolean = {
+      if (!name.startsWith(prefix)) return false
+      val rest = name.stripPrefix(prefix)
+      // pre-two-segment names (no dir segment) are always stale; current
+      // format is swept only within the SAME dir segment, by full-name
+      // equality (a suffix match would spare tag '9123' for keep '123')
+      if (!rest.contains("_")) true
+      else rest.startsWith(s"${dirTag}_") && name != keepName
+    }
     spark.catalog.listTables().collect()
       .map(_.name).filter(stale)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))

@@ -298,12 +298,18 @@ object CorpusIngest {
       // live is this batch's own stale attempt: drop it so __prev keeps the
       // PRE-batch state for any further retry — never rotate it into __prev
       if (fs.exists(live)) fs.delete(live, true)
-    } else {
+    } else if (fs.exists(live)) {
       if (fs.exists(prev)) fs.delete(prev, true)
-      if (fs.exists(live) && !fs.rename(live, prev))
+      if (!fs.rename(live, prev))
         throw new IllegalStateException(
           s"heavyHitterBatch: failed to rotate $summaryPath to __prev")
     }
+    // no live and not a replay = the crash-window retry (live was already
+    // rotated to __prev by the crashed attempt): __prev IS the pre-batch
+    // state just merged from — it must survive until the publish rename
+    // lands, so there is nothing to rotate OR delete here; deleting
+    // __prev first would leave ZERO generations if this attempt also
+    // crashes before the rename, silently resetting the summary
     if (!fs.rename(tmp, live))
       throw new IllegalStateException(
         s"heavyHitterBatch: failed to publish $summaryPath")

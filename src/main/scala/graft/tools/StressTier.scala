@@ -209,6 +209,10 @@ object StressTier {
           col("l_partkey"))
         .repartition(64)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // partTriangles evaluates its vertex sample over the part node
+      // universe — copied 1:1 (dim-sized), same as tier D's orders side
+      spark.read.parquet(s"$baseDir/part.parquet")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
     }
     val nLines = spark.read.parquet(s"$dir/lineitem.parquet").count()
     println(f"STRESS c.replicate seconds=$tRep%.1f lines=$nLines")

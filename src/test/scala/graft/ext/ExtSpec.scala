@@ -846,6 +846,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavDuration(wavBytes(8000, 1, 16000).take(20)).isEmpty)
     assert(Multimodal.wavDuration(
       "RIFF raff audio essay".getBytes("UTF-8")).isEmpty)
+    // a declared chunk size near IntMax must not wrap the Int offset
+    // negative and read out of bounds — None, never an index crash
+    def le32b(v: Long) = Array[Byte](
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val overflow = "RIFF".getBytes("US-ASCII") ++ le32b(0x7FFFFFF0L) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      le32b(2147483627L) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.wavDuration(overflow).isEmpty)
   }
 
   test("mp4Info parses real ISO-BMFF geometry + duration, v0 and v1 mvhd") {

@@ -339,4 +339,34 @@ class CorpusIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("refusing"), e.getMessage)
   }
+
+  test("heavyHitterBatch: crash in the NORMAL publish window keeps __prev alive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hh_window").toString
+    val path = s"$dir/summary"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gen(p: String): Map[String, Long] = spark.read.parquet(p).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("count_est")).toMap
+    CorpusIngest.heavyHitterBatch(Seq("a a b").toDF("text"), path, 0L, k = 8)
+    val preBatch = gen(path)
+    // simulate batch 1 crashing between rename(live→prev) and
+    // rename(tmp→live): only __prev (the pre-batch state) survives
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__prev")))
+    // the retry must (a) merge from __prev and (b) NOT delete it before
+    // its own publish lands — a crash of the retry in the same window
+    // must still find the pre-batch state
+    CorpusIngest.heavyHitterBatch(Seq("a c").toDF("text"), path, 1L, k = 8)
+    assert(gen(path) === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path + "__prev")),
+      "__prev must survive a crash-window retry (sole pre-batch copy)")
+    assert(gen(path + "__prev") === preBatch,
+      "__prev no longer holds the pre-batch state")
+    // and a SECOND simulated crash of the same window still recovers
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    CorpusIngest.heavyHitterBatch(Seq("a c").toDF("text"), path, 1L, k = 8)
+    assert(gen(path) === Map("a" -> 3L, "b" -> 1L, "c" -> 1L),
+      "second crash-window retry lost or double-counted state")
+  }
 }
