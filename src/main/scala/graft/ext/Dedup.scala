@@ -202,7 +202,13 @@ object Dedup {
       deltaMod: Int = 10, deltaRem: Int = 9,
       threshold: Double = 0.5, maxBucket: Int = 64,
       twinnable: Boolean = false): DataFrame = {
-    val perDoc = minHashPerDoc(spark, sfDir, twinnable).persist()
+    // the jaccard verify needs graft_isect even when signatures come from
+    // the artifact (whose build — the usual registration site — is skipped)
+    graft.functions.GraftFunctions.register(spark)
+    // canonical signatures come from the maintained per-sfDir index
+    // artifact; the non-twinnable (xxhash throughput) form derives inline
+    val perDoc = (if (twinnable) minHashSignaturesShared(spark, sfDir)
+      else minHashPerDoc(spark, sfDir, twinnable)).persist()
     val best = try {
       val isDelta = col("doc_id") % deltaMod === deltaRem
       val banded = bandRows(perDoc)
@@ -473,9 +479,26 @@ object Dedup {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "minhash_pairs",
       Seq("documents.parquet"), "doc_a") {
-      minHashPairsUnsortedOf(Tables.documents(spark, sfDir),
-        threshold = 0.5, maxBucket = 64, twinnable = true,
-        materialize = true)
+      // derive FROM the signature index artifact: the one-time pair build
+      // reads maintained signatures instead of re-hashing the corpus
+      minHashPairsFromSigs(minHashSignaturesShared(spark, sfDir),
+        threshold = 0.5, maxBucket = 64, materialize = true)
+    }
+
+  /** The CANONICAL (twinnable) per-doc signature frame as a per-sfDir
+    * derived table — the persistent SIGNATURE INDEX itself: doc_id,
+    * exact shingle set, 64 Carter–Wegman slots, bucketed on doc_id.
+    * [[incrementalMinHash]] probes this instead of re-hashing the whole
+    * corpus per delta — at 100 TB the index is what the warehouse
+    * MAINTAINS (the streaming ingest appends to exactly this schema),
+    * never something a batch recomputes. Longs round-trip parquet
+    * bit-exactly, so twins are untouched.
+    */
+  private[graft] def minHashSignaturesShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "minhash_sig",
+      Seq("documents.parquet"), "doc_id") {
+      minHashPerDoc(spark, sfDir, twinnable = true)
     }
 
   /** [[minHashPairs]] over an arbitrary (doc_id, text, ...) frame — the
@@ -485,8 +508,20 @@ object Dedup {
   private def minHashPairsUnsortedOf(
       docs: DataFrame,
       threshold: Double, maxBucket: Int,
-      twinnable: Boolean, materialize: Boolean): DataFrame = {
-    val perDoc = minHashSignaturesOf(docs, twinnable).persist()
+      twinnable: Boolean, materialize: Boolean): DataFrame =
+    minHashPairsFromSigs(
+      minHashSignaturesOf(docs, twinnable), threshold, maxBucket, materialize)
+
+  /** The band → bucket-cap → verify pipeline over an existing signature
+    * frame — shared by the from-docs path above and the per-sfDir pair
+    * artifact's build (which reuses the maintained signature index
+    * instead of re-hashing the corpus).
+    */
+  private def minHashPairsFromSigs(
+      sigs: DataFrame,
+      threshold: Double, maxBucket: Int, materialize: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(sigs.sparkSession)
+    val perDoc = sigs.persist()
     try {
       val sets = perDoc.select(col("doc_id"), col("shset"))
       val banded = bandRows(perDoc)
