@@ -388,6 +388,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(2000))
   }
 
+  test("artifact-consuming queries survive a FRESH session over a warm warehouse") {
+    // newSession() = fresh per-session state (function registry, catalog)
+    // over the same warehouse — the environment every post-first session
+    // actually runs in. A query that leans on registration or catalog
+    // entries performed only inside an artifact's (now-skipped) build
+    // fails exactly here: the graft_isect regression this spec pins rode
+    // the signature-index artifact and only reproduced on reuse.
+    val queries = Seq("dedup_minhash", "dedup_incremental_near",
+      "cluster_split", "training_set", "lsh_recall_sampled",
+      "bucketed_join", "part_pagerank", "part_triangles",
+      "copurchase_communities")
+    // warm pass builds every derived artifact in THIS session
+    queries.foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.shuffle.partitions", "4")
+    queries.foreach { q =>
+      val n = SparkEntry.queries(q)(fresh, sf).count()
+      assert(n >= 0L, s"$q failed on a fresh session over warm artifacts")
+    }
+  }
+
   test("events_pivot reads events exactly once (pinned values, no discovery)") {
     val p = plan("events_pivot")
     val scans = "FileScan parquet".r.findAllMatchIn(p).size
