@@ -220,9 +220,11 @@ object Multimodal {
       } else if (id == "data") dataBytes = sz
       // advance in LONG arithmetic: a 32-bit declared size near IntMax
       // would wrap an Int sum negative BEFORE any guard and send the
-      // next header read out of bounds (chunks are even-padded)
+      // next header read out of bounds (chunks are even-padded). The
+      // bound leaves headroom for the loop condition's own `o + 8`,
+      // which still runs in Int arithmetic
       val next = o.toLong + 8L + sz + (sz & 1L)
-      if (next > Int.MaxValue.toLong) return None
+      if (next > (Int.MaxValue - 8).toLong) return None
       o = next.toInt
     }
     if (byteRate > 0L && dataBytes >= 0L)

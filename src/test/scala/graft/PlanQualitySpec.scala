@@ -400,12 +400,15 @@ class PlanQualitySpec extends SparkSpec {
       "bucketed_join", "part_pagerank", "part_triangles",
       "copurchase_communities")
     // warm pass builds every derived artifact in THIS session
-    queries.foreach(q => SparkEntry.queries(q)(spark, sf).count())
+    val warm = queries.map(q =>
+      q -> SparkEntry.queries(q)(spark, sf).count()).toMap
     val fresh = spark.newSession()
     fresh.conf.set("spark.sql.shuffle.partitions", "4")
     queries.foreach { q =>
       val n = SparkEntry.queries(q)(fresh, sf).count()
-      assert(n >= 0L, s"$q failed on a fresh session over warm artifacts")
+      assert(n === warm(q),
+        s"$q diverged on a fresh session over warm artifacts " +
+          s"(warm ${warm(q)}, fresh $n)")
     }
   }
 

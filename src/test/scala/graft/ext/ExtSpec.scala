@@ -855,6 +855,12 @@ class MultimodalSpec extends SparkSpec {
       "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
       le32b(2147483627L) ++ Array.fill[Byte](8)(0)
     assert(Multimodal.wavDuration(overflow).isEmpty)
+    // ...including sizes whose NEXT offset fits an Int but whose o+8 in
+    // the loop condition would wrap (the off-by-8 band near IntMax)
+    val nearMax = "RIFF".getBytes("US-ASCII") ++ le32b(0x7FFFFFF0L) ++
+      "WAVE".getBytes("US-ASCII") ++ "LIST".getBytes("US-ASCII") ++
+      le32b(2147483620L) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.wavDuration(nearMax).isEmpty)
   }
 
   test("mp4Info parses real ISO-BMFF geometry + duration, v0 and v1 mvhd") {
