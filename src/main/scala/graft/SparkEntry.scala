@@ -176,6 +176,8 @@ object SparkEntry {
     "kmeans_assign_seed" -> ((s, d) => Similarity.kmeansSeedAssign(s, d)),
     // SemDeDup: cell-scoped cosine near-dup, keeper = lowest id per pair
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // bitext/parallel-pair mining: best cross-label neighbor + margin
+    "bitext_mine"        -> ((s, d) => Similarity.crossLabelMine(s, d)),
     // per-cell quota in twinnable sha-bucket order (diversity sampling)
     "cluster_sample"     -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // ranked strip-list of the most-shared word n-grams
@@ -1347,6 +1349,48 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell_id, d.dup_of, d.dup_of IS NULL AS kept
         |FROM assigned a LEFT JOIN dups d USING (vec_id)
         |ORDER BY a.vec_id ASC""".stripMargin,
+    "bitext_mine" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), assigned AS (
+        |  SELECT b.vec_id, b.cell_id, e.vec, e.nrm, e.label
+        |  FROM best b JOIN emb e USING (vec_id) WHERE b.rk = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS q_id, a.label AS q_label,
+        |         b.vec_id AS c_id, b.label AS c_label,
+        |         list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) AS sim
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell_id = b.cell_id AND a.label <> b.label
+        |  WHERE list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) >= 0.3
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM pairs
+        |)
+        |SELECT r1.q_id AS vec_id, r1.q_label AS label,
+        |       r1.c_id AS match_id, r1.c_label AS match_label,
+        |       round(r1.sim, 6) AS similarity,
+        |       round(r1.sim - coalesce(r2.sim, 0.0), 6) AS margin
+        |FROM ranked r1
+        |LEFT JOIN ranked r2 ON r2.q_id = r1.q_id AND r2.rk = 2
+        |WHERE r1.rk = 1
+        |ORDER BY vec_id ASC""".stripMargin,
     "cluster_sample" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,

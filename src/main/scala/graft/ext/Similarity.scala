@@ -612,6 +612,61 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Cross-group nearest-neighbor MINING — the bitext/parallel-corpus
+    * shape (CCMatrix/LASER-style margin mining): for every vector, the
+    * most similar vector carrying a DIFFERENT label, plus the margin of
+    * that match over the runner-up cross-label candidate. High
+    * similarity + high margin = a confident alignment; in a multilingual
+    * corpus labels are languages and the output is mined translation
+    * pairs, in a dedup setting labels are sources and the output is
+    * cross-source duplicates.
+    *
+    * Pair production is cell-scoped exactly like [[semanticDedup]] —
+    * quantizer cells bound the candidate join, never all-pairs — and the
+    * per-query top-2 is a window over the threshold survivors. Margin is
+    * one exactly-rounded subtraction of two twin-matched cosines (a
+    * missing runner-up contributes 0 ⇒ margin = similarity).
+    *
+    * Scale shape: join-free assignment (centroid literals), one
+    * cell-keyed join, one (cell-bounded) per-query window; one row per
+    * vector with ≥1 cross-label neighbor above `threshold`.
+    */
+  def crossLabelMine(
+      spark: SparkSession, sfDir: String, k: Int = 16,
+      threshold: Double = 0.3): DataFrame = {
+    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
+      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), col("embedding"), col("__norm"))
+      .join(cells, Seq("vec_id"))
+    val q = emb.select(col("cell_id"), col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("embedding").as("q_vec"),
+      col("__norm").as("q_norm"))
+    val c = emb.select(col("cell_id"), col("vec_id").as("c_id"),
+      col("label").as("c_label"), col("embedding").as("c_vec"),
+      col("__norm").as("c_norm"))
+    q.join(c, Seq("cell_id"))
+      .filter(col("q_label") =!= col("c_label"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= threshold)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("__rk") <= 2)
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        max(when(col("__rk") === 1,
+          struct(col("sim"), col("c_id"), col("c_label")))).as("__b"),
+        max(when(col("__rk") === 2, col("sim"))).as("__s2"))
+      .select(
+        col("q_id").as("vec_id"), col("q_label").as("label"),
+        col("__b.c_id").as("match_id"), col("__b.c_label").as("match_label"),
+        round(col("__b.sim"), 6).as("similarity"),
+        round(col("__b.sim") - coalesce(col("__s2"), lit(0.0)), 6)
+          .as("margin"))
+      .orderBy(col("vec_id").asc)
+  }
+
   /** Cluster-balanced sample: an equal per-cell quota drawn in
     * deterministic pseudo-random order — the diversity-sampling step that
     * keeps a curated subset from collapsing onto the head clusters (the

@@ -228,6 +228,52 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.exists(!_._4) && got.exists(_._4))
   }
 
+  test("crossLabelMine matches a driver-side cell-scoped cross-label argmax") {
+    import spark.implicits._
+    val emb = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val vecs = emb.map { case (id, v, _) =>
+      val x = v.map(_.toDouble); id -> (x, math.sqrt(dot(x, x)))
+    }.toMap
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    val seeds = emb.take(16).map { case (id, _, _) =>
+      val (x, n) = vecs(id); x.map(_ / n)
+    }
+    val cellOf = emb.map { case (id, _, _) =>
+      val (x, n) = vecs(id)
+      id -> (0 until 16).map(c => (-dot(x, seeds(c)) / n, c)).min._2.toLong
+    }.toMap
+    val expected = emb.flatMap { case (id, _, lbl) =>
+      val (x, n) = vecs(id)
+      val cands = emb.map(_._1)
+        .filter(o => o != id && cellOf(o) == cellOf(id) && labelOf(o) != lbl)
+        .map { o => val (y, m) = vecs(o); (o, dot(x, y) / (n * m)) }
+        .filter(_._2 >= 0.3)
+        .sortBy { case (o, s) => (-s, o) }
+      cands.headOption.map { case (bestId, bestSim) =>
+        val margin = bestSim - cands.drop(1).headOption.map(_._2).getOrElse(0.0)
+        (id, lbl, bestId, labelOf(bestId),
+          math.rint(bestSim * 1e6) / 1e6, math.rint(margin * 1e6) / 1e6)
+      }
+    }.toSeq
+    val got = Similarity.crossLabelMine(spark, sf)
+      .as[(Long, Int, Long, Int, Double, Double)].collect().toSeq
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._3 === e._3 && g._4 === e._4)
+      assert(math.abs(g._5 - e._5) < 1e-9 && math.abs(g._6 - e._6) < 1e-9)
+    }
+    // margins are nonnegative and a real runner-up shrinks them
+    assert(got.forall(_._6 >= 0.0))
+    assert(got.exists(g => g._6 < g._5), "some query must have a runner-up")
+  }
+
   test("semanticDecontaminate matches a driver-side eval-vs-train probe") {
     import spark.implicits._
     val emb = graft.io.Tables.embeddings(spark, sf)
