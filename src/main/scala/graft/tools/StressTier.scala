@@ -513,6 +513,36 @@ object StressTier {
     println(f"STRESS e.near_dup_cap seconds=$tC%.1f fired=$capFired")
     check(capFired,
       s"expected the smallLocal cap to refuse ${reps}x candidate volume")
+
+    // bitext_mine under twins: seeding k·reps cells makes the replicated
+    // quantizer collapse to EXACTLY the base 16 directions (the first
+    // 16·reps vectors are the base seeds' twin families; identical
+    // directions tie to the lowest cell id), so candidate scope per twin
+    // equals the base run's. Pinned: row count scales by reps; every
+    // match is the rep-0 twin of the base match with the base similarity;
+    // and every margin COLLAPSES TO EXACTLY 0 — the runner-up is always
+    // another twin of the best match at an identical cosine.
+    val baseMine = Similarity.crossLabelMine(spark, baseDir)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val (mine, tM) = timed("e.bitext")(
+      Similarity.crossLabelMine(spark, dir, k = 16 * reps).collect())
+    println(f"STRESS e.bitext seconds=$tM%.1f rows=${mine.length}")
+    check(mine.length == baseMine.size * reps,
+      s"bitext rows ${mine.length} != ${baseMine.size}*$reps")
+    mine.foreach { r =>
+      val b = baseMine(r.getAs[Long]("vec_id") / reps)
+      val q = r.getAs[Long]("vec_id")
+      check(r.getAs[Int]("label") == b.getAs[Int]("label"),
+        s"probe $q: label drifted")
+      check(r.getAs[Long]("match_id") == b.getAs[Long]("match_id") * reps,
+        s"probe $q: match is not the rep-0 twin of the base match")
+      check(r.getAs[Int]("match_label") == b.getAs[Int]("match_label"),
+        s"probe $q: match label drifted")
+      check(r.getAs[Double]("similarity") == b.getAs[Double]("similarity"),
+        s"probe $q: similarity not replication-invariant")
+      check(r.getAs[Double]("margin") == 0.0,
+        s"probe $q: margin must collapse to 0 under exact twins")
+    }
     ()
   }
 
