@@ -89,6 +89,8 @@ object SparkEntry {
     "quality_score"      -> ((s, d) => TextStats.qualityScore(s, d)),
     // Shannon char/token entropy + TTR (compression-proxy quality family)
     "entropy_signals"    -> ((s, d) => TextStats.entropySignals(s, d)),
+    // DSIR importance weights: target-vs-corpus unigram log ratio per doc
+    "dsir_weights"       -> ((s, d) => TextStats.dsirWeights(s, d)),
     // hashed-feature linear classifier score (fastText-shape filtering)
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(s, d)),
     // classifier-score deciles vs C4 rule pass rate (calibration curve)
@@ -1760,6 +1762,43 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN ca USING (doc_id)
         |LEFT JOIN ta USING (doc_id)
+        |ORDER BY d.doc_id ASC""".stripMargin,
+    "dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> x <> '')) AS w
+        |  FROM documents
+        |), pdt AS (
+        |  SELECT doc_id, source, w, count(*) AS cnt FROM tk GROUP BY 1, 2, 3
+        |), voc AS (
+        |  SELECT w,
+        |         CAST(sum(CASE WHEN source = 'src0' THEN cnt ELSE 0 END)
+        |              AS BIGINT) AS c_t,
+        |         CAST(sum(CASE WHEN source <> 'src0' THEN cnt ELSE 0 END)
+        |              AS BIGINT) AS c_r
+        |  FROM pdt GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+        |         CAST(sum(c_r) AS BIGINT) AS n_r,
+        |         count(*) AS v
+        |  FROM voc
+        |), lr AS (
+        |  SELECT w,
+        |         ln((c_t + 1)::DOUBLE / (tot.n_t + tot.v)::DOUBLE)
+        |         - ln((c_r + 1)::DOUBLE / (tot.n_r + tot.v)::DOUBLE) AS lrv
+        |  FROM voc, tot
+        |), per AS (
+        |  SELECT p.doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |         sum(round(cnt::DOUBLE * lrv, 6)::DECIMAL(18,6)) AS s
+        |  FROM pdt p JOIN lr USING (w) GROUP BY p.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  CASE WHEN n_tokens IS NULL THEN 0.0
+        |       ELSE round(s::DOUBLE, 6) END AS log_weight,
+        |  d.source = 'src0' AS in_target
+        |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (

@@ -473,6 +473,67 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** DSIR-style IMPORTANCE WEIGHTS for domain-targeted resampling: per
+    * document, the log likelihood ratio of its tokens under an add-1
+    * unigram model of the TARGET domain (here: one source) vs the rest
+    * of the corpus — the data-selection score behind "sample web data
+    * that looks like the high-quality domain" (DSIR; also the hashed
+    * n-gram form of CCNet's domain filter). log_weight > 0 ⇒ the doc is
+    * more probable under the target model; resampling ∝ exp(weight)
+    * shifts the mix toward the domain.
+    *
+    * Cross-engine float discipline: the only float SUM runs over
+    * per-(doc, token) terms quantized to DECIMAL(18,6) ([[entropySignals]]'
+    * pattern); each term is cnt · (ln p_t − ln p_r) with both
+    * probabilities exact divisions of integer counts.
+    *
+    * Scale shape: one token explode → (doc, token) counts (map-side
+    * combinable); the vocabulary table of log-ratios is Heaps-sublinear
+    * in the corpus and joins back [broadcast when small, shuffle on the
+    * token key otherwise]; one more doc-keyed aggregation. The two
+    * 1-row total attaches are broadcast scalar joins.
+    */
+  def dsirWeights(
+      spark: SparkSession, sfDir: String,
+      targetSource: String = "src0"): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isT = col("source") === targetSource
+    val perDocTok = docs
+      .select(col("doc_id"), col("source"),
+        explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = perDocTok.groupBy(col("w"))
+      .agg(
+        sum(when(isT, col("cnt")).otherwise(0L)).as("c_t"),
+        sum(when(!isT, col("cnt")).otherwise(0L)).as("c_r"))
+    val tot = vocab.agg(
+      sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"),
+      count(lit(1)).as("v"))
+    val ratios = vocab.crossJoin(broadcast(tot))
+      .select(col("w"),
+        (log((col("c_t") + 1L).cast("double") /
+          (col("n_t") + col("v")).cast("double")) -
+          log((col("c_r") + 1L).cast("double") /
+            (col("n_r") + col("v")).cast("double"))).as("__lr"))
+    val per = perDocTok.join(ratios, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("__ntk"),
+        sum(round(col("cnt").cast("double") * col("__lr"), 6)
+          .cast("decimal(18,6)")).as("__s"))
+    docs.select(col("doc_id"), isT.as("in_target"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("__ntk"), lit(0L)).as("n_tokens"),
+        when(col("__ntk").isNull, lit(0.0))
+          .otherwise(round(col("__s").cast("double"), 6)).as("log_weight"),
+        col("in_target"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Language-ID accuracy summary (rows-only, derived from [[langId]]). */
   def langIdAccuracy(spark: SparkSession, sfDir: String): DataFrame =
     langId(spark, sfDir)

@@ -429,10 +429,11 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
-    // heavy_hitters (1-row total) and gapfill_interpolate (1-row span)
-    // attach scalars via broadcast — the accepted scalar-attach BNLJ, same
-    // as key_skew/pmi — so only cartesians are banned for them
-    for (q <- Seq("heavy_hitters", "gapfill_interpolate")) {
+    // heavy_hitters (1-row total), gapfill_interpolate (1-row span) and
+    // dsir_weights (1-row model totals) attach scalars via broadcast —
+    // the accepted scalar-attach BNLJ, same as key_skew/pmi — so only
+    // cartesians are banned for them
+    for (q <- Seq("heavy_hitters", "gapfill_interpolate", "dsir_weights")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

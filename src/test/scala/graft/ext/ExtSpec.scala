@@ -448,6 +448,47 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights matches a driver-side add-1 unigram log-ratio recompute") {
+    val rows = graft.io.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"),
+        r.getAs[String]("source")))
+    def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val cT = scala.collection.mutable.Map.empty[String, Long]
+    val cR = scala.collection.mutable.Map.empty[String, Long]
+    rows.foreach { case (_, t, s) =>
+      val m = if (s == "src0") cT else cR
+      toks(t).foreach(w => m(w) = m.getOrElse(w, 0L) + 1L)
+    }
+    val vocab = (cT.keySet ++ cR.keySet)
+    val (nT, nR, v) = (cT.values.sum, cR.values.sum, vocab.size.toLong)
+    val lr = vocab.map(w => w ->
+      (math.log((cT.getOrElse(w, 0L) + 1).toDouble / (nT + v)) -
+        math.log((cR.getOrElse(w, 0L) + 1).toDouble / (nR + v)))).toMap
+    val expected = rows.map { case (id, t, s) =>
+      val ws = toks(t)
+      val sum = ws.groupBy(identity).map { case (w, g) =>
+        BigDecimal(g.size.toDouble * lr(w))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, ws.size.toLong, sum.toDouble, s == "src0")
+    }.sortBy(_._1)
+    val got = TextStats.dsirWeights(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("log_weight"), r.getAs[Boolean]("in_target")))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 === e._1 && g._2 === e._2 && g._4 === e._4)
+      assert(math.abs(g._3 - e._3) < 1e-5, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // the score must discriminate: target docs score higher on average
+    // under their own unigram model than the rest of the corpus does
+    val tW = got.filter(_._4).map(_._3); val rW = got.filterNot(_._4).map(_._3)
+    assert(tW.nonEmpty && rW.nonEmpty)
+    assert(tW.sum / tW.size > rW.sum / rW.size,
+      "target-domain docs must average a higher importance weight")
+  }
+
   test("entropySignals matches a driver-side Shannon recompute") {
     val docs = graft.io.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
