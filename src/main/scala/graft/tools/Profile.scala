@@ -67,6 +67,23 @@ object Profile {
       .join(based.groupBy(col("doc_id"))
         .agg(array_sort(collect_set(col("sh"))).as("shset")), Seq("doc_id"))
       .count())
+    // where does lsh_recall_sampled spend its ~1.5 s? (r6 probe)
+    timed("recall-slice-docs") {
+      graft.io.Tables.documents(spark, sfDir)
+        .filter(graft.ext.Dedup.shaBucket(col("doc_id"), 8L) === 0L).count()
+    }
+    timed("recall-lossless-slice") {
+      val docs = graft.io.Tables.documents(spark, sfDir)
+        .filter(graft.ext.Dedup.shaBucket(col("doc_id"), 8L) === 0L)
+      graft.ext.Dedup.jaccardPrefixPairsOf(docs, 0.5, 256L).count()
+    }
+    timed("recall-lsh-slice") {
+      graft.ext.Dedup.minHashPairsShared(spark, sfDir)
+        .filter(graft.ext.Dedup.shaBucket(col("doc_a"), 8L) === 0L &&
+          graft.ext.Dedup.shaBucket(col("doc_b"), 8L) === 0L).count()
+    }
+    timed("recall-full")(
+      graft.ext.Dedup.lshRecallSampled(spark, sfDir).count())
     // where does copurchase_communities spend its ~2 s? (r6 probe)
     timed("comm-artifact-scan")(
       graft.ext.Graph.coPurchaseEdges(spark, sfDir).count())
