@@ -113,6 +113,8 @@ object SparkEntry {
     "dedup_incremental_near" -> ((s, d) =>
       Dedup.incrementalMinHash(s, d, twinnable = true)),
     "doc_chunks"         -> ((s, d) => Corpus.chunk(s, d)),
+    // content-defined (rolling-hash) chunking: insertion-stable boundaries
+    "cdc_chunks"         -> ((s, d) => Corpus.cdcChunks(s, d)),
     "chunk_packing"      -> ((s, d) => Corpus.packChunks(s, d)),
     "c4_filters"         -> ((s, d) => TextStats.c4Filters(s, d)),
     "corpus_split"       -> ((s, d) => Corpus.splitCheck(s, d)),
@@ -1763,6 +1765,37 @@ object SparkEntry {
         |LEFT JOIN ca USING (doc_id)
         |LEFT JOIN ta USING (doc_id)
         |ORDER BY d.doc_id ASC""".stripMargin,
+    "cdc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |           AS toks
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, toks[i] AS tok, i - 1 AS pos,
+        |         coalesce(toks[i-2], '') || ' ' || coalesce(toks[i-1], '')
+        |           || ' ' || toks[i] AS gram
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) > 0
+        |), c AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN pos = 0
+        |              OR ('0x' || substr(sha256(gram), 1, 8))::BIGINT % 16 = 0
+        |         THEN 1 ELSE 0 END AS cut
+        |  FROM p
+        |), k AS (
+        |  SELECT doc_id, pos, tok,
+        |    sum(cut) OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |                   ROWS UNBOUNDED PRECEDING) - 1 AS chunk_idx
+        |  FROM c
+        |)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |       CAST(min(pos) AS BIGINT) AS start_pos,
+        |       count(*) AS n_tokens,
+        |       substr(sha256(string_agg(tok, ' ' ORDER BY pos)), 1, 16)
+        |         AS chunk_sha
+        |FROM k GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
     "dsir_weights" ->
       """WITH tk AS (
         |  SELECT doc_id, source,

@@ -47,6 +47,62 @@ object Corpus {
         expr(s"size(slice(toks, start + 1, $size))").as("n_tokens"),
         expr(s"concat_ws(' ', slice(toks, start + 1, $size))").as("chunk_text"))
 
+  /** CONTENT-DEFINED chunking (CDC, the FastCDC/rolling-hash family):
+    * chunk boundaries are cut where the hash of the trailing 3-token
+    * window lands in a 1/`divisor` bucket, NOT at fixed offsets — so an
+    * insertion near the front of a document perturbs only the chunks up
+    * to the next content-defined boundary, and everything after
+    * re-aligns (the property that makes sub-document dedup and delta
+    * storage work; fixed-stride chunks shift wholesale). Expected chunk
+    * length = `divisor` tokens. Per chunk: position, token count, and a
+    * sha-256 content fingerprint — the unit a chunk-level dedup or
+    * anti-entropy store keys on ([[graft.ops.Profiling.shardChecksums]]'
+    * sub-document counterpart).
+    *
+    * Determinism/twin: the rolling window is an explicit 3-token concat
+    * hashed with the engine-portable sha bucket
+    * ([[Dedup.shaBucket]]'s recipe), boundary flags fold into chunk ids
+    * with a running sum over one doc-partitioned window, and the chunk
+    * fingerprint hashes the position-ordered token join — every step
+    * reproduces in the DuckDB oracle byte-for-byte.
+    *
+    * Scale shape: one token explode, THREE window passes sharing one
+    * doc_id exchange (lag gram build, running boundary sum — the
+    * subset-clustering rule keeps them on a single shuffle), one
+    * (doc, chunk) hash aggregation. No joins, no driver state.
+    */
+  def cdcChunks(
+      spark: SparkSession, sfDir: String, divisor: Int = 16): DataFrame =
+    cdcChunksOf(Tables.documents(spark, sfDir), divisor)
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+
+  /** [[cdcChunks]] over an arbitrary (doc_id, text) frame — also the
+    * spec's seam for the insertion-stability property.
+    */
+  private[ext] def cdcChunksOf(
+      docs: DataFrame, divisor: Int = 16): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    docs
+      .select(col("doc_id"), posexplode(expr(toksExpr)).as(Seq("pos", "tok")))
+      .withColumn("__gram", concat_ws(" ",
+        coalesce(lag(col("tok"), 2).over(byPos), lit("")),
+        coalesce(lag(col("tok"), 1).over(byPos), lit("")),
+        col("tok")))
+      .withColumn("__cut",
+        when(col("pos") === 0 ||
+          Dedup.shaBucket(col("__gram"), divisor.toLong) === 0L, 1L)
+          .otherwise(0L))
+      .withColumn("chunk_idx", sum(col("__cut")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        substring(sha2(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " "), 256), 1, 16).as("chunk_sha"))
+  }
+
   /** Sequence PACKING: chunks concatenate into fixed-budget training
     * sequences (`maxTokens`), the standard pretraining step that turns
     * ragged documents into dense batches. Deterministic and distributed:

@@ -424,7 +424,8 @@ class PlanQualitySpec extends SparkSpec {
       "column_profile", "events_grouping_sets", "dominant_lang",
       "ppl_buckets", "incremental_daily_counts", "shard_checksums",
       "semantic_decontaminate", "part_pagerank", "part_triangles",
-      "entropy_signals", "copurchase_communities", "bitext_mine")) {
+      "entropy_signals", "copurchase_communities", "bitext_mine",
+      "cdc_chunks")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")

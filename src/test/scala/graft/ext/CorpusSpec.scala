@@ -166,6 +166,38 @@ class CorpusSpec extends SparkSpec {
     assert(out("mid") > 0 && out("tail") > 0)
   }
 
+  test("cdcChunks: content-defined boundaries survive a front insertion") {
+    import spark.implicits._
+    // the longest fixture doc gives several expected cuts at divisor 16
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .select("text").as[String].first()
+    val nToks = text.split("\\s+").count(_.nonEmpty)
+    val base = Seq((1L, text)).toDF("doc_id", "text")
+    val shifted = Seq((1L, "zzzz " + text)).toDF("doc_id", "text")
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      Corpus.cdcChunksOf(df).collect()
+        .sortBy(_.getAs[Long]("chunk_idx"))
+        .map(r => (r.getAs[Long]("start_pos"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_sha")))
+    val a = chunks(base)
+    val b = chunks(shifted)
+    // chunking is a partition of the token stream
+    assert(a.map(_._2).sum === nToks.toLong)
+    assert(b.map(_._2).sum === nToks.toLong + 1L)
+    // the 3-token window means grams (hence cuts) coincide for base
+    // positions >= 2: every chunk starting there must survive the
+    // insertion byte-for-byte, just shifted one position right
+    val aTail = a.filter(_._1 >= 2L).map(t => (t._1 + 1L, t._2, t._3))
+    val bTail = b.filter(_._1 >= 3L)
+    assert(aTail.nonEmpty, "fixture doc too short to exercise stability")
+    assert(aTail.toSeq === bTail.toSeq,
+      "chunks after the first content-defined boundary must re-align")
+    // while a FIXED-stride chunking of the same insertion realigns nothing:
+    // every fixed chunk shifts, so the survival above is the CDC property
+    assert(a.length > 1 && b.length > 1)
+  }
+
   test("domainMixReport: α=1/2 temperature flattens shares toward uniform") {
     val rows = Corpus.domainMixReport(spark, sf).collect()
     val share = rows.map(r => r.getAs[String]("source") ->
