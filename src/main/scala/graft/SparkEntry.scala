@@ -1773,7 +1773,13 @@ object SparkEntry {
         |  FROM documents
         |), p AS (
         |  SELECT doc_id, toks[i] AS tok, i - 1 AS pos,
-        |         coalesce(toks[i-2], '') || ' ' || coalesce(toks[i-1], '')
+        |         -- explicit bounds, not coalesce(toks[i-2], ...): DuckDB's
+        |         -- NEGATIVE list index wraps (toks[-1] = last token), so at
+        |         -- i=1 the naive form would splice the document's tail into
+        |         -- the head gram — masked today by the forced pos-0 cut,
+        |         -- but the recipe must match Spark's empty-padded lag
+        |         (CASE WHEN i > 2 THEN toks[i-2] ELSE '' END) || ' ' ||
+        |         (CASE WHEN i > 1 THEN toks[i-1] ELSE '' END)
         |           || ' ' || toks[i] AS gram
         |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
         |  WHERE len(toks) > 0
