@@ -205,11 +205,17 @@ object Dedup {
     // the jaccard verify needs graft_isect even when signatures come from
     // the artifact (whose build — the usual registration site — is skipped)
     graft.functions.GraftFunctions.register(spark)
-    // canonical signatures come from the maintained per-sfDir index
-    // artifact; the non-twinnable (xxhash throughput) form derives inline
-    val perDoc = (if (twinnable) minHashSignaturesShared(spark, sfDir)
-      else minHashPerDoc(spark, sfDir, twinnable)).persist()
-    val best = try {
+    // Canonical signatures come from the maintained per-sfDir index
+    // artifact — a bucketed parquet scan each consumer re-reads, so the
+    // whole report keeps DISTRIBUTED lineage end-to-end: one row per
+    // delta doc scales with the ingest batch, which at 100 TB must never
+    // transit the driver (the old smallLocal pin capped it at 500k). The
+    // non-twinnable (xxhash throughput) form derives signatures inline
+    // and reliable-checkpoints them instead — distributed, lineage
+    // severed from the 64-slot aggregation its three consumers share.
+    val perDoc = if (twinnable) minHashSignaturesShared(spark, sfDir)
+      else minHashPerDoc(spark, sfDir, twinnable).checkpoint()
+    val best = {
       val isDelta = col("doc_id") % deltaMod === deltaRem
       val banded = bandRows(perDoc)
       val corpusB = banded.filter(!isDelta)
@@ -226,7 +232,7 @@ object Dedup {
           .withColumnRenamed("doc_id", "corpus_doc_id"), bandKey)
         .select("new_doc_id", "corpus_doc_id").distinct()
       val sets = perDoc.select(col("doc_id"), col("shset"))
-      graft.ops.Materialize.smallLocal(cands
+      cands
         .join(sets.select(col("doc_id").as("new_doc_id"), col("shset").as("set_a")),
           Seq("new_doc_id"))
         .join(sets.select(col("doc_id").as("corpus_doc_id"), col("shset").as("set_b")),
@@ -237,8 +243,8 @@ object Dedup {
           Window.partitionBy(col("new_doc_id"))
             .orderBy(col("jaccard").desc, col("corpus_doc_id").asc)))
         .filter(col("__rk") === 1)
-        .select(col("new_doc_id"), col("corpus_doc_id"), col("jaccard")))
-    } finally perDoc.unpersist()
+        .select(col("new_doc_id"), col("corpus_doc_id"), col("jaccard"))
+    }
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % deltaMod === deltaRem)
       .select(col("doc_id").as("new_doc_id"))
@@ -480,7 +486,14 @@ object Dedup {
     graft.ops.Layout.ensureDerived(spark, sfDir, "minhash_pairs",
       Seq("documents.parquet"), "doc_a") {
       // derive FROM the signature index artifact: the one-time pair build
-      // reads maintained signatures instead of re-hashing the corpus
+      // reads maintained signatures instead of re-hashing the corpus.
+      // Deliberately NO incremental refresh kernel here: pair deltas are
+      // not compositional under the band-bucket cap (an appended doc can
+      // push an old bucket past maxBucket, which a full derivation would
+      // DROP old candidates from), so an append re-derives pairs from the
+      // incrementally-refreshed signature index — the expensive per-doc
+      // hashing stays delta-cost, the band join re-runs over fixed-width
+      // signature rows.
       minHashPairsFromSigs(minHashSignaturesShared(spark, sfDir),
         threshold = 0.5, maxBucket = 64, materialize = true)
     }
@@ -497,7 +510,21 @@ object Dedup {
   private[graft] def minHashSignaturesShared(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "minhash_sig",
-      Seq("documents.parquet"), "doc_id") {
+      Seq("documents.parquet"), "doc_id",
+      // APPEND-ONLY REFRESH: one shard landing on the corpus hashes ONLY
+      // the new docs (the batch kernel the streaming ingest already runs,
+      // nearDupBatch-style) and unions onto the committed index — never
+      // re-shingling the old corpus, which is the whole point of
+      // maintaining a signature index at 100 TB. Docs are identified by
+      // doc_id; if an appended file ever repeats an indexed id the OLD
+      // signature wins (anti-join), matching the ingest keeper convention.
+      refresh = Some { ctx =>
+        val newSigs = minHashSignaturesOf(
+          spark.read.parquet(ctx.addedFiles: _*), twinnable = true)
+          .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(newSigs)
+      }) {
       minHashPerDoc(spark, sfDir, twinnable = true)
     }
 

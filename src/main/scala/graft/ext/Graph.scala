@@ -29,17 +29,44 @@ object Graph {
     * exchange-free.
     */
   private[graft] def coPurchaseEdges(
-      spark: SparkSession, sfDir: String): DataFrame =
-    graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
-      Seq("lineitem.parquet"), "src") {
-      val op = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      op.select(col("l_orderkey"), col("l_partkey").as("src"))
-        .join(op.select(col("l_orderkey"), col("l_partkey").as("dst")),
+      spark: SparkSession, sfDir: String): DataFrame = {
+    def pairsOf(src: DataFrame, dst: DataFrame): DataFrame =
+      src.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(dst.select(col("l_orderkey"), col("l_partkey").as("dst")),
           Seq("l_orderkey"))
         .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    def aggW(pairs: DataFrame): DataFrame =
+      pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
+      Seq("lineitem.parquet"), "src",
+      // APPEND-ONLY REFRESH — the base⊕delta merge: an appended lineitem
+      // shard contributes exactly the pairs with ≥1 end among its NEW
+      // (l_orderkey, l_partkey) rows — new×all ∪ old×new, both computed
+      // with the new side as one join input, so the quadratic old×old
+      // self-join (the build's cost) never re-runs; the old files are
+      // only re-SCANNED (linear) for orders the delta touches. Weights
+      // then merge by (src, dst) sum over the committed edge list —
+      // bit-identical to a full rebuild because pair instances partition
+      // disjointly by whether they touch a new row.
+      refresh = Some { ctx =>
+        val newRaw = spark.read.parquet(ctx.addedFiles: _*)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // rows already present before the append contribute nothing new
+        val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
+          "left_anti")
+        val delta = aggW(
+          pairsOf(newOnly, oldRaw.unionByName(newOnly))
+            .unionByName(pairsOf(oldRaw, newOnly)))
+        ctx.oldArtifact.unionByName(delta)
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      }) {
+      val op = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      aggW(pairsOf(op, op))
     }
+  }
 
   /** PageRank over the co-purchase part graph (parts are nodes; an edge
     * connects two parts that share an order — both orientations, so the

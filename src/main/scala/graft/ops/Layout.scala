@@ -17,6 +17,47 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Everything an incremental refresh kernel may consult: the committed
+    * artifact content as built from `priorFiles`, plus the source files
+    * that appeared since. The kernel returns the FULL new artifact
+    * content — typically `oldArtifact ∪ delta` — computed WITHOUT
+    * re-deriving the expensive per-old-row work (that is the contract:
+    * `addedFiles` is the only corpus data it should re-process;
+    * `priorFiles` is available for the rare kernels whose delta spans
+    * old×new, e.g. pair generation within a key).
+    */
+  final case class RefreshCtx(
+      oldArtifact: DataFrame,
+      addedFiles: Seq[String],
+      priorFiles: Seq[String])
+
+  /** Name of the census marker a committed artifact dir carries. Written
+    * LAST (into the tmp dir, before the atomic publish rename), so its
+    * presence + content is the commit point a later session trusts.
+    */
+  private val CensusFile = "_graft_census"
+
+  /** Build-cost instrumentation for the bench: wall-clock nanos spent
+    * inside artifact builds/refreshes this JVM, and how many ran. A
+    * bench run reads these to separate "query time" from "one-time
+    * materialization time" — a warm warehouse reports 0 builds, keeping
+    * the headline honest about what it measured.
+    */
+  val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val refreshCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  def resetBuildStats(): Unit = {
+    buildNanos.set(0L); buildCount.set(0); refreshCount.set(0)
+  }
+
+  /** Per-table monitors so two threads of one JVM ensuring the same
+    * artifact serialize instead of double-building; cross-PROCESS safety
+    * comes from the tmp-dir + atomic-rename commit (the loser of a rename
+    * race adopts the winner's committed copy).
+    */
+  private val ensureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Write `df` as a bucketed+sorted catalog table on `key`. Joins between
     * tables written with the same (key domain, buckets) are exchange-free.
     *
@@ -51,22 +92,45 @@ object Layout {
     * edge list, a bucketed fact copy) materializes it ONCE per sfDir and
     * every caller — and every later session over the same warehouse —
     * rejoins it exchange-free on the bucket key.
+    *
+    * `version` is the RECIPE version: bump it whenever the build logic or
+    * output schema of a family changes. It is folded into the census, so
+    * a surviving warehouse dir written by older code is invalidated and
+    * rebuilt instead of silently served (a warm warehouse must never pin
+    * a pipeline to last release's artifact format).
+    *
+    * `refresh` is the APPEND-ONLY fast path: when the source census
+    * changed ONLY by new files appearing (every previously-seen file has
+    * identical name/length/mtime), the kernel receives the committed old
+    * artifact plus the added file paths and produces the new content
+    * without re-deriving per-old-row work — one shard landing on a 100 TB
+    * corpus must cost delta work, not a full signature/edge rebuild. Any
+    * other delta (file rewritten, file removed, version bump, no
+    * committed predecessor) falls back to a full `build`. Either result
+    * commits the same way: bucketed write to a tmp dir, census marker,
+    * then one atomic rename — a crash leaves either the old committed
+    * artifact or the new one, never a half-written dir that a later
+    * session would trust; a concurrent loser adopts the winner's copy.
     */
   def ensureDerived(
       spark: SparkSession, sfDir: String, family: String,
-      sources: Seq[String], key: String, buckets: Int = 32)
+      sources: Seq[String], key: String, buckets: Int = 32,
+      version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None)
       (build: => DataFrame): DataFrame = {
-    val census = {
-      val fs = new org.apache.hadoop.fs.Path(sfDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    // census entry = "<len>|<mtime>|<absolute path>" per source data file
+    // (path LAST: it may itself contain the separator in a URI scheme)
+    val entries: Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(sfDir).getFileSystem(hadoopConf)
       sources.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(sfDir, t)
         if (fs.exists(p))
-          fs.listStatus(p).map(s =>
-            s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          fs.listStatus(p).filter(_.isFile).map(s =>
+            s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}")
         else Seq.empty
-      }.sorted.mkString("|")
+      }.sorted
     }
+    val censusStr = (s"v=$version" +: entries).mkString("\n")
     def hex(s: String): String = java.lang.Long.toHexString(
       java.util.UUID.nameUUIDFromBytes(s.getBytes("UTF-8"))
         .getMostSignificantBits & Long.MaxValue)
@@ -75,35 +139,171 @@ object Layout {
     // stress replicas, multiple fixtures) keeps one live artifact per
     // dir instead of destroying A's copy every time B is ensured
     val dirTag = hex(s"$sfDir#$buckets")
-    val table = s"graft_${family}_${dirTag}_${hex(census)}"
-    dropStaleDerived(spark, family, dirTag, table)
-    if (!spark.catalog.tableExists(table)) {
-      // the in-memory catalog dies with the session but the warehouse
-      // directory survives. A COMPLETE surviving dir (current tag +
-      // _SUCCESS commit marker) is the artifact itself — re-REGISTER it
-      // as an external bucketed table instead of rebuilding: bucket ids
-      // live in the file names, so bucketed (exchange-free) reads apply
-      // to the re-registered copy exactly as to the original. Anything
-      // else (no dir, or a partial dir from a killed writer — no
-      // _SUCCESS) is cleared and rebuilt; a stale-tag dir never reaches
-      // here (the census tag changes and dropStaleDerived swept it).
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val committed = fs.exists(wh) &&
-        fs.exists(new org.apache.hadoop.fs.Path(wh, "_SUCCESS"))
-      if (committed) {
-        val schema = spark.read.parquet(wh.toString).schema.toDDL
-        spark.sql(
-          s"CREATE TABLE `$table` ($schema) USING PARQUET " +
-            s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
-            s"LOCATION '$wh'")
-      } else {
-        if (fs.exists(wh)) fs.delete(wh, true)
-        writeBucketed(build, table, key, buckets)
+    val table = s"graft_${family}_${dirTag}_${hex(censusStr)}"
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val wh = new org.apache.hadoop.fs.Path(whRoot, table.toLowerCase)
+    val fs = wh.getFileSystem(hadoopConf)
+    ensureLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        // the in-memory catalog dies with the session but the warehouse
+        // directory survives. A COMPLETE surviving dir (current tag,
+        // _SUCCESS marker, at least one data file, census marker matching
+        // — an empty or partially-written dir is NOT reusable) is the
+        // artifact itself — re-REGISTER it as an external bucketed table
+        // instead of rebuilding: bucket ids live in the file names, so
+        // bucketed (exchange-free) reads apply to the re-registered copy
+        // exactly as to the original.
+        if (isCommitted(fs, wh, censusStr)) {
+          registerExternal(spark, table, wh,
+            spark.read.parquet(wh.toString).schema.toDDL, key, buckets)
+        } else {
+          if (fs.exists(wh)) fs.delete(wh, true)
+          // append-only source delta + a committed predecessor + a
+          // refresh kernel → incremental refresh; anything else → build
+          val predecessor = refresh.flatMap(_ =>
+            findRefreshPredecessor(fs, whRoot, family, dirTag, wh.getName,
+              version, entries))
+          val t0 = System.nanoTime()
+          val content: DataFrame = predecessor match {
+            case Some((oldDir, priorEntries)) =>
+              refreshCount.incrementAndGet()
+              val pathOf = (e: String) => e.split("\\|", 3)(2)
+              val prior = priorEntries.map(pathOf)
+              val added = entries.filterNot(priorEntries.toSet).map(pathOf)
+              refresh.get(RefreshCtx(
+                spark.read.parquet(oldDir.toString), added, prior))
+            case None =>
+              buildCount.incrementAndGet()
+              build
+          }
+          commitBuild(spark, fs, table, wh, key, buckets, censusStr, content)
+          buildNanos.addAndGet(System.nanoTime() - t0)
+          registerExternal(spark, table, wh, content.schema.toDDL, key, buckets)
+        }
       }
+      // GC LAST: a stale sibling may have just served as the refresh
+      // predecessor — it must survive until the new copy is committed
+      dropStaleDerived(spark, family, dirTag, table)
+      spark.table(table)
     }
-    spark.table(table)
+  }
+
+  /** A dir is a trustworthy artifact copy iff the job committed
+    * (_SUCCESS), at least one parquet data file exists (schema inference
+    * on a dir holding only markers throws forever — an empty build result
+    * is rebuilt per session instead), and the census marker matches
+    * `censusStr` exactly (same sources, same recipe version).
+    */
+  private def isCommitted(
+      fs: org.apache.hadoop.fs.FileSystem, wh: org.apache.hadoop.fs.Path,
+      censusStr: String): Boolean =
+    fs.exists(wh) &&
+      fs.exists(new org.apache.hadoop.fs.Path(wh, "_SUCCESS")) &&
+      fs.listStatus(wh).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")) &&
+      readText(fs, new org.apache.hadoop.fs.Path(wh, CensusFile))
+        .contains(censusStr)
+
+  /** Find a committed SIBLING artifact of the same family+dirTag whose
+    * census is an append-only strict subset of the current one: same
+    * recipe version, every prior file entry still present bit-identical
+    * (name, length, mtime), at least one new file. Returns the sibling's
+    * dir and its census entries. Picks the most-covered candidate if a
+    * crash ever left several.
+    */
+  private def findRefreshPredecessor(
+      fs: org.apache.hadoop.fs.FileSystem,
+      whRoot: org.apache.hadoop.fs.Path,
+      family: String, dirTag: String, selfName: String,
+      version: Int, entries: Seq[String])
+      : Option[(org.apache.hadoop.fs.Path, Seq[String])] = {
+    val prefix = s"graft_${family}_${dirTag}_".toLowerCase
+    if (!fs.exists(whRoot)) return None
+    val current = entries.toSet
+    fs.listStatus(whRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix) &&
+        s.getPath.getName != selfName)
+      .flatMap { s =>
+        val dir = s.getPath
+        readText(fs, new org.apache.hadoop.fs.Path(dir, CensusFile))
+          .map(_.split("\n").toSeq).collect {
+            case lines if lines.headOption.contains(s"v=$version") &&
+              fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) &&
+              fs.listStatus(dir).exists(f =>
+                f.isFile && f.getPath.getName.endsWith(".parquet")) &&
+              lines.tail.forall(current.contains) &&
+              lines.tail.size < entries.size =>
+              (dir, lines.tail)
+          }
+      }
+      .sortBy(-_._2.size)
+      .headOption
+  }
+
+  /** Commit `content` as the artifact at `wh`: bucketed external write to
+    * a uniquely-named tmp dir beside it, census marker into the tmp copy,
+    * then ONE atomic rename onto the final name. A rename loser re-checks
+    * the destination — if a concurrent writer committed the identical
+    * census, its copy is adopted and the tmp dropped.
+    */
+  private def commitBuild(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      table: String, wh: org.apache.hadoop.fs.Path,
+      key: String, buckets: Int, censusStr: String,
+      content: DataFrame): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val tmpTable = s"${table}__b$suffix"
+    val tmpDir = new org.apache.hadoop.fs.Path(wh.getParent, tmpTable.toLowerCase)
+    content.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet")
+      .option("path", tmpDir.toString)
+      .saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files survive
+    writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, CensusFile), censusStr)
+    def adoptWinner(): Boolean =
+      if (isCommitted(fs, wh, censusStr)) { fs.delete(tmpDir, true); true }
+      else false
+    if (!fs.exists(wh) && fs.rename(tmpDir, wh)) ()
+    else if (!adoptWinner()) {
+      if (fs.exists(wh)) fs.delete(wh, true) // partial loser leftover
+      if (!fs.rename(tmpDir, wh) && !adoptWinner())
+        throw new IllegalStateException(
+          s"ensureDerived($table): could not publish $tmpDir to $wh")
+    }
+  }
+
+  private def registerExternal(
+      spark: SparkSession, table: String, wh: org.apache.hadoop.fs.Path,
+      schemaDDL: String, key: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"CREATE TABLE `$table` ($schemaDDL) USING PARQUET " +
+          s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+          s"LOCATION '$wh'")
+
+  private def readText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val baos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { baos.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(baos.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+
+  private def writeText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The bucketed-layout join as a registered query: orders and lineitem
@@ -116,14 +316,22 @@ object Layout {
     * order-independent (count/max) so the result is oracle-exact.
     */
   def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
-    val srcFiles = Seq("orders.parquet", "lineitem.parquet")
-    val ordersBkt = ensureDerived(spark, sfDir, "orders_bkt", srcFiles,
-      "o_orderkey", buckets) {
+    // projection artifacts refresh trivially on an append-only source
+    // delta: project ONLY the added files and union onto the committed
+    // copy — an appended shard never rewrites the old rows' derivation
+    def projectAppend(cols: Seq[String]): RefreshCtx => DataFrame = ctx =>
+      ctx.oldArtifact.unionByName(
+        spark.read.parquet(ctx.addedFiles: _*)
+          .select(cols.map(col): _*))
+    val ordersBkt = ensureDerived(spark, sfDir, "orders_bkt",
+      Seq("orders.parquet"), "o_orderkey", buckets,
+      refresh = Some(projectAppend(Seq("o_orderkey", "o_orderstatus")))) {
       graft.io.Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderstatus")
     }
-    val itemsBkt = ensureDerived(spark, sfDir, "lineitem_bkt", srcFiles,
-      "l_orderkey", buckets) {
+    val itemsBkt = ensureDerived(spark, sfDir, "lineitem_bkt",
+      Seq("lineitem.parquet"), "l_orderkey", buckets,
+      refresh = Some(projectAppend(Seq("l_orderkey", "l_extendedprice")))) {
       graft.io.Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_extendedprice")
     }

@@ -1,0 +1,229 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The round-7 artifact-layer contracts:
+  *   - append-only source deltas REFRESH a derived artifact (delta work
+  *     only) instead of rebuilding it, and the refreshed copy is
+  *     bit-identical to a from-scratch rebuild over the same data;
+  *   - any non-append delta (rewritten file, recipe `version` bump) falls
+  *     back to a full rebuild — a warm warehouse can never pin a pipeline
+  *     to a stale recipe's artifact;
+  *   - an artifact whose build legitimately produced ZERO rows never
+  *     wedges a later session (no schema-inference throw — it rebuilds);
+  *   - two threads ensuring the same artifact both read a complete copy
+  *     (per-table lock in-JVM; tmp-dir + atomic-rename commit across
+  *     processes).
+  */
+class LayoutRefreshSpec extends SparkSpec {
+
+  private def fs =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  /** Append one parquet data file holding `df` into an existing parquet
+    * directory — the on-disk shape of one new shard landing on a corpus.
+    * Returns the appended file's name.
+    */
+  private def appendFile(targetDir: String, df: DataFrame): String = {
+    val tmp = Files.createTempDirectory("graft_append").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = new Path(targetDir, s"appended-${part.getName}")
+    assert(fs.rename(part, dest))
+    fs.delete(new Path(tmp), true)
+    dest.getName
+  }
+
+  private def copyDir(src: String, dst: String): Unit =
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new Path(src), fs, new Path(dst), false,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The fixtures ship each table as ONE parquet file; a shard-append
+    * corpus is a DIRECTORY of files. Seed `dst` as a dir holding the
+    * fixture file as its first shard.
+    */
+  private def seedAsDir(srcFile: String, dst: String): Unit = {
+    fs.mkdirs(new Path(dst))
+    copyDir(srcFile, s"$dst/part-00000.parquet")
+  }
+
+  test("ensureDerived refreshes on an append-only delta; rebuilds on a rewrite") {
+    val root = Files.createTempDirectory("graft_incr").toString
+    spark.range(100).withColumn("v", col("id") * 2)
+      .write.parquet(s"$root/t.parquet")
+    var builds = 0
+    var refreshes = 0
+    var seenAdded: Seq[String] = Nil
+    def ensure(): DataFrame = Layout.ensureDerived(
+      spark, root, "test_incr", Seq("t.parquet"), "id", buckets = 4,
+      refresh = Some { ctx =>
+        refreshes += 1
+        seenAdded = ctx.addedFiles
+        ctx.oldArtifact.unionByName(
+          spark.read.parquet(ctx.addedFiles: _*).select(col("id"), col("v")))
+      }) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+    }
+    assert(ensure().count() === 100)
+    assert(builds === 1 && refreshes === 0)
+    // append-only delta → refresh sees EXACTLY the added file, result is
+    // old ∪ delta, and the build closure never re-runs
+    val name = appendFile(s"$root/t.parquet",
+      spark.range(100, 130).withColumn("v", col("id") * 2))
+    val refreshed = ensure()
+    assert(builds === 1 && refreshes === 1)
+    assert(seenAdded.size === 1 && seenAdded.head.endsWith(name), seenAdded)
+    assert(refreshed.count() === 130)
+    assert(refreshed.agg(sum(col("v"))).head.getLong(0) ===
+      (0L until 130L).map(_ * 2).sum)
+    // rewriting an EXISTING file is not append-only → full rebuild
+    val existing = fs.listStatus(new Path(s"$root/t.parquet"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.setTimes(existing, System.currentTimeMillis() + 60000, -1)
+    assert(ensure().count() === 130)
+    assert(builds === 2 && refreshes === 1,
+      s"a touched source file must force a rebuild (builds=$builds refreshes=$refreshes)")
+  }
+
+  test("a recipe version bump invalidates a committed artifact (no silent reuse)") {
+    val root = Files.createTempDirectory("graft_vers").toString
+    spark.range(50).withColumn("v", col("id") + 1).write.parquet(s"$root/t.parquet")
+    var builds = 0
+    def ensure(ver: Int): DataFrame = Layout.ensureDerived(
+      spark, root, "test_vers", Seq("t.parquet"), "id", buckets = 4,
+      version = ver,
+      // refresh kernel present but must NOT fire across versions: the
+      // surviving v1 dir is a recipe mismatch, not an append delta
+      refresh = Some(ctx => fail("refresh must not bridge a version bump"))) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+    }
+    assert(ensure(1).count() === 50)
+    assert(builds === 1)
+    assert(ensure(2).count() === 50)
+    assert(builds === 2, "v2 must rebuild, not serve the v1 dir")
+  }
+
+  test("an empty-result artifact never wedges a later session") {
+    val root = Files.createTempDirectory("graft_empty").toString
+    spark.range(10).withColumn("v", col("id")).write.parquet(s"$root/t.parquet")
+    var builds = 0
+    def ensure(): DataFrame = Layout.ensureDerived(
+      spark, root, "test_empty", Seq("t.parquet"), "id", buckets = 4) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").filter(lit(false))
+    }
+    assert(ensure().count() === 0)
+    assert(builds === 1)
+    // simulate the next session: the catalog entry is gone, the committed
+    // dir (with _SUCCESS but zero data files) survives in the warehouse.
+    // Pre-fix this threw 'unable to infer schema' forever; it must rebuild.
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_test_empty_")).get
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    assert(ensure().count() === 0)
+    assert(builds === 2, "a data-file-less dir must rebuild, not re-register")
+  }
+
+  test("two threads ensuring the same artifact both read a complete copy") {
+    val root = Files.createTempDirectory("graft_conc").toString
+    spark.range(1000).withColumn("v", col("id") * 3).write.parquet(s"$root/t.parquet")
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try {
+          val df = Layout.ensureDerived(
+            spark, root, "test_conc", Seq("t.parquet"), "id", buckets = 4) {
+            builds.incrementAndGet()
+            spark.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+          }
+          counts.add(df.count())
+        } catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs)
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.toSeq === Seq(1000L, 1000L))
+    assert(builds.get === 1, "the per-table lock must serialize to one build")
+  }
+
+  test("minhash_sig refreshes incrementally and matches a full rebuild") {
+    val base = Files.createTempDirectory("graft_sig_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_sig_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // 20 genuinely new docs with the corpus schema (shifted ids, new text)
+    val extra = docs.orderBy(col("doc_id").asc).limit(20)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+      .withColumn("text", concat(col("text"), lit(" appended shard marker")))
+    // build the index over the base corpus, then land one shard
+    graft.ext.Dedup.minHashSignaturesShared(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", extra)
+    val refreshed = graft.ext.Dedup.minHashSignaturesShared(spark, base)
+      .select((Seq(col("doc_id"), col("shset")) ++
+        (0 until 64).map(j => col(s"__m$j"))): _*)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "the appended shard must take the refresh path")
+    assert(Layout.buildCount.get === b0,
+      "old-doc signatures must NOT be recomputed on an append")
+    // the refreshed index is row-identical to a from-scratch rebuild over
+    // the same (base + shard) corpus
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Dedup.minHashSignaturesShared(spark, pristine)
+      .select((Seq(col("doc_id"), col("shset")) ++
+        (0 until 64).map(j => col(s"__m$j"))): _*)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed signature index diverged from the full rebuild")
+    assert(refreshed.count() === rebuilt.count())
+  }
+
+  test("copurch_edges refreshes via base⊕delta merge and matches a full rebuild") {
+    val base = Files.createTempDirectory("graft_edge_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_edge_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    // the shard: new items landing on EXISTING orders (the hard case —
+    // delta pairs must span old×new within an order) plus some repeats
+    // that must contribute nothing
+    val extra = li.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(200)
+      .withColumn("l_partkey", (col("l_partkey") + lit(7L)))
+      .unionByName(li.orderBy(col("l_orderkey").asc,
+        col("l_linenumber").asc).limit(50))
+    graft.ext.Graph.coPurchaseEdges(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/lineitem.parquet", extra)
+    val refreshed = graft.ext.Graph.coPurchaseEdges(spark, base)
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    assert(Layout.refreshCount.get === r0 + 1)
+    assert(Layout.buildCount.get === b0,
+      "the old×old self-join must NOT re-run on an append")
+    copyDir(s"$base/lineitem.parquet", s"$pristine/lineitem.parquet")
+    val rebuilt = graft.ext.Graph.coPurchaseEdges(spark, pristine)
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed edge artifact diverged from the full rebuild")
+    assert(refreshed.count() === rebuilt.count())
+  }
+}

@@ -204,9 +204,10 @@ class LayoutSpec extends SparkSpec {
     val dir = fs.listStatus(wh).map(_.getPath)
       .find(_.getName.startsWith("graft_test_partial_")).get
     val tag = dir.getName.stripPrefix("graft_test_partial_")
-    // simulate a writer killed mid-job: drop the table (managed → files
-    // go too), leave a partial dir with data but NO _SUCCESS marker
+    // simulate a writer killed mid-job: drop the (external) table AND its
+    // committed files, leave a partial dir with data but NO _SUCCESS
     spark.sql(s"DROP TABLE IF EXISTS graft_test_partial_$tag")
+    fs.delete(dir, true)
     fs.mkdirs(dir)
     val junk = new Path(dir, "part-00000-junk.snappy.parquet")
     fs.create(junk).close()
