@@ -1723,7 +1723,10 @@ object SparkEntry {
         |ORDER BY doc_id ASC""".stripMargin,
     "entropy_signals" ->
       """WITH ch AS (
-        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |  SELECT doc_id,
+        |         unnest(string_split(
+        |           regexp_replace(text, '[^\x00-\x7F]', '', 'g'), '')) AS ch
+        |  FROM documents
         |), cc AS (
         |  SELECT doc_id, ch, count(*) AS cnt FROM ch
         |  WHERE ch <> '' GROUP BY 1, 2

@@ -442,8 +442,17 @@ object TextStats {
           sum(round(col("__cnt").cast("double") *
             log(col("__cnt").cast("double")), 6).cast("decimal(18,6)"))
             .as(tsum))
+    // Char stream pinned to ASCII on BOTH engines: Spark's split("") steps
+    // UTF-16 code units while DuckDB's string_split('') yields Unicode
+    // graphemes, so supplementary-plane or combining text would diverge.
+    // Stripping non-ASCII first (identical regex semantics in Java and
+    // RE2: surrogate halves are each non-ASCII, so removal is
+    // codepoint-equivalent) makes the per-char split identical by
+    // construction — char-entropy is DEFINED over the ASCII stream, the
+    // same documented contract as the \s+ tokenizer conventions.
     val chars = level2(
-      docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      docs.select(col("doc_id"), explode(split(
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), "")).as("ch"))
         .filter(col("ch") =!= ""),
       "ch", "n_distinct_chars", "__nch", "__csum")
     val tokens = level2(
