@@ -351,6 +351,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental_near keeps distributed lineage (no driver pin)") {
+    // the report is one row per DELTA doc — it grows with the ingest
+    // batch, so the registered plan must stay a distributed scan of the
+    // signature-index artifact end-to-end: no LocalTableScan anywhere
+    // (the r6 form drained it through Materialize.smallLocal and would
+    // refuse a 100 TB ingest batch at the 500k cap)
+    val p = plan("dedup_incremental_near")
+    assert(!p.contains("LocalTableScan"),
+      s"dedup_incremental_near must not driver-materialize:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dimension joins broadcast; hot paths stay in whole-stage codegen") {
     val p = plan("trades")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
