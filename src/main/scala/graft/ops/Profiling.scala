@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -94,13 +94,18 @@ object Profiling {
     * child row count, orphan child rows (fk value with no parent),
     * parent key count, parents never referenced. All integers.
     *
-    * Scale shape: per edge one left-anti join child→parent (orphans;
-    * Catalyst broadcasts the parent side when dim-sized — the TPC-H
-    * dims here — and shuffles for the fact⋈fact orders edge) and one
-    * left-anti parent→DISTINCT child keys (unreferenced; the distinct
-    * collapses the fact side to its key domain before it moves). The
-    * report is |edges| rows; each edge is independent so the plan is
-    * an embarrassingly parallel union.
+    * Scale shape (the round-7 fused form): each CHILD table is scanned
+    * exactly ONCE even when it declares several FKs — every row explodes
+    * into one (edge, key) pair per declared FK and a map-side-combined
+    * aggregation collapses each edge to its key domain with per-key row
+    * counts (lineitem's three edges previously cost six full scans of
+    * the biggest table: one orphan anti-join + one distinct anti-join
+    * each). One shuffled FULL-OUTER join of that domain against the
+    * tagged parent-key union then yields orphans (parent side null) and
+    * unreferenced parents (child side null) in the same pass, and a
+    * final per-edge aggregation emits the |edges|-row report. Parent
+    * keys are primary keys (unique), so counting matched parent rows
+    * equals counting parent rows.
     */
   def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Seq(
@@ -110,23 +115,45 @@ object Profiling {
       ("orders", "o_custkey", "customer", "c_custkey"),
       ("customer", "c_nationkey", "nation", "n_nationkey"),
       ("nation", "n_regionkey", "region", "r_regionkey"))
-    edges.map { case (ct, fk, pt, pk) =>
-      val child = Tables.table(spark, sfDir, ct).select(col(fk))
-      val parent = Tables.table(spark, sfDir, pt).select(col(pk))
-      val orphans = child.join(parent, child(fk) === parent(pk), "left_anti")
-      val unref = parent.join(
-        child.select(col(fk)).distinct(),
-        parent(pk) === col(fk), "left_anti")
-      child.agg(count(lit(1)).as("n_child_rows"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_child_rows")))
-        .crossJoin(parent.agg(count(lit(1)).as("n_parent_keys")))
-        .crossJoin(unref.agg(count(lit(1)).as("n_unreferenced_parents")))
-        .select(
-          lit(ct).as("child_table"), lit(fk).as("fk_column"),
-          lit(pt).as("parent_table"),
-          col("n_child_rows"), col("n_orphan_child_rows"),
-          col("n_parent_keys"), col("n_unreferenced_parents"))
+    // integer edge ids through the hot path (an 18M-row shuffle key must
+    // not carry a 25-byte string tag); names re-attach on the 6-row report
+    val eid = edges.zipWithIndex.toMap
+    val childAgg = edges.groupBy(_._1).toSeq.map { case (ct, es) =>
+      val pairs = es.map { e =>
+        struct(lit(eid(e)).as("edge"), col(e._2).cast("long").as("k"))
+      }
+      Tables.table(spark, sfDir, ct)
+        .select(explode(array(pairs: _*)).as("e"))
+        .select(col("e.edge").as("edge"), col("e.k").as("k"))
+        .groupBy(col("edge"), col("k"))
+        .agg(count(lit(1)).as("cnt"))
     }.reduce(_ unionByName _)
+    val parentKeys = edges.map { e =>
+      Tables.table(spark, sfDir, e._3)
+        .select(lit(eid(e)).as("edge"), col(e._4).cast("long").as("pk"))
+    }.reduce(_ unionByName _)
+    def nameOf(part: ((String, String, String, String)) => String): Column =
+      element_at(array(edges.map(e => lit(part(e))): _*), col("edge") + 1)
+    childAgg
+      .join(parentKeys,
+        childAgg("edge") === parentKeys("edge") &&
+          childAgg("k") === parentKeys("pk"), "full_outer")
+      .select(
+        coalesce(childAgg("edge"), parentKeys("edge")).as("edge"),
+        col("cnt"), col("pk"))
+      .groupBy(col("edge"))
+      .agg(
+        coalesce(sum(col("cnt")), lit(0L)).as("n_child_rows"),
+        coalesce(sum(when(col("pk").isNull, col("cnt"))), lit(0L))
+          .as("n_orphan_child_rows"),
+        count(col("pk")).as("n_parent_keys"),
+        count(when(col("cnt").isNull && col("pk").isNotNull, lit(1)))
+          .as("n_unreferenced_parents"))
+      .select(
+        nameOf(_._1).as("child_table"), nameOf(_._2).as("fk_column"),
+        nameOf(_._3).as("parent_table"),
+        col("n_child_rows"), col("n_orphan_child_rows"),
+        col("n_parent_keys"), col("n_unreferenced_parents"))
       .orderBy(col("child_table").asc, col("fk_column").asc)
   }
 }
