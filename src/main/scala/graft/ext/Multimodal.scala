@@ -372,15 +372,98 @@ object Multimodal {
     sampleFrames(decode(mediaTable(spark, sfDir)))
       .orderBy(col("media_id").asc, col("frame_ms").asc)
 
-  /** Pseudo feature-extraction: 16-dim hashed byte-chunk embedding from the
-    * payload — deterministic, ANN-able with [[Similarity]]'s operators. A
-    * real pipeline swaps the hash for a model forward pass at the same
-    * partition-local spot.
+  /** Feature extraction, partition-local (the same kernel slot as
+    * [[decode]]): payloads that parse as UNCOMPRESSED 24/32-bit BMP get
+    * REAL pixel features — per-channel means + a luminance histogram,
+    * computed straight from the public pixel-array layout
+    * ([[bmpFeatures]]: bottom-up rows, BGR byte order, 4-byte row
+    * padding) — no codec library needed. Everything else (compressed
+    * codecs, headerless stand-ins) keeps the deterministic hashed
+    * byte-chunk embedding, the clearly-marked stub a real pipeline swaps
+    * for a model forward pass / native decode at this same spot.
+    *
+    * Both paths emit `dim` doubles in [0,1] (stub strictly < 1),
+    * ANN-able with [[Similarity]]'s operators.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
-    media.select(
-      col("media_id"),
-      expr(s"""transform(sequence(0, ${dim - 1}),
-              |  j -> cast(pmod(xxhash64(content, j), 1000) as double)
-              |       / 1000.0D)""".stripMargin).as("features"))
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(DoubleType, containsNull = false)))))
+    media.select("media_id", "media_type", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val fs = (if (r.getString(1) == "image") bmpFeatures(bytes, dim)
+          else None).getOrElse(hashedFeatures(bytes, dim))
+        Row(r.getLong(0), fs.toSeq)
+      }
+    }(enc)
+  }
+
+  /** The stub embedding: per-slot xxhash64 of the payload with slot index
+    * as seed, folded onto [0, 1) — deterministic, content-sensitive,
+    * cheap. Matches the pre-round-7 SQL-expr stub in spirit (not bits).
+    */
+  private def hashedFeatures(bytes: Array[Byte], dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, j.toLong)
+      (((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0
+    }
+
+  /** Real pixel features for an uncompressed BITMAPINFOHEADER BMP — the
+    * one raster format whose pixel array is pure public math (no entropy
+    * coding): rows stored bottom-up (top-down when height is negative —
+    * irrelevant to these order-invariant features, but the row walk is
+    * still bounds-checked), pixels BGR (BGRA at 32 bpp), each row padded
+    * to a 4-byte boundary.
+    *
+    * Features: [meanR, meanG, meanB, meanLuma] / 256 followed by a
+    * (dim-4)-bin luminance histogram (fractions of pixels;
+    * luma = (299·R + 587·G + 114·B) / 1000, integer division). Returns
+    * None — stub path — for anything that is not a structurally valid
+    * uncompressed 24/32-bit BMP whose full pixel array is present.
+    */
+  private[ext] def bmpFeatures(
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
+    if (dim < 5) return None
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    if (le32(bytes, 14) != 40) return None // BITMAPINFOHEADER only
+    val bpp = le16(bytes, 28)
+    if (bpp != 24 && bpp != 32) return None
+    if (le32(bytes, 30) != 0) return None // BI_RGB (uncompressed)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val height = math.abs(rawHeight)
+    if (width <= 0 || height == 0) return None
+    val offset = le32(bytes, 10)
+    val bytesPerPixel = bpp / 8
+    val rowSize = ((bpp.toLong * width + 31) / 32 * 4).toInt
+    if (offset < 54 ||
+      offset.toLong + rowSize.toLong * height > bytes.length) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
+    val bins = dim - 4
+    val hist = new Array[Long](bins)
+    var y = 0
+    while (y < height) {
+      val rowStart = offset + y * rowSize
+      var x = 0
+      while (x < width) {
+        val p = rowStart + x * bytesPerPixel
+        val b = bytes(p) & 0xFF
+        val g = bytes(p + 1) & 0xFF
+        val r = bytes(p + 2) & 0xFF
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        sumR += r; sumG += g; sumB += b; sumLuma += luma
+        hist(luma * bins / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some(
+      Array(sumR, sumG, sumB, sumLuma).map(_.toDouble / n / 256.0) ++
+        hist.map(_.toDouble / n))
+  }
 }

@@ -504,10 +504,13 @@ class TextStatsSpec extends SparkSpec {
     assert(got.length === docs.size)
     got.foreach { r =>
       val text = docs(r.getAs[Long]("doc_id"))
-      val chCounts = text.toSeq.groupBy(identity).values.map(_.size.toLong).toSeq
+      // char entropy is DEFINED over the ASCII stream (cross-engine split
+      // parity — see entropySignals' contract)
+      val ascii = text.filter(_ < 0x80)
+      val chCounts = ascii.toSeq.groupBy(identity).values.map(_.size.toLong).toSeq
       val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
       val tkCounts = toks.groupBy(identity).values.map(_.size.toLong).toSeq
-      assert(r.getAs[Long]("n_chars_total") === text.length.toLong)
+      assert(r.getAs[Long]("n_chars_total") === ascii.length.toLong)
       assert(r.getAs[Long]("n_distinct_chars") === chCounts.size.toLong)
       assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
       assert(r.getAs[Long]("n_distinct_tokens") === tkCounts.size.toLong)
@@ -522,6 +525,24 @@ class TextStatsSpec extends SparkSpec {
       val ttr = r.getAs[Double]("type_token_ratio")
       assert(ttr > 0.0 && ttr <= 1.0)
     }
+  }
+
+  test("entropySignals char stream is ASCII-pinned on non-BMP/combining text") {
+    import spark.implicits._
+    // supplementary-plane emoji (surrogate pair), combining accent, and a
+    // precomposed é — exactly the inputs where UTF-16-unit vs grapheme
+    // splitting diverges across engines; the ASCII pin excludes them all
+    val dir = java.nio.file.Files.createTempDirectory("graft_nonbmp").toString
+    Seq((1L, "ab\uD83D\uDE00e\u0301 c\u00E9"), (2L, "\uD83D\uDE00\uD83D\uDE00"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = TextStats.entropySignals(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 ASCII stream: 'a','b','e',' ','c' → 5 chars, 5 distinct
+    assert(rows(1L).getAs[Long]("n_chars_total") === 5L)
+    assert(rows(1L).getAs[Long]("n_distinct_chars") === 5L)
+    // doc 2 is entirely non-ASCII → empty char stream, zero entropy
+    assert(rows(2L).getAs[Long]("n_chars_total") === 0L)
+    assert(rows(2L).getAs[Double]("char_entropy_bits") === 0.0)
   }
 
   test("qualityCalibration deciles partition the corpus in logit order") {
@@ -1006,5 +1027,64 @@ class MultimodalSpec extends SparkSpec {
     val rows = f.select("features").as[Seq[Double]].collect()
     assert(rows.forall(_.length == 16))
     assert(rows.forall(_.forall(v => v >= 0.0 && v < 1.0)))
+  }
+
+  /** A 3×1 uncompressed 24-bit BMP: pixels blue, green, red (BGR byte
+    * order in the file), row padded 9 → 12 bytes. Hand-computable sums.
+    */
+  private def tinyBmp(height22: Int = 1): Array[Byte] = {
+    val out = new Array[Byte](54 + 12)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    le32(2, out.length); le32(10, 54) // file size, pixel-array offset
+    le32(14, 40); le32(18, 3); le32(22, height22) // DIB size, width, height
+    out(26) = 1; out(28) = 24 // planes, bpp (compression @30 stays 0)
+    // pixel row: blue (255,0,0), green (0,255,0), red (0,0,255) + 3 pad
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255).map(_.toByte)
+    px.copyToArray(out, 54)
+    out
+  }
+
+  test("bmpFeatures computes real channel means + luma histogram from pixels") {
+    val f = Multimodal.bmpFeatures(tinyBmp(), dim = 16).get
+    assert(f.length === 16)
+    // channel means: each channel is 255 in exactly one of 3 pixels
+    val mean = 85.0 / 256.0 // (255+0+0)/3 / 256
+    assert(f(0) === mean && f(1) === mean && f(2) === mean)
+    // luma per pixel (integer /1000): blue 29, green 149, red 76
+    assert(f(3) === ((29 + 149 + 76) / 3.0) / 256.0)
+    // 12-bin histogram: lumas land in bins 29*12/256=1, 149*12/256=6,
+    // 76*12/256=3 — one third of the pixels each, all other bins empty
+    val hist = f.drop(4)
+    assert(hist(1) === 1.0 / 3 && hist(6) === 1.0 / 3 && hist(3) === 1.0 / 3)
+    assert(math.abs(hist.sum - 1.0) < 1e-12)
+    // top-down variant (negative height) yields identical order-invariant
+    // features; truncated pixel data and compressed BMPs take the stub
+    assert(Multimodal.bmpFeatures(tinyBmp(height22 = -1), 16).get.toSeq ===
+      Multimodal.bmpFeatures(tinyBmp(), 16).get.toSeq)
+    assert(Multimodal.bmpFeatures(tinyBmp().take(60), 16).isEmpty)
+    val compressed = tinyBmp(); compressed(30) = 1 // BI_RLE8
+    assert(Multimodal.bmpFeatures(compressed, 16).isEmpty)
+  }
+
+  test("extractFeatures routes a real BMP payload to the pixel path") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, tinyBmp(), "image"),        // real pixel features
+      (2L, "no header here".getBytes("UTF-8"), "image"), // stub
+      (3L, tinyBmp(), "audio"))        // wrong modality → stub
+      .toDF("media_id", "content", "media_type")
+    val out = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getSeq[Double](r.fieldIndex("features")).toVector)
+      .toMap
+    assert(out(1L)(0) === 85.0 / 256.0, "BMP image must use pixel features")
+    assert(out(2L).forall(v => v >= 0.0 && v < 1.0))
+    assert(out(2L) !== out(1L))
+    assert(out(3L) !== out(1L), "non-image BMP bytes stay on the stub")
+    assert(out.values.forall(_.length === 16))
   }
 }
