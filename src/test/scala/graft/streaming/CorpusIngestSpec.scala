@@ -315,6 +315,73 @@ class CorpusIngestSpec extends SparkSpec {
     assert(afterB((ts("2024-01-01 00:00:00"), "de"))._1 === 1L)
   }
 
+  test("restart recovers the WATERMARK: late data is dropped exactly as without the restart") {
+    // State recovery alone is not enough: if a restart reset the watermark
+    // to zero, an event OLDER than the pre-crash watermark would re-open a
+    // window already emitted to the append sink (a duplicate window row —
+    // double counting downstream). The watermark lives in the checkpoint's
+    // commit log; a restarted query must drop late data exactly as the
+    // uninterrupted run would. Proven by running the SAME event sequence
+    // (batch 1 → [crash] → late W1 doc + W2-closer) with and without the
+    // restart and requiring identical sink contents.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wm_restart").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def start(s: org.apache.spark.sql.SparkSession, in: String, out: String,
+        ckpt: String) = {
+      val docs = s.readStream
+        .schema("ts TIMESTAMP, text STRING, lang STRING")
+        .parquet(in)
+      CorpusIngest.qualityMonitor(docs)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .start()
+    }
+    // batch 1: two W1 docs + a W2 doc at 01:30 → watermark 01:20 > W1 end,
+    // W1 closes into the sink
+    val batch1 = Seq(
+      (ts("2024-01-01 00:10:00"), "a sufficiently long english document with many words here", "en"),
+      (ts("2024-01-01 00:30:00"), "another acceptable document with a workable number of words", "en"),
+      (ts("2024-01-01 01:30:00"), "window two document that advances the watermark past window one", "en"))
+    // batch 2: a LATE W1 doc (00:40 — inside W1, OLDER than the recovered
+    // 01:20 watermark → must be dropped) and a W3 closer that seals W2
+    val batch2 = Seq(
+      (ts("2024-01-01 00:40:00"), "late straggler that must not re-open the emitted window", "en"),
+      (ts("2024-01-01 02:30:00"), "closer document that advances the watermark past window two", "en"))
+    // MULTISET of sink rows — a duplicate window row (the failure mode a
+    // reset watermark would produce in the append sink) must be visible,
+    // not swallowed by a Map overwrite
+    def run(label: String, restart: Boolean): Seq[(java.sql.Timestamp, String, Long)] = {
+      val in = s"$dir/$label/in"; val out = s"$dir/$label/out"
+      val ckpt = s"$dir/$label/ckpt"
+      batch1.toDF("ts", "text", "lang").write.parquet(in)
+      val q1 = start(spark, in, out, ckpt)
+      try q1.processAllAvailable() finally if (restart) q1.stop()
+      // late data lands while the restarted variant is down
+      batch2.toDF("ts", "text", "lang").write.mode("append").parquet(in)
+      val q2 = if (restart) start(spark.newSession(), in, out, ckpt) else q1
+      try q2.processAllAvailable() finally q2.stop()
+      spark.read.parquet(out)
+        .select("window_start", "lang", "n_docs").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSeq.sortBy(t => (t._1.getTime, t._2, t._3))
+    }
+    val uninterrupted = run("base", restart = false)
+    val restarted = run("restart", restart = true)
+    assert(restarted === uninterrupted,
+      s"restarted run diverged from the uninterrupted one:\n" +
+        s"  restarted   = $restarted\n  uninterrupted = $uninterrupted")
+    // and concretely: the late 00:40 doc was dropped — exactly one W1 row,
+    // still counting 2
+    assert(restarted.filter(_._1 === ts("2024-01-01 00:00:00")) ===
+      Seq((ts("2024-01-01 00:00:00"), "en", 2L)),
+      "the recovered watermark must drop the pre-watermark straggler")
+    assert(restarted.contains((ts("2024-01-01 01:00:00"), "en", 1L)))
+  }
+
   test("heavyHitterBatch: crash INSIDE a replay's publish window still recovers") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hh_replay2").toString
