@@ -45,7 +45,12 @@ import graft.ext.{Curation, Dedup}
   *   proving the two-level exact rank's boundary-independence under
   *   resampled cuts (see [[tierF]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|all]"
+  *   Tier G (ALL tables × 10, FK-consistent key remap): the registry-
+  *   wide scale readout — every registered query timed on base and
+  *   replicated dirs, per-query ratios printed, super-linear rows
+  *   flagged for fix-or-document triage (see [[tierG]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -614,6 +619,84 @@ object StressTier {
     }
   }
 
+  /** Replicate EVERY table reps× with consistently remapped keys: each
+    * column named `*key` / `*_id` becomes `v·reps + rep`, value columns
+    * are copied — so the result is `reps` disjoint, FK-consistent shards
+    * of the whole schema (no dangling references, no flooded join keys
+    * on the relational side), while text/embedding payloads become
+    * reps-way twin families (the realistic dedup/similarity stress).
+    * Original column types are preserved via a cast back.
+    */
+  private def replicateAll(
+      spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit =
+    graft.io.Tables.all.foreach { t =>
+      val df = spark.read.parquet(s"$baseDir/$t.parquet")
+      val cols = df.schema.fields.map { f =>
+        if (f.name.endsWith("key") || f.name.endsWith("_id"))
+          (col(f.name) * reps + col("__rep")).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }
+      df.withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select(cols.toSeq: _*)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+
+  /** Tier G — the REGISTRY-WIDE scale readout: every registered query
+    * runs against the base dir and the 10×-replicated dir; per-query
+    * wall-clock ratios are printed for the scaling table (STRESS_r7.md).
+    * Interleaved rounds with a per-query min damp this host's CPU-steal
+    * bursts (the Bench methodology). A query ERROR at 10× is a hard
+    * failure; a super-linear ratio is REPORTED (`g.flag` lines) for
+    * fix-or-document triage, not auto-failed — twin-flooded dedup
+    * families are legitimately super-linear in emitted pairs.
+    */
+  private def tierG(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 10
+    val (_, tRep) = timed("g.replicate")(replicateAll(spark, baseDir, dir, reps))
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nRep = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS g.replicate seconds=$tRep%.1f docs=$nRep")
+    check(nRep == nBase * reps, s"tier G doc count $nRep != $nBase*$reps")
+    check(spark.read.parquet(s"$dir/lineitem.parquet").count() ==
+      spark.read.parquet(s"$baseDir/lineitem.parquet").count() * reps,
+      "tier G lineitem count must scale by reps")
+
+    val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+    val base = scala.collection.mutable.Map.empty[String, Double]
+    val rep = scala.collection.mutable.Map.empty[String, Double]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 1 to 2; (name, fn) <- names; (d, acc) <- Seq(
+      (baseDir, base), (dir, rep))) {
+      val t0 = System.nanoTime()
+      try fn(spark, d).count() catch {
+        case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(160)}"
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      acc.updateWith(name) {
+        case Some(p) => Some(math.min(p, t)); case None => Some(t)
+      }
+    }
+    errs.toSeq.sortBy(_._1).foreach { case (q, m) =>
+      check(false, s"tier G: $q failed at ${reps}x: $m")
+    }
+    // the ratio floor keeps fixed session/planning overhead (~0.1 s at
+    // this SF) from manufacturing or masking ratios on trivial queries
+    val floor = 0.15
+    val flagged = names.map(_._1).filterNot(errs.contains).flatMap { q =>
+      val r = rep(q) / math.max(base(q), floor)
+      println(f"STRESS g.query name=$q base=${base(q)}%.3f rep=${rep(q)}%.3f ratio=$r%.1f")
+      if (r > 15.0) Some(q -> r) else None
+    }
+    flagged.foreach { case (q, r) =>
+      println(f"STRESS g.flag name=$q ratio=$r%.1f (super-linear at ${reps}x — fix or document)")
+    }
+    println(f"STRESS g.summary queries=${names.size} errors=${errs.size} flagged=${flagged.size}")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -633,6 +716,8 @@ object StressTier {
         tierE(spark, "/root/testdata/sf0.1", s"$root/sf0.1em10")
       if (tier == "f" || tier == "all")
         tierF(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc100")
+      if (tier == "g" || tier == "all")
+        tierG(spark, "/root/testdata/sf0.01", s"$root/sf0.01x10all")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
