@@ -133,6 +133,12 @@ object SparkEntry {
     "vocab_coverage"     -> ((s, d) => TextStats.vocabCoverage(s, d)),
     // per-source distinct-trigram novelty (data-mix diversity signal)
     "source_novelty"     -> ((s, d) => TextStats.sourceNovelty(s, d)),
+    // Zipf-law OLS fit per source over exact two-level term ranks
+    "zipf_fit"           -> ((s, d) => TextStats.zipfFit(s, d)),
+    // pairwise source trigram-set Jaccard (mirrored-crawl detector)
+    "source_similarity"  -> ((s, d) => TextStats.sourceSimilarity(s, d)),
+    // PSI drift report between reference and current corpus slices
+    "psi_drift"          -> ((s, d) => graft.ops.Profiling.psiDrift(s, d)),
     // hourly volume z-score anomalies per event type (exact integer
     // moments — bit-equal across engines)
     "event_anomalies"    -> ((s, d) => EventAnalytics.eventAnomalies(s, d)),
@@ -2106,6 +2112,94 @@ object SparkEntry {
         |FROM w LEFT JOIN v ON w.tok = v.tok
         |GROUP BY source
         |ORDER BY source ASC""".stripMargin,
+    "zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            t -> t <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT source, cnt,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY cnt DESC, term ASC) AS rank
+        |  FROM tf
+        |), xy AS (
+        |  SELECT source,
+        |         CAST(round(ln(rank::DOUBLE) * 1e6, 0) AS BIGINT) AS xi,
+        |         CAST(round(ln(cnt::DOUBLE) * 1e6, 0) AS BIGINT) AS yi
+        |  FROM rk WHERE rank <= 2000
+        |), s AS (
+        |  SELECT source, count(*) AS n_terms,
+        |         sum(xi)::HUGEINT AS sx, sum(yi)::HUGEINT AS sy,
+        |         sum(xi * xi)::HUGEINT AS sxx, sum(xi * yi)::HUGEINT AS sxy
+        |  FROM xy GROUP BY source
+        |), f AS (
+        |  SELECT source, n_terms, sx, sy,
+        |         (n_terms::HUGEINT * sxy - sx * sy)::DOUBLE
+        |           / (n_terms::HUGEINT * sxx - sx * sx)::DOUBLE AS slope_raw
+        |  FROM s
+        |)
+        |SELECT source, n_terms,
+        |       round(slope_raw, 6) AS zipf_slope,
+        |       round((sy::DOUBLE / 1e6 - slope_raw * (sx::DOUBLE / 1e6))
+        |             / n_terms::DOUBLE, 6) AS zipf_intercept
+        |FROM f
+        |ORDER BY source ASC""".stripMargin,
+    "source_similarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source,
+        |         array_to_string(toks[i + 1 : i + 3], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 3)) AS u(i)
+        |), sz AS (
+        |  SELECT source, count(*) AS n_grams FROM g GROUP BY source
+        |), isect AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         count(*) AS n_shared
+        |  FROM g a JOIN g b USING (gram)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |       sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+        |       coalesce(i.n_shared, 0) AS n_shared,
+        |       round(coalesce(i.n_shared, 0)::DOUBLE
+        |             / (sa.n_grams + sb.n_grams - coalesce(i.n_shared, 0))::DOUBLE,
+        |             6) AS jaccard
+        |FROM sz sa
+        |CROSS JOIN sz sb
+        |LEFT JOIN isect i
+        |  ON i.source_a = sa.source AND i.source_b = sb.source
+        |WHERE sa.source < sb.source
+        |ORDER BY source_a ASC, source_b ASC""".stripMargin,
+    "psi_drift" ->
+      """WITH c AS (
+        |  SELECT least(9, n_chars // 200) AS len_bucket,
+        |         count(*) FILTER (WHERE doc_id % 10 <> 9) AS n_ref,
+        |         count(*) FILTER (WHERE doc_id % 10 = 9) AS n_cur
+        |  FROM documents GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(generate_series(0, 9)) AS len_bucket
+        |), tot AS (
+        |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c
+        |), j AS (
+        |  SELECT s.len_bucket,
+        |         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+        |         greatest(coalesce(c.n_ref, 0)::DOUBLE / tr::DOUBLE, 1e-4) AS p,
+        |         greatest(coalesce(c.n_cur, 0)::DOUBLE / tc::DOUBLE, 1e-4) AS q
+        |  FROM spine s LEFT JOIN c USING (len_bucket) CROSS JOIN tot
+        |)
+        |SELECT len_bucket, n_ref, n_cur,
+        |       round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+        |       round((p - q) * round(ln(p / q), 6), 6) AS psi_term
+        |FROM j
+        |ORDER BY len_bucket ASC""".stripMargin,
     "source_novelty" ->
       """WITH t AS (
         |  SELECT doc_id, source,

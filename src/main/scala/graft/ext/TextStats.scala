@@ -733,6 +733,111 @@ object TextStats {
       .orderBy(col("source").asc)
   }
 
+  /** Zipf-law fit per source: OLS slope/intercept of ln(term frequency)
+    * against ln(rank) over each source's `topK` most frequent terms — the
+    * power-law health check of a text corpus (natural language sits near
+    * slope −1; generated/boilerplate corpora flatten or steepen, so the
+    * slope is a cheap source-level quality signal next to
+    * [[sourceNovelty]]).
+    *
+    * Determinism (oracle-exact): ranks are EXACT row numbers per source
+    * (cnt desc, term asc tie-break) via the distributed two-level rank
+    * primitive ([[graft.ops.Ranks.withExactRank]] — no low-cardinality
+    * reducer even though sources are few, because ranks come from
+    * histogram offsets, not a per-source sort); ln values quantize to
+    * integer MICROS (round(ln·1e6) — the cross-engine ln convention), all
+    * sums run in exact integer/decimal arithmetic, and only the final
+    * slope/intercept divisions touch doubles, written as the identical
+    * expression in the twin.
+    *
+    * Scale shape: one tokenize pass, one (source, term) hash-agg, the
+    * two-level rank, then a 4-sum aggregation per source — linear, no
+    * corpus-wide sort anywhere.
+    */
+  def zipfFit(
+      spark: SparkSession, sfDir: String, topK: Int = 2000): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = graft.ops.Ranks.withExactRank(
+      tf, Seq("source"), Seq(negate(col("cnt")), col("term")), "rank")
+      .filter(col("rank") <= topK)
+    def micros(c: Column): Column = round(log(c.cast("double")) * 1e6, 0).cast("long")
+    val sums = ranked
+      .select(col("source"), micros(col("rank")).as("xi"), micros(col("cnt")).as("yi"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("xi") * col("yi")).as("sxy"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val num = dec(col("n_terms")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val den = dec(col("n_terms")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val slopeRaw = num.cast("double") / den.cast("double")
+    sums.select(
+      col("source"), col("n_terms"),
+      round(slopeRaw, 6).as("zipf_slope"),
+      round((col("sy").cast("double") / 1e6 -
+        slopeRaw * (col("sx").cast("double") / 1e6)) /
+        col("n_terms").cast("double"), 6).as("zipf_intercept"))
+      .orderBy(col("source").asc)
+  }
+
+  /** Pairwise source-overlap matrix: exact Jaccard similarity between the
+    * DISTINCT word-trigram sets of every source pair — the cross-source
+    * dual of [[sourceNovelty]] (that reports how much of a source is
+    * unique; this reports WHICH sources share content, the signal that
+    * catches a mirrored crawl or a re-labeled slice before mixing weights
+    * are assigned).
+    *
+    * Scale shape: gram assembly is the shared doc-partitioned window
+    * pass; then one distinct (source, gram) frame self-joined on the
+    * gram with `source_a < source_b` — the join key is the gram, fully
+    * parallel, and the output is |sources|² rows. At 100 TB join on
+    * xxhash64(gram) for fixed-width shuffle rows (strings kept here for
+    * oracle parity).
+    */
+  def sourceSimilarity(
+      spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+      .withColumn("__last", lead(col("tok"), n - 1).over(w))
+      .withColumn("gram", concat_ws(" ", parts: _*))
+      .filter(col("__last").isNotNull)
+      .select(col("source"), col("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val isect = grams.select(col("source").as("source_a"), col("gram"))
+      .join(grams.select(col("source").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // fixed output contract: EVERY unordered source pair appears, shared
+    // or not — the |sources|² pair spine is a tiny broadcast cross
+    sizes.select(col("source").as("source_a"), col("n_grams").as("n_grams_a"))
+      .crossJoin(
+        sizes.select(col("source").as("source_b"), col("n_grams").as("n_grams_b")))
+      .filter(col("source_a") < col("source_b"))
+      .join(isect, Seq("source_a", "source_b"), "left")
+      .select(
+        col("source_a"), col("source_b"),
+        col("n_grams_a"), col("n_grams_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_grams_a") + col("n_grams_b") -
+            coalesce(col("n_shared"), lit(0L))).cast("double"),
+          6).as("jaccard"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
   /** Collocation mining: adjacent-token pair counts with pointwise mutual
     * information — PMI = ln(P(ab) / (P(a)·P(b))) with P estimated from the
     * bigram/unigram tables. High-PMI pairs are the multi-word expressions

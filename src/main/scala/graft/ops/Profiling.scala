@@ -107,6 +107,61 @@ object Profiling {
     * keys are primary keys (unique), so counting matched parent rows
     * equals counting parent rows.
     */
+  /** Population-stability-index drift report between a REFERENCE corpus
+    * slice and a CURRENT slice — the standard ingest-monitoring check
+    * that a newly landed shard still looks like the corpus it joins
+    * (paired with the append-only artifact refresh: refresh the index,
+    * then gate on drift). Documents bucket by length (`n_chars div
+    * widthChars`, capped into the top bucket); per bucket the report
+    * carries both slices' counts, smoothed fractions, and the PSI term
+    * `(p−q)·ln(p/q)`; Σ psi_term ≥ 0.2 is the conventional "investigate"
+    * line. Fractions are floored at ε=1e-4 (the standard PSI smoothing —
+    * an ε on the FRACTION, not the count, so a bucket empty on both
+    * sides contributes exactly 0 regardless of slice-size imbalance),
+    * and a generated 0..nBuckets−1 spine fixes the row count so the
+    * report is schema-stable even when a bucket is empty on both sides.
+    *
+    * The slices are carved deterministically (`doc_id % 10`: 9 = current,
+    * else reference) so the oracle twin reproduces them; in production
+    * the two inputs are the corpus and the candidate shard.
+    *
+    * Determinism: counts are exact; fractions are single divisions of
+    * integers (+0.5 exactly representable); only ln crosses engines and
+    * is rounded to 6dp before the final product, the ln convention.
+    * Scale shape: one scan, one tiny groupBy, a broadcast spine join.
+    */
+  def psiDrift(
+      spark: SparkSession, sfDir: String,
+      nBuckets: Int = 10, widthChars: Int = 200): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bucket = least(lit(nBuckets - 1L),
+      expr(s"n_chars div $widthChars")).as("len_bucket")
+    val counts = docs
+      .select(bucket, (col("doc_id") % 10 === 9).as("is_cur"))
+      .groupBy(col("len_bucket"))
+      .agg(
+        count_if(!col("is_cur")).as("n_ref"),
+        count_if(col("is_cur")).as("n_cur"))
+    val spine = spark.range(nBuckets).select(col("id").as("len_bucket"))
+    val totals = counts.agg(
+      sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val joined = spine
+      .join(counts, Seq("len_bucket"), "left")
+      .select(col("len_bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(totals))
+    val eps = lit(1e-4)
+    val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), eps)
+    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), eps)
+    joined.select(
+      col("len_bucket"), col("n_ref"), col("n_cur"),
+      round(p, 6).as("ref_frac"),
+      round(q, 6).as("cur_frac"),
+      round((p - q) * round(log(p / q), 6), 6).as("psi_term"))
+      .orderBy(col("len_bucket").asc)
+  }
+
   def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),

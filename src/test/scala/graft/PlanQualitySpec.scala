@@ -245,7 +245,8 @@ class PlanQualitySpec extends SparkSpec {
     // run over an already-aggregated (tiny) frame.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try for (q <- Seq("winsorized_stats", "length_band", "lm_score")) {
+    try for (q <- Seq("winsorized_stats", "length_band", "lm_score",
+      "zipf_fit")) {
       val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
       val windows = phys.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -446,7 +447,10 @@ class PlanQualitySpec extends SparkSpec {
     // dsir_weights (1-row model totals) attach scalars via broadcast —
     // the accepted scalar-attach BNLJ, same as key_skew/pmi — so only
     // cartesians are banned for them
-    for (q <- Seq("heavy_hitters", "gapfill_interpolate", "dsir_weights")) {
+    // psi_drift (1-row totals) and source_similarity (|sources|^2 pair
+    // spine) attach tiny frames the same way
+    for (q <- Seq("heavy_hitters", "gapfill_interpolate", "dsir_weights",
+      "psi_drift", "source_similarity")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

@@ -545,6 +545,60 @@ class TextStatsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("char_entropy_bits") === 0.0)
   }
 
+  test("zipfFit matches a driver-side OLS recompute; natural text slopes negative") {
+    val docs = graft.io.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).view.mapValues { rows =>
+      val cnt = rows.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ranked = cnt.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(2000).zipWithIndex
+      def mic(v: Double): Long = math.round(math.log(v) * 1e6)
+      val xy = ranked.map { case ((_, c), i) => (mic(i + 1.0), mic(c.toDouble)) }
+      val n = xy.size.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val num = BigInt(n) * sxy - BigInt(sx) * sy
+      val den = BigInt(n) * sxx - BigInt(sx) * sx
+      val slopeRaw = num.toDouble / den.toDouble
+      (n, slopeRaw, (sy.toDouble / 1e6 - slopeRaw * (sx.toDouble / 1e6)) / n)
+    }.toMap
+    val got = TextStats.zipfFit(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, slope, icpt) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_terms") === n)
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-6, r.toString)
+      assert(math.abs(r.getAs[Double]("zipf_intercept") - icpt) < 1e-6, r.toString)
+      // a natural-language frequency spectrum decays: slope well below 0
+      assert(r.getAs[Double]("zipf_slope") < -0.1, r.toString)
+    }
+  }
+
+  test("sourceSimilarity: identical sources score 1, disjoint 0, spine complete") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_srcsim"
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine"
+    Seq(
+      (1L, shared, "en", "a", 10L), (2L, shared, "en", "b", 10L),
+      (3L, other, "en", "c", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStats.sourceSimilarity(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    // all 3 unordered pairs appear, including the zero-overlap ones
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(rows(("a", "b"))._2 === 1.0, "identical trigram sets must score 1")
+    assert(rows(("a", "c")) === ((0L, 0.0)))
+    assert(rows(("b", "c")) === ((0L, 0.0)))
+    // shared count = distinct trigrams of the 8-token shared doc
+    assert(rows(("a", "b"))._1 === 6L)
+  }
+
   test("qualityCalibration deciles partition the corpus in logit order") {
     val rows = TextStats.qualityCalibration(spark, sf).collect()
       .sortBy(_.getAs[Int]("score_decile"))

@@ -711,6 +711,39 @@ class PipelineOpsSpec extends SparkSpec {
     got.filter(_._3 != "orders").foreach(e => assert(e._5 === 0L, e.toString))
   }
 
+  test("psiDrift: terms are non-negative, spine is fixed, drift shows where planted") {
+    import spark.implicits._
+    // crafted corpus: reference docs short (bucket 0), current slice
+    // (doc_id % 10 == 9) long (bucket 5) — maximal planted drift
+    val dir = "/tmp/graft_test_psi"
+    (0L until 100L).map { i =>
+      val cur = i % 10 == 9
+      (i, "t", "en", "s", if (cur) 1000L else 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Profiling.psiDrift(spark, dir).collect()
+    // the 0..9 spine is complete even though 8 buckets are empty
+    assert(rows.map(_.getAs[Long]("len_bucket")).toSeq === (0L to 9L))
+    // (p-q)·ln(p/q) has matching signs — every term is >= 0
+    rows.foreach(r => assert(r.getAs[Double]("psi_term") >= 0.0, r.toString))
+    val byBucket = rows.map(r =>
+      r.getAs[Long]("len_bucket") -> r.getAs[Double]("psi_term")).toMap
+    // all reference mass sits in bucket 0, all current mass in bucket 5:
+    // both carry large terms; untouched buckets carry ~0
+    assert(byBucket(0L) > 1.0 && byBucket(5L) > 1.0)
+    // empty-on-both-sides buckets hit the shared ε floor → exactly 0
+    assert(byBucket(3L) === 0.0)
+    val total = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(total > 0.2, s"planted shift must cross the PSI alert line: $total")
+    // counts reconcile
+    assert(rows.map(_.getAs[Long]("n_ref")).sum === 90L)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum === 10L)
+    // and the homogeneous real fixture shows NO alert-level drift
+    val calm = graft.ops.Profiling.psiDrift(spark, sf).collect()
+      .map(_.getAs[Double]("psi_term")).sum
+    assert(calm >= 0.0 && calm < 0.2, s"uniform fixture drifted: $calm")
+  }
+
   test("shardChecksums matches a driver-side sha-256 digest recompute") {
     def sha(s: String): String = java.security.MessageDigest
       .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
