@@ -248,6 +248,8 @@ object SparkEntry {
     "source_scorecard"   -> ((s, d) => TextStats.sourceScorecard(s, d)),
     // Kneser–Ney continuation/fertility counts for the top vocabulary
     "kn_counts"          -> ((s, d) => TextStats.knContinuationCounts(s, d)),
+    // interpolated Kneser–Ney bigram log-prob per doc (the real LM score)
+    "kn_score"           -> ((s, d) => TextStats.knScore(s, d)),
     // ≥1‰ token census, integer threshold (Misra–Gries scale note inline)
     "heavy_hitters"      -> ((s, d) => TextStats.heavyHitters(s, d)),
     // leakage-safe split: near-dup clusters never straddle train/test
@@ -2888,6 +2890,36 @@ object SparkEntry {
         |         / count(*)::DOUBLE AS dup_rate
         |FROM q GROUP BY source
         |ORDER BY source ASC""".stripMargin,
+    "kn_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), db AS (
+        |  SELECT doc_id, toks[i + 1] AS l, toks[i + 2] AS r
+        |  FROM t, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+        |), big AS (
+        |  SELECT l, r, count(*) AS c12 FROM db GROUP BY 1, 2
+        |), lft AS (
+        |  SELECT l, sum(c12) AS c1, count(*) AS n1r FROM big GROUP BY 1
+        |), cont AS (
+        |  SELECT r, count(*) AS n1l FROM big GROUP BY 1
+        |), ty AS (
+        |  SELECT count(*) AS t_types FROM big
+        |), lp AS (
+        |  SELECT doc_id,
+        |         round(ln((c12::DOUBLE - 0.75) / c1::DOUBLE +
+        |                  (0.75 * n1r::DOUBLE / c1::DOUBLE)
+        |                    * (n1l::DOUBLE / t_types::DOUBLE)), 6)
+        |           ::DECIMAL(18,6) AS lp
+        |  FROM db JOIN big USING (l, r) JOIN lft USING (l)
+        |       JOIN cont USING (r) CROSS JOIN ty
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(sum(lp)::DOUBLE / count(*)::DOUBLE, 6) AS kn_avg_logprob
+        |FROM lp GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
     "kn_counts" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -965,6 +965,67 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Per-document interpolated Kneser–Ney bigram log-probability — the
+    * LM-quality score the [[knContinuationCounts]] smoothing tables
+    * exist to feed (lm_score is the unigram Zipf proxy; this is the real
+    * bigram model with absolute discounting and continuation backoff,
+    * the classic filter for "reads like language" vs keyword soup):
+    *
+    *   P(r|l) = (c(l,r) − D)/c(l·) + (D·N1+(l·)/c(l·)) · N1+(·r)/T
+    *
+    * with discount D = 0.75, c(l·) the bigram-left total, N1+ the
+    * continuation diversities, and T the number of distinct bigram
+    * types. The model is trained on the corpus itself, so every scored
+    * bigram has c(l,r) ≥ 1 and the max(·,0) clamp never binds.
+    *
+    * Determinism: counts are exact integers; every model probability is
+    * a composition of exactly-rounded IEEE ops written in the SAME shape
+    * in the twin; only ln crosses engines and rounds to 6dp per bigram,
+    * then per-doc sums run over DECIMAL(18,6)-quantized terms (the
+    * entropy convention) and the final mean divides once.
+    *
+    * Scale shape: one tokenize pass feeds both the model aggs and the
+    * per-doc bigram stream; the stream joins the bigram table on (l,r)
+    * and the two word-level tables on their single keys — all hash
+    * joins on token keys, fully parallel, no window beyond the doc-local
+    * lead, no driver materialization.
+    */
+  def knScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as(Seq("pos", "tok")))
+    val docBigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("tok").as("l"), col("nxt").as("r"))
+    val big = docBigrams.groupBy(col("l"), col("r"))
+      .agg(count(lit(1)).as("c12"))
+    val left = big.groupBy(col("l"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1r"))
+    val cont = big.groupBy(col("r"))
+      .agg(count(lit(1)).as("n1l"))
+    val types = big.agg(count(lit(1)).as("t_types"))
+    val d = lit(0.75)
+    val p = (col("c12").cast("double") - d) / col("c1").cast("double") +
+      (d * col("n1r").cast("double") / col("c1").cast("double")) *
+        (col("n1l").cast("double") / col("t_types").cast("double"))
+    docBigrams
+      .join(big, Seq("l", "r"))
+      .join(left, Seq("l"))
+      .join(cont, Seq("r"))
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        round(log(p), 6).cast("decimal(18,6)").as("__lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("kn_avg_logprob"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Corpus-global heavy hitters: every token whose frequency is at least
     * `1/perMille` of the total token count. The threshold test is exact
     * integer arithmetic (`n · perMille ≥ total`) so the cut is

@@ -125,6 +125,48 @@ object CorpusIngest {
         col("n_docs"), col("total_tokens"), col("n_low_quality"))
   }
 
+  /** Streaming DRIFT monitor — the streaming face of
+    * [[graft.ops.Profiling.psiDrift]]: per event-time window, the
+    * population-stability index of the arriving documents' length
+    * distribution against a FIXED reference histogram (the corpus the
+    * stream is joining — in production, read off the maintained
+    * artifact before the stream starts). One row per closed window:
+    * doc count plus total PSI; `psi >= 0.2` is the conventional
+    * "investigate before trusting this window's shard" line, the
+    * streaming gate that pairs with the append-only artifact refresh.
+    *
+    * Same determinism discipline as the batch op (ε-floored fractions,
+    * ln rounded to 6dp per bucket) and the same scale shape as
+    * [[qualityMonitor]]: a watermarked hash-agg with map-side partials —
+    * the `nBuckets` conditional counts collapse per partition before
+    * anything moves.
+    */
+  def driftMonitor(
+      docs: DataFrame, refFracs: Seq[Double],
+      widthChars: Int = 200,
+      watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame = {
+    val nB = refFracs.length
+    val eps = 1e-4
+    val bucket = least(lit(nB - 1L),
+      expr(s"length(text) div $widthChars"))
+    val counts = (0 until nB).map(i =>
+      count_if(bucket === i.toLong).as(s"__c$i"))
+    val total = (0 until nB).map(i => col(s"__c$i")).reduce(_ + _)
+    val psi = (0 until nB).map { i =>
+      val p = lit(math.max(refFracs(i), eps))
+      val q = greatest(col(s"__c$i").cast("double") / total.cast("double"),
+        lit(eps))
+      (p - q) * round(log(p / q), 6)
+    }.reduce(_ + _)
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength))
+      .agg(counts.head, counts.tail: _*)
+      .select(col("window.start").as("window_start"),
+        total.as("n_docs"), round(psi, 6).as("psi"))
+  }
+
   /** The streaming pipeline: per micro-batch, dedup against the index,
     * append the report, then append the batch's new keepers to the index
     * (report first — it reads the index state this batch was judged

@@ -545,6 +545,54 @@ class TextStatsSpec extends SparkSpec {
     assert(rows(2L).getAs[Double]("char_entropy_bits") === 0.0)
   }
 
+  test("knScore: brute-force KN recompute matches; model normalizes to 1 per context") {
+    import spark.implicits._
+    val dir = "/tmp/graft_test_kn"
+    Seq(
+      (1L, "the cat sat on the mat", "en", "s", 22L),
+      (2L, "the cat ran to the house", "en", "s", 24L),
+      (3L, "a dog sat on a mat", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // driver-side model from the same corpus
+    val docs = Map(
+      1L -> "the cat sat on the mat", 2L -> "the cat ran to the house",
+      3L -> "a dog sat on a mat")
+    val bigrams = docs.toSeq.flatMap { case (id, t) =>
+      val w = t.split("\\s+").toSeq; w.zip(w.tail).map(p => (id, p._1, p._2))
+    }
+    val c12 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1r = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1l = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tT = c12.size.toLong
+    def pkn(l: String, r: String): Double =
+      (c12.getOrElse((l, r), 0L).toDouble - 0.75).max(0.0) / c1(l) +
+        (0.75 * n1r(l) / c1(l)) * (n1l(r).toDouble / tT)
+    // interpolated KN is a proper distribution over the observed
+    // right-vocabulary: sums to EXACTLY 1 per left context
+    val rVocab = n1l.keys.toSeq
+    c1.keys.foreach { l =>
+      val s = rVocab.map(r => pkn(l, r)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"P(.|$l) sums to $s")
+    }
+    val got = TextStats.knScore(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("kn_avg_logprob")))).toMap
+    docs.foreach { case (id, t) =>
+      val bs = t.split("\\s+").toSeq.sliding(2).toSeq
+      val lps = bs.map { case Seq(l, r) =>
+        BigDecimal(math.log(pkn(l, r)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val want = (lps.sum / bs.size).toDouble
+      assert(got(id)._1 === bs.size.toLong)
+      assert(math.abs(got(id)._2 - want) < 2e-6, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // seen-often bigrams score higher than backoff-only ones
+    assert(pkn("the", "cat") > pkn("the", "dog"))
+  }
+
   test("zipfFit matches a driver-side OLS recompute; natural text slopes negative") {
     val docs = graft.io.Tables.documents(spark, sf)
       .select("source", "text").collect()

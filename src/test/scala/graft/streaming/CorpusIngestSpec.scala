@@ -248,6 +248,48 @@ class CorpusIngestSpec extends SparkSpec {
     assert(state() === Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 2L))
   }
 
+  test("driftMonitor: in-distribution windows stay calm, shifted windows alert") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: all corpus docs live in length bucket 0 (< 200 chars)
+    val ref = 1.0 +: Seq.fill(9)(0.0)
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val agg = CorpusIngest.driftMonitor(docs, ref)
+    val q = agg.writeStream.format("memory").queryName("dmon")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      val short = "a short in-distribution document"
+      val long = "x" * 1100 // bucket 5 — far from the reference mass
+      // window 10: matches the reference; window 11: all mass shifted
+      input.addData(
+        (t(10, 5), short), (t(10, 20), short), (t(10, 40), short),
+        (t(11, 10), long), (t(11, 30), long))
+      q.processAllAvailable()
+      val rows = spark.table("dmon")
+        .as[(Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val (nCalm, psiCalm) = rows(t(10, 0))
+      val (nHot, psiHot) = rows(t(11, 0))
+      assert(nCalm === 3L && nHot === 2L)
+      // in-distribution window: only ε-floor noise, far under the line
+      assert(psiCalm < 0.05, s"calm window drifted: $psiCalm")
+      // fully shifted window: way past the 0.2 investigate line
+      assert(psiHot > 0.2, s"shifted window must alert: $psiHot")
+      // every term has matching signs → psi is never negative
+      assert(psiCalm >= 0.0 && psiHot >= 0.0)
+      // batch-mode unification over the same rows
+      val batch = CorpusIngest.driftMonitor(
+        Seq((t(10, 5), short), (t(10, 20), short), (t(10, 40), short),
+          (t(11, 10), long), (t(11, 30), long)).toDF("ts", "text"), ref)
+        .as[(Timestamp, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(batch === rows, "batch-mode driftMonitor must equal streaming")
+    } finally q.stop()
+  }
+
   test("restart: a NEW session resumes qualityMonitor from the on-disk checkpoint/state store") {
     // The real crash path at scale: the driver dies, a fresh session
     // rebuilds the SAME query from checkpointLocation and must recover
