@@ -250,6 +250,8 @@ object SparkEntry {
     "kn_counts"          -> ((s, d) => TextStats.knContinuationCounts(s, d)),
     // interpolated Kneser–Ney bigram log-prob per doc (the real LM score)
     "kn_score"           -> ((s, d) => TextStats.knScore(s, d)),
+    // IVF cells + PQ asymmetric distance: the compressed-domain ANN path
+    "knn_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // ≥1‰ token census, integer threshold (Misra–Gries scale note inline)
     "heavy_hitters"      -> ((s, d) => TextStats.heavyHitters(s, d)),
     // leakage-safe split: near-dup clusters never straddle train/test
@@ -1101,6 +1103,78 @@ object SparkEntry {
         |                 / count(CASE WHEN in_t THEN 1 END)::DOUBLE
         |       END AS recall
         |FROM j""".stripMargin),
+    "knn_ivfpq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings
+        |), nemb AS (
+        |  SELECT vec_id, vec,
+        |         sqrt(list_inner_product(vec, vec)) AS nrm
+        |  FROM emb
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM nemb ORDER BY vec_id ASC LIMIT 16
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec
+        |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id ASC LIMIT 16)
+        |), cbs AS (
+        |  SELECT j, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+        |  FROM cb, UNNEST(generate_series(0, 3)) AS w(m)
+        |), subs AS (
+        |  SELECT vec_id, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+        |  FROM emb, UNNEST(generate_series(0, 3)) AS u(m)
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY list_inner_product(c.sub, c.sub)
+        |                        - 2 * list_inner_product(s.sub, c.sub) ASC,
+        |                      c.j ASC) AS rk
+        |    FROM subs s JOIN cbs c ON c.m = s.m) WHERE rk = 1
+        |), probecells AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.vec_id
+        |), dists AS (
+        |  SELECT cand.q_id, cand.c_id, co.m,
+        |         list_inner_product(qs.sub, qs.sub)
+        |           - 2 * list_inner_product(qs.sub, c.sub)
+        |           + list_inner_product(c.sub, c.sub) AS d
+        |  FROM cand
+        |  JOIN codes co ON co.vec_id = cand.c_id
+        |  JOIN subs qs ON qs.vec_id = cand.q_id AND qs.m = co.m
+        |  JOIN cbs c ON c.m = co.m AND c.j = co.code
+        |), est AS (
+        |  SELECT q_id, c_id,
+        |         max(CASE WHEN m = 0 THEN d END)
+        |           + max(CASE WHEN m = 1 THEN d END)
+        |           + max(CASE WHEN m = 2 THEN d END)
+        |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
+        |  FROM dists GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT q_id, c_id, l2sq,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
+        |  FROM est
+        |)
+        |SELECT q_id, nn_rank, c_id AS neighbor_id, round(l2sq, 6) AS l2sq_est
+        |FROM ranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
     "knn_ivf" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,

@@ -481,6 +481,109 @@ object Similarity {
     * sides drop it); every dot is the same sequential fold the knn twins
     * already match bit-for-bit, and only the integer codes are emitted.
     */
+  /** IVF-PQ top-k — the COMPRESSED-DOMAIN ANN path, completing the triad
+    * after [[bruteTopK]] (exact), [[lshTopK]]/[[ivfTopK]] (pruned exact):
+    * candidates come from the IVF coarse cells exactly as in [[ivfTopK]],
+    * but ranking runs on PQ CODES via asymmetric distance (ADC) — each
+    * candidate contributes only its `subspaces` byte-sized code ids, and
+    * the estimated squared L2 distance is the sum of per-subspace
+    * ||q_m − c_{code_m}||² lookups against the codebook literals. At
+    * 100 TB this is THE deployable shape: the raw vectors never join the
+    * search (4 bytes/vector here instead of 256), the per-candidate work
+    * is a codegen'd case-when over codebook-literal dot products, and
+    * exact re-ranking (if wanted) touches only the final k ids.
+    *
+    * Oracle-exact: codebooks/centroids are the deterministic lowest-id
+    * seeds ([[pqCodes]]/[[ivfTopK]] contracts); every distance is the
+    * same ordered chain of exactly-rounded double ops the twin writes
+    * with `list_inner_product`; ADC ties break on candidate id.
+    */
+  def ivfPqTopK(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, cellProbes: Int = 4,
+      subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    require(EmbeddingDim % subspaces == 0, s"dim $EmbeddingDim not divisible")
+    val subDim = EmbeddingDim / subspaces
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    val centroids: Seq[(Long, String)] = emb
+      .orderBy(col("vec_id").asc).limit(nCells)
+      .collect().toSeq
+      .map { r =>
+        val nrm = r.getDouble(2)
+        (r.getLong(0), r.getSeq[Float](1)
+          .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")"))
+      }
+    val seeds: Seq[Seq[Float]] = Tables.embeddings(spark, sfDir)
+      .orderBy(col("vec_id").asc).limit(codebookSize)
+      .select("embedding").collect().toSeq
+      .map(_.getSeq[Float](0).toSeq)
+    def cbLit(m: Int, j: Int): String =
+      seeds(j).slice(m * subDim, (m + 1) * subDim)
+        .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+    // corpus side: IVF cell + PQ code per subspace — 1 + subspaces small
+    // ids per vector; this is ALL the search ever reads of the corpus
+    val cellScores = centroids.map { case (cid, c) =>
+      struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
+    }
+    val subCols = (0 until subspaces).map { m =>
+      expr(s"slice(embedding, ${m * subDim + 1}, $subDim)").as(s"__sub$m")
+    }
+    val codeCols = (0 until subspaces).map { m =>
+      val cands = (0 until codebookSize).map { j =>
+        val c = cbLit(m, j)
+        struct(expr(s"graft_dot($c, $c) - 2D * graft_dot(__sub$m, $c)")
+          .as("dist"), lit(j).as("j"))
+      }
+      least(cands: _*).getField("j").as(s"code$m")
+    }
+    val index = emb
+      .withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+      .select((col("vec_id").as("c_id") +: col("cell") +: subCols): _*)
+      .select((col("c_id") +: col("cell") +: codeCols): _*)
+    // query side: probe the cellProbes best cells (ivfTopK contract)
+    val exploded = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"),
+        explode(array(centroids.map { case (cid, c) =>
+          struct(lit(cid).as("cell"), expr(s"graft_dot(embedding, $c)").as("s"))
+        }: _*)).as("cs"))
+      .select(col("q_id"), col("cs.cell").as("cell"), col("cs.s").as("s"))
+    val topCells = exploded
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("cell").asc)))
+      .filter(col("rk") <= cellProbes)
+      .select("q_id", "cell")
+    val queries = emb.filter(col("vec_id") < nProbes)
+      .select((col("vec_id").as("q_id") +: subCols.map(c => c)): _*)
+    // ADC: est = Σ_m ( q_m·q_m − 2·q_m·c_code + c_code·c_code ), the
+    // per-subspace lookup resolved by a codegen'd case-when on the code id
+    val est = (0 until subspaces).map { m =>
+      (0 until codebookSize).foldLeft(lit(Double.NaN)) { (acc, j) =>
+        val c = cbLit(m, j)
+        when(col(s"code$m") === j, expr(
+          s"graft_dot(__sub$m, __sub$m) - 2D * graft_dot(__sub$m, $c)" +
+            s" + graft_dot($c, $c)"))
+          .otherwise(acc)
+      }
+    }.reduce(_ + _)
+    topCells
+      .join(index, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select((Seq("q_id", "c_id") ++
+        (0 until subspaces).map(m => s"code$m")).map(col): _*)
+      .distinct()
+      .join(broadcast(queries), Seq("q_id"))
+      .withColumn("l2sq_est", est)
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("l2sq_est").asc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("l2sq_est"), 6).as("l2sq_est"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
   def pqCodes(
       spark: SparkSession, sfDir: String,
       subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {

@@ -433,7 +433,8 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("round-5g/5h queries stay cartesian/nested-loop-free") {
-    for (q <- Seq("source_scorecard", "kn_counts", "cluster_split",
+    for (q <- Seq("source_scorecard", "kn_counts", "zipf_fit",
+      "knn_ivfpq", "cluster_split",
       "column_profile", "events_grouping_sets", "dominant_lang",
       "ppl_buckets", "incremental_daily_counts", "shard_checksums",
       "semantic_decontaminate", "part_pagerank", "part_triangles",
@@ -449,8 +450,9 @@ class PlanQualitySpec extends SparkSpec {
     // cartesians are banned for them
     // psi_drift (1-row totals) and source_similarity (|sources|^2 pair
     // spine) attach tiny frames the same way
+    // kn_score attaches the 1-row bigram-type total the same way
     for (q <- Seq("heavy_hitters", "gapfill_interpolate", "dsir_weights",
-      "psi_drift", "source_similarity")) {
+      "psi_drift", "source_similarity", "kn_score")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

@@ -354,6 +354,58 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= ivf.length / 5, s"IVF/brute agreement too low: $hits of ${ivf.length}")
   }
 
+  test("IVF-PQ top-k matches a driver-side ADC recompute of the whole pipeline") {
+    val vecs = graft.io.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(p => p._1 * p._2).sum
+    val d = (v: Array[Float]) => v.map(_.toDouble)
+    val ids = vecs.keys.toSeq.sorted
+    val centIds = ids.take(16)
+    val cents = centIds.map { id =>
+      val v = d(vecs(id)); val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
+    }
+    def bestCells(v: Array[Float], n: Int): Seq[Long] =
+      cents.map { case (cid, c) => (dot(d(v), c), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(n).map(_._2)
+    val seeds = centIds.map(id => d(vecs(id)))
+    def sub(v: Array[Double], m: Int) = v.slice(m * 16, (m + 1) * 16)
+    def codeOf(v: Array[Float], m: Int): Int =
+      (0 until 16).map { j =>
+        val c = sub(seeds(j), m)
+        (dot(c, c) - 2.0 * dot(sub(d(v), m), c), j)
+      }.minBy(identity)._2
+    def adc(q: Array[Float], cCodes: IndexedSeq[Int]): Double =
+      (0 until 4).map { m =>
+        val qm = sub(d(q), m); val c = sub(seeds(cCodes(m)), m)
+        dot(qm, qm) - 2.0 * dot(qm, c) + dot(c, c)
+      }.sum
+    val assigned = ids.map(id => id -> bestCells(vecs(id), 1).head).toMap
+    val codes = ids.map(id =>
+      id -> (0 until 4).map(m => codeOf(vecs(id), m))).toMap
+    val expected = ids.filter(_ < 5).flatMap { qid =>
+      val probed = bestCells(vecs(qid), 4).toSet
+      ids.filter(c => c != qid && probed(assigned(c)))
+        .map(c => (adc(vecs(qid), codes(c)), c))
+        .sorted.take(5).zipWithIndex
+        .map { case ((e, c), i) => (qid, i + 1, c,
+          BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toSet
+    val got = Similarity.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("nn_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("l2sq_est"))).toSet
+    // estimates are sums/differences of dot products — driver recompute
+    // may differ at ulp level; compare structure exactly, values to 1e-6
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      expected.map(t => (t._1, t._2, t._3)))
+    val byKey = expected.map(t => (t._1, t._2, t._3) -> t._4).toMap
+    got.foreach { t =>
+      assert(math.abs(t._4 - byKey((t._1, t._2, t._3))) < 1e-5, t.toString)
+      assert(t._4 >= 0.0, s"squared-distance estimate negative: $t")
+    }
+  }
+
   test("graft_isect merge-counts sorted arrays (eval + codegen), agrees with array_intersect") {
     import spark.implicits._
     GraftFunctions.register(spark)
