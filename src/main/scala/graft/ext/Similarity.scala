@@ -556,16 +556,27 @@ object Similarity {
       .select("q_id", "cell")
     val queries = emb.filter(col("vec_id") < nProbes)
       .select((col("vec_id").as("q_id") +: subCols.map(c => c)): _*)
-    // ADC: est = Σ_m ( q_m·q_m − 2·q_m·c_code + c_code·c_code ), the
-    // per-subspace lookup resolved by a codegen'd case-when on the code id
+    // ADC: est = Σ_m ( q_m·q_m − 2·q_m·c_code + c_code·c_code ). The
+    // codebook rides as an array-of-arrays LITERAL indexed by the code id
+    // (element_at), so each subspace costs ONE runtime dot product — a
+    // 16-branch case-when variant measured a ~1.9 s codegen-compile floor
+    // from the 64 inlined dot expressions. ||c_j||² is driver-computed
+    // with the same left-to-right summation graft_dot uses, so the
+    // constant equals the twin's runtime list_inner_product bit-for-bit.
+    def dotD(a: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+    }
     val est = (0 until subspaces).map { m =>
-      (0 until codebookSize).foldLeft(lit(Double.NaN)) { (acc, j) =>
-        val c = cbLit(m, j)
-        when(col(s"code$m") === j, expr(
-          s"graft_dot(__sub$m, __sub$m) - 2D * graft_dot(__sub$m, $c)" +
-            s" + graft_dot($c, $c)"))
-          .otherwise(acc)
-      }
+      val cbArr = (0 until codebookSize).map(j => cbLit(m, j))
+        .mkString("array(", ",", ")")
+      val ccArr = (0 until codebookSize).map { j =>
+        dotD(seeds(j).slice(m * subDim, (m + 1) * subDim)
+          .map(_.toDouble)).toString + "D"
+      }.mkString("array(", ",", ")")
+      expr(s"graft_dot(__sub$m, __sub$m)" +
+        s" - 2D * graft_dot(__sub$m, element_at($cbArr, code$m + 1))" +
+        s" + element_at($ccArr, code$m + 1)")
     }.reduce(_ + _)
     topCells
       .join(index, Seq("cell"))
