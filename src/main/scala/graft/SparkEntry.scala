@@ -252,6 +252,8 @@ object SparkEntry {
     "kn_score"           -> ((s, d) => TextStats.knScore(s, d)),
     // IVF cells + PQ asymmetric distance: the compressed-domain ANN path
     "knn_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // PSI over IVF-cell occupancy: drift monitoring for embedding space
+    "embedding_drift"    -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // ≥1‰ token census, integer threshold (Misra–Gries scale note inline)
     "heavy_hitters"      -> ((s, d) => TextStats.heavyHitters(s, d)),
     // leakage-safe split: near-dup clusters never straddle train/test
@@ -1103,6 +1105,44 @@ object SparkEntry {
         |                 / count(CASE WHEN in_t THEN 1 END)::DOUBLE
         |       END AS recall
         |FROM j""".stripMargin),
+    "embedding_drift" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), c AS (
+        |  SELECT cell,
+        |         count(*) FILTER (WHERE vec_id % 10 <> 9) AS n_ref,
+        |         count(*) FILTER (WHERE vec_id % 10 = 9) AS n_cur
+        |  FROM assigned GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c
+        |), j AS (
+        |  SELECT s.cell,
+        |         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+        |         greatest(coalesce(c.n_ref, 0)::DOUBLE / tr::DOUBLE, 1e-4) AS p,
+        |         greatest(coalesce(c.n_cur, 0)::DOUBLE / tc::DOUBLE, 1e-4) AS q
+        |  FROM (SELECT cell FROM cent) s
+        |       LEFT JOIN c USING (cell) CROSS JOIN tot
+        |)
+        |SELECT cell, n_ref, n_cur,
+        |       round(p, 6) AS ref_frac, round(q, 6) AS cur_frac,
+        |       round((p - q) * round(ln(p / q), 6), 6) AS psi_term
+        |FROM j
+        |ORDER BY cell ASC""".stripMargin,
     "knn_ivfpq" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec

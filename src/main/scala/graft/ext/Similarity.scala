@@ -595,6 +595,67 @@ object Similarity {
       .orderBy(col("q_id").asc, col("nn_rank").asc)
   }
 
+  /** Embedding-space drift report — the [[graft.ops.Profiling.psiDrift]]
+    * analog over the IVF quantizer cells: assign every vector to its
+    * coarse cell (the [[ivfTopK]] quantizer, deterministic lowest-id
+    * seeds), split the corpus into a REFERENCE slice and a CURRENT slice
+    * (`vec_id % 10`: 9 = current), and report per-cell occupancy with the
+    * PSI term `(p−q)·ln(p/q)` (ε-floored fractions). A new embedding
+    * batch whose semantic distribution moved — new topic, new encoder
+    * version, collapsed modality — shifts cell occupancy long before any
+    * per-vector check fires; Σ psi ≥ 0.2 is the investigate line. In
+    * production the slices are the corpus and the candidate batch, and
+    * the cells come from the maintained quantizer.
+    *
+    * Scale shape: one scan, 16 codegen'd dot products per row, one tiny
+    * groupBy — the same single-pass shape as the length-bucket drift op.
+    */
+  def embeddingDrift(
+      spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    val centroids: Seq[(Long, String)] = emb
+      .orderBy(col("vec_id").asc).limit(nCells)
+      .collect().toSeq
+      .map { r =>
+        val nrm = r.getDouble(2)
+        (r.getLong(0), r.getSeq[Float](1)
+          .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")"))
+      }
+    val cellScores = centroids.map { case (cid, c) =>
+      struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
+    }
+    val counts = emb
+      .withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+      .select(col("cell"), (col("vec_id") % 10 === 9).as("is_cur"))
+      .groupBy(col("cell"))
+      .agg(
+        count_if(!col("is_cur")).as("n_ref"),
+        count_if(col("is_cur")).as("n_cur"))
+    val spine = {
+      val sp = spark; import sp.implicits._
+      centroids.map(_._1).toDF("cell")
+    }
+    val totals = counts.agg(
+      sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val eps = lit(1e-4)
+    val joined = spine
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(broadcast(totals))
+    val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), eps)
+    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), eps)
+    joined.select(
+      col("cell"), col("n_ref"), col("n_cur"),
+      round(p, 6).as("ref_frac"),
+      round(q, 6).as("cur_frac"),
+      round((p - q) * round(log(p / q), 6), 6).as("psi_term"))
+      .orderBy(col("cell").asc)
+  }
+
   def pqCodes(
       spark: SparkSession, sfDir: String,
       subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {

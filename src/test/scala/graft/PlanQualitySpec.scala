@@ -452,7 +452,7 @@ class PlanQualitySpec extends SparkSpec {
     // spine) attach tiny frames the same way
     // kn_score attaches the 1-row bigram-type total the same way
     for (q <- Seq("heavy_hitters", "gapfill_interpolate", "dsir_weights",
-      "psi_drift", "source_similarity", "kn_score")) {
+      "psi_drift", "source_similarity", "kn_score", "embedding_drift")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }

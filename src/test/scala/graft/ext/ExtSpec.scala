@@ -406,6 +406,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingDrift: cell spine complete, terms non-negative, counts reconcile") {
+    val rows = Similarity.embeddingDrift(spark, sf).collect()
+    assert(rows.length === 16, "one row per quantizer cell, always")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_term") >= 0.0, r.toString)
+      assert(r.getAs[Double]("ref_frac") > 0.0 && r.getAs[Double]("ref_frac") <= 1.0)
+    }
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum
+      === total, "every vector lands in exactly one cell")
+    // the uniform fixture slices are drawn from the same distribution —
+    // PSI stays under the investigate line
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(psi >= 0.0 && psi < 0.2, s"uniform fixture drifted: $psi")
+  }
+
   test("graft_isect merge-counts sorted arrays (eval + codegen), agrees with array_intersect") {
     import spark.implicits._
     GraftFunctions.register(spark)

@@ -195,6 +195,39 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("minhash_pairs consumer stays exact after an append-only sig refresh") {
+    // the pair artifact deliberately REBUILDS from the incrementally
+    // refreshed signature index (pair deltas are not compositional under
+    // the band-bucket cap) — prove the composition end-to-end: append
+    // EXACT COPIES of existing docs so cross old/new pairs must appear,
+    // refresh, and require the pair list to equal a from-scratch rebuild
+    val base = Files.createTempDirectory("graft_pair_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_pair_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val twins = docs.orderBy(col("doc_id").asc).limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+    graft.ext.Dedup.minHashPairsShared(spark, base).count()
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", twins)
+    val refreshed = graft.ext.Dedup.minHashPairsShared(spark, base)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    assert(Layout.refreshCount.get === r0 + 1,
+      "the signature index must refresh, not rebuild")
+    // the appended exact copies MUST pair with their originals
+    val crossPairs = refreshed.filter(col("doc_b") > maxId).count()
+    assert(crossPairs >= 10L,
+      s"appended twins must near-dup against their originals: $crossPairs")
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Dedup.minHashPairsShared(spark, pristine)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "pair list after refresh diverged from the full rebuild")
+  }
+
   test("copurch_edges refreshes via base⊕delta merge and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_edge_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_edge_full").toString + "/d"
