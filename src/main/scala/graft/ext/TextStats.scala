@@ -1000,8 +1000,15 @@ object TextStats {
       .withColumn("nxt", lead(col("tok"), 1).over(w))
       .filter(col("nxt").isNotNull)
       .select(col("doc_id"), col("tok").as("l"), col("nxt").as("r"))
+    // the bigram table feeds FOUR consumers (left totals, continuation
+    // counts, the type total, and the per-doc stream join); without the
+    // reliable checkpoint each consumer re-runs the tokenize + window
+    // pass (~2× the whole query's cost measured at sf0.1). Checkpoint,
+    // not persist: lineage severed with nothing left in the CacheManager,
+    // and the blocks survive executor loss on a cluster.
     val big = docBigrams.groupBy(col("l"), col("r"))
       .agg(count(lit(1)).as("c12"))
+      .checkpoint()
     val left = big.groupBy(col("l"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1r"))
     val cont = big.groupBy(col("r"))

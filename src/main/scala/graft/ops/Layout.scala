@@ -111,6 +111,12 @@ object Layout {
     * then one atomic rename — a crash leaves either the old committed
     * artifact or the new one, never a half-written dir that a later
     * session would trust; a concurrent loser adopts the winner's copy.
+    *
+    * Deliberately NOT refreshed: file removals/rewrites (retention
+    * deletes, compaction). Which derived rows came from a removed file
+    * is unknowable without the removed bytes, so any non-append delta
+    * takes the full rebuild — correct by construction, and the case is
+    * rare next to shards landing.
     */
   def ensureDerived(
       spark: SparkSession, sfDir: String, family: String,

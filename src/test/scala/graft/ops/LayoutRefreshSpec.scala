@@ -95,6 +95,43 @@ class LayoutRefreshSpec extends SparkSpec {
       s"a touched source file must force a rebuild (builds=$builds refreshes=$refreshes)")
   }
 
+  test("refresh works across sessions: the predecessor is found on disk, not in the catalog") {
+    // a fresh session has no catalog entries — the append-only refresh
+    // must locate the committed predecessor by scanning the warehouse
+    val root = Files.createTempDirectory("graft_xsess").toString
+    spark.range(200).withColumn("v", col("id") * 5)
+      .write.parquet(s"$root/t.parquet")
+    var builds = 0
+    var refreshes = 0
+    def ensure(s: org.apache.spark.sql.SparkSession): DataFrame =
+      Layout.ensureDerived(s, root, "test_xsess", Seq("t.parquet"), "id",
+        buckets = 4,
+        refresh = Some { ctx =>
+          refreshes += 1
+          ctx.oldArtifact.unionByName(
+            s.read.parquet(ctx.addedFiles: _*).select(col("id"), col("v")))
+        }) {
+        builds += 1
+        s.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+      }
+    assert(ensure(spark).count() === 200)
+    assert(builds === 1)
+    // drop ONLY the catalog entry (external table: the dir survives) —
+    // the state a brand-new session starts from
+    val tbl = spark.catalog.listTables().collect()
+      .map(_.name).find(_.startsWith("graft_test_xsess_")).get
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    appendFile(s"$root/t.parquet",
+      spark.range(200, 260).withColumn("v", col("id") * 5))
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.shuffle.partitions", "4")
+    val out = ensure(fresh)
+    assert(out.count() === 260)
+    assert(builds === 1 && refreshes === 1,
+      s"catalog-less session must refresh from the on-disk predecessor " +
+        s"(builds=$builds refreshes=$refreshes)")
+  }
+
   test("a recipe version bump invalidates a committed artifact (no silent reuse)") {
     val root = Files.createTempDirectory("graft_vers").toString
     spark.range(50).withColumn("v", col("id") + 1).write.parquet(s"$root/t.parquet")
