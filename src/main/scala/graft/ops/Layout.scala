@@ -124,14 +124,21 @@ object Layout {
       version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None)
       (build: => DataFrame): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    // census entry = "<len>|<mtime>|<absolute path>" per source data file
-    // (path LAST: it may itself contain the separator in a URI scheme)
+    // census entry = "<len>|<mtime>|<absolute path>" per source DATA file
+    // (path LAST: it may itself contain the separator in a URI scheme).
+    // Marker/hidden files (_SUCCESS, .crc) are EXCLUDED: parquet readers
+    // ignore them, so they cannot change artifact content — and Spark's
+    // own `.mode("append")` write rewrites the dir's _SUCCESS, which
+    // would otherwise turn every real shard append into a non-append
+    // delta and defeat the refresh path.
     val entries: Seq[String] = {
       val fs = new org.apache.hadoop.fs.Path(sfDir).getFileSystem(hadoopConf)
       sources.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(sfDir, t)
         if (fs.exists(p))
-          fs.listStatus(p).filter(_.isFile).map(s =>
+          fs.listStatus(p).filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".")).map(s =>
             s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}")
         else Seq.empty
       }.sorted

@@ -95,6 +95,32 @@ class LayoutRefreshSpec extends SparkSpec {
       s"a touched source file must force a rebuild (builds=$builds refreshes=$refreshes)")
   }
 
+  test("a Spark mode-append write (which rewrites _SUCCESS) still refreshes") {
+    // Spark's own append rewrites the target dir's _SUCCESS marker; the
+    // census must ignore marker/hidden files or every real shard landing
+    // would read as a non-append delta and rebuild
+    val root = Files.createTempDirectory("graft_sparkapp").toString
+    spark.range(80).withColumn("v", col("id") + 7).write.parquet(s"$root/t.parquet")
+    var builds = 0
+    var refreshes = 0
+    def ensure(): DataFrame = Layout.ensureDerived(
+      spark, root, "test_sparkapp", Seq("t.parquet"), "id", buckets = 4,
+      refresh = Some { ctx =>
+        refreshes += 1
+        ctx.oldArtifact.unionByName(
+          spark.read.parquet(ctx.addedFiles: _*).select(col("id"), col("v")))
+      }) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+    }
+    assert(ensure().count() === 80)
+    spark.range(80, 100).withColumn("v", col("id") + 7)
+      .coalesce(1).write.mode("append").parquet(s"$root/t.parquet")
+    assert(ensure().count() === 100)
+    assert(builds === 1 && refreshes === 1,
+      s"mode-append must refresh, not rebuild (builds=$builds refreshes=$refreshes)")
+  }
+
   test("refresh works across sessions: the predecessor is found on disk, not in the catalog") {
     // a fresh session has no catalog entries — the append-only refresh
     // must locate the committed predecessor by scanning the warehouse
