@@ -439,7 +439,11 @@ object Multimodal {
     if (width <= 0 || height == 0) return None
     val offset = le32(bytes, 10)
     val bytesPerPixel = bpp / 8
-    val rowSize = ((bpp.toLong * width + 31) / 32 * 4).toInt
+    // rowSize in Long BEFORE the int cast: a hostile width near 2^31
+    // would otherwise wrap negative and defeat the bounds check below
+    val rowSizeL = (bpp.toLong * width + 31) / 32 * 4
+    if (rowSizeL <= 0 || rowSizeL > bytes.length) return None
+    val rowSize = rowSizeL.toInt
     if (offset < 54 ||
       offset.toLong + rowSize.toLong * height > bytes.length) return None
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L

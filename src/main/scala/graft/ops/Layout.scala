@@ -299,17 +299,21 @@ object Layout {
   private def readText(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val baos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n > 0) { baos.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(baos.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
+    // a vanished/unreadable marker (concurrent GC won the race) must read
+    // as "no census" — the caller then rebuilds, which is always safe
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val baos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n > 0) { baos.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(baos.toByteArray, "UTF-8"))
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
 
   private def writeText(
       fs: org.apache.hadoop.fs.FileSystem,
