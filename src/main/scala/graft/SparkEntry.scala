@@ -2250,7 +2250,7 @@ object SparkEntry {
         |  SELECT source, count(*) AS n_terms,
         |         sum(xi)::HUGEINT AS sx, sum(yi)::HUGEINT AS sy,
         |         sum(xi * xi)::HUGEINT AS sxx, sum(xi * yi)::HUGEINT AS sxy
-        |  FROM xy GROUP BY source
+        |  FROM xy GROUP BY source HAVING count(*) >= 2
         |), f AS (
         |  SELECT source, n_terms, sx, sy,
         |         (n_terms::HUGEINT * sxy - sx * sy)::DOUBLE

@@ -778,7 +778,10 @@ object TextStats {
     val num = dec(col("n_terms")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
     val den = dec(col("n_terms")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
     val slopeRaw = num.cast("double") / den.cast("double")
-    sums.select(
+    // a 1-term source has zero rank variance → 0/0; a fit needs ≥2 points
+    // (distinct ranks give den > 0), so degenerate sources are excluded
+    // rather than emitting engine-dependent NaN
+    sums.filter(col("n_terms") >= 2).select(
       col("source"), col("n_terms"),
       round(slopeRaw, 6).as("zipf_slope"),
       round((col("sy").cast("double") / 1e6 -

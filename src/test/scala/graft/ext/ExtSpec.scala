@@ -693,6 +693,19 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit excludes degenerate single-term sources instead of emitting NaN") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipfdeg").toString
+    Seq(
+      (1L, "word", "en", "only", 4L), // one term: zero rank variance
+      (2L, "alpha beta alpha gamma beta alpha delta", "en", "ok", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextStats.zipfFit(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq === Seq("ok"))
+    assert(!rows.head.getAs[Double]("zipf_slope").isNaN)
+  }
+
   test("sourceSimilarity: identical sources score 1, disjoint 0, spine complete") {
     import spark.implicits._
     val dir = "/tmp/graft_test_srcsim"
