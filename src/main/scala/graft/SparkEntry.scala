@@ -1133,8 +1133,10 @@ object SparkEntry {
         |), j AS (
         |  SELECT s.cell,
         |         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
-        |         greatest(coalesce(c.n_ref, 0)::DOUBLE / tr::DOUBLE, 1e-4) AS p,
-        |         greatest(coalesce(c.n_cur, 0)::DOUBLE / tc::DOUBLE, 1e-4) AS q
+        |         greatest(coalesce(c.n_ref, 0)::DOUBLE
+        |                  / greatest(tr, 1)::DOUBLE, 1e-4) AS p,
+        |         greatest(coalesce(c.n_cur, 0)::DOUBLE
+        |                  / greatest(tc, 1)::DOUBLE, 1e-4) AS q
         |  FROM (SELECT cell FROM cent) s
         |       LEFT JOIN c USING (cell) CROSS JOIN tot
         |)
@@ -2307,8 +2309,10 @@ object SparkEntry {
         |), j AS (
         |  SELECT s.len_bucket,
         |         coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
-        |         greatest(coalesce(c.n_ref, 0)::DOUBLE / tr::DOUBLE, 1e-4) AS p,
-        |         greatest(coalesce(c.n_cur, 0)::DOUBLE / tc::DOUBLE, 1e-4) AS q
+        |         greatest(coalesce(c.n_ref, 0)::DOUBLE
+        |                  / greatest(tr, 1)::DOUBLE, 1e-4) AS p,
+        |         greatest(coalesce(c.n_cur, 0)::DOUBLE
+        |                  / greatest(tc, 1)::DOUBLE, 1e-4) AS q
         |  FROM spine s LEFT JOIN c USING (len_bucket) CROSS JOIN tot
         |)
         |SELECT len_bucket, n_ref, n_cur,

@@ -646,8 +646,11 @@ object Similarity {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       .crossJoin(broadcast(totals))
-    val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), eps)
-    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), eps)
+    // totals floor at 1: an EMPTY slice otherwise divides 0/0 into NaN
+    val p = greatest(col("n_ref").cast("double") /
+      greatest(col("__tr"), lit(1L)).cast("double"), eps)
+    val q = greatest(col("n_cur").cast("double") /
+      greatest(col("__tc"), lit(1L)).cast("double"), eps)
     joined.select(
       col("cell"), col("n_ref"), col("n_cur"),
       round(p, 6).as("ref_frac"),

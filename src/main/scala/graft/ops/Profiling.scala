@@ -87,26 +87,6 @@ object Profiling {
       .orderBy(col("shard").asc)
   }
 
-  /** Referential-integrity audit across the warehouse's declared
-    * foreign keys — the ingest gate that catches a partial drop (orphan
-    * children) or an over-filtered extract (unreferenced parents)
-    * before a pipeline run trusts the data. One row per FK edge:
-    * child row count, orphan child rows (fk value with no parent),
-    * parent key count, parents never referenced. All integers.
-    *
-    * Scale shape (the round-7 fused form): each CHILD table is scanned
-    * exactly ONCE even when it declares several FKs — every row explodes
-    * into one (edge, key) pair per declared FK and a map-side-combined
-    * aggregation collapses each edge to its key domain with per-key row
-    * counts (lineitem's three edges previously cost six full scans of
-    * the biggest table: one orphan anti-join + one distinct anti-join
-    * each). One shuffled FULL-OUTER join of that domain against the
-    * tagged parent-key union then yields orphans (parent side null) and
-    * unreferenced parents (child side null) in the same pass, and a
-    * final per-edge aggregation emits the |edges|-row report. Parent
-    * keys are primary keys (unique), so counting matched parent rows
-    * equals counting parent rows.
-    */
   /** Population-stability-index drift report between a REFERENCE corpus
     * slice and a CURRENT slice — the standard ingest-monitoring check
     * that a newly landed shard still looks like the corpus it joins
@@ -126,8 +106,8 @@ object Profiling {
     * the two inputs are the corpus and the candidate shard.
     *
     * Determinism: counts are exact; fractions are single divisions of
-    * integers (+0.5 exactly representable); only ln crosses engines and
-    * is rounded to 6dp before the final product, the ln convention.
+    * integers; only ln crosses engines and is rounded to 6dp before the
+    * final product, the ln convention.
     * Scale shape: one scan, one tiny groupBy, a broadcast spine join.
     */
   def psiDrift(
@@ -152,8 +132,12 @@ object Profiling {
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
       .crossJoin(broadcast(totals))
     val eps = lit(1e-4)
-    val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), eps)
-    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), eps)
+    // totals floor at 1: an EMPTY slice otherwise divides 0/0 into NaN
+    // (all its counts are 0, so the floor changes nothing when rows exist)
+    val p = greatest(col("n_ref").cast("double") /
+      greatest(col("__tr"), lit(1L)).cast("double"), eps)
+    val q = greatest(col("n_cur").cast("double") /
+      greatest(col("__tc"), lit(1L)).cast("double"), eps)
     joined.select(
       col("len_bucket"), col("n_ref"), col("n_cur"),
       round(p, 6).as("ref_frac"),
@@ -162,6 +146,26 @@ object Profiling {
       .orderBy(col("len_bucket").asc)
   }
 
+  /** Referential-integrity audit across the warehouse's declared
+    * foreign keys — the ingest gate that catches a partial drop (orphan
+    * children) or an over-filtered extract (unreferenced parents)
+    * before a pipeline run trusts the data. One row per FK edge:
+    * child row count, orphan child rows (fk value with no parent),
+    * parent key count, parents never referenced. All integers.
+    *
+    * Scale shape (the round-7 fused form): each CHILD table is scanned
+    * exactly ONCE even when it declares several FKs — every row explodes
+    * into one (edge, key) pair per declared FK and a map-side-combined
+    * aggregation collapses each edge to its key domain with per-key row
+    * counts (lineitem's three edges previously cost six full scans of
+    * the biggest table: one orphan anti-join + one distinct anti-join
+    * each). One shuffled FULL-OUTER join of that domain against the
+    * tagged parent-key union then yields orphans (parent side null) and
+    * unreferenced parents (child side null) in the same pass, and a
+    * final per-edge aggregation emits the |edges|-row report. Parent
+    * keys are primary keys (unique), so counting matched parent rows
+    * equals counting parent rows.
+    */
   def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Seq(
       ("lineitem", "l_orderkey", "orders", "o_orderkey"),
