@@ -436,7 +436,9 @@ object Multimodal {
     val width = le32(bytes, 18)
     val rawHeight = le32(bytes, 22)
     val height = math.abs(rawHeight)
-    if (width <= 0 || height == 0) return None
+    // <= 0, not == 0: abs(Int.MinValue) stays negative, and a negative
+    // height must take the stub path, not survive into the bounds math
+    if (width <= 0 || height <= 0) return None
     val offset = le32(bytes, 10)
     val bytesPerPixel = bpp / 8
     // rowSize in Long BEFORE the int cast: a hostile width near 2^31

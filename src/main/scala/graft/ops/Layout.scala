@@ -50,10 +50,16 @@ object Layout {
     buildNanos.set(0L); buildCount.set(0); refreshCount.set(0)
   }
 
-  /** Per-table monitors so two threads of one JVM ensuring the same
+  /** Per-(family, dir) monitors so two threads of one JVM ensuring the same
     * artifact serialize instead of double-building; cross-PROCESS safety
     * comes from the tmp-dir + atomic-rename commit (the loser of a rename
-    * race adopts the winner's committed copy).
+    * race adopts the winner's committed copy). Keyed on family+dirTag, NOT
+    * the census-hashed table name: every refresh cycle mints a new census
+    * hash, and a long-lived service appending shards would otherwise leak
+    * one permanent map entry per refresh. The coarser key is also the
+    * CORRECT serialization domain — two censuses of one family+dir are
+    * successive generations of the same artifact and must not build
+    * concurrently (the refresh predecessor scan reads the sibling dirs).
     */
   private val ensureLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -135,12 +141,21 @@ object Layout {
       val fs = new org.apache.hadoop.fs.Path(sfDir).getFileSystem(hadoopConf)
       sources.flatMap { t =>
         val p = new org.apache.hadoop.fs.Path(sfDir, t)
-        if (fs.exists(p))
-          fs.listStatus(p).filter(s => s.isFile &&
-              !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith(".")).map(s =>
-            s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}")
-        else Seq.empty
+        if (fs.exists(p)) {
+          // RECURSIVE census: a partitioned source layout nests its data
+          // files under key=value subdirs — a flat listing would see no
+          // entries and never invalidate a cached artifact when a nested
+          // shard changes. Marker/hidden names are excluded at EVERY level.
+          val it = fs.listFiles(p, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val s = it.next()
+            val n = s.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith("."))
+              buf += s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}"
+          }
+          buf.toSeq
+        } else Seq.empty
       }.sorted
     }
     val censusStr = (s"v=$version" +: entries).mkString("\n")
@@ -157,7 +172,7 @@ object Layout {
       spark.conf.get("spark.sql.warehouse.dir"))
     val wh = new org.apache.hadoop.fs.Path(whRoot, table.toLowerCase)
     val fs = wh.getFileSystem(hadoopConf)
-    ensureLocks.computeIfAbsent(table, _ => new Object).synchronized {
+    ensureLocks.computeIfAbsent(s"${family}_$dirTag", _ => new Object).synchronized {
       if (!spark.catalog.tableExists(table)) {
         // the in-memory catalog dies with the session but the warehouse
         // directory survives. A COMPLETE surviving dir (current tag,

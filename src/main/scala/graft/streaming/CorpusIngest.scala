@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -145,11 +145,18 @@ object CorpusIngest {
       docs: DataFrame, refFracs: Seq[Double],
       widthChars: Int = 200,
       watermarkDelay: String = "10 minutes",
-      windowLength: String = "1 hour"): DataFrame = {
+      windowLength: String = "1 hour",
+      lengthValue: Column = length(col("text"))): DataFrame = {
     val nB = refFracs.length
     val eps = 1e-4
+    // `lengthValue` MUST be the same quantity `refFracs` was histogrammed
+    // from: the batch psiDrift buckets the maintained corpus by its
+    // n_chars column, so a caller pairing this monitor with that report
+    // passes col("n_chars") (or a cast matching its byte/char convention)
+    // — silently mixing length(text) chars against byte-counted reference
+    // fractions would shift every bucket boundary and fake drift.
     val bucket = least(lit(nB - 1L),
-      expr(s"length(text) div $widthChars"))
+      (lengthValue.cast("long") / lit(widthChars.toLong)).cast("long"))
     val counts = (0 until nB).map(i =>
       count_if(bucket === i.toLong).as(s"__c$i"))
     val total = (0 until nB).map(i => col(s"__c$i")).reduce(_ + _)

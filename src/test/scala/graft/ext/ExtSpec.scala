@@ -1251,6 +1251,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpFeatures(tinyBmp().take(60), 16).isEmpty)
     val compressed = tinyBmp(); compressed(30) = 1 // BI_RLE8
     assert(Multimodal.bmpFeatures(compressed, 16).isEmpty)
+    // hostile height Int.MinValue: abs() stays negative — must reject, not
+    // return features computed over zero pixels with a negative n
+    assert(Multimodal.bmpFeatures(tinyBmp(height22 = Int.MinValue), 16).isEmpty)
   }
 
   test("extractFeatures routes a real BMP payload to the pixel path") {

@@ -95,6 +95,31 @@ class LayoutRefreshSpec extends SparkSpec {
       s"a touched source file must force a rebuild (builds=$builds refreshes=$refreshes)")
   }
 
+  test("a partitioned (nested-subdir) source still invalidates on nested change") {
+    // partitionBy layouts nest data files under key=value subdirs; the
+    // census must recurse or a nested shard change silently reuses the
+    // stale artifact forever
+    val root = Files.createTempDirectory("graft_nested").toString
+    spark.range(60).withColumn("p", col("id") % 3)
+      .write.partitionBy("p").parquet(s"$root/t.parquet")
+    var builds = 0
+    def ensure(): DataFrame = Layout.ensureDerived(
+      spark, root, "test_nested", Seq("t.parquet"), "id", buckets = 4) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").select(col("id"))
+    }
+    assert(ensure().count() === 60)
+    assert(builds === 1)
+    assert(ensure().count() === 60)
+    assert(builds === 1, "unchanged nested source must reuse the artifact")
+    val nested = fs.listStatus(new Path(s"$root/t.parquet/p=1"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.setTimes(nested, System.currentTimeMillis() + 60000, -1)
+    assert(ensure().count() === 60)
+    assert(builds === 2,
+      s"a touched NESTED file must invalidate the artifact (builds=$builds)")
+  }
+
   test("a Spark mode-append write (which rewrites _SUCCESS) still refreshes") {
     // Spark's own append rewrites the target dir's _SUCCESS marker; the
     // census must ignore marker/hidden files or every real shard landing
