@@ -32,25 +32,41 @@ object Bench {
     val rounds = 4
     val best = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to rounds; (name, fn) <- names) {
+    // Host-load sentinel: a fixed pure-CPU job (no I/O, no warehouse, no
+    // data dependence) timed once per round like any query. Its quiet-host
+    // time is a constant of this binary+box, so cross-round totals can be
+    // normalized mechanically — total × (ref_sentinel / sentinel_sec) —
+    // instead of inferring "afternoon load" from unrelated query drift.
+    // Reference value recorded in BASELINE.md.
+    var sentinel = Double.MaxValue
+    def runSentinel(): Unit = {
       val t0 = System.nanoTime()
-      // failures must be VISIBLE: a throwing query would otherwise "bench"
-      // as near-zero and silently flatter the total — record it in the
-      // emitted JSON too, not just on stderr
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      // Drop this query's persisted frames: cache entries accumulate across
-      // queries and every later plan pays a CacheManager canonicalize-and-
-      // compare against each of them (measured 10× slowdown on trivial
-      // queries once the 64-aggregate dedup plans were cached).
-      spark.catalog.clearCache()
-      best.updateWith(name) {
-        case Some(prev) => Some(math.min(prev, t))
-        case None       => Some(t)
+      spark.range(0L, 64000000L, 1L, cpus)
+        .selectExpr("max(xxhash64(id))").collect()
+      sentinel = math.min(sentinel, (System.nanoTime() - t0) / 1e9)
+    }
+    for (r <- 1 to rounds) {
+      runSentinel()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        // failures must be VISIBLE: a throwing query would otherwise "bench"
+        // as near-zero and silently flatter the total — record it in the
+        // emitted JSON too, not just on stderr
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Drop this query's persisted frames: cache entries accumulate across
+        // queries and every later plan pays a CacheManager canonicalize-and-
+        // compare against each of them (measured 10× slowdown on trivial
+        // queries once the 64-aggregate dedup plans were cached).
+        spark.catalog.clearCache()
+        best.updateWith(name) {
+          case Some(prev) => Some(math.min(prev, t))
+          case None       => Some(t)
+        }
       }
     }
     val results = best.toMap
@@ -61,8 +77,9 @@ object Bench {
     val buildSec = graft.ops.Layout.buildNanos.get() / 1e9
     val builds = graft.ops.Layout.buildCount.get()
     val refreshes = graft.ops.Layout.refreshCount.get()
+    val sentinelSec = if (sentinel == Double.MaxValue) 0.0 else sentinel
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"failed_queries":$fails,"artifact_build_sec":$buildSec,"artifact_builds":$builds,"artifact_refreshes":$refreshes,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"failed_queries":$fails,"artifact_build_sec":$buildSec,"artifact_builds":$builds,"artifact_refreshes":$refreshes,"sentinel_sec":$sentinelSec,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // A machine-readable copy as a FILE: sbt's [info] stdout prefix and
     // the driver's tail-capture have broken the stdout JSON parse two
@@ -75,7 +92,7 @@ object Bench {
     // The driver captures only the TAIL of the output: the per-query map
     // above can push the headline total past the capture window, so emit a
     // short trailing duplicate that always survives truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"artifact_build_sec":$buildSec,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.size},"artifact_build_sec":$buildSec,"sentinel_sec":$sentinelSec,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "trades"             -> ((s, d) => Marketplace.trades(s, d)),
     "admin_users"        -> ((s, d) => Marketplace.adminUsers(s, d)),
     "admin_ads"          -> ((s, d) => Marketplace.adminAds(s, d)),
+    "admin_ads_after"    -> ((s, d) => Marketplace.adminAdsAfter(s, d, "1998-08-01", 3000L)),
     "admin_stats"        -> ((s, d) => Marketplace.adminStats(s, d)),
     "conversations_list" -> ((s, d) => Social.conversationsList(s, d)),
     "messages"           -> ((s, d) => Social.messages(s, d, userId = 3)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "knn_lsh"            -> ((s, d) => Similarity.lshTopK(s, d)),
     "knn_ivf"            -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "knn_ivf_trained"    -> ((s, d) => Similarity.ivfTopKTrained(s, d)),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDupPairs(s, d)),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupPairsLSH(s, d)),
     "lang_stats"         -> ((s, d) => TextStats.langStats(s, d)),
@@ -221,6 +223,7 @@ object SparkEntry {
         .orderBy(col("window_start").asc, col("lang").asc)
     }),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
+    "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
@@ -471,6 +474,62 @@ object SparkEntry {
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id ASC""".stripMargin
 
+  /** Twin for `bpe_merges`: replays the BPE trainer's merge rounds
+    * relationally. Each round extracts adjacent-symbol pairs from the
+    * double-delimiter encoding (the same encoding [[bpeApplyCtes]] uses),
+    * takes the argmax under the trainer's exact order (count desc, pair
+    * asc in binary collation, count ≥ 2), and applies the winning merge
+    * via non-overlapping left-to-right `replace` — property-proven in
+    * BpeTrainerSpec to equal the trainer's fold. Distinct words stay
+    * distinct under merging (segmentations of different strings cannot
+    * collide), so no re-aggregation is needed between rounds. A round
+    * with no pair ≥ 2 selects nothing and leaves the vocab unchanged,
+    * exactly like the trainer's early stop. All counts are integers; the
+    * only ordering is the per-round argmax — bit-exact cross-engine.
+    */
+  private def bpeMergesOracle(nMerges: Int = 16): String = {
+    val d = "chr(31)"
+    val dd = s"$d || $d"
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"v${r - 1}"
+      s""", pc$r AS (
+         |  SELECT t.toks[g.i] AS l, t.toks[g.i + 1] AS r,
+         |         sum(t.wf)::BIGINT AS c
+         |  FROM (SELECT string_split(sym, $dd)[2:-2] AS toks, wf
+         |        FROM $prev) t,
+         |       UNNEST(generate_series(1, len(t.toks) - 1)) AS g(i)
+         |  GROUP BY 1, 2
+         |), ch$r AS (
+         |  SELECT l, r, c FROM pc$r WHERE c >= 2
+         |  ORDER BY c DESC, l ASC, r ASC LIMIT 1
+         |), v$r AS MATERIALIZED (
+         |  SELECT CASE WHEN ch.l IS NULL THEN p.sym
+         |              ELSE replace(p.sym, $d || ch.l || $dd || ch.r || $d,
+         |                           $d || ch.l || ch.r || $d) END AS sym,
+         |         p.wf
+         |  FROM $prev p LEFT JOIN ch$r ch ON TRUE
+         |)""".stripMargin
+    }.mkString
+    val sel = (1 to nMerges).map { r =>
+      s"""SELECT $r AS merge_rank, l AS "left", r AS "right",
+         |         l || r AS merged, c AS pair_count FROM ch$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT w, count(*) AS wf FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                              t -> t <> '')) AS w
+       |    FROM documents) GROUP BY 1
+       |), v0 AS MATERIALIZED (
+       |  SELECT $d || $d || regexp_replace(w, '(.)', '\\1' || $d || $d, 'g')
+       |           AS sym, wf
+       |  FROM w
+       |)$rounds
+       |SELECT merge_rank, "left", "right", merged, pair_count FROM (
+       |  $sel
+       |)
+       |ORDER BY merge_rank ASC""".stripMargin
+  }
+
   private def lshOracleCtes: String = {
     import graft.ext.Similarity.{hyperplaneSigns, Bands, BitsPerBand}
     val bandSelects = (0 until Bands).map { b =>
@@ -498,7 +557,102 @@ object SparkEntry {
     * Substring search uses strpos(lower(..)) — literal semantics mirroring
     * Prisma `contains` (no %/_ wildcards), not ILIKE (SURVEY §7.4).
     */
+  /** Twin for `knn_ivf_trained`: replays the integer fixed-point Lloyd
+    * trainer ([[graft.ext.Similarity.kmeansModelInt]]) relationally —
+    * unit components quantized to exact micro-units, each round one
+    * integer-dot assignment (ties cell asc) + one truncating-division
+    * update (DuckDB `//` ≡ Spark `div`), empty cells carrying the prior
+    * centroid — then runs the IVF search against the trained cells. Every
+    * float op is a single exactly-rounded IEEE op over exact integers, so
+    * the five-round model matches the Spark trainer bit-for-bit.
+    */
+  private def knnIvfTrainedOracle(
+      iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
+      cellProbes: Int = 4): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s""", cc$r AS (
+         |  SELECT cell, sum(xi * xi) AS cc FROM $prev GROUP BY 1
+         |), sc$r AS (
+         |  SELECT c.vec_id, k.cell, sum(c.xi * k.xi) AS dotv
+         |  FROM comp c JOIN $prev k USING (pos) GROUP BY 1, 2
+         |), asg$r AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT s.vec_id, s.cell,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY s.dotv::DOUBLE / sqrt(cc.cc::DOUBLE) DESC,
+         |                      s.cell ASC) AS rk
+         |    FROM sc$r s JOIN cc$r cc USING (cell)) WHERE rk = 1
+         |), upd$r AS (
+         |  SELECT a.cell, c.pos, sum(c.xi) AS sx, count(*) AS n
+         |  FROM asg$r a JOIN comp c USING (vec_id) GROUP BY 1, 2
+         |), c$r AS MATERIALIZED (
+         |  SELECT cell, pos, sx // n AS xi FROM upd$r
+         |  UNION ALL
+         |  SELECT k.cell, k.pos, k.xi FROM $prev k
+         |  WHERE k.cell NOT IN (SELECT cell FROM upd$r)
+         |)""".stripMargin
+    }.mkString
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |         sqrt(list_inner_product(embedding::DOUBLE[],
+       |                                 embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), comp AS MATERIALIZED (
+       |  SELECT vec_id, p.pos,
+       |         CAST(floor(vec[p.pos] / nrm * 1000000.0 + 0.5) AS BIGINT) AS xi
+       |  FROM emb, UNNEST(generate_series(1, 64)) AS p(pos)
+       |), seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell
+       |  FROM (SELECT vec_id FROM emb ORDER BY vec_id ASC LIMIT $nCells)
+       |), c0 AS (
+       |  SELECT s.cell, c.pos, c.xi FROM seeds s JOIN comp c USING (vec_id)
+       |)$rounds, cent AS MATERIALIZED (
+       |  SELECT c.cell,
+       |         list(c.xi::DOUBLE / sqrt(cc.cc::DOUBLE)
+       |              ORDER BY c.pos ASC) AS cvec
+       |  FROM c$iters c
+       |  JOIN (SELECT cell, sum(xi * xi) AS cc FROM c$iters GROUP BY 1) cc
+       |    USING (cell)
+       |  GROUP BY 1
+       |), scores AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+       |  FROM emb e CROSS JOIN cent c
+       |), assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cell ASC) AS rk
+       |    FROM scores) WHERE rk = 1
+       |), probecells AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY s DESC, cell ASC) AS rk
+       |    FROM scores WHERE vec_id < $nProbes) WHERE rk <= $cellProbes
+       |), cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+       |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+       |  WHERE p.q_id <> a.vec_id
+       |), ranked AS (
+       |  SELECT cand.q_id, cand.c_id,
+       |         list_inner_product(q.vec, t.vec) / (q.nrm * t.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY cand.q_id
+       |           ORDER BY list_inner_product(q.vec, t.vec)
+       |                      / (q.nrm * t.nrm) DESC,
+       |                    cand.c_id ASC) AS nn_rank
+       |  FROM cand
+       |  JOIN emb q ON q.vec_id = cand.q_id
+       |  JOIN emb t ON t.vec_id = cand.c_id
+       |)
+       |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+       |FROM ranked WHERE nn_rank <= $k
+       |ORDER BY q_id ASC, nn_rank ASC""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "knn_ivf_trained" -> knnIvfTrainedOracle(),
+    "bpe_merges" -> bpeMergesOracle(),
     "ads_search" ->
       """WITH filtered AS (
         |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
@@ -634,6 +788,14 @@ object SparkEntry {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
         |LIMIT 50 OFFSET 50""".stripMargin,
+    "admin_ads_after" ->
+      """SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus, o.o_orderdate,
+        |       c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderdate < DATE '1998-08-01'
+        |   OR (o.o_orderdate = DATE '1998-08-01' AND o.o_orderkey < 3000)
+        |ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+        |LIMIT 50""".stripMargin,
     "admin_stats" ->
       """SELECT (SELECT count(*) FROM customer) AS total_users,
         |       (SELECT count(*) FROM orders) AS total_ads,
@@ -1751,6 +1913,16 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY o.o_orderkey ASC
         |LIMIT 100""".stripMargin,
+    "zorder_scan" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_total,
+        |       min(o_totalprice) AS min_total,
+        |       max(o_totalprice) AS max_total
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 400
+        |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+        |GROUP BY 1
+        |ORDER BY o_orderpriority ASC""".stripMargin,
     "lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       sum(n_chars)::BIGINT AS total_chars,

@@ -146,25 +146,249 @@ object Similarity {
       .orderBy(col("q_id").asc, col("nn_rank").asc)
   }
 
+  // ───────────────────────── IVF cell-layout artifact ──────────────────
+  // The registered ANN config. The maintained index artifact is built for
+  // exactly this shape; calls with other parameters take the live
+  // (scan-and-quantize) paths below, which define the semantics the
+  // artifact must reproduce bit-for-bit.
+  private[graft] val IvfNCells = 16
+  private val PqSubspaces = 4
+  private val PqCodebookSize = 16
+
+  /** The collected seed quantizer: ascending-vec_id rows with their raw
+    * float vectors and precomputed norms — a bounded k-row model fetch
+    * (the coarse quantizer IS a driver-side model in every IVF system).
+    */
+  private case class SeedModel(ids: Seq[Long], vecs: Seq[Seq[Float]], norms: Seq[Double]) {
+    def size: Int = ids.size
+    /** Unit-normalized centroid as a plan-time array literal — the exact
+      * string construction every live path uses, so artifact-backed and
+      * live assignments are bit-identical.
+      */
+    def unitLit(i: Int): String =
+      vecs(i).map(v => (v / norms(i)).toString + "D").mkString("array(", ",", ")")
+    /** Unit-normalized centroid as driver doubles (same arithmetic as
+      * [[unitLit]] — Double.toString round-trips exactly, so the literal
+      * parse yields these very doubles).
+      */
+    def unitVec(i: Int): Array[Double] =
+      vecs(i).map(v => v / norms(i)).toArray
+  }
+
+  /** Collect the `n` lowest-id rows of a (vec_id, embedding, norm-named-
+    * whatever) frame as the seed model. orderBy + limit, not `vec_id < n`:
+    * ids may be sparse or non-zero-based.
+    */
+  private def collectSeeds(embWithNorm: DataFrame, n: Int): SeedModel = {
+    val rows = embWithNorm.orderBy(col("vec_id").asc).limit(n).collect().toSeq
+    SeedModel(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toSeq),
+      rows.map(_.getDouble(2)))
+  }
+
+  /** graft_dot's fold, on the driver: floats widened per element, summed
+    * left-to-right — bit-identical to the codegen'd expression (and to the
+    * DuckDB twin's `list_inner_product`).
+    */
+  private def dotFD(a: Seq[Float], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Derive the full per-vector index row set from a (vec_id, embedding,
+    * label, __norm) frame under a FIXED seed quantizer — the build kernel
+    * of [[ivfCellIndex]], also applied to just the delta rows on an
+    * append-only refresh. Columns:
+    *   - `cell`     dot-space assignment labeled by centroid vec_id
+    *                ([[ivfTopK]]'s exact expression),
+    *   - `cell_id`  cosine-space assignment labeled by seed rank
+    *                ([[kmeansSeedAssign]]'s exact expression; same argmax
+    *                up to the positive per-row norm factor, but ties can
+    *                differ at rounding boundaries so BOTH labelings are
+    *                stored and each consumer reads its own),
+    *   - `sim`      cosine to the `cell_id` centroid (raw double),
+    *   - `code0..3` PQ codes under the seed codebook ([[pqCodes]]'s exact
+    *                argmin) when the corpus is [[EmbeddingDim]]-dimensional
+    *                with a full codebook; null otherwise (degenerate
+    *                corpora the PQ paths reject anyway).
+    */
+  private def ivfDeriveColumns(emb: DataFrame, sm: SeedModel): DataFrame = {
+    val cellScores = (0 until sm.size).map { i =>
+      struct(expr(s"graft_dot(embedding, ${sm.unitLit(i)})").as("s"),
+        lit(-sm.ids(i)).as("negid"))
+    }
+    val rankScores = (0 until sm.size).map { i =>
+      struct((expr(s"graft_dot(embedding, ${sm.unitLit(i)})") / col("__norm")).as("s"),
+        lit(-i.toLong).as("negid"))
+    }
+    val subDim = EmbeddingDim / PqSubspaces
+    val pqReady = sm.size == PqCodebookSize &&
+      sm.vecs.forall(_.length == EmbeddingDim)
+    def cbLit(m: Int, j: Int): String =
+      sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
+        .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+    val codeCols = (0 until PqSubspaces).map { m =>
+      if (!pqReady) lit(null).cast("int").as(s"code$m")
+      else {
+        val cands = (0 until PqCodebookSize).map { j =>
+          val c = cbLit(m, j)
+          struct(expr(
+            s"graft_dot($c, $c) - 2D * graft_dot(slice(embedding, ${m * subDim + 1}, $subDim), $c)")
+            .as("dist"), lit(j).as("j"))
+        }
+        least(cands: _*).getField("j").as(s"code$m")
+      }
+    }
+    emb
+      .withColumn("__best", greatest(rankScores: _*))
+      .select(Seq(
+        col("vec_id"), col("label"), col("embedding"),
+        col("__norm").as("norm"),
+        (-greatest(cellScores: _*).getField("negid")).as("cell"),
+        (-col("__best.negid")).as("cell_id"),
+        col("__best.s").as("sim")) ++ codeCols: _*)
+  }
+
+  /** The maintained ANN index artifact — the deploy shape [[ivfTopK]]'s
+    * scaladoc promises: the corpus written ONCE per sfDir as a
+    * bucketed-on-`cell` parquet table carrying the seed-quantizer cell
+    * assignments (both labelings), norms, and PQ codes, via
+    * [[graft.ops.Layout.ensureDerived]]. Every ANN/semantic consumer then
+    * reads THIS table with a static cell filter — a bucket-pruned scan
+    * (`SelectedBucketsCount < total` in the plan) instead of re-scanning
+    * and re-quantizing `embeddings.parquet` per call; cell-keyed
+    * self-joins co-locate on the bucket key.
+    *
+    * Append-only refresh (the 100 TB ingest shape): the quantizer is
+    * FROZEN — new shards are assigned/encoded against the seeds read from
+    * the committed artifact, and only the delta rows are derived. When an
+    * appended shard could change the seed set itself (ids below the
+    * current seed ceiling, or a corpus still smaller than the seed count),
+    * the kernel falls back to a full re-derive over all files — refresh
+    * output must be bit-identical to a from-scratch build, and the
+    * lowest-id seed contract makes that checkable from ids alone.
+    */
+  def ivfCellIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    def derive(src: DataFrame, sm: SeedModel): DataFrame =
+      ivfDeriveColumns(src, sm)
+    def full(src: DataFrame): DataFrame = {
+      val withN = withNorm(spark, src)
+        .select(col("vec_id"), col("embedding"), col("label"), col("__norm"))
+      derive(withN, collectSeeds(
+        withN.select("vec_id", "embedding", "__norm"), IvfNCells))
+    }
+    graft.ops.Layout.ensureDerived(
+      spark, sfDir, "ivf_cells", Seq("embeddings.parquet"),
+      key = "cell", buckets = 32, version = 1,
+      refresh = Some { ctx =>
+        val old = ctx.oldArtifact
+        val oldSeeds = collectSeeds(
+          old.select(col("vec_id"), col("embedding"), col("norm")), IvfNCells)
+        val added = spark.read.parquet(ctx.addedFiles: _*)
+        // one tiny agg over the DELTA only: the frozen quantizer stays
+        // valid iff no added id undercuts the current seed ceiling
+        val minAdded = added.agg(min(col("vec_id"))).first() match {
+          case r if r.isNullAt(0) => Long.MaxValue
+          case r                  => r.getLong(0)
+        }
+        if (oldSeeds.size < IvfNCells || minAdded <= oldSeeds.ids.max)
+          full(spark.read.parquet((ctx.priorFiles ++ ctx.addedFiles): _*))
+        else {
+          val addedN = withNorm(spark, added)
+            .select(col("vec_id"), col("embedding"), col("label"), col("__norm"))
+          old.unionByName(derive(addedN, oldSeeds))
+        }
+      }) {
+      full(Tables.embeddings(spark, sfDir))
+    }
+  }
+
+  /** (q_id, cell) probe routing computed AT THE DRIVER from the collected
+    * probe vectors and seed model — nProbes×nCells dot products of query
+    * planning, which is what turns the candidate retrieval into a STATIC
+    * `cell IN (...)` filter the bucketed scan can prune on (a join-derived
+    * cell set would defeat bucket pruning). Scores are [[dotFD]] folds and
+    * cells are the dot-space centroid-vec_id labels, bit-identical to the
+    * live explode-and-rank path (rank order equals vec_id order, so the
+    * index tie-break IS the cell-asc tie-break).
+    */
+  private def probeCells(
+      probes: Seq[(Long, Seq[Float])], sm: SeedModel,
+      cellProbes: Int): Seq[(Long, Long)] =
+    probes.flatMap { case (qid, qv) =>
+      (0 until sm.size)
+        .map(i => (dotFD(qv, sm.unitVec(i)), i))
+        .sortBy { case (s, i) => (-s, i) }
+        .take(cellProbes)
+        .map { case (_, i) => (qid, sm.ids(i)) }
+    }
+
+  /** Bounded probe fetch from the index: nProbes rows of
+    * (vec_id, embedding, norm). */
+  private def collectProbes(
+      index: DataFrame, nProbes: Int): Seq[(Long, Seq[Float], Double)] =
+    index.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
+
   /** IVF (inverted-file) approximate top-k — the FAISS-style scale path
     * complementing the hyperplane-LSH variant: a tiny coarse quantizer
     * partitions the corpus into cells; queries search only their
     * `cellProbes` nearest cells.
     *
-    * Quantizer = the `nCells` lowest-id vectors, pre-normalized and
-    * collected to the driver (K rows — the coarse quantizer IS a
-    * driver-side model in every IVF system; the corpus itself never
-    * collects). Cell assignment is an argmax over K native graft_dot
-    * projections — a narrow map stage, no shuffle. At 100 TB the corpus
-    * would additionally be written out partitioned BY cell id so a probe
-    * reads only its cells' files (partition pruning); here the cell join
-    * expresses the same pruning.
+    * At the registered config the search runs against the MAINTAINED
+    * [[ivfCellIndex]] artifact: probe routing is driver-side query
+    * planning (nProbes×nCells dots), candidates come from a bucket-PRUNED
+    * scan of only the probed cells' buckets, and the exact re-rank reads
+    * norms/vectors straight off the index — `embeddings.parquet` is never
+    * touched. Other configs take the live scan-and-quantize path whose
+    * results the artifact reproduces bit-for-bit.
     *
-    * Recall < 1 by design (property-tested vs brute force); rows-only.
+    * Recall < 1 by design (property-tested vs brute force).
     */
   def ivfTopK(
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, cellProbes: Int = 4): DataFrame = {
+    if (nCells == IvfNCells) {
+      val sp = spark; import sp.implicits._
+      val index = ivfCellIndex(spark, sfDir)
+      val sm = collectSeeds(
+        index.select(col("vec_id"), col("embedding"), col("norm")), nCells)
+      val probes = collectProbes(index, nProbes)
+      val routed = probeCells(probes.map(p => (p._1, p._2)), sm, cellProbes)
+      val wanted = routed.map(_._2).distinct.sorted
+      val qcells = routed.toDF("q_id", "cell")
+      val pruned = index.filter(col("cell").isin(wanted: _*))
+      val candIds = broadcast(qcells)
+        .join(pruned.select(col("cell"), col("vec_id").as("c_id")), Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id").distinct()
+      val q = probes.toDF("q_id", "q_vec", "q_norm")
+      val c = pruned.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("norm").as("c_norm"))
+      candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
+        .withColumn("sim", simExpr)
+        .withColumn("nn_rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
+        .filter(col("nn_rank") <= k)
+        .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+          round(col("sim"), 6).as("cosine_sim"))
+        .orderBy(col("q_id").asc, col("nn_rank").asc)
+    } else ivfTopKLive(spark, sfDir, nProbes, k, nCells, cellProbes)
+  }
+
+  /** The index-free IVF search (scan + quantize per call) — the semantics
+    * [[ivfCellIndex]] must reproduce, and the path for ad-hoc quantizer
+    * configs no maintained artifact covers.
+    */
+  private def ivfTopKLive(
+      spark: SparkSession, sfDir: String, nProbes: Int, k: Int,
+      nCells: Int, cellProbes: Int): DataFrame = {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
     // coarse quantizer: the nCells lowest-ID vectors (orderBy + limit, so
@@ -182,6 +406,21 @@ object Similarity {
           .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")")
         (id, lit)
       }
+    ivfSearchWithCentroids(spark, sfDir, centroids, nProbes, k, cellProbes)
+  }
+
+  /** The IVF search body under an arbitrary UNIT-centroid model (plan-time
+    * array literals, labeled by cell id): quantize the corpus, route each
+    * probe to its `cellProbes` best cells, exact-cosine-rerank the probed
+    * cells' members. Shared by the ad-hoc seeded live path and the
+    * TRAINED-quantizer search — the model is the only difference.
+    */
+  private def ivfSearchWithCentroids(
+      spark: SparkSession, sfDir: String, centroids: Seq[(Long, String)],
+      nProbes: Int, k: Int, cellProbes: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
     val cellScores = centroids.map { case (cid, c) =>
       struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
     }
@@ -388,10 +627,39 @@ object Similarity {
     */
   def kmeansSeedAssign(
       spark: SparkSession, sfDir: String, k: Int = 16): DataFrame =
-    kmeansAssignments(spark, sfDir, k, iters = 0)
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("vec_id").asc)
+    if (k == IvfNCells)
+      // the seed assignment IS an index column — one scan, no dot products
+      ivfCellIndex(spark, sfDir)
+        .select(col("vec_id"), col("cell_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("vec_id").asc)
+    else
+      kmeansAssignments(spark, sfDir, k, iters = 0)
+        .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("vec_id").asc)
+
+  /** (vec_id, cell_id, embedding, __norm, label) under the k-cell seed
+    * quantizer — off the maintained [[ivfCellIndex]] when the config
+    * matches (one scan, assignments precomputed), live otherwise. The
+    * kernel every cell-scoped semantic operator
+    * ([[semanticDedup]]/[[semanticDecontaminate]]/[[crossLabelMine]]/
+    * [[clusterBalancedSample]]) starts from.
+    */
+  private def seedAssignedEmb(
+      spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    if (k == IvfNCells)
+      ivfCellIndex(spark, sfDir)
+        .select(col("vec_id"), col("cell_id"), col("embedding"),
+          col("norm").as("__norm"), col("label"))
+    else {
+      val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
+        .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+      withNorm(spark, Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding"), col("__norm"), col("label"))
+        .join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("cell_id"), col("embedding"),
+          col("__norm"), col("label"))
+    }
 
   /** Cluster-size/cohesion summary of [[kmeansAssignments]] (rows-only —
     * iterative float means have no portable SQL twin).
@@ -404,6 +672,96 @@ object Similarity {
         count(lit(1)).as("n_vectors"),
         round(avg(col("sim")), 6).as("avg_cohesion"))
       .orderBy(col("cell_id").asc)
+
+  /** Integer fixed-point spherical k-means — the [[kmeansAssignments]]
+    * trainer re-expressed in the part_pagerank determinism discipline so a
+    * SQL twin can replay it bit-for-bit: unit-normalized components are
+    * quantized to exact MICRO-units (floor(x·10⁶ + 0.5) — every op
+    * exactly rounded), so
+    *   - dot products in the assignment step are EXACT integers (products
+    *     ≤ 10¹², 64-term sums ≤ 6.4·10¹³ < 2⁵³ — the graft_dot double
+    *     fold carries them exactly, any engine, any order);
+    *   - the Lloyd update is an integer truncating division (Spark `div`
+    *     ≡ DuckDB `//`), order-independent by integer-sum exactness;
+    *   - the only float ops are per-cell ‖c‖ = sqrt(exact int) and ONE
+    *     division per score — both exactly rounded IEEE ops.
+    * Assignment ties break on cell asc; empty cells keep their previous
+    * centroid. Returns the trained centroids in micro-units, indexed by
+    * cell rank (seeded from the k lowest-id vectors).
+    *
+    * Scale shape per iteration: one narrow codegen'd scan for assignment
+    * (k dots against literals, no join) + one (vec_id-keyed join + hash
+    * agg) for the update, collecting only the k·dim model.
+    */
+  private[graft] def kmeansModelInt(
+      spark: SparkSession, sfDir: String, k: Int = 16,
+      iters: Int = 5): IndexedSeq[Array[Long]] = {
+    GraftFunctions.register(spark)
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    // quantized unit components as DOUBLE-typed exact integers: graft_dot
+    // folds them exactly (see scaladoc), and the same array feeds both the
+    // assignment dots and the posexploded update rows
+    val xq = emb.select(col("vec_id"), expr(
+      "transform(embedding, v -> CAST(floor(v / __norm * 1000000.0D + 0.5D) AS DOUBLE))")
+      .as("xq"))
+      .persist()
+    try {
+      var model: IndexedSeq[Array[Long]] = xq
+        .orderBy(col("vec_id").asc).limit(k)
+        .collect().toIndexedSeq
+        .map(_.getSeq[Double](1).map(_.toLong).toArray)
+      val comp = xq
+        .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"), col("x").cast("long").as("xi"))
+      def assignFor(m: IndexedSeq[Array[Long]]): DataFrame = {
+        val scores = m.zipWithIndex.map { case (c, i) =>
+          val cLit = c.map(_.toString + "D").mkString("array(", ",", ")")
+          val cn = math.sqrt(c.map(v => v * v).sum.toDouble)
+          struct((expr(s"graft_dot(xq, $cLit)") / lit(cn)).as("s"),
+            lit(-i).as("negid"))
+        }
+        xq.withColumn("best", greatest(scores: _*))
+          .select(col("vec_id"), (-col("best.negid")).as("cell"))
+      }
+      for (_ <- 1 to iters) {
+        val updated = comp
+          .join(assignFor(model), Seq("vec_id"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+          .select(col("cell"), col("pos"), expr("sx div n").as("xi"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            val arr = new Array[Long](model.head.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+            cell -> arr
+          }
+        model = model.indices.map(i => updated.getOrElse(i, model(i)))
+      }
+      model
+    } finally { xq.unpersist(); () }
+  }
+
+  /** IVF search against the TRAINED quantizer ([[kmeansModelInt]]) — the
+    * registered `knn_ivf_trained`: same search shape as [[ivfTopK]], but
+    * the cells come from k Lloyd iterations instead of the raw lowest-id
+    * seeds, which is what a production deployment runs (seeds are only the
+    * oracle-friendly degenerate case; on clustered real data the trained
+    * cells bound candidate sets far better). Cells are labeled by training
+    * rank; the exactly-reproducible trainer means this query hash-checks
+    * against a DuckDB twin that replays all `iters` rounds relationally.
+    */
+  def ivfTopKTrained(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, iters: Int = 5, cellProbes: Int = 4): DataFrame = {
+    val model = kmeansModelInt(spark, sfDir, nCells, iters)
+    val centroids: Seq[(Long, String)] = model.zipWithIndex.map { case (c, i) =>
+      val n = math.sqrt(c.map(v => v * v).sum.toDouble)
+      (i.toLong,
+        c.map(v => (v / n).toString + "D").mkString("array(", ",", ")"))
+    }
+    ivfSearchWithCentroids(spark, sfDir, centroids, nProbes, k, cellProbes)
+  }
 
   /** Per-label embedding-norm profile: count, mean/min/max L2 norm — the
     * sanity report run before any cosine-based pipeline stage (un-normalized
@@ -502,6 +860,66 @@ object Similarity {
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, cellProbes: Int = 4,
       subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {
+    if (nCells == IvfNCells && subspaces == PqSubspaces &&
+      codebookSize == PqCodebookSize) {
+      // Artifact-backed ADC: candidates' PQ codes and cells come off the
+      // bucket-pruned [[ivfCellIndex]] scan — per candidate the search
+      // reads 1 + subspaces small ids, never the raw vector; probe routing
+      // is driver-side planning exactly as in [[ivfTopK]].
+      val sp = spark; import sp.implicits._
+      GraftFunctions.register(spark)
+      val index = ivfCellIndex(spark, sfDir)
+      val sm = collectSeeds(
+        index.select(col("vec_id"), col("embedding"), col("norm")), nCells)
+      require(sm.vecs.forall(_.length == EmbeddingDim),
+        s"ivfPqTopK: corpus is not $EmbeddingDim-dimensional")
+      val subDim = EmbeddingDim / subspaces
+      val probes = collectProbes(index, nProbes)
+      val routed = probeCells(probes.map(p => (p._1, p._2)), sm, cellProbes)
+      val wanted = routed.map(_._2).distinct.sorted
+      val topCells = routed.toDF("q_id", "cell")
+      val subCols = (0 until subspaces).map { m =>
+        expr(s"slice(embedding, ${m * subDim + 1}, $subDim)").as(s"__sub$m")
+      }
+      val queries = probes.map(p => (p._1, p._2)).toDF("vec_id", "embedding")
+        .select((col("vec_id").as("q_id") +: subCols): _*)
+      val pruned = index.filter(col("cell").isin(wanted: _*))
+      val indexSide = pruned.select((col("vec_id").as("c_id") +: col("cell") +:
+        (0 until subspaces).map(m => col(s"code$m"))): _*)
+      def cbLit(m: Int, j: Int): String =
+        sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
+          .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+      def dotD(a: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+      }
+      val est = (0 until subspaces).map { m =>
+        val cbArr = (0 until codebookSize).map(j => cbLit(m, j))
+          .mkString("array(", ",", ")")
+        val ccArr = (0 until codebookSize).map { j =>
+          dotD(sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
+            .map(_.toDouble)).toString + "D"
+        }.mkString("array(", ",", ")")
+        expr(s"graft_dot(__sub$m, __sub$m)" +
+          s" - 2D * graft_dot(__sub$m, element_at($cbArr, code$m + 1))" +
+          s" + element_at($ccArr, code$m + 1)")
+      }.reduce(_ + _)
+      return broadcast(topCells)
+        .join(indexSide, Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select((Seq("q_id", "c_id") ++
+          (0 until subspaces).map(m => s"code$m")).map(col): _*)
+        .distinct()
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("l2sq_est", est)
+        .withColumn("nn_rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("l2sq_est").asc, col("c_id").asc)))
+        .filter(col("nn_rank") <= k)
+        .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+          round(col("l2sq_est"), 6).as("l2sq_est"))
+        .orderBy(col("q_id").asc, col("nn_rank").asc)
+    }
     GraftFunctions.register(spark)
     require(EmbeddingDim % subspaces == 0, s"dim $EmbeddingDim not divisible")
     val subDim = EmbeddingDim / subspaces
@@ -613,21 +1031,35 @@ object Similarity {
   def embeddingDrift(
       spark: SparkSession, sfDir: String, nCells: Int = 16): DataFrame = {
     GraftFunctions.register(spark)
-    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"), col("__norm"))
-    val centroids: Seq[(Long, String)] = emb
-      .orderBy(col("vec_id").asc).limit(nCells)
-      .collect().toSeq
-      .map { r =>
-        val nrm = r.getDouble(2)
-        (r.getLong(0), r.getSeq[Float](1)
-          .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")"))
+    // At the registered config the occupancy read is a pure column scan of
+    // the maintained [[ivfCellIndex]] — (cell, vec_id) only, ZERO dot
+    // products per call (the assignments were paid once at index build);
+    // ad-hoc cell counts quantize live.
+    val cellsOf: (DataFrame, Seq[Long]) =
+      if (nCells == IvfNCells) {
+        val index = ivfCellIndex(spark, sfDir)
+        val seedIds = index.select(col("vec_id"))
+          .orderBy(col("vec_id").asc).limit(nCells)
+          .collect().toSeq.map(_.getLong(0))
+        (index.select(col("cell"), col("vec_id")), seedIds)
+      } else {
+        val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+          .select(col("vec_id"), col("embedding"), col("__norm"))
+        val centroids: Seq[(Long, String)] = emb
+          .orderBy(col("vec_id").asc).limit(nCells)
+          .collect().toSeq
+          .map { r =>
+            val nrm = r.getDouble(2)
+            (r.getLong(0), r.getSeq[Float](1)
+              .map(v => (v / nrm).toString + "D").mkString("array(", ",", ")"))
+          }
+        val cellScores = centroids.map { case (cid, c) =>
+          struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
+        }
+        (emb.withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+          .select(col("cell"), col("vec_id")), centroids.map(_._1))
       }
-    val cellScores = centroids.map { case (cid, c) =>
-      struct(expr(s"graft_dot(embedding, $c)").as("s"), lit(-cid).as("negid"))
-    }
-    val counts = emb
-      .withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+    val counts = cellsOf._1
       .select(col("cell"), (col("vec_id") % 10 === 9).as("is_cur"))
       .groupBy(col("cell"))
       .agg(
@@ -635,7 +1067,7 @@ object Similarity {
         count_if(col("is_cur")).as("n_cur"))
     val spine = {
       val sp = spark; import sp.implicits._
-      centroids.map(_._1).toDF("cell")
+      cellsOf._2.toDF("cell")
     }
     val totals = counts.agg(
       sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
@@ -662,6 +1094,13 @@ object Similarity {
   def pqCodes(
       spark: SparkSession, sfDir: String,
       subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {
+    if (subspaces == PqSubspaces && codebookSize == PqCodebookSize)
+      // codes are index columns — one scan, the per-(row, code) argmin was
+      // paid once at artifact build
+      return ivfCellIndex(spark, sfDir)
+        .select((col("vec_id") +: (0 until subspaces).map(m =>
+          col(s"code$m").cast("long").as(s"code$m"))): _*)
+        .orderBy(col("vec_id").asc)
     GraftFunctions.register(spark)
     require(EmbeddingDim % subspaces == 0, s"dim $EmbeddingDim not divisible")
     val subDim = EmbeddingDim / subspaces
@@ -714,11 +1153,8 @@ object Similarity {
   def semanticDedup(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.4): DataFrame = {
-    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
-    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"), col("__norm"))
-      .join(cells, Seq("vec_id"))
+    val emb = seedAssignedEmb(spark, sfDir, k)
+      .select(col("vec_id"), col("embedding"), col("__norm"), col("cell_id"))
     val q = emb.select(col("cell_id"), col("vec_id").as("q_id"),
       col("embedding").as("q_vec"), col("__norm").as("q_norm"))
     val c = emb.select(col("cell_id"), col("vec_id").as("c_id"),
@@ -760,11 +1196,8 @@ object Similarity {
   def semanticDecontaminate(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.4, evalMod: Int = 10, evalRem: Int = 9): DataFrame = {
-    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
-    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"), col("__norm"))
-      .join(cells, Seq("vec_id"))
+    val emb = seedAssignedEmb(spark, sfDir, k)
+      .select(col("vec_id"), col("embedding"), col("__norm"), col("cell_id"))
     val isEval = pmod(col("vec_id"), lit(evalMod.toLong)) === evalRem.toLong
     val q = emb.filter(isEval).select(col("cell_id"),
       col("vec_id").as("q_id"), col("embedding").as("q_vec"),
@@ -812,11 +1245,9 @@ object Similarity {
   def crossLabelMine(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.3): DataFrame = {
-    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
-    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("label"), col("embedding"), col("__norm"))
-      .join(cells, Seq("vec_id"))
+    val emb = seedAssignedEmb(spark, sfDir, k)
+      .select(col("vec_id"), col("label"), col("embedding"), col("__norm"),
+        col("cell_id"))
     val q = emb.select(col("cell_id"), col("vec_id").as("q_id"),
       col("label").as("q_label"), col("embedding").as("q_vec"),
       col("__norm").as("q_norm"))
@@ -860,8 +1291,8 @@ object Similarity {
   def clusterBalancedSample(
       spark: SparkSession, sfDir: String, k: Int = 16,
       perCell: Int = 8, salt: Int = 29): DataFrame = {
-    val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
-      .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+    val cells = seedAssignedEmb(spark, sfDir, k)
+      .select(col("vec_id"), col("cell_id"))
     val bucket = Corpus.bucket1000(col("vec_id"), salt, twinnable = true)
     val w = Window.partitionBy(col("cell_id"))
       .orderBy(col("__bucket").asc, col("vec_id").asc)

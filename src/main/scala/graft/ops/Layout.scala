@@ -130,38 +130,8 @@ object Layout {
       version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None)
       (build: => DataFrame): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    // census entry = "<len>|<mtime>|<absolute path>" per source DATA file
-    // (path LAST: it may itself contain the separator in a URI scheme).
-    // Marker/hidden files (_SUCCESS, .crc) are EXCLUDED: parquet readers
-    // ignore them, so they cannot change artifact content — and Spark's
-    // own `.mode("append")` write rewrites the dir's _SUCCESS, which
-    // would otherwise turn every real shard append into a non-append
-    // delta and defeat the refresh path.
-    val entries: Seq[String] = {
-      val fs = new org.apache.hadoop.fs.Path(sfDir).getFileSystem(hadoopConf)
-      sources.flatMap { t =>
-        val p = new org.apache.hadoop.fs.Path(sfDir, t)
-        if (fs.exists(p)) {
-          // RECURSIVE census: a partitioned source layout nests its data
-          // files under key=value subdirs — a flat listing would see no
-          // entries and never invalidate a cached artifact when a nested
-          // shard changes. Marker/hidden names are excluded at EVERY level.
-          val it = fs.listFiles(p, true)
-          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (it.hasNext) {
-            val s = it.next()
-            val n = s.getPath.getName
-            if (!n.startsWith("_") && !n.startsWith("."))
-              buf += s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}"
-          }
-          buf.toSeq
-        } else Seq.empty
-      }.sorted
-    }
+    val entries = censusEntries(spark, sfDir, sources)
     val censusStr = (s"v=$version" +: entries).mkString("\n")
-    def hex(s: String): String = java.lang.Long.toHexString(
-      java.util.UUID.nameUUIDFromBytes(s.getBytes("UTF-8"))
-        .getMostSignificantBits & Long.MaxValue)
     // two-segment tag: <dir identity>_<source census>. GC is scoped to
     // the SAME dir segment, so a session serving several sfDirs (base +
     // stress replicas, multiple fixtures) keeps one live artifact per
@@ -216,6 +186,41 @@ object Layout {
       spark.table(table)
     }
   }
+
+  /** Source census for artifact invalidation: one
+    * "<len>|<mtime>|<absolute path>" entry per source DATA file (path
+    * LAST: it may itself contain the separator in a URI scheme), listed
+    * RECURSIVELY so partitioned (key=value subdir) layouts still
+    * invalidate on nested changes. Marker/hidden files (_SUCCESS, .crc)
+    * are EXCLUDED at every level: parquet readers ignore them, so they
+    * cannot change artifact content — and Spark's own `.mode("append")`
+    * write rewrites the dir's _SUCCESS, which would otherwise turn every
+    * real shard append into a non-append delta and defeat the refresh
+    * path.
+    */
+  private def censusEntries(
+      spark: SparkSession, sfDir: String, sources: Seq[String]): Seq[String] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(sfDir).getFileSystem(hadoopConf)
+    sources.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(sfDir, t)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith("."))
+            buf += s"${s.getLen}|${s.getModificationTime}|${s.getPath.toString}"
+        }
+        buf.toSeq
+      } else Seq.empty
+    }.sorted
+  }
+
+  private def hex(s: String): String = java.lang.Long.toHexString(
+    java.util.UUID.nameUUIDFromBytes(s.getBytes("UTF-8"))
+      .getMostSignificantBits & Long.MaxValue)
 
   /** A dir is a trustworthy artifact copy iff the job committed
     * (_SUCCESS), at least one parquet data file exists (schema inference
@@ -456,6 +461,85 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Session-cached Z-ORDERED derived copy of a source table — the
+    * [[ensureDerived]] discipline (census invalidation, tmp-dir + atomic
+    * rename commit, stale-tag GC, build-cost instrumentation) applied to a
+    * [[writeZOrdered]] layout. NOT a bucketed catalog table: the physical
+    * row order and file-boundary rectangles ARE the artifact, so the copy
+    * is a plain parquet dir read back by path. Returns the committed dir.
+    *
+    * Why at 100 TB: the one-time clustered rewrite is what turns every
+    * later two-dimensional range predicate into a row-group-skipping scan
+    * (min/max stats per row group stay tight on BOTH dims) — the same
+    * reason table formats ship OPTIMIZE ZORDER; proven by
+    * ZOrderSpec/LayoutSpec and the registered `zorder_scan` query's
+    * footer-stats guard.
+    */
+  def ensureZOrdered(
+      spark: SparkSession, sfDir: String, family: String, source: String,
+      xCol: String, yCol: String, outFiles: Int = 32,
+      version: Int = 1): String = {
+    val entries = censusEntries(spark, sfDir, Seq(source))
+    val censusStr =
+      (s"v=$version|z=$xCol,$yCol,$outFiles" +: entries).mkString("\n")
+    val dirTag = hex(s"$sfDir#z$outFiles")
+    val name = s"graft_${family}_${dirTag}_${hex(censusStr)}".toLowerCase
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val wh = new org.apache.hadoop.fs.Path(whRoot, name)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ensureLocks.computeIfAbsent(s"${family}_$dirTag", _ => new Object).synchronized {
+      if (!isCommitted(fs, wh, censusStr)) {
+        if (fs.exists(wh)) fs.delete(wh, true)
+        val t0 = System.nanoTime()
+        buildCount.incrementAndGet()
+        val tmp = new org.apache.hadoop.fs.Path(
+          whRoot, name + "__b" + java.util.UUID.randomUUID().toString.take(8))
+        writeZOrdered(
+          spark.read.parquet(new org.apache.hadoop.fs.Path(sfDir, source).toString),
+          xCol, yCol, tmp.toString, outFiles)
+        writeText(fs, new org.apache.hadoop.fs.Path(tmp, CensusFile), censusStr)
+        if (!fs.rename(tmp, wh)) {
+          // rename loser: adopt a concurrent winner's identical commit
+          if (isCommitted(fs, wh, censusStr)) fs.delete(tmp, true)
+          else throw new IllegalStateException(
+            s"ensureZOrdered($name): could not publish $tmp to $wh")
+        }
+        buildNanos.addAndGet(System.nanoTime() - t0)
+      }
+      dropStaleDerived(spark, family, dirTag, name)
+    }
+    wh.toString
+  }
+
+  /** Z-order data skipping as a registered query (`zorder_scan`): a
+    * two-dimensional range predicate + aggregate over the Z-ordered copy
+    * of `orders`, clustered on (o_custkey, o_totalprice). The copy is a
+    * row PERMUTATION of the source and every aggregate here is
+    * order-independent (counts, min/max, an exact DECIMAL sum), so the
+    * result — and the DuckDB twin — is identical to the same query over
+    * the raw table; what the clustered copy changes is the SCAN: parquet
+    * row-group min/max stats stay tight on both dims, so the reader skips
+    * the row groups outside the (custkey, totalprice) rectangle
+    * (footer-stats-proven in ZOrderSpec, vs a shuffled baseline).
+    */
+  def zorderScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureZOrdered(
+      spark, sfDir, "zorder_orders", "orders.parquet",
+      "o_custkey", "o_totalprice")
+    spark.read.parquet(path)
+      .filter(col("o_custkey").between(100L, 400L) &&
+        col("o_totalprice").between(50000.0, 150000.0))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+      .orderBy(col("o_orderpriority").asc)
   }
 
   /** Compact a directory of (possibly many small) parquet files to

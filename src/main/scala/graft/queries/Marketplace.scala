@@ -233,6 +233,32 @@ object Marketplace {
     Pagination.page(joined, Seq(col("o_orderdate").desc, col("o_orderkey").desc), 2, 50)
   }
 
+  /** Keyset ("seek") variant of the admin listing — the 100 TB replacement
+    * for [[adminAds]]'s OFFSET page: the page strictly after a
+    * (orderdate, orderkey) cursor under the newest-first sort. The cursor
+    * predicate pushes into the fact scan (zone-map/row-group prunable on
+    * o_orderdate), so page N costs a pruned scan + top-50 instead of a
+    * global sort of skip+take rows — the same trade [[adsSearchAfter]]
+    * makes for the flagship search.
+    */
+  def adminAdsAfter(
+      spark: SparkSession, sfDir: String,
+      afterDate: String, afterKey: Long): DataFrame = {
+    val ords = Tables.orders(spark, sfDir)
+    val cust = broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name"))
+    val joined = ords.join(cust, ords("o_custkey") === cust("c_custkey"))
+      .select(
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderdate"), col("c_name"))
+    Pagination.keysetAfter(
+      joined,
+      Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+      col("o_orderdate") < lit(afterDate).cast("date") ||
+        (col("o_orderdate") === lit(afterDate).cast("date") &&
+          col("o_orderkey") < afterKey),
+      50)
+  }
+
   /** `GET /api/admin/stats` (`admin.ts:129-153`): four global counts (A2).
     * The reference fires 4 parallel queries; one Spark job computes the two
     * order counts in a single scan (`count_if`) and cross-joins the two

@@ -182,6 +182,33 @@ object CorpusIngest {
     * downstream consumers that dedup on it — the standard contract for
     * parquet-append sinks.
     */
+  /** One foreachBatch body of [[ingestDedup]], exposed so the torn-write
+    * spec can drive the exact sink sequence (report append, then index
+    * append) around simulated crash points. The two appends plus the
+    * stream's checkpoint commit give three crash windows; every one
+    * converges on replay because (a) the report re-computed against an
+    * index already holding this batch's keepers is IDENTICAL to the first
+    * attempt ([[dedupBatch]]'s keeper-sees-itself contract — duplicated
+    * report ROWS are the documented at-least-once surface, deduped
+    * downstream on doc_id), and (b) the index append is an anti-join
+    * against the index itself, so a replay adds ZERO rows — the index
+    * never holds a duplicate fingerprint no matter how many times the
+    * batch retries.
+    */
+  private[graft] def ingestDedupBody(
+      batch: DataFrame, indexPath: String, reportPath: String): Unit = {
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      // readIndex binds to the current file list, so both consumers
+      // see the same snapshot while newEntries appends to the path
+      val index = readIndex(spark, indexPath)
+      val (report, newEntries) = dedupBatch(batch, index)
+      report.write.mode("append").parquet(reportPath)
+      newEntries.write.mode("append").parquet(indexPath)
+    } finally { batch.unpersist(); () }
+  }
+
   def ingestDedup(
       docs: DataFrame,
       indexPath: String,
@@ -190,16 +217,7 @@ object CorpusIngest {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          val spark = batch.sparkSession
-          // readIndex binds to the current file list, so both consumers
-          // see the same snapshot while newEntries appends to the path
-          val index = readIndex(spark, indexPath)
-          val (report, newEntries) = dedupBatch(batch, index)
-          report.write.mode("append").parquet(reportPath)
-          newEntries.write.mode("append").parquet(indexPath)
-        } finally { batch.unpersist(); () }
+        ingestDedupBody(batch, indexPath, reportPath)
       }
       .start()
 

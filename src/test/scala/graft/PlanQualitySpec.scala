@@ -83,12 +83,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("kmeans_assign_seed assigns join-free: scan + projections, no shuffle join") {
+  test("kmeans_assign_seed reads precomputed assignments: one artifact scan, no join") {
     val p = plan("kmeans_assign_seed")
-    // the k centroid dot products are inlined literals over ONE embeddings
-    // scan — any join in this plan means the model leaked back distributed
+    // r8: the seed assignment is a COLUMN of the maintained ivf_cells
+    // artifact — the per-call plan is a plain scan + sort; any join means
+    // the model leaked back distributed, any DotProduct means the
+    // assignment is being recomputed per call
     assert(!p.contains("Join"), p.take(2000))
-    assert(p.toLowerCase.contains("dotproduct"), p.take(2000))
+    assert(p.contains("graft_ivf_cells"), p.take(2000))
+    assert(!p.toLowerCase.contains("dotproduct"), p.take(2000))
   }
 
   test("stream_quality_windows (batch mode) elides the watermark node") {
@@ -163,12 +166,39 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
-  test("pq_codes assigns join-free: one scan, codebook inlined as literals") {
+  test("pq_codes reads precomputed codes: one artifact scan, no join") {
     val p = plan("pq_codes")
-    // like kmeans_assign_seed: any join means the codebook leaked back
-    // into the plan as a distributed relation
+    // r8: PQ codes are COLUMNS of the maintained ivf_cells artifact — the
+    // per-call plan is a scan + sort; any join means the codebook leaked
+    // back distributed, any DotProduct means codes recompute per call
     assert(!p.contains("Join"), p.take(2000))
-    assert(p.toLowerCase.contains("dotproduct"), p.take(2000))
+    assert(p.contains("graft_ivf_cells"), p.take(2000))
+    assert(!p.toLowerCase.contains("dotproduct"), p.take(2000))
+  }
+
+  test("ANN family reads the ivf_cells artifact with a bucket-PRUNED scan") {
+    // knn_ivf / knn_ivfpq candidate retrieval must be a cell-filtered scan
+    // of the cell-bucketed index (SelectedBucketsCount < total buckets) —
+    // the probe's static IN filter is what lets the scan skip the other
+    // cells' buckets entirely; neither may re-scan the raw corpus
+    for (q <- Seq("knn_ivf", "knn_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("graft_ivf_cells"), s"$q must read the ivf_cells artifact")
+      assert(!p.contains("embeddings.parquet"), s"$q re-scans the raw corpus")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"$q: no bucket-pruned scan in the plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"$q: bucketed scan reads every bucket (${m.get.matched})")
+    }
+    // cell-scoped semantic consumers start from the artifact's stored
+    // assignments (their pair SIMS still run graft_dot, by design)
+    for (q <- Seq("embedding_drift", "semantic_dedup", "bitext_mine")) {
+      assert(plan(q).contains("graft_ivf_cells"),
+        s"$q must read the ivf_cells artifact")
+    }
+    // the drift occupancy read is a pure column scan: ZERO dots per call
+    assert(!plan("embedding_drift").toLowerCase.contains("dotproduct"),
+      "embedding_drift recomputes cell assignments per call")
   }
 
   test("winsorized_stats caps via a broadcast of the |types|-row thresholds") {

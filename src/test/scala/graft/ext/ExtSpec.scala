@@ -406,6 +406,47 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trained IVF: deterministic model, Lloyd improves the quantizer objective") {
+    // the integer fixed-point trainer must reproduce bit-for-bit across
+    // runs (that determinism is what makes knn_ivf_trained hash-checkable)
+    val m1 = Similarity.kmeansModelInt(spark, sf)
+    val m2 = Similarity.kmeansModelInt(spark, sf)
+    assert(m1.map(_.toSeq) === m2.map(_.toSeq), "trainer is not deterministic")
+    assert(m1.size === 16 && m1.head.length === 64)
+    // A/B on the quantizer OBJECTIVE (mean best-cell cosine): Lloyd must
+    // strictly beat the raw lowest-id seed cells it started from — that is
+    // the property training buys. (Recall@k is NOT asserted ≥ seeded: on
+    // this uniform-random fixture recall differences are sampling noise —
+    // measured 0.88 trained vs 0.92 seeded at cellProbes=4 — whereas the
+    // objective improvement is Lloyd's monotone guarantee.)
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def cohesion(cents: Seq[Array[Double]]): Double =
+      corpus.map { v =>
+        val u = unit(v); cents.map(c => c.zip(u).map(p => p._1 * p._2).sum).max
+      }.sum / corpus.length
+    val seeds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0)).take(16)
+      .map(r => unit(r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val trainedCents = m1.map(c => unit(c.map(_.toDouble))).toSeq
+    val seededObj = cohesion(seeds)
+    val trainedObj = cohesion(trainedCents)
+    assert(trainedObj > seededObj,
+      s"Lloyd failed to improve the objective: trained $trainedObj vs seed $seededObj")
+    // trained retrieval stays a sane ANN: decent absolute recall vs truth
+    val truth = Similarity.bruteForceTopK(spark, sf, nProbes = 5, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val trained = Similarity.ivfTopKTrained(spark, sf, nProbes = 5, k = 5).collect()
+      .count(r => truth.contains(
+        (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))).toDouble / truth.size
+    assert(trained >= 0.6, s"trained recall collapsed: $trained")
+  }
+
   test("embeddingDrift: cell spine complete, terms non-negative, counts reconcile") {
     val rows = Similarity.embeddingDrift(spark, sf).collect()
     assert(rows.length === 16, "one row per quantizer cell, always")

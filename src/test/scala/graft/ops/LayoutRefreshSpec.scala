@@ -248,6 +248,46 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(builds.get === 1, "the per-table lock must serialize to one build")
   }
 
+  test("ivf_cells refreshes appended vectors under a FROZEN quantizer; matches full rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ivfinc").toString
+    seedAsDir(s"$sf/embeddings.parquet", s"$root/embeddings.parquet")
+    val refreshes0 = Layout.refreshCount.get()
+    val idx1 = graft.ext.Similarity.ivfCellIndex(spark, root)
+    val n1 = idx1.count()
+    val maxId = spark.read.parquet(s"$root/embeddings.parquet")
+      .agg(max(col("vec_id"))).first().getLong(0)
+    // a shard of HIGHER-id vectors: the lowest-id seed set is untouched, so
+    // the refresh may assign/encode ONLY the delta against the frozen model
+    val rnd = new scala.util.Random(7)
+    val fresh = (1 to 40).map(i =>
+      (maxId + i, Seq.fill(64)(rnd.nextFloat() * 2f - 1f), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    appendFile(s"$root/embeddings.parquet", fresh)
+    val idx2 = graft.ext.Similarity.ivfCellIndex(spark, root)
+    assert(Layout.refreshCount.get() === refreshes0 + 1,
+      "higher-id append must take the incremental refresh path")
+    assert(idx2.count() === n1 + 40)
+    // bit-identical to a from-scratch build over the same two shards (a
+    // separate dir gets a different tag, so no predecessor → full build)
+    val root2 = Files.createTempDirectory("graft_ivffull").toString
+    copyDir(s"$root/embeddings.parquet", s"$root2/embeddings.parquet")
+    val idxFull = graft.ext.Similarity.ivfCellIndex(spark, root2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "cell_id", "sim", "norm",
+        "code0", "code1", "code2", "code3")
+      .collect().map(r => r.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(rows(idx2) === rows(idxFull),
+      "refreshed index must equal a full rebuild over the same corpus")
+    // an append UNDER the seed ceiling would change the quantizer — the
+    // kernel must fall back to a full re-derive (new seed becomes a cell)
+    appendFile(s"$root/embeddings.parquet",
+      Seq((-1L, Seq.fill(64)(0.5f), 0)).toDF("vec_id", "embedding", "label"))
+    val idx3 = graft.ext.Similarity.ivfCellIndex(spark, root)
+    assert(idx3.filter(col("cell") === -1L).count() >= 1,
+      "low-id append must re-derive the quantizer (new seed, new cell)")
+  }
+
   test("minhash_sig refreshes incrementally and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_sig_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_sig_full").toString + "/d"

@@ -127,6 +127,72 @@ class LayoutSpec extends SparkSpec {
       s"z-order clustering too loose: avg file area $avgArea vs global $globalArea")
   }
 
+  test("ensureZOrdered copy prunes row groups on a 2-D box; shuffled copy cannot") {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val zPath = Layout.ensureZOrdered(
+      spark, sf, "zorder_orders", "orders.parquet", "o_custkey", "o_totalprice")
+    // a ~25% box per dimension, derived from the data so the claim holds
+    // at any SF
+    val r = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val ck0 = r.getLong(0)
+    val ck1 = ck0 + (r.getLong(1) - ck0) / 4
+    val tp0 = r.getDouble(2)
+    val tp1 = tp0 + (r.getDouble(3) - tp0) / 4
+    // count row groups whose column min/max stats intersect the box — the
+    // exact skip decision a parquet reader makes from the footers
+    def overlap(path: String): (Int, Int) = {
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      var total = 0
+      var hit = 0
+      files.foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try rd.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          def st(name: String) = b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics
+          val ck = st("o_custkey"); val tp = st("o_totalprice")
+          val ckOk = ck.genericGetMax.asInstanceOf[java.lang.Long] >= ck0 &&
+            ck.genericGetMin.asInstanceOf[java.lang.Long] <= ck1
+          val tpOk = tp.genericGetMax.asInstanceOf[java.lang.Double] >= tp0 &&
+            tp.genericGetMin.asInstanceOf[java.lang.Double] <= tp1
+          if (ckOk && tpOk) hit += 1
+        } finally rd.close()
+      }
+      (hit, total)
+    }
+    val (zHit, zTotal) = overlap(zPath)
+    assert(zHit < zTotal,
+      s"z-ordered copy prunes nothing: $zHit of $zTotal row groups overlap")
+    // baseline: a hash-shuffled copy of the same rows — min/max spans the
+    // whole domain in (nearly) every row group, so (almost) nothing skips
+    val shuf = java.nio.file.Files.createTempDirectory("graft_shuf").toString + "/t"
+    spark.read.parquet(s"$sf/orders.parquet").repartition(32)
+      .write.mode("overwrite").parquet(shuf)
+    val (sHit, sTotal) = overlap(shuf)
+    assert(zHit.toDouble / zTotal < sHit.toDouble / sTotal,
+      s"z-order ($zHit/$zTotal) must out-prune shuffled ($sHit/$sTotal)")
+    // the clustered copy is a row permutation: registered-query semantics
+    // are unchanged vs the raw table
+    val zed = Layout.zorderScan(spark, sf).collect().toSeq
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_custkey").between(100L, 400L) &&
+        col("o_totalprice").between(50000.0, 150000.0))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double").as("sum_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"))
+      .orderBy(col("o_orderpriority").asc).collect().toSeq
+    assert(zed === raw)
+  }
+
   test("compact auto-restores a table stranded under __backup by a crash") {
     val dir = Files.createTempDirectory("graft_compact_crash").toString + "/t"
     val df = spark.range(5000).withColumn("v", col("id") * 3)

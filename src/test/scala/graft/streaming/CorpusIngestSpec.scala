@@ -60,6 +60,52 @@ class CorpusIngestSpec extends SparkSpec {
     assert(index === Set(1L, 3L, 5L)) // one keeper per distinct text ever seen
   }
 
+  test("ingestDedup sink: every torn-write window converges to the uninterrupted result") {
+    import spark.implicits._
+    def doc(id: Long, t: String) = (id, t, "en", "s")
+    val b0 = Seq(doc(1, "alpha"), doc(2, "alpha"), doc(3, "beta"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq(doc(4, "alpha"), doc(5, "gamma"), doc(6, "gamma"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b2 = Seq(doc(7, "gamma"), doc(8, "delta"))
+      .toDF("doc_id", "text", "lang", "source")
+    def indexOf(dir: String) = spark.read.parquet(s"$dir/index").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2).toSeq
+    def reportOf(dir: String) = spark.read.parquet(s"$dir/report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // reference: the uninterrupted run
+    val ref = Files.createTempDirectory("graft_torn_ref").toString
+    Seq(b0, b1, b2).foreach(b =>
+      CorpusIngest.ingestDedupBody(b, s"$ref/index", s"$ref/report"))
+    // window A — crash AFTER both appends, BEFORE the checkpoint commit:
+    // the stream re-runs the whole batch body against an index that
+    // already holds the batch's keepers
+    val a = Files.createTempDirectory("graft_torn_a").toString
+    CorpusIngest.ingestDedupBody(b0, s"$a/index", s"$a/report")
+    CorpusIngest.ingestDedupBody(b1, s"$a/index", s"$a/report")
+    CorpusIngest.ingestDedupBody(b1, s"$a/index", s"$a/report") // replay
+    CorpusIngest.ingestDedupBody(b2, s"$a/index", s"$a/report")
+    assert(indexOf(a) === indexOf(ref),
+      "window-A replay changed the index (row-exact, no duplicate fingerprints)")
+    assert(reportOf(a).toSet === reportOf(ref).toSet,
+      "window-A replay changed the report's distinct content")
+    assert(reportOf(a).groupBy(_._1).forall(_._2.distinct.size == 1),
+      "replayed report rows must be VALUE-identical per doc_id")
+    // window B — crash BETWEEN the report append and the index append:
+    // the report landed, the keepers did not; the retry re-runs the body
+    val b = Files.createTempDirectory("graft_torn_b").toString
+    CorpusIngest.ingestDedupBody(b0, s"$b/index", s"$b/report")
+    val (halfReport, _) = CorpusIngest.dedupBatch(
+      b1, spark.read.parquet(s"$b/index"))
+    halfReport.write.mode("append").parquet(s"$b/report") // crash here
+    CorpusIngest.ingestDedupBody(b1, s"$b/index", s"$b/report") // retry
+    CorpusIngest.ingestDedupBody(b2, s"$b/index", s"$b/report")
+    assert(indexOf(b) === indexOf(ref),
+      "window-B retry changed the index")
+    assert(reportOf(b).toSet === reportOf(ref).toSet,
+      "window-B retry changed the report's distinct content")
+  }
+
   test("dedupBatch replay (keeper already indexed) reproduces the report") {
     import spark.implicits._
     val batch = Seq(
