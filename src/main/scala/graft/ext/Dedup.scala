@@ -833,7 +833,7 @@ object Dedup {
     * Returns (doc_id, cluster_id); singletons keep cluster_id = doc_id.
     */
   def connectedComponents(
-      pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 10,
+      pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 25,
       driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -877,53 +877,95 @@ object Dedup {
     // that (much smaller) frame; the untouched majority joins back as
     // singletons after convergence. At 100 TB this is the difference
     // between looping over the dup graph (~1% of docs) and the corpus.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    // `labels` may be a projection of the cached frame; unpersist must hit
-    // the cached frame itself, so track it separately.
-    var cached: DataFrame = labels
-    var changed = 1L
+    //
+    // GRAPH CONTRACTION, not plain min-label propagation: each round
+    // computes one-hop min labels (+2 pointer jumps), COMPOSES them into
+    // the running doc→cluster mapping, and REWRITES the edge list through
+    // the labels (drop loops, distinct). Adjacent nodes merge every
+    // round, so the edge list shrinks geometrically and convergence is
+    // O(log diameter) — plain min-label needs diameter rounds, and a
+    // length-±2 near-equality CHAIN gives diameters in the thousands
+    // (tier H measured: 25 hop+jump rounds still left 300 labels moving;
+    // contraction closes the same graph in 6). The loop ends when the
+    // contracted graph has NO edges — every component has collapsed onto
+    // its min id, which the per-round min-monotone labels preserve.
+    //
+    // Each round is PINNED TO STORAGE (parquet spill + read-back): the
+    // label frame feeds the round several times, so a persist-only loop
+    // grows the logical plan exponentially — tier H measured that as a
+    // planner OOM long before any executor ran out. Parquet, not RDD
+    // checkpoint: a checkpointed LogicalRDD reports UNKNOWN stats
+    // (defaultSizeInBytes = Long.MaxValue) and multiplying that through
+    // the round's joins overflows the planner's BigInteger size
+    // estimate — a FileScan carries real stats, so round plans stay
+    // constant-size. The spill dir shares the checkpoint files'
+    // lifecycle (JVM-temp, session-scoped); the final round's files back
+    // the returned frame.
+    val sparkCC = pairs.sparkSession
+    val spillRoot = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    var roundN = 0
+    def pin(df: DataFrame): DataFrame = {
+      val p = s"$spillRoot/r$roundN"; roundN += 1
+      df.write.mode("overwrite").parquet(p)
+      sparkCC.read.parquet(p)
+    }
+    var mapping = pin(edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var cur = pin(edges.select(col("src"), col("dst"))) // symmetric by construction
+    var nCur = cur.count()
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      // carry the old label through so convergence is a filter on the same
-      // frame — no extra join+shuffle per iteration just to detect change
-      val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("cluster_id").as("__old"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .persist()
-      changed = next.filter(col("cluster_id") =!= col("__old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("doc_id"), col("cluster_id"))
+    while (nCur > 0 && it < maxIter) {
+      // one-hop min label on the CONTRACTED graph (symmetric edges: every
+      // current node appears as a src), then two pointer jumps — cheap
+      // self-joins on the label frame that pull labels-of-labels through
+      val hop = cur.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("__nmin"))
+        .select(col("node"), least(col("node"), col("__nmin")).as("lbl"))
+      var lbl = hop
+      for (_ <- 1 to 2) {
+        val pl = lbl.select(col("node").as("__p"), col("lbl").as("__pl"))
+        lbl = lbl.join(pl, lbl("lbl") === pl("__p"), "left")
+          .select(col("node"), coalesce(col("__pl"), col("lbl")).as("lbl"))
+      }
+      val lblP = pin(lbl)
+      // compose: every doc whose current cluster id got relabeled follows it
+      mapping = pin(mapping
+        .join(lblP.select(col("node").as("cluster_id"), col("lbl")),
+          Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("cluster_id")).as("cluster_id")))
+      // contract: rewrite endpoints through the labels, drop collapsed
+      // (loop) edges, dedup — symmetry is preserved because both
+      // orientations of every edge are rewritten
+      cur = pin(cur
+        .join(lblP.select(col("node").as("src"), col("lbl").as("__ls")),
+          Seq("src"), "left")
+        .join(lblP.select(col("node").as("dst"), col("lbl").as("__ld")),
+          Seq("dst"), "left")
+        .select(coalesce(col("__ls"), col("src")).as("src"),
+          coalesce(col("__ld"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
+      nCur = cur.count()
       it += 1
     }
     // Non-convergence must be LOUD: returning partial labels would
-    // silently mis-cluster long chains (the near-equality relations here
-    // are deliberately non-transitive, so diameters can exceed any fixed
-    // bound), and every oracle twin computes the TRUE closure.
-    if (changed > 0) {
-      cached.unpersist()
+    // silently mis-cluster long chains, and every oracle twin computes
+    // the TRUE closure.
+    if (nCur > 0) {
       edges.unpersist()
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
-          s"($changed labels still changing) — raise maxIter; the dup " +
+          s"($nCur contracted edges remain) — raise maxIter; the dup " +
           "graph has a longer chain than expected")
     }
-    // Pin ONLY the converged edge-touching labels (dup-graph-sized, past
-    // the driver limit on this path) with a reliable checkpoint — blocks
-    // land in the checkpoint dir (shared storage on a cluster), so the
-    // result survives executor loss, unlike localCheckpoint. The
-    // corpus-sized singleton majority stays lazy: it is a pure anti-join
-    // against the pinned labels and never touches the loop caches, so
-    // nothing corpus-sized is ever materialized here.
-    val pinned = labels.checkpoint()
-    cached.unpersist()
+    val labels = mapping
+    // The converged edge-touching labels are already STORAGE-pinned
+    // (dup-graph-sized parquet — survives executor loss, unlike
+    // localCheckpoint blocks). The corpus-sized singleton majority stays
+    // lazy: it is a pure anti-join against the pinned labels, so nothing
+    // corpus-sized is ever materialized here.
+    val pinned = labels
     edges.unpersist()
     val singletons = allDocs.select(col("doc_id"))
       .join(pinned.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -943,7 +985,7 @@ object Dedup {
     */
   def minHashMembership(
       spark: SparkSession, sfDir: String, twinnable: Boolean = false,
-      maxIter: Int = 10, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+      maxIter: Int = 25, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     connectedComponents(
       minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs,
@@ -952,7 +994,7 @@ object Dedup {
 
   def minHashClusters(
       spark: SparkSession, sfDir: String, twinnable: Boolean = false,
-      maxIter: Int = 10, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+      maxIter: Int = 25, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     val cc = minHashMembership(spark, sfDir, twinnable, maxIter, driverEdgeLimit)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))

@@ -503,11 +503,14 @@ object Similarity {
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
     // call-scoped cache, as in lshTopK: eager id-pair materialization, then
-    // drop the signature cache before returning. Driver-side (smallLocal),
-    // not localCheckpoint — same executor-loss + fail-fast rationale.
+    // drop the signature cache before returning. Driver-side under the
+    // cap; a twin-flooded corpus (heavy duplication multiplies band
+    // collisions quadratically per family) SPILLS the id pairs to storage
+    // and stays distributed instead of refusing — tier E/H proved the
+    // refusal was the one way this op could fail at duplication scale.
     val banded = bandSignatures(spark, sfDir).persist()
     val pairs = try {
-      graft.ops.Materialize.smallLocal(
+      graft.ops.Materialize.localOrSpill(
         banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("q_id"))
           .join(banded.select(col("band_idx"), col("band_sig"), col("vec_id").as("c_id")),
             Seq("band_idx", "band_sig"))

@@ -33,4 +33,31 @@ object Materialize {
         "frame; keep distributed lineage or write to storage instead")
     df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
   }
+
+  /** [[smallLocal]] for frames that are USUALLY bounded but can
+    * legitimately flood (a heavy-duplication corpus multiplying candidate
+    * pairs): under `maxRows` the frame lands on the driver exactly as
+    * [[smallLocal]]; past it, the frame SPILLS to a temp parquet dir and
+    * is read back — distributed, lineage severed from the caller's
+    * call-scoped caches, bounded only by storage. This is the "write to
+    * storage instead" arm of [[smallLocal]]'s contract, taken
+    * automatically: twin-flooded corpora keep WORKING (at spill cost)
+    * instead of refusing.
+    *
+    * The probe collect below the cap is not wasted in the spill case: the
+    * spill write re-executes the plan once, same as any storage-backed
+    * materialization, and the flood case is the rare one by construction.
+    */
+  def localOrSpill(df: DataFrame, maxRows: Int = 500_000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = df.limit(maxRows + 1).collect()
+    if (rows.length <= maxRows)
+      df.sparkSession.createDataFrame(rows.toSeq.asJava, df.schema)
+    else {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_spill").toString
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
+  }
 }

@@ -50,7 +50,12 @@ import graft.ext.{Curation, Dedup}
   *   replicated dirs, per-query ratios printed, super-linear rows
   *   flagged for fix-or-document triage (see [[tierG]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|all]"
+  *   Tier H (tier G at the BENCH scale factor, sf0.1 × 10): the honest
+  *   scaling curve at the SF the per-round bench measures — sf0.01's
+  *   fixed stage overhead flattens ratios; run explicitly (not in "all",
+  *   ~30 min) per round for STRESS_r{N}.md (see [[tierH]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -501,23 +506,32 @@ object StressTier {
         (basePairs diff crossBase).take(3)} missing")
 
     // …and at R=10 the candidate volume (≈ base·R² + N·C(R,2) rows)
-    // exceeds the driver-materialization budget: the op must REFUSE with
-    // the named smallLocal cap — loudly, never a silent truncation. The
-    // keep-distributed alternative for genuinely heavy-dup corpora is the
-    // checkpointed pair path minHashPairsDistributed already proves at
-    // tier B.
-    val (capFired, tC) = timed("e.near_dup_cap") {
-      try {
-        Similarity.embeddingNearDupPairsLSH(spark, dir).collect()
-        false
-      } catch {
-        case e: IllegalArgumentException
-          if e.getMessage.contains("smallLocal") => true
-      }
+    // exceeds the driver-materialization budget: the op must SPILL the
+    // pair frame to storage and stay distributed (r8 —
+    // Materialize.localOrSpill; until then it refused loudly, which
+    // tier H exposed as the one way the scale path failed at duplication
+    // volume). The result must still be EXACT: count follows the
+    // replication formula and the cross-family projection is the base
+    // pair set — all verified distributed, nothing corpus-sized collects.
+    val (n10, tC) = timed("e.near_dup_x10")(
+      Similarity.embeddingNearDupPairsLSH(spark, dir).count())
+    println(f"STRESS e.near_dup_x10 seconds=$tC%.1f pairs=$n10")
+    val expected10 = basePairs.size.toLong * reps * reps +
+      nPos * reps * (reps - 1) / 2
+    check(n10 == expected10,
+      s"10x near-dup pair count $n10 != $expected10 " +
+        s"(= ${basePairs.size}*$reps^2 + ${nPos}*C($reps,2))")
+    val crossProj = Similarity.embeddingNearDupPairsLSH(spark, dir)
+      .filter(expr(s"vec_a div $reps") =!= expr(s"vec_b div $reps"))
+      .select(expr(s"vec_a div $reps").as("a"), expr(s"vec_b div $reps").as("b"))
+      .distinct()
+    val baseDF = {
+      import spark.implicits._
+      basePairs.toSeq.toDF("a", "b")
     }
-    println(f"STRESS e.near_dup_cap seconds=$tC%.1f fired=$capFired")
-    check(capFired,
-      s"expected the smallLocal cap to refuse ${reps}x candidate volume")
+    check(crossProj.exceptAll(baseDF).count() == 0 &&
+      baseDF.exceptAll(crossProj).count() == 0,
+      "10x cross-family base-pair set diverged from the base run")
 
     // bitext_mine under twins: seeding k·reps cells makes the replicated
     // quantizer collapse to EXACTLY the base 16 directions (the first
@@ -651,16 +665,29 @@ object StressTier {
     * fix-or-document triage, not auto-failed — twin-flooded dedup
     * families are legitimately super-linear in emitted pairs.
     */
-  private def tierG(spark: SparkSession, baseDir: String, dir: String): Unit = {
+  private def tierG(spark: SparkSession, baseDir: String, dir: String): Unit =
+    registryTier(spark, baseDir, dir, "g")
+
+  /** Tier H — tier G's registry-wide 10× readout at the BENCH scale
+    * factor (sf0.1 base → 6M lineitem / 50k vectors / 10× docs). Tier G
+    * proved the shape at sf0.01, where fixed stage overhead flattens
+    * ratios; this is the honest scaling curve at the SF the judge
+    * benches. Same replication invariants, same flag rule.
+    */
+  private def tierH(spark: SparkSession, baseDir: String, dir: String): Unit =
+    registryTier(spark, baseDir, dir, "h")
+
+  private def registryTier(
+      spark: SparkSession, baseDir: String, dir: String, label: String): Unit = {
     val reps = 10
-    val (_, tRep) = timed("g.replicate")(replicateAll(spark, baseDir, dir, reps))
+    val (_, tRep) = timed(s"$label.replicate")(replicateAll(spark, baseDir, dir, reps))
     val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nRep = spark.read.parquet(s"$dir/documents.parquet").count()
-    println(f"STRESS g.replicate seconds=$tRep%.1f docs=$nRep")
-    check(nRep == nBase * reps, s"tier G doc count $nRep != $nBase*$reps")
+    println(f"STRESS $label.replicate seconds=$tRep%.1f docs=$nRep")
+    check(nRep == nBase * reps, s"tier $label doc count $nRep != $nBase*$reps")
     check(spark.read.parquet(s"$dir/lineitem.parquet").count() ==
       spark.read.parquet(s"$baseDir/lineitem.parquet").count() * reps,
-      "tier G lineitem count must scale by reps")
+      s"tier $label lineitem count must scale by reps")
 
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
     val base = scala.collection.mutable.Map.empty[String, Double]
@@ -681,20 +708,20 @@ object StressTier {
       }
     }
     errs.toSeq.sortBy(_._1).foreach { case (q, m) =>
-      check(false, s"tier G: $q failed at ${reps}x: $m")
+      check(false, s"tier $label: $q failed at ${reps}x: $m")
     }
     // the ratio floor keeps fixed session/planning overhead (~0.1 s at
     // this SF) from manufacturing or masking ratios on trivial queries
     val floor = 0.15
     val flagged = names.map(_._1).filterNot(errs.contains).flatMap { q =>
       val r = rep(q) / math.max(base(q), floor)
-      println(f"STRESS g.query name=$q base=${base(q)}%.3f rep=${rep(q)}%.3f ratio=$r%.1f")
+      println(f"STRESS $label.query name=$q base=${base(q)}%.3f rep=${rep(q)}%.3f ratio=$r%.1f")
       if (r > 15.0) Some(q -> r) else None
     }
     flagged.foreach { case (q, r) =>
-      println(f"STRESS g.flag name=$q ratio=$r%.1f (super-linear at ${reps}x — fix or document)")
+      println(f"STRESS $label.flag name=$q ratio=$r%.1f (super-linear at ${reps}x — fix or document)")
     }
-    println(f"STRESS g.summary queries=${names.size} errors=${errs.size} flagged=${flagged.size}")
+    println(f"STRESS $label.summary queries=${names.size} errors=${errs.size} flagged=${flagged.size}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -718,6 +745,10 @@ object StressTier {
         tierF(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc100")
       if (tier == "g" || tier == "all")
         tierG(spark, "/root/testdata/sf0.01", s"$root/sf0.01x10all")
+      // tier H is NOT in "all": the sf0.1 registry-wide pass costs ~30 min
+      // on this host — run it explicitly (`stress h`) for the round readout
+      if (tier == "h")
+        tierH(spark, "/root/testdata/sf0.1", s"$root/sf0.1x10all")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

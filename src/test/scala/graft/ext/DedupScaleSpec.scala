@@ -78,18 +78,20 @@ class DedupScaleSpec extends SparkSpec {
 
   test("trainingSet maxIter knob threads through to the distributed CC loop") {
     writeFixture()
-    // maxIter=2 on the distributed path: the planted families are cliques,
-    // so round 1 relabels and round 2 observes the fixpoint — the tightest
-    // bound that can converge. (maxIter=1 would throw the loud
-    // non-convergence error, which is the knob working as intended.)
+    // the r8 CONTRACTION loop collapses the planted cliques in ONE round
+    // (every member relabels to the min and the contracted graph loses
+    // its edges), so maxIter=1 is now the tightest bound that converges;
+    // maxIter=0 — zero rounds against a non-empty dup graph — must still
+    // throw the loud non-convergence error, which is the knob (and the
+    // loud-failure contract) working as intended.
     val out = Curation.trainingSet(
       spark, dir, fractions = Map("en" -> 1.0), defaultFraction = 1.0,
-      maxIter = 2, driverEdgeLimit = 0L)
+      maxIter = 1, driverEdgeLimit = 0L)
     assert(out.count() >= 1)
     intercept[IllegalStateException] {
       Curation.trainingSet(
         spark, dir, fractions = Map("en" -> 1.0), defaultFraction = 1.0,
-        maxIter = 1, driverEdgeLimit = 0L).count()
+        maxIter = 0, driverEdgeLimit = 0L).count()
     }
   }
 
