@@ -2020,12 +2020,11 @@ object SparkEntry {
     "entropy_signals" ->
       """WITH ch AS (
         |  SELECT doc_id,
-        |         unnest(string_split(
-        |           regexp_replace(text, '[^\x00-\x7F]', '', 'g'), '')) AS ch
+        |         unnest(regexp_extract_all(text, '(?s).')) AS ch
         |  FROM documents
         |), cc AS (
         |  SELECT doc_id, ch, count(*) AS cnt FROM ch
-        |  WHERE ch <> '' GROUP BY 1, 2
+        |  GROUP BY 1, 2
         |), ca AS (
         |  SELECT doc_id, count(*) AS n_distinct_chars,
         |         CAST(sum(cnt) AS BIGINT) AS nch,

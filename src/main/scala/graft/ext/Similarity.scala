@@ -252,6 +252,30 @@ object Similarity {
         col("__best.s").as("sim")) ++ codeCols: _*)
   }
 
+  /** Derive index rows for a (vec_id, embedding, label) batch under a
+    * FROZEN quantizer given as a seed-vector frame — the kernel
+    * [[graft.streaming.CorpusIngest.ingestVectors]] applies per
+    * micro-batch, identical to [[ivfCellIndex]]'s append-refresh
+    * derivation (same assignments, same PQ codes), so a streamed index
+    * and a batch-refreshed one agree row-for-row.
+    */
+  private[graft] def deriveIndexRows(
+      spark: SparkSession, batch: DataFrame, seeds: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    // a streaming micro-batch hands over frames from CLONED sessions whose
+    // function registries were snapshotted before this call — register on
+    // every session a plan here will be analyzed under
+    GraftFunctions.register(batch.sparkSession)
+    GraftFunctions.register(seeds.sparkSession)
+    val sm = collectSeeds(
+      withNorm(spark, seeds).select(col("vec_id"), col("embedding"), col("__norm")),
+      IvfNCells)
+    ivfDeriveColumns(
+      withNorm(spark, batch)
+        .select(col("vec_id"), col("embedding"), col("label"), col("__norm")),
+      sm)
+  }
+
   /** The maintained ANN index artifact — the deploy shape [[ivfTopK]]'s
     * scaladoc promises: the corpus written ONCE per sfDir as a
     * bucketed-on-`cell` parquet table carrying the seed-quantizer cell
@@ -754,10 +778,45 @@ object Similarity {
     * rank; the exactly-reproducible trainer means this query hash-checks
     * against a DuckDB twin that replays all `iters` rounds relationally.
     */
+  /** The trained quantizer as a MAINTAINED MODEL ARTIFACT: (cell, pos,
+    * micro-unit component) rows — k·dim total — via
+    * [[graft.ops.Layout.ensureDerived]]. Training runs once per corpus
+    * census; every later `knn_ivf_trained` call (and every later SESSION
+    * over the same warehouse) collects the k·dim model rows instead of
+    * re-running the Lloyd iterations. Deliberately NO append-only refresh
+    * kernel: a model must RETRAIN when its corpus changes (the oracle
+    * twin replays training on the current corpus, so a frozen-model
+    * refresh would diverge from it) — any census change rebuilds.
+    */
+  private def trainedModelArtifact(
+      spark: SparkSession, sfDir: String, nCells: Int,
+      iters: Int): IndexedSeq[Array[Long]] = {
+    val sp = spark; import sp.implicits._
+    val rows = graft.ops.Layout.ensureDerived(
+      spark, sfDir, s"ivf_model", Seq("embeddings.parquet"),
+      key = "cell", buckets = 4, version = 1) {
+      kmeansModelInt(spark, sfDir, nCells, iters).zipWithIndex.flatMap {
+        case (c, cell) => c.zipWithIndex.map { case (v, pos) =>
+          (cell.toLong, pos, v)
+        }
+      }.toDF("cell", "pos", "xi")
+    }.collect() // bounded: k·dim rows — the model IS driver-sized
+    val byCell = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    byCell.keys.toIndexedSeq.sorted.map { cell =>
+      val arr = new Array[Long](byCell(cell).length)
+      byCell(cell).foreach { case (_, pos, v) => arr(pos) = v }
+      arr
+    }
+  }
+
   def ivfTopKTrained(
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, iters: Int = 5, cellProbes: Int = 4): DataFrame = {
-    val model = kmeansModelInt(spark, sfDir, nCells, iters)
+    val model =
+      if (nCells == IvfNCells && iters == 5)
+        trainedModelArtifact(spark, sfDir, nCells, iters)
+      else kmeansModelInt(spark, sfDir, nCells, iters)
     val centroids: Seq[(Long, String)] = model.zipWithIndex.map { case (c, i) =>
       val n = math.sqrt(c.map(v => v * v).sum.toDouble)
       (i.toLong,

@@ -442,18 +442,18 @@ object TextStats {
           sum(round(col("__cnt").cast("double") *
             log(col("__cnt").cast("double")), 6).cast("decimal(18,6)"))
             .as(tsum))
-    // Char stream pinned to ASCII on BOTH engines: Spark's split("") steps
-    // UTF-16 code units while DuckDB's string_split('') yields Unicode
-    // graphemes, so supplementary-plane or combining text would diverge.
-    // Stripping non-ASCII first (identical regex semantics in Java and
-    // RE2: surrogate halves are each non-ASCII, so removal is
-    // codepoint-equivalent) makes the per-char split identical by
-    // construction — char-entropy is DEFINED over the ASCII stream, the
-    // same documented contract as the \s+ tokenizer conventions.
+    // Char stream = UNICODE CODE POINTS on both engines (r8 — replaces the
+    // r7 ASCII pin): `regexp_extract_all(text, '(?s).')` steps one code
+    // point per match in BOTH Java regex (Pattern's dot is code-point
+    // aware, never splitting a surrogate pair) and DuckDB's RE2 (dot = one
+    // code point in UTF-8 mode), with (?s) admitting line terminators. The
+    // naive splits diverge — Spark's split("") steps UTF-16 code units,
+    // DuckDB's string_split('') steps grapheme clusters — which is why r7
+    // pinned to ASCII; the regex stream makes supplementary-plane and
+    // combining text count identically instead of excluding it.
     val chars = level2(
-      docs.select(col("doc_id"), explode(split(
-        regexp_replace(col("text"), "[^\\x00-\\x7F]", ""), "")).as("ch"))
-        .filter(col("ch") =!= ""),
+      docs.select(col("doc_id"), explode(
+        expr("regexp_extract_all(text, '(?s).', 0)")).as("ch")),
       "ch", "n_distinct_chars", "__nch", "__csum")
     val tokens = level2(
       docs.select(col("doc_id"),

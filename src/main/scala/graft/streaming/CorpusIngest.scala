@@ -287,6 +287,77 @@ object CorpusIngest {
       }
       .start()
 
+  /** Snapshot of the vector index's vec_ids (file-list binding, as in
+    * [[readIndex]]); empty frame when the index doesn't exist yet.
+    */
+  private def readVecIndexIds(spark: SparkSession, indexPath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.exists(path))
+        fs.listStatus(path).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .map(_.toString)
+      else Array.empty[String]
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("vec_id", LongType))))
+    else spark.read.parquet(parts.toIndexedSeq: _*).select(col("vec_id"))
+  }
+
+  /** One foreachBatch body of [[ingestVectors]], exposed for the
+    * replay-idempotence spec: anti-join the batch against the index's
+    * current vec_ids (the file-list snapshot), derive cell assignments +
+    * PQ codes for only the UNSEEN vectors under the frozen quantizer, and
+    * append. A replay after any crash window re-derives zero rows — the
+    * index never holds a duplicate vec_id, the same convergence contract
+    * as [[ingestDedupBody]].
+    */
+  private[graft] def vectorBatchBody(
+      batch: DataFrame, quantizerSeeds: DataFrame, indexPath: String): Unit = {
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      val fresh = batch.join(
+        readVecIndexIds(spark, indexPath), Seq("vec_id"), "left_anti")
+      graft.ext.Similarity.deriveIndexRows(spark, fresh, quantizerSeeds)
+        .write.mode("append").parquet(indexPath)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Streaming ANN-INDEX ingest — the streaming face of
+    * [[graft.ext.Similarity.ivfCellIndex]]'s append-only refresh: vector
+    * rows (vec_id, embedding, label) arrive as a stream, each micro-batch
+    * is assigned to cells and PQ-encoded against the FROZEN quantizer
+    * (`quantizerSeeds` — the maintained index's seed vectors, a bounded
+    * k-row frame), and only unseen vec_ids append to the index dir. This
+    * is the 100 TB embedding-ingest shape: new shards cost delta
+    * assignment work against a stable model, the corpus is never
+    * re-quantized, and batch/stream derivations agree row-for-row
+    * (spec-pinned). Retraining the quantizer is a deliberate OFFLINE
+    * event (rebuild the batch artifact), exactly as in production ANN
+    * deployments.
+    */
+  def ingestVectors(
+      vectors: DataFrame,
+      quantizerSeeds: DataFrame,
+      indexPath: String,
+      checkpoint: String): StreamingQuery = {
+    // register BEFORE start: the micro-batch executor clones the session
+    // (and its function registry) when the stream launches
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        vectorBatchBody(batch, quantizerSeeds, indexPath)
+      }
+      .start()
+  }
+
   /** One micro-batch of the running heavy-hitter summary — the testable
     * kernel of [[heavyHitterMonitor]], mirroring [[dedupBatch]]'s
     * contract. Reads the summary state AS OF A BATCH BEFORE `batchId`,

@@ -613,13 +613,13 @@ class TextStatsSpec extends SparkSpec {
     assert(got.length === docs.size)
     got.foreach { r =>
       val text = docs(r.getAs[Long]("doc_id"))
-      // char entropy is DEFINED over the ASCII stream (cross-engine split
-      // parity — see entropySignals' contract)
-      val ascii = text.filter(_ < 0x80)
-      val chCounts = ascii.toSeq.groupBy(identity).values.map(_.size.toLong).toSeq
+      // char entropy is DEFINED over the Unicode CODE-POINT stream (r8 —
+      // cross-engine regex extraction; see entropySignals' contract)
+      val cps = text.codePoints().toArray.toSeq
+      val chCounts = cps.groupBy(identity).values.map(_.size.toLong).toSeq
       val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
       val tkCounts = toks.groupBy(identity).values.map(_.size.toLong).toSeq
-      assert(r.getAs[Long]("n_chars_total") === ascii.length.toLong)
+      assert(r.getAs[Long]("n_chars_total") === cps.length.toLong)
       assert(r.getAs[Long]("n_distinct_chars") === chCounts.size.toLong)
       assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
       assert(r.getAs[Long]("n_distinct_tokens") === tkCounts.size.toLong)
@@ -636,21 +636,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
-  test("entropySignals char stream is ASCII-pinned on non-BMP/combining text") {
+  test("entropySignals char stream is code-point exact on non-BMP/combining text") {
     import spark.implicits._
     // supplementary-plane emoji (surrogate pair), combining accent, and a
     // precomposed é — exactly the inputs where UTF-16-unit vs grapheme
-    // splitting diverges across engines; the ASCII pin excludes them all
+    // splitting diverges across engines; the r8 regex stream counts each
+    // CODE POINT once on both engines (the emoji is one symbol, the
+    // combining accent its own, never a split surrogate half)
     val dir = java.nio.file.Files.createTempDirectory("graft_nonbmp").toString
     Seq((1L, "ab\uD83D\uDE00e\u0301 c\u00E9"), (2L, "\uD83D\uDE00\uD83D\uDE00"))
       .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
     val rows = TextStats.entropySignals(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // doc 1 ASCII stream: 'a','b','e',' ','c' → 5 chars, 5 distinct
-    assert(rows(1L).getAs[Long]("n_chars_total") === 5L)
-    assert(rows(1L).getAs[Long]("n_distinct_chars") === 5L)
-    // doc 2 is entirely non-ASCII → empty char stream, zero entropy
-    assert(rows(2L).getAs[Long]("n_chars_total") === 0L)
+    // doc 1: a, b, the emoji, e, the combining accent, space, c,
+    // precomposed é → 8 code points, all distinct
+    assert(rows(1L).getAs[Long]("n_chars_total") === 8L)
+    assert(rows(1L).getAs[Long]("n_distinct_chars") === 8L)
+    // doc 2: two copies of ONE symbol → zero entropy, not zero chars
+    assert(rows(2L).getAs[Long]("n_chars_total") === 2L)
+    assert(rows(2L).getAs[Long]("n_distinct_chars") === 1L)
     assert(rows(2L).getAs[Double]("char_entropy_bits") === 0.0)
   }
 

@@ -195,6 +195,50 @@ class CorpusIngestSpec extends SparkSpec {
     assert(index === Set(1L, 2L)) // keepers only, batch-2 added none
   }
 
+  test("ingestVectors: streamed index equals the batch derivation; replays add nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_vecingest").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // frozen quantizer = the maintained index's seed vectors
+    val seeds = emb.orderBy(col("vec_id").asc).limit(16)
+      .select("vec_id", "embedding")
+    val all = emb.filter(col("vec_id").between(100, 179))
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val input = MemoryStream[(Long, Seq[Float], Int)]
+    val docs = input.toDF()
+      .select(col("_1").as("vec_id"), col("_2").cast("array<float>").as("embedding"),
+        col("_3").as("label"))
+    val q = CorpusIngest.ingestVectors(docs, seeds, s"$dir/index", s"$dir/ckpt")
+    try {
+      input.addData(all.take(40).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(40).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def indexRows() = spark.read.parquet(s"$dir/index")
+      .select("vec_id", "cell", "cell_id", "sim", "norm",
+        "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val streamed = indexRows()
+    assert(streamed.length === 80)
+    // row-for-row identical to the batch derivation under the same seeds
+    val batchDerived = graft.ext.Similarity.deriveIndexRows(
+      spark, emb.filter(col("vec_id").between(100, 179))
+        .select("vec_id", "embedding", "label"), seeds)
+      .select("vec_id", "cell", "cell_id", "sim", "norm",
+        "code0", "code1", "code2", "code3")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed === batchDerived,
+      "streamed index must equal the batch derivation under the frozen quantizer")
+    // crash-window replay: re-running a completed batch derives ZERO rows
+    val replayBatch = emb.filter(col("vec_id").between(140, 179))
+      .select("vec_id", "embedding", "label")
+    CorpusIngest.vectorBatchBody(replayBatch, seeds, s"$dir/index")
+    assert(indexRows() === streamed, "replay must not duplicate index rows")
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
