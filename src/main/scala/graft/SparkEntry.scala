@@ -102,7 +102,13 @@ object SparkEntry {
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
     "pii_scan"           -> ((s, d) => TextStats.piiScan(s, d)),
     "kmeans_cells"       -> ((s, d) => Similarity.kmeansCells(s, d)),
+    // hash-checked cell-balance/cohesion report of the TRAINED quantizer
+    "kmeans_cells_trained" -> ((s, d) => Similarity.kmeansCellsTrained(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
+    // exact interpolated per-lang length quantiles off the value histogram
+    "length_quantiles"   -> ((s, d) => TextStats.lengthQuantiles(s, d)),
+    // per-source median/MAD robust outlier report (two median-kernel passes)
+    "robust_stats"       -> ((s, d) => TextStats.robustStats(s, d)),
     "doc_repetition"     -> ((s, d) => TextStats.repetitionSignals(s, d)),
     "curation_funnel"    -> ((s, d) => TextStats.curationFunnel(s, d)),
     "decontaminate"      -> ((s, d) => Contamination.benchmarkOverlap(s, d)),
@@ -566,9 +572,12 @@ object SparkEntry {
     * float op is a single exactly-rounded IEEE op over exact integers, so
     * the five-round model matches the Spark trainer bit-for-bit.
     */
-  private def knnIvfTrainedOracle(
-      iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
-      cellProbes: Int = 4): String = {
+  /** Shared WITH-prefix replaying the integer Lloyd trainer: `emb`/`comp`
+    * (micro-unit quantized components), seed centroids `c0`, and `iters`
+    * unrolled rounds ending in the trained model `c{iters}`. Both
+    * `knn_ivf_trained` and `kmeans_cells_trained` append their own tails.
+    */
+  private def lloydTrainedPrefix(iters: Int, nCells: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s""", cc$r AS (
@@ -607,7 +616,117 @@ object SparkEntry {
        |  FROM (SELECT vec_id FROM emb ORDER BY vec_id ASC LIMIT $nCells)
        |), c0 AS (
        |  SELECT s.cell, c.pos, c.xi FROM seeds s JOIN comp c USING (vec_id)
-       |)$rounds, cent AS MATERIALIZED (
+       |)$rounds""".stripMargin
+  }
+
+  /** Twin for `kmeans_cells_trained`: the trained model's final
+    * assignment (same integer-dot argmax as the trainer rounds) summarized
+    * per cell — member count and mean member-to-centroid cosine, the
+    * cosine computed `dot / (‖xq‖ · ‖c‖)` in the identical association
+    * and the mean over 6dp-quantized decimal terms.
+    */
+  private def kmeansCellsTrainedOracle(iters: Int = 5, nCells: Int = 16): String =
+    s"""${lloydTrainedPrefix(iters, nCells)}, xnormf AS (
+       |  SELECT vec_id, sqrt(sum(xi * xi)::DOUBLE) AS nxq FROM comp GROUP BY 1
+       |), cnormf AS (
+       |  SELECT cell, sqrt(sum(xi * xi)::DOUBLE) AS cn FROM c$iters GROUP BY 1
+       |), scf AS (
+       |  SELECT c.vec_id, k.cell, sum(c.xi * k.xi) AS dotv
+       |  FROM comp c JOIN c$iters k USING (pos) GROUP BY 1, 2
+       |), asgf AS (
+       |  SELECT vec_id, cell, dotv FROM (
+       |    SELECT s.vec_id, s.cell, s.dotv,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY s.dotv::DOUBLE / n.cn DESC, s.cell ASC) AS rk
+       |    FROM scf s JOIN cnormf n USING (cell)) WHERE rk = 1
+       |)
+       |SELECT a.cell AS cell_id, count(*) AS n_vectors,
+       |       round(sum(round(a.dotv::DOUBLE / (x.nxq * n.cn), 6)
+       |                   ::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_cohesion
+       |FROM asgf a JOIN xnormf x USING (vec_id) JOIN cnormf n USING (cell)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Twin for `length_quantiles`: the identical histogram-rank
+    * formulation — per-(lang, value) counts, cumulative window over the
+    * tiny histogram, and the same literal h/interpolation arithmetic.
+    */
+  private def lengthQuantilesOracle(): String = {
+    val qs = Seq(("p25", "0.25"), ("p50", "0.5"), ("p90", "0.9"), ("p99", "0.99"))
+    val cols = qs.map { case (nm, q) =>
+      val h = s"$q * (n - 1) + 1"
+      val lo = s"CAST(floor($h) AS BIGINT)"
+      val hi = s"least($lo + 1, n)"
+      val loV = s"max(CASE WHEN start <= $lo AND $lo <= cum THEN x END)"
+      val hiV = s"max(CASE WHEN start <= $hi AND $hi <= cum THEN x END)"
+      val f = s"max($h - floor($h))"
+      s"round($loV + $f * ($hiV - $loV), 6) AS $nm"
+    }.mkString(",\n       |       ")
+    s"""WITH h AS (
+       |  SELECT lang, n_chars::DOUBLE AS x, count(*) AS cnt
+       |  FROM documents GROUP BY 1, 2
+       |), r AS (
+       |  SELECT lang, x, cnt,
+       |         sum(cnt) OVER (PARTITION BY lang ORDER BY x ASC) AS cum,
+       |         sum(cnt) OVER (PARTITION BY lang) AS n
+       |  FROM h
+       |), s AS (
+       |  SELECT lang, x, cum - cnt + 1 AS start, cum, n FROM r
+       |)
+       |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+       |       $cols
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Twin for `robust_stats`: the histogram-rank median kernel applied
+    * twice (median, then median of absolute deviations) with the same
+    * interpolation arithmetic as `length_quantiles`, then the
+    * `(3 · 1.4826) · MAD` outlier gate.
+    */
+  private def robustStatsOracle(): String = {
+    def quantCtes(tag: String, src: String, nm: String): String = {
+      val h = "0.5 * (n - 1) + 1"
+      val lo = s"CAST(floor($h) AS BIGINT)"
+      val hi = s"least($lo + 1, n)"
+      val loV = s"max(CASE WHEN start <= $lo AND $lo <= cum THEN x END)"
+      val hiV = s"max(CASE WHEN start <= $hi AND $hi <= cum THEN x END)"
+      val f = s"max($h - floor($h))"
+      s"""h$tag AS (
+         |  SELECT g, x, count(*) AS cnt FROM $src GROUP BY 1, 2
+         |), r$tag AS (
+         |  SELECT g, x, cnt,
+         |         sum(cnt) OVER (PARTITION BY g ORDER BY x ASC) AS cum,
+         |         sum(cnt) OVER (PARTITION BY g) AS n
+         |  FROM h$tag
+         |), s$tag AS (
+         |  SELECT g, x, cum - cnt + 1 AS start, cum, n FROM r$tag
+         |), q$tag AS (
+         |  SELECT g, CAST(max(n) AS BIGINT) AS n,
+         |         $loV + $f * ($hiV - $loV) AS $nm
+         |  FROM s$tag GROUP BY 1
+         |)""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT source AS g, n_chars::DOUBLE AS x FROM documents
+       |), ${quantCtes("1", "d", "med")}, dev AS (
+       |  SELECT d.g, abs(d.x - q1.med) AS x FROM d JOIN q1 USING (g)
+       |), ${quantCtes("2", "dev", "mad")}
+       |SELECT q1.g AS source, q1.n AS n_docs,
+       |       round(q1.med, 6) AS median_chars,
+       |       round(q2.mad, 6) AS mad_chars,
+       |       CAST(sum(CASE WHEN v.x > 3 * 1.4826 * q2.mad
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       round(CAST(sum(CASE WHEN v.x > 3 * 1.4826 * q2.mad
+       |                          THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+       |             / q1.n::DOUBLE, 6) AS outlier_frac
+       |FROM dev v JOIN q1 USING (g) JOIN q2 USING (g)
+       |GROUP BY q1.g, q1.n, q1.med, q2.mad
+       |ORDER BY 1""".stripMargin
+  }
+
+  private def knnIvfTrainedOracle(
+      iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
+      cellProbes: Int = 4): String = {
+    s"""${lloydTrainedPrefix(iters, nCells)}, cent AS MATERIALIZED (
        |  SELECT c.cell,
        |         list(c.xi::DOUBLE / sqrt(cc.cc::DOUBLE)
        |              ORDER BY c.pos ASC) AS cvec
@@ -652,6 +771,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "knn_ivf_trained" -> knnIvfTrainedOracle(),
+    "kmeans_cells_trained" -> kmeansCellsTrainedOracle(),
+    "length_quantiles" -> lengthQuantilesOracle(),
+    "robust_stats" -> robustStatsOracle(),
     "bpe_merges" -> bpeMergesOracle(),
     "ads_search" ->
       """WITH filtered AS (

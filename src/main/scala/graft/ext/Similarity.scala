@@ -825,6 +825,55 @@ object Similarity {
     ivfSearchWithCentroids(spark, sfDir, centroids, nProbes, k, cellProbes)
   }
 
+  /** Per-cell size + cohesion summary of the TRAINED integer quantizer —
+    * the hash-checked face of what rows-only `kmeans_cells` reports for
+    * the float trainer: how balanced the trained cells are and how tight
+    * each cluster is (mean cosine of members to their centroid), the two
+    * numbers an ANN deployment watches to decide when to retrain.
+    *
+    * Cross-engine exactness: assignment replays [[kmeansModelInt]]'s
+    * integer-dot argmax (exact integer dot ÷ one exactly-rounded sqrt,
+    * ties cell asc); the member cosine is `dot / (‖xq‖ · ‖c‖)` where both
+    * norms are sqrt-of-exact-integer and the divide/multiply are single
+    * IEEE ops in the SAME association on both engines; the MEAN sums
+    * 6dp-quantized decimals (order-independent) before one final divide.
+    *
+    * Scale shape: the k·dim model comes from the maintained `ivf_model`
+    * artifact; the summary is ONE narrow codegen'd corpus scan (k dots
+    * against literals, no join) + one k-row hash agg.
+    */
+  def kmeansCellsTrained(
+      spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val model =
+      if (k == IvfNCells && iters == 5) trainedModelArtifact(spark, sfDir, k, iters)
+      else kmeansModelInt(spark, sfDir, k, iters)
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val xq = emb.select(col("vec_id"), expr(
+      "transform(embedding, v -> CAST(floor(v / __norm * 1000000.0D + 0.5D) AS DOUBLE))")
+      .as("xq"))
+    // struct argmax on (score, -cell): negids are distinct, so the cos
+    // field rides along without ever being consulted by the comparison
+    val scores = model.zipWithIndex.map { case (c, i) =>
+      val cLit = c.map(_.toString + "D").mkString("array(", ",", ")")
+      val cn = math.sqrt(c.map(v => v * v).sum.toDouble)
+      struct(
+        (expr(s"graft_dot(xq, $cLit)") / lit(cn)).as("s"),
+        lit(-i).as("negid"),
+        (expr(s"graft_dot(xq, $cLit)") /
+          (expr("sqrt(graft_dot(xq, xq))") * lit(cn))).as("cos"))
+    }
+    xq.withColumn("best", greatest(scores: _*))
+      .select((-col("best.negid")).cast("long").as("cell_id"),
+        round(col("best.cos"), 6).cast("decimal(18,6)").as("__cos"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__cos")).as("__sum"))
+      .select(col("cell_id"), col("n_vectors"),
+        round(col("__sum").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("avg_cohesion"))
+      .orderBy(col("cell_id").asc)
+  }
+
   /** Per-label embedding-norm profile: count, mean/min/max L2 norm — the
     * sanity report run before any cosine-based pipeline stage (un-normalized
     * or zero vectors silently corrupt LSH signs and cosine thresholds).

@@ -256,6 +256,105 @@ object TextStats {
       percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("p90_chars"),
       percentile_approx(col("n_chars"), lit(0.99), lit(10000)).as("p99_chars"))
 
+  /** Exact interpolated quantiles (p25/p50/p90/p99, linear "type 7" — the
+    * numpy/R default) of document length per language — the EXACT
+    * complement to [[corpusSketch]]'s `percentile_approx` sketches. On a
+    * bounded-cardinality measure (integer char counts) the full
+    * distribution compresses losslessly to a per-(lang, value) histogram,
+    * so exact quantiles cost two hash-aggs plus a window over the TINY
+    * histogram — never a per-row sort, and no language ever funnels its
+    * rows through one reducer (the naive `row_number OVER (PARTITION BY
+    * lang)` would; [[graft.ops.Ranks]]' sampled-boundary buckets extend
+    * the same trick to unbounded domains).
+    *
+    * Cross-engine exactness: rank position h = q·(n−1)+1 and the
+    * interpolation x_lo + frac·(x_hi − x_lo) are literal-identical
+    * expression chains of single exactly-rounded IEEE ops over
+    * integer-valued doubles; output rounded to 6dp.
+    */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    histQuantiles(
+      Tables.documents(spark, sfDir)
+        .select(col("lang").as("g"), col("n_chars").cast("double").as("x")),
+      qs)
+      .select(col("g").as("lang") +: col("n").as("n_docs") +:
+        qs.map { case (nm, _) => round(col(nm), 6).as(nm) }: _*)
+      .orderBy(col("lang").asc)
+  }
+
+  /** Exact type-7 quantile kernel over (g, x) observation rows: compress
+    * to a per-(g, x) histogram, rank by cumulative counts over the tiny
+    * histogram, and interpolate at h = q·(n−1)+1 — one output row per
+    * group carrying `n` and an UN-rounded double column per requested
+    * quantile. Shared by [[lengthQuantiles]] and [[robustStats]] (which
+    * applies it twice — median, then median of absolute deviations).
+    */
+  private[ext] def histQuantiles(
+      rows: DataFrame, qs: Seq[(String, Double)]): DataFrame = {
+    val hist = rows.groupBy(col("g"), col("x")).agg(count(lit(1)).as("cnt"))
+    val ranked = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("g")).orderBy(col("x").asc)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("g"))))
+      .withColumn("start", col("cum") - col("cnt") + 1)
+    val aggs = qs.flatMap { case (nm, q) =>
+      val h = lit(q) * (col("n") - 1) + 1
+      val loRk = floor(h).cast("long")
+      val hiRk = least(loRk + 1, col("n"))
+      Seq(
+        max(when(col("start") <= loRk && loRk <= col("cum"), col("x")))
+          .as(s"__lo_$nm"),
+        max(when(col("start") <= hiRk && hiRk <= col("cum"), col("x")))
+          .as(s"__hi_$nm"),
+        // h is constant within a group (function of n alone) — max = value
+        max(h - floor(h)).as(s"__f_$nm"))
+    }
+    val all = max(col("n")).as("n") +: aggs
+    ranked.groupBy(col("g"))
+      .agg(all.head, all.tail: _*)
+      .select(col("g") +: col("n") +: qs.map { case (nm, _) =>
+        (col(s"__lo_$nm") +
+          col(s"__f_$nm") * (col(s"__hi_$nm") - col(s"__lo_$nm"))).as(nm)
+      }: _*)
+  }
+
+  /** Robust per-source length profile: exact median, exact MAD (median
+    * absolute deviation), and the count/fraction of documents beyond the
+    * classic 3σ-equivalent gate `|x − med| > 3 · 1.4826 · MAD` — the
+    * outlier report a curation run uses where mean/stddev would be
+    * wrecked by the very outliers it hunts.
+    *
+    * Scale shape: two applications of the [[histQuantiles]] kernel (each
+    * two hash-aggs + a tiny-histogram window) plus one broadcast join of
+    * the |sources|-row med/MAD frames back onto the deviation stream —
+    * three linear passes, no per-row sort.
+    *
+    * Cross-engine exactness: n_chars and the medians interpolate only at
+    * .0/.5 fractions, so `abs(x − med)` is exact; the gate constant is
+    * built `(3 · 1.4826) · MAD` in both engines.
+    */
+  def robustStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source").as("g"), col("n_chars").cast("double").as("x"))
+    val med = histQuantiles(d, Seq("med" -> 0.5))
+    val dev = d.join(med.select(col("g"), col("med")), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("x"))
+    val mad = histQuantiles(dev, Seq("mad" -> 0.5))
+      .select(col("g"), col("mad"))
+    dev.join(med, Seq("g")).join(mad, Seq("g"))
+      .groupBy(col("g"), col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("x") > lit(3) * lit(1.4826) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as("source"), col("n").as("n_docs"),
+        round(col("med"), 6).as("median_chars"),
+        round(col("mad"), 6).as("mad_chars"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n").cast("double"), 6)
+          .as("outlier_frac"))
+      .orderBy(col("source").asc)
+  }
+
   /** Heuristic n-gram/stopword language ID (rows-only — argmax over
     * per-language evidence, not SQL-twin-able portably).
     *

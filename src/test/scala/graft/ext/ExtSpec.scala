@@ -447,6 +447,40 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= 0.6, s"trained recall collapsed: $trained")
   }
 
+  test("kmeansCellsTrained matches a driver replay of the trained assignment") {
+    val got = Similarity.kmeansCellsTrained(spark, sf).collect()
+      .map(r => r.getAs[Long]("cell_id") ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("avg_cohesion"))).toMap
+    val total = graft.io.Tables.embeddings(spark, sf).count()
+    assert(got.values.map(_._1).sum === total, "cells must partition the corpus")
+    // brute replay: same micro-unit quantization, same integer dots, same
+    // (score desc, cell asc) argmax, same 6dp-quantized mean — in plain Scala
+    val model = Similarity.kmeansModelInt(spark, sf)
+    val cn = model.map(c => math.sqrt(c.map(v => v * v).sum.toDouble))
+    val members = scala.collection.mutable.Map[Int, List[BigDecimal]]()
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect().foreach { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        val xq = v.map(x => math.floor(x / nrm * 1e6 + 0.5))
+        val nxq = math.sqrt(xq.map(x => x * x).sum)
+        val scored = model.indices.map { i =>
+          val dot = model(i).zip(xq).map { case (c, x) => c * x }.sum.toDouble
+          (dot / cn(i), -i, dot / (nxq * cn(i)))
+        }
+        val best = scored.max
+        members(-best._2) = BigDecimal(best._3).setScale(6, BigDecimal.RoundingMode.HALF_UP) ::
+          members.getOrElse(-best._2, Nil)
+      }
+    assert(got.keySet === members.keySet.map(_.toLong))
+    members.foreach { case (cell, cos) =>
+      assert(got(cell.toLong)._1 === cos.length.toLong, s"cell $cell size")
+      val want = (cos.sum / cos.length).toDouble
+      assert(math.abs(got(cell.toLong)._2 - want) < 1e-6,
+        s"cell $cell cohesion ${got(cell.toLong)._2} vs $want")
+    }
+  }
+
   test("embeddingDrift: cell spine complete, terms non-negative, counts reconcile") {
     val rows = Similarity.embeddingDrift(spark, sf).collect()
     assert(rows.length === 16, "one row per quantizer cell, always")
@@ -554,6 +588,64 @@ class TextStatsSpec extends SparkSpec {
         assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
       }
       assert(r.getAs[Int]("n_tokens") > 0)
+    }
+  }
+
+  test("lengthQuantiles matches a driver type-7 quantile recompute") {
+    val byLang = graft.io.Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_chars").toDouble))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    def q7(xs: IndexedSeq[Double], q: Double): Double = {
+      val h = q * (xs.length - 1) + 1
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, xs.length)
+      val f = h - math.floor(h)
+      xs(lo - 1) + f * (xs(hi - 1) - xs(lo - 1))
+    }
+    val rows = TextStats.lengthQuantiles(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("lang")).toSeq === byLang.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val xs = byLang(r.getAs[String]("lang")).toIndexedSeq
+      assert(r.getAs[Long]("n_docs") === xs.length.toLong)
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach {
+        case (nm, q) =>
+          assert(math.abs(r.getAs[Double](nm) - q7(xs, q)) < 1e-6,
+            s"${r.getAs[String]("lang")} $nm: ${r.getAs[Double](nm)} vs ${q7(xs, q)}")
+      }
+      // quantiles are monotone
+      assert(r.getAs[Double]("p25") <= r.getAs[Double]("p50"))
+      assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"))
+      assert(r.getAs[Double]("p90") <= r.getAs[Double]("p99"))
+    }
+  }
+
+  test("robustStats matches a driver median/MAD recompute") {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted.toIndexedSeq
+      val h = 0.5 * (s.length - 1) + 1
+      val lo = math.floor(h).toInt
+      val hi = math.min(lo + 1, s.length)
+      s(lo - 1) + (h - math.floor(h)) * (s(hi - 1) - s(lo - 1))
+    }
+    val bySrc = graft.io.Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars").toDouble))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSeq }
+    val rows = TextStats.robustStats(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("source")).toSeq === bySrc.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val xs = bySrc(r.getAs[String]("source"))
+      val m = med(xs)
+      val dev = xs.map(x => math.abs(x - m))
+      val md = med(dev)
+      val out = dev.count(_ > 3 * 1.4826 * md)
+      assert(r.getAs[Long]("n_docs") === xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("median_chars") - m) < 1e-6)
+      assert(math.abs(r.getAs[Double]("mad_chars") - md) < 1e-6)
+      assert(r.getAs[Long]("n_outliers") === out.toLong)
+      assert(math.abs(r.getAs[Double]("outlier_frac") -
+        out.toDouble / xs.length) < 1e-6)
     }
   }
 
