@@ -572,6 +572,57 @@ object Similarity {
     */
   def kmeansAssignments(
       spark: SparkSession, sfDir: String, k: Int = 16, iters: Int = 5): DataFrame = {
+    // Default-config training is served from the maintained `kmeans_model`
+    // artifact (same contract as `ivf_model`: retrain on any census
+    // change, no frozen-model refresh) — the per-call cost is then ONE
+    // assignment scan instead of `iters` Lloyd rounds.
+    if (k == 16 && iters == 5) {
+      val sp = spark; import sp.implicits._
+      val rows = graft.ops.Layout.ensureDerived(
+        spark, sfDir, "kmeans_model", Seq("embeddings.parquet"),
+        key = "cell", buckets = 4, version = 1) {
+        trainFloatModel(spark, sfDir, k, iters).toSeq.flatMap {
+          case (cell, c) => c.zipWithIndex.map { case (v, pos) =>
+            (cell, pos, v)
+          }
+        }.toDF("cell", "pos", "c")
+      }.collect() // bounded: k·dim rows — the model IS driver-sized
+      val model = rows.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (cell, cs) =>
+          val arr = new Array[Double](cs.length)
+          cs.foreach { case (_, pos, v) => arr(pos) = v }
+          cell -> arr
+        }
+      assignAgainst(spark, sfDir, model)
+    } else assignAgainst(spark, sfDir, trainFloatModel(spark, sfDir, k, iters))
+  }
+
+  /** One codegen'd assignment pass of the corpus against centroid
+    * literals — the shared tail of [[kmeansAssignments]]'s artifact and
+    * live paths.
+    */
+  private def assignAgainst(
+      spark: SparkSession, sfDir: String,
+      model: Map[Int, Array[Double]]): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("__norm"))
+    val scores = model.toSeq.sortBy(_._1).map { case (cid, c) =>
+      val litArr = c.map(v => v.toString + "D").mkString("array(", ",", ")")
+      struct((expr(s"graft_dot(embedding, $litArr)") / col("__norm")).as("s"),
+        lit(-cid).as("negid"))
+    }
+    emb.withColumn("best", greatest(scores: _*))
+      .select(col("vec_id"), (-col("best.negid")).as("cell_id"),
+        col("best.s").as("sim"))
+  }
+
+  /** The float Lloyd trainer itself (see the scaladoc above for the
+    * per-iteration scale shape); returns the k-cell unit-centroid model.
+    */
+  private def trainFloatModel(
+      spark: SparkSession, sfDir: String, k: Int, iters: Int): Map[Int, Array[Double]] = {
+    GraftFunctions.register(spark)
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
       .select(col("vec_id"), col("embedding"), col("__norm"))
       .persist()
@@ -642,7 +693,7 @@ object Similarity {
       comp.unpersist()
       emb.unpersist()
     }
-    assignFor(model)
+    model
   }
 
   /** One assignment pass against the k lowest-id SEED centroids —

@@ -387,4 +387,30 @@ class LayoutRefreshSpec extends SparkSpec {
       "refreshed edge artifact diverged from the full rebuild")
     assert(refreshed.count() === rebuilt.count())
   }
+
+  test("part_rank REBUILDS on a lineitem append (rank has no frozen-model refresh)") {
+    val base = Files.createTempDirectory("graft_rank_incr").toString + "/d"
+    fs.mkdirs(new Path(base))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    val before = graft.ext.Graph.partPageRank(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b0 = Layout.buildCount.get
+    // new parts landing on existing orders changes the graph — the global
+    // fixed point must RETRAIN (full rebuild), never serve frozen ranks
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val extra = li.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(200).withColumn("l_partkey", col("l_partkey") + lit(900000L))
+    appendFile(s"$base/lineitem.parquet", extra)
+    val after = graft.ext.Graph.partPageRank(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(Layout.buildCount.get >= b0 + 1,
+      "appending to lineitem must trigger a full part_rank rebuild")
+    assert(after !== before,
+      "ranks must reflect the changed graph, not a stale artifact")
+    // mass conservation still holds on the rebuilt frame: total rank is
+    // within |nodes| picounit floor-divisions of the unit
+    val total = graft.ext.Graph.partPageRank(spark, base, topK = 1000000)
+      .agg(sum(col("rank_e12"))).collect()(0).getLong(0)
+    assert(total <= 1000000000000L && total > 900000000000L, total.toString)
+  }
 }
