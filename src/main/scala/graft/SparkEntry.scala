@@ -104,6 +104,8 @@ object SparkEntry {
     "kmeans_cells"       -> ((s, d) => Similarity.kmeansCells(s, d)),
     // hash-checked cell-balance/cohesion report of the TRAINED quantizer
     "kmeans_cells_trained" -> ((s, d) => Similarity.kmeansCellsTrained(s, d)),
+    // dominant embedding direction by fixed-point power iteration (ABTT)
+    "embedding_pc1"      -> ((s, d) => Similarity.embeddingPc1(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
     // exact interpolated per-lang length quantiles off the value histogram
     "length_quantiles"   -> ((s, d) => TextStats.lengthQuantiles(s, d)),
@@ -723,6 +725,50 @@ object SparkEntry {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Twin for `embedding_pc1`: replays the integer fixed-point power
+    * iteration — exact integer dots scaled by truncating `// 10⁸`, exact
+    * HUGEINT component sums, max-abs renormalization `(u·10⁶) // max|u|`
+    * — for all `iters` rounds, then emits the final direction 0-based
+    * with its unit loading. (`pos` is 1-based in the comp CTE and 0-based
+    * in the engine's posexplode — aligned at the output.)
+    */
+  private def embeddingPc1Oracle(iters: Int = 5): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"pv${r - 1}"
+      s""", ps$r AS (
+         |  SELECT c.vec_id, sum(c.xi * v.xi) // 100000000 AS sp
+         |  FROM comp c JOIN $prev v USING (pos) GROUP BY 1
+         |), pu$r AS (
+         |  SELECT c.pos, sum(c.xi * s.sp) AS u
+         |  FROM comp c JOIN ps$r s USING (vec_id) GROUP BY 1
+         |), pm$r AS (
+         |  SELECT max(abs(u)) AS m FROM pu$r
+         |), pv$r AS MATERIALIZED (
+         |  SELECT pos, (u * 1000000) // m AS xi FROM pu$r, pm$r
+         |)""".stripMargin
+    }.mkString
+    s"""WITH emb AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |         sqrt(list_inner_product(embedding::DOUBLE[],
+       |                                 embedding::DOUBLE[])) AS nrm
+       |  FROM embeddings
+       |), comp AS MATERIALIZED (
+       |  SELECT vec_id, p.pos,
+       |         CAST(floor(vec[p.pos] / nrm * 1000000.0 + 0.5) AS BIGINT) AS xi
+       |  FROM emb, UNNEST(generate_series(1, 64)) AS p(pos)
+       |), pv0 AS (
+       |  SELECT pos, xi FROM comp
+       |  WHERE vec_id = (SELECT min(vec_id) FROM emb)
+       |)$rounds, fin AS (
+       |  SELECT pos, xi FROM pv$iters
+       |), fnrm AS (
+       |  SELECT sqrt(sum(xi * xi)::DOUBLE) AS nn FROM fin
+       |)
+       |SELECT pos - 1 AS pos, CAST(xi AS BIGINT) AS pc1_micro,
+       |       round(xi::DOUBLE / nn, 6) AS unit_loading
+       |FROM fin, fnrm ORDER BY 1""".stripMargin
+  }
+
   private def knnIvfTrainedOracle(
       iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
       cellProbes: Int = 4): String = {
@@ -774,6 +820,7 @@ object SparkEntry {
     "kmeans_cells_trained" -> kmeansCellsTrainedOracle(),
     "length_quantiles" -> lengthQuantilesOracle(),
     "robust_stats" -> robustStatsOracle(),
+    "embedding_pc1" -> embeddingPc1Oracle(),
     "bpe_merges" -> bpeMergesOracle(),
     "ads_search" ->
       """WITH filtered AS (

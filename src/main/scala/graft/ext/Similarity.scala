@@ -925,6 +925,72 @@ object Similarity {
       .orderBy(col("cell_id").asc)
   }
 
+  /** Dominant principal direction of the embedding corpus (top right
+    * singular vector of the stacked unit vectors) by POWER ITERATION —
+    * the primitive behind embedding whitening / "all-but-the-top"
+    * post-processing, and the engine's fifth iterative-algorithm family
+    * (after CC, PageRank, Lloyd, BPE). Covariance-free: each round is
+    *   s_i = ⟨x_i, v⟩      (one codegen'd literal-dot corpus scan)
+    *   u   = Σ_i x_i · s_i (one pos-keyed hash-agg)
+    *   v'  = u normalized
+    * so the 64×64 Gram matrix is never materialized and nothing but the
+    * 64-component direction crosses the driver.
+    *
+    * Engine-exact determinism (the part_pagerank discipline): components
+    * are micro-unit integers, s_i is an exact integer dot scaled by a
+    * truncating `div 10⁸` (keeps every u term long-safe at any corpus
+    * size), u sums exactly in decimal/HUGEINT, and renormalization is
+    * max-abs: v'_p = (u_p · 10⁶) div max|u| — all integer ops, so the
+    * DuckDB twin replays every round bit-for-bit. Seed: the lowest-id
+    * vector (deterministic; a seed orthogonal to the dominant direction
+    * is measure-zero and would only slow convergence). Requires a
+    * non-degenerate corpus (some nonzero dot in every round).
+    *
+    * Scale shape per round: one narrow scan + one 64-row hash-agg; 5
+    * rounds converge geometrically with gap λ₁/λ₂.
+    */
+  def embeddingPc1(
+      spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val sp = spark; import sp.implicits._
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val xq = emb.select(col("vec_id"), expr(
+      "transform(embedding, v -> CAST(floor(v / __norm * 1000000.0D + 0.5D) AS DOUBLE))")
+      .as("xq"))
+      .persist()
+    try {
+      val comp = xq
+        .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"), col("x").cast("long").as("xi"))
+      var v: Array[Long] = xq.orderBy(col("vec_id").asc).limit(1)
+        .collect()(0).getSeq[Double](1).map(_.toLong).toArray
+      for (_ <- 1 to iters) {
+        val vLit = v.map(_.toString + "D").mkString("array(", ",", ")")
+        // exact dot (≤ 6.4e13 < 2^53), then truncating scale-down so every
+        // u term fits a long at any corpus size
+        val s = xq.select(col("vec_id"),
+          expr(s"CAST(graft_dot(xq, $vLit) AS LONG) div 100000000").as("sp"))
+        val u = comp.join(s, Seq("vec_id"))
+          .groupBy(col("pos"))
+          .agg(sum((col("xi") * col("sp")).cast("decimal(38,0)")).as("u"))
+          .collect()
+          .map(r => r.getInt(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
+        val m = u.values.map(_.abs).max
+        require(m > 0, "degenerate corpus: power iteration hit the zero vector")
+        // BigInt / truncates toward zero — same as Spark div / DuckDB //
+        v = v.indices.map(p => ((u(p) * BigInt(1000000)) / m).toLong).toArray
+      }
+      val ss = v.map(x => x * x).sum // ≤ 64e12 — exact
+      val norm = math.sqrt(ss.toDouble)
+      v.zipWithIndex.map { case (xi, pos) =>
+        (pos, xi, BigDecimal(xi.toDouble / norm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq.toDF("pos", "pc1_micro", "unit_loading")
+        .orderBy(col("pos").asc)
+    } finally { xq.unpersist(); () }
+  }
+
   /** Per-label embedding-norm profile: count, mean/min/max L2 norm — the
     * sanity report run before any cosine-based pipeline stage (un-normalized
     * or zero vectors silently corrupt LSH signs and cosine thresholds).

@@ -481,6 +481,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingPc1 matches a BigInt driver replay and improves the Rayleigh quotient") {
+    val xs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => math.floor(x / n * 1e6 + 0.5).toLong)
+      }
+    var v = xs.head.clone()
+    for (_ <- 1 to 5) {
+      val sp = xs.map(x => x.zip(v).map { case (a, b) => a * b }.sum / 100000000L)
+      val u = v.indices.map(p =>
+        xs.indices.map(i => BigInt(xs(i)(p)) * sp(i)).sum).toArray
+      val m = u.map(_.abs).max
+      v = u.map(x => ((x * BigInt(1000000)) / m).toLong)
+    }
+    val got = Similarity.embeddingPc1(spark, sf).collect()
+    assert(got.length === 64)
+    got.foreach { r =>
+      assert(r.getAs[Long]("pc1_micro") === v(r.getAs[Int]("pos")),
+        s"pos ${r.getAs[Int]("pos")}")
+    }
+    // unit loadings really are unit-norm (within 6dp rounding)
+    val nn = math.sqrt(got.map(r => math.pow(r.getAs[Double]("unit_loading"), 2)).sum)
+    assert(math.abs(nn - 1.0) < 1e-4, nn.toString)
+    // the iterated direction must capture more corpus energy than the seed
+    def rayleigh(d: Array[Long]): Double = {
+      val dn = math.sqrt(d.map(x => x.toDouble * x).sum)
+      xs.map { x =>
+        val dot = x.zip(d).map { case (a, b) => a.toDouble * b }.sum / dn
+        dot * dot
+      }.sum
+    }
+    assert(rayleigh(v) > rayleigh(xs.head),
+      "power iteration failed to improve the dominant-direction objective")
+  }
+
   test("embeddingDrift: cell spine complete, terms non-negative, counts reconcile") {
     val rows = Similarity.embeddingDrift(spark, sf).collect()
     assert(rows.length === 16, "one row per quantizer cell, always")
