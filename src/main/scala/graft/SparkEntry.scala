@@ -106,6 +106,8 @@ object SparkEntry {
     "kmeans_cells_trained" -> ((s, d) => Similarity.kmeansCellsTrained(s, d)),
     // dominant embedding direction by fixed-point power iteration (ABTT)
     "embedding_pc1"      -> ((s, d) => Similarity.embeddingPc1(s, d)),
+    // per-label mean squared cosine to pc1 (isotropy diagnostic)
+    "anisotropy_report"  -> ((s, d) => Similarity.anisotropyReport(s, d)),
     "token_counts"       -> ((s, d) => TextStats.tokenCounts(s, d)),
     // exact interpolated per-lang length quantiles off the value histogram
     "length_quantiles"   -> ((s, d) => TextStats.lengthQuantiles(s, d)),
@@ -732,7 +734,12 @@ object SparkEntry {
     * with its unit loading. (`pos` is 1-based in the comp CTE and 0-based
     * in the engine's posexplode — aligned at the output.)
     */
-  private def embeddingPc1Oracle(iters: Int = 5): String = {
+  /** Shared WITH-prefix replaying the fixed-point power iteration:
+    * `emb`/`comp` plus `iters` rounds ending in the trained direction
+    * `pv{iters}`. Tails: `embedding_pc1` emits the direction,
+    * `anisotropy_report` projects the corpus onto it.
+    */
+  private def pc1Prefix(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"pv${r - 1}"
       s""", ps$r AS (
@@ -748,7 +755,7 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     s"""WITH emb AS MATERIALIZED (
-       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
        |         sqrt(list_inner_product(embedding::DOUBLE[],
        |                                 embedding::DOUBLE[])) AS nrm
        |  FROM embeddings
@@ -759,7 +766,11 @@ object SparkEntry {
        |), pv0 AS (
        |  SELECT pos, xi FROM comp
        |  WHERE vec_id = (SELECT min(vec_id) FROM emb)
-       |)$rounds, fin AS (
+       |)$rounds""".stripMargin
+  }
+
+  private def embeddingPc1Oracle(iters: Int = 5): String =
+    s"""${pc1Prefix(iters)}, fin AS (
        |  SELECT pos, xi FROM pv$iters
        |), fnrm AS (
        |  SELECT sqrt(sum(xi * xi)::DOUBLE) AS nn FROM fin
@@ -767,7 +778,28 @@ object SparkEntry {
        |SELECT pos - 1 AS pos, CAST(xi AS BIGINT) AS pc1_micro,
        |       round(xi::DOUBLE / nn, 6) AS unit_loading
        |FROM fin, fnrm ORDER BY 1""".stripMargin
-  }
+
+  /** Twin for `anisotropy_report`: cosine of every vector to the trained
+    * direction (exact integer dot over the two sqrt-of-exact-int norms,
+    * identical association), squared, 6dp-quantized, averaged per label.
+    */
+  private def anisotropyOracle(iters: Int = 5): String =
+    s"""${pc1Prefix(iters)}, xnormp AS (
+       |  SELECT vec_id, sqrt(sum(xi * xi)::DOUBLE) AS nxq FROM comp GROUP BY 1
+       |), vnormp AS (
+       |  SELECT sqrt(sum(xi * xi)::DOUBLE) AS nv FROM pv$iters
+       |), dots AS (
+       |  SELECT c.vec_id, sum(c.xi * v.xi) AS dotv
+       |  FROM comp c JOIN pv$iters v USING (pos) GROUP BY 1
+       |), pr AS (
+       |  SELECT e.label, d.dotv::DOUBLE / (x.nxq * vn.nv) AS c
+       |  FROM dots d JOIN emb e USING (vec_id)
+       |  JOIN xnormp x USING (vec_id), vnormp vn
+       |)
+       |SELECT label, count(*) AS n_vecs,
+       |       round(sum(round(c * c, 6)::DECIMAL(18,6))::DOUBLE
+       |             / count(*), 6) AS mean_sq_proj
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def knnIvfTrainedOracle(
       iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
@@ -821,6 +853,7 @@ object SparkEntry {
     "length_quantiles" -> lengthQuantilesOracle(),
     "robust_stats" -> robustStatsOracle(),
     "embedding_pc1" -> embeddingPc1Oracle(),
+    "anisotropy_report" -> anisotropyOracle(),
     "bpe_merges" -> bpeMergesOracle(),
     "ads_search" ->
       """WITH filtered AS (

@@ -951,8 +951,45 @@ object Similarity {
     */
   def embeddingPc1(
       spark: SparkSession, sfDir: String, iters: Int = 5): DataFrame = {
-    GraftFunctions.register(spark)
     val sp = spark; import sp.implicits._
+    val v = pc1Model(spark, sfDir, iters)
+    val ss = v.map(x => x * x).sum // ≤ 64e12 — exact
+    val norm = math.sqrt(ss.toDouble)
+    v.zipWithIndex.map { case (xi, pos) =>
+      (pos, xi, BigDecimal(xi.toDouble / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("pos", "pc1_micro", "unit_loading")
+      .orderBy(col("pos").asc)
+  }
+
+  /** The trained direction as a MAINTAINED MODEL ARTIFACT (`pc1_model`,
+    * dim rows of (pos, micro-unit component)) — same contract as
+    * `ivf_model`/`kmeans_model`: any corpus census change retrains (the
+    * twin replays training on the current corpus, so frozen refresh would
+    * diverge); every call and every later session over the warehouse
+    * collects the dim-row model instead of re-iterating.
+    */
+  private[graft] def pc1Model(
+      spark: SparkSession, sfDir: String, iters: Int = 5): Array[Long] = {
+    val sp = spark; import sp.implicits._
+    val rows =
+      if (iters == 5)
+        graft.ops.Layout.ensureDerived(
+          spark, sfDir, "pc1_model", Seq("embeddings.parquet"),
+          key = "pos", buckets = 1, version = 1) {
+          trainPc1(spark, sfDir, iters).zipWithIndex
+            .map { case (xi, pos) => (pos, xi) }.toSeq.toDF("pos", "xi")
+        }.collect().map(r => (r.getInt(0), r.getLong(1)))
+      else trainPc1(spark, sfDir, iters).zipWithIndex
+        .map { case (xi, pos) => (pos, xi) }
+    val out = new Array[Long](rows.length)
+    rows.foreach { case (pos, xi) => out(pos) = xi }
+    out
+  }
+
+  private def trainPc1(
+      spark: SparkSession, sfDir: String, iters: Int): Array[Long] = {
+    GraftFunctions.register(spark)
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
     val xq = emb.select(col("vec_id"), expr(
       "transform(embedding, v -> CAST(floor(v / __norm * 1000000.0D + 0.5D) AS DOUBLE))")
@@ -981,14 +1018,42 @@ object Similarity {
         // BigInt / truncates toward zero — same as Spark div / DuckDB //
         v = v.indices.map(p => ((u(p) * BigInt(1000000)) / m).toLong).toArray
       }
-      val ss = v.map(x => x * x).sum // ≤ 64e12 — exact
-      val norm = math.sqrt(ss.toDouble)
-      v.zipWithIndex.map { case (xi, pos) =>
-        (pos, xi, BigDecimal(xi.toDouble / norm)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toSeq.toDF("pos", "pc1_micro", "unit_loading")
-        .orderBy(col("pos").asc)
+      v
     } finally { xq.unpersist(); () }
+  }
+
+  /** Per-label ANISOTROPY report — how much of each label's embedding
+    * energy lies along the corpus' dominant direction ([[pc1Model]]):
+    * mean squared cosine to pc1. The diagnostic that motivates
+    * all-but-the-top post-processing (isotropic embeddings score ≈ 1/dim;
+    * a large value says one rogue direction dominates every similarity).
+    *
+    * Cross-engine exactness: cosine = exact-int dot ÷ (two
+    * sqrt-of-exact-int norms) in identical association; the mean sums
+    * 6dp-quantized squared cosines as decimals. Scale shape: the model is
+    * the dim-row artifact; the report is one codegen'd corpus scan + a
+    * |labels|-row hash-agg.
+    */
+  def anisotropyReport(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val v = pc1Model(spark, sfDir)
+    val vn = math.sqrt(v.map(x => x * x).sum.toDouble)
+    val vLit = v.map(_.toString + "D").mkString("array(", ",", ")")
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val xq = emb.select(col("label"), expr(
+      "transform(embedding, v -> CAST(floor(v / __norm * 1000000.0D + 0.5D) AS DOUBLE))")
+      .as("xq"))
+    xq.select(col("label"),
+      (expr(s"graft_dot(xq, $vLit)") /
+        (expr("sqrt(graft_dot(xq, xq))") * lit(vn))).as("c"))
+      .select(col("label"),
+        round(col("c") * col("c"), 6).cast("decimal(18,6)").as("sq"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sq")).as("__s"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__s").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("mean_sq_proj"))
+      .orderBy(col("label").asc)
   }
 
   /** Per-label embedding-norm profile: count, mean/min/max L2 norm — the

@@ -519,6 +519,32 @@ class SimilaritySpec extends SparkSpec {
       "power iteration failed to improve the dominant-direction objective")
   }
 
+  test("anisotropyReport matches a driver projection recompute; energies in (0,1]") {
+    val v = Similarity.pc1Model(spark, sf)
+    val vn = math.sqrt(v.map(x => x * x).sum.toDouble)
+    val byLabel = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        val xq = e.map(x => math.floor(x / n * 1e6 + 0.5))
+        val nxq = math.sqrt(xq.map(x => x * x).sum)
+        val dot = xq.zip(v).map { case (a, b) => a * b }.sum
+        val c = dot / (nxq * vn)
+        (r.getInt(0), BigDecimal(c * c).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }.groupBy(_._1)
+    val rows = Similarity.anisotropyReport(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSeq === byLabel.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val sqs = byLabel(r.getAs[Int]("label")).map(_._2)
+      assert(r.getAs[Long]("n_vecs") === sqs.length.toLong)
+      val want = (sqs.sum / sqs.length).toDouble
+      val gotV = r.getAs[Double]("mean_sq_proj")
+      assert(math.abs(gotV - want) < 1e-6, s"label ${r.get(0)}: $gotV vs $want")
+      assert(gotV > 0.0 && gotV <= 1.0, gotV.toString)
+    }
+  }
+
   test("embeddingDrift: cell spine complete, terms non-negative, counts reconcile") {
     val rows = Similarity.embeddingDrift(spark, sf).collect()
     assert(rows.length === 16, "one row per quantizer cell, always")
