@@ -77,6 +77,9 @@ object SparkEntry {
     // exact set-similarity join, candidates by rarest-first prefix tokens
     // (AllPairs/PPJoin) — the lossless alternative to LSH banding
     "jaccard_prefix"     -> ((s, d) => Dedup.jaccardPrefixPairs(s, d)),
+    // asymmetric containment pairs: quoted/embedded subset duplication
+    // that symmetric Jaccard structurally misses
+    "containment_pairs"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
@@ -200,6 +203,9 @@ object SparkEntry {
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     // bitext/parallel-pair mining: best cross-label neighbor + margin
     "bitext_mine"        -> ((s, d) => Similarity.crossLabelMine(s, d)),
+    // contrastive-training negatives: per-anchor top-n in the [lo, hi)
+    // "confusable but not duplicate" cosine band, cell-scoped
+    "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
     // per-cell quota in twinnable sha-bucket order (diversity sampling)
     "cluster_sample"     -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // ranked strip-list of the most-shared word n-grams
@@ -245,6 +251,8 @@ object SparkEntry {
     "events_rollup"      -> ((s, d) => EventAnalytics.eventTypeRollup(s, d)),
     "events_cube"        -> ((s, d) => EventAnalytics.eventTypeCube(s, d)),
     "bm25_search"        -> ((s, d) => Search.bm25(s, d)),
+    // hybrid lexical+dense retrieval fused by reciprocal rank (RRF)
+    "rrf_fusion"         -> ((s, d) => Search.rrfFusion(s, d)),
     "tfidf_terms"        -> ((s, d) => Search.tfidfTerms(s, d)),
     "inverted_index"     -> ((s, d) => Search.invertedIndex(s, d)),
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
@@ -1414,6 +1422,53 @@ object SparkEntry {
         |WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
         |        >= 0.5
         |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // containment: ONE-SIDED prefix (probe prefix joins the FULL shingle
+    // table), pair normalized to (least, greatest), both containments
+    // verified exactly on the distinct-shingle counts
+    "containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> x <> '') AS toks
+        |  FROM documents
+        |), shs AS (
+        |  SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+        |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+        |  WHERE len(toks) > 0
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(sha256(shingle), 1, 15))::BIGINT AS shh
+        |  FROM shs
+        |), dfreq AS (
+        |  SELECT shh, count(*) AS df FROM sh GROUP BY shh
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), rk AS (
+        |  SELECT s.doc_id, s.shh, d.df,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |                            ORDER BY d.df ASC, s.shh ASC) AS rk
+        |  FROM sh s JOIN dfreq d USING (shh)
+        |), pre AS (
+        |  SELECT r.doc_id, r.shh FROM rk r JOIN sz z USING (doc_id)
+        |  WHERE r.rk <= z.n - ceil(0.8 * z.n) + 1 AND r.df <= 256
+        |), cand AS (
+        |  SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+        |                  greatest(p.doc_id, s.doc_id) AS doc_b
+        |  FROM pre p JOIN sh s ON p.shh = s.shh AND p.doc_id <> s.doc_id
+        |), isect AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b,
+        |       round(inter::DOUBLE / sa.n::DOUBLE, 6) AS containment_a,
+        |       round(inter::DOUBLE / sb.n::DOUBLE, 6) AS containment_b
+        |FROM isect i JOIN sz sa ON sa.doc_id = i.doc_a
+        |             JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE greatest(inter::DOUBLE / sa.n::DOUBLE,
+        |               inter::DOUBLE / sb.n::DOUBLE) >= 0.8
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     // The sampled LSH-recall audit: the lossless prefix-filter truth over
     // a sha-bucketed 1/8 slice of documents, against the CORPUS-WIDE
     // verified minhash pairs (`scored`, from the shared CTEs — the same
@@ -1883,6 +1938,49 @@ object SparkEntry {
         |LEFT JOIN ranked r2 ON r2.q_id = r1.q_id AND r2.rk = 2
         |WHERE r1.rk = 1
         |ORDER BY vec_id ASC""".stripMargin,
+    // hard negatives: eval/train split as semantic_decontaminate, cosine
+    // band [0.2, 0.95), per-anchor top-3 by sim desc / candidate-id asc
+    "hard_negatives" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), assigned AS (
+        |  SELECT b.vec_id, b.cell_id, e.vec, e.nrm, e.label
+        |  FROM best b JOIN emb e USING (vec_id) WHERE b.rk = 1
+        |), ev AS (
+        |  SELECT * FROM assigned WHERE vec_id % 10 = 9
+        |), tr AS (
+        |  SELECT * FROM assigned WHERE vec_id % 10 <> 9
+        |), pairs AS (
+        |  SELECT e.vec_id AS q_id, t.vec_id AS c_id, t.label AS c_label,
+        |         list_inner_product(e.vec, t.vec) / (e.nrm * t.nrm) AS sim
+        |  FROM ev e JOIN tr t ON e.cell_id = t.cell_id
+        |  WHERE list_inner_product(e.vec, t.vec) / (e.nrm * t.nrm) >= 0.2
+        |    AND list_inner_product(e.vec, t.vec) / (e.nrm * t.nrm) < 0.95
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |                               ORDER BY sim DESC, c_id ASC) AS rk
+        |  FROM pairs
+        |)
+        |SELECT q_id AS anchor_id, rk AS neg_rank, c_id AS negative_id,
+        |       c_label AS negative_label, round(sim, 6) AS similarity
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY anchor_id ASC, neg_rank ASC""".stripMargin,
     "cluster_sample" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -3214,6 +3312,68 @@ object SparkEntry {
         |FROM scored
         |ORDER BY bm25 DESC, doc_id ASC
         |LIMIT 20""".stripMargin,
+    // RRF: lexical = the bm25_search CTEs ranked on the ROUNDED score;
+    // dense = cosine top-20 around the top lexical hit's embedding;
+    // fused score = 1/(60+rank) summed in fixed operand order
+    "rrf_fusion" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, u.tok FROM t, UNNEST(toks) AS u(tok)
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'vector', 'stream') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        |), bscored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        |                   * tf.tf * 2.2
+        |                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))),
+        |               6) AS bm25
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id
+        |), lex AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS lex_rank
+        |  FROM bscored
+        |  QUALIFY lex_rank <= 20
+        |), anchor AS (
+        |  SELECT doc_id FROM lex WHERE lex_rank = 1
+        |), emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), qv AS (
+        |  SELECT e.vec, e.nrm FROM emb e JOIN anchor a ON e.vec_id = a.doc_id
+        |), dsc AS (
+        |  SELECT e.vec_id AS doc_id,
+        |         list_inner_product(q.vec, e.vec) / (q.nrm * e.nrm) AS sim
+        |  FROM emb e CROSS JOIN qv q
+        |  WHERE e.vec_id <> (SELECT doc_id FROM anchor)
+        |), dense AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS dense_rank
+        |  FROM dsc
+        |  QUALIFY dense_rank <= 20
+        |)
+        |SELECT doc_id,
+        |       coalesce(l.lex_rank, 0) AS lex_rank,
+        |       coalesce(d.dense_rank, 0) AS dense_rank,
+        |       round(coalesce(1.0::DOUBLE / (60 + l.lex_rank), 0.0)
+        |             + coalesce(1.0::DOUBLE / (60 + d.dense_rank), 0.0), 6)
+        |         AS rrf_score
+        |FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
     "tfidf_terms" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -92,12 +92,6 @@ object Dedup {
       spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame =
     shingleRowsOf(Tables.documents(spark, sfDir), twinnable)
 
-  /** (doc_id, shingle set as sorted distinct long array). */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    shingleRows(spark, sfDir)
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("sh"))).as("shset"))
-
   /** Jaccard over the sorted distinct-hash arrays: intersection via the
     * native merge-count [[graft.functions.SortedIntersectCount]] (no hash
     * set or output array per pair — the pair count is the quadratic term in
@@ -590,13 +584,42 @@ object Dedup {
     * signed BIGINT in both engines' ANSI casts).
     */
   def simHashSignatures(
-      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame = {
+      spark: SparkSession, sfDir: String, twinnable: Boolean = false): DataFrame =
+    simHashSignaturesOf(Tables.documents(spark, sfDir), twinnable)
+
+  /** The per-doc SimHash signature index as a MAINTAINED derived table
+    * (twinnable sha hash family, doc_id-bucketed) with the
+    * `minhash_sig` append-only contract: signatures are per-doc
+    * deterministic, so one appended shard hashes ONLY its new docs and
+    * unions onto the committed index (old signature wins on a repeated
+    * id). The registered `dedup_simhash` reads this instead of
+    * re-running the 60-vote aggregation over the corpus per call.
+    */
+  private[graft] def simHashSignaturesShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "simhash_sig",
+      Seq("documents.parquet"), "doc_id",
+      refresh = Some { ctx =>
+        val fresh = simHashSignaturesOf(
+          spark.read.parquet(ctx.addedFiles: _*), twinnable = true)
+          .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(fresh)
+      }) {
+      simHashSignaturesOf(Tables.documents(spark, sfDir), twinnable = true)
+    }
+
+  /** [[simHashSignatures]] over an arbitrary (doc_id, text, ...) frame —
+    * the build/refresh kernel of [[simHashSignaturesShared]].
+    */
+  private def simHashSignaturesOf(
+      docs: DataFrame, twinnable: Boolean): DataFrame = {
     val nBits = if (twinnable) 60 else 64
     val tokHash =
       if (twinnable)
         conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast("long")
       else xxhash64(col("tok"))
-    val toks = tokenRows(spark, sfDir).withColumn("__h", tokHash)
+    val toks = tokenRowsOf(docs).withColumn("__h", tokHash)
     val votes: Seq[Column] = (0 until nBits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"__v$j")
@@ -617,11 +640,14 @@ object Dedup {
       twinnable: Boolean = false): DataFrame = {
     val chunkBits = (if (twinnable) 60 else 64) / 4
     val chunkMask = (1L << chunkBits) - 1
-    // persisted: both sides of the chunk self-join consume the signatures —
-    // unpersisted, the 64-vote aggregation over token rows runs twice.
-    // Call-scoped: the small pair result is collected to the driver and the
-    // signature cache dropped before returning.
-    val sim = simHashSignatures(spark, sfDir, twinnable).persist()
+    // twinnable path: signatures come off the maintained simhash_sig
+    // artifact (disk-backed — both chunk-join sides read the bucketed
+    // table, nothing to cache). xxhash64 throughput path: computed live
+    // and persisted call-scoped so the 64-vote aggregation over token
+    // rows doesn't run twice.
+    val sim =
+      if (twinnable) simHashSignaturesShared(spark, sfDir)
+      else simHashSignatures(spark, sfDir, twinnable).persist()
     try {
       val chunkCols = (0 until 4).map { c =>
         struct(lit(c).as("idx"),
@@ -644,7 +670,7 @@ object Dedup {
           .filter(col("hamming") <= maxHamming)
           .select("doc_a", "doc_b", "hamming")
           .orderBy(col("doc_a").asc, col("doc_b").asc))
-    } finally sim.unpersist()
+    } finally { if (!twinnable) sim.unpersist(); () }
   }
 
   /** Set-similarity join via GLOBAL-ORDER PREFIX FILTERING — the
@@ -681,10 +707,44 @@ object Dedup {
     * similarity join; this is part of the §7.5 LLM-pipeline extension
     * surface.
     */
+  /** The corpus's distinct (doc_id, shingle-hash) rows ANNOTATED with the
+    * three global statistics every prefix-filter pass needs — shingle
+    * document frequency `df`, doc set size `sz`, and the per-doc
+    * rarest-first prefix rank `rk` — as a MAINTAINED derived table
+    * bucketed on doc_id (the inverted-index side-stats a dedup service
+    * keeps warm at 100 TB). Thresholds and df caps are filter-time, so
+    * ONE artifact serves every prefix consumer: [[jaccardPrefixPairs]]
+    * and [[containmentPairs]] read this instead of re-tokenizing and
+    * re-windowing the corpus per call, and the doc_id bucketing makes
+    * their per-call set rebuild (collect_set) exchange-free.
+    *
+    * Deliberately NO incremental refresh kernel: df and hence every rank
+    * are GLOBAL statistics — one appended doc shifts any shingle's df and
+    * reorders the prefixes that contain it — so a census change rebuilds
+    * from scratch (the `ivf_model` retrain contract, not the `minhash_sig`
+    * per-row append contract).
+    */
+  private[graft] def shingleStatsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "shingle_stats",
+      Seq("documents.parquet"), "doc_id") {
+      val wSh = Window.partitionBy(col("sh"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val wRank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("sh").asc)
+      shingleRows(spark, sfDir, twinnable = true).distinct()
+        .withColumn("df", count(lit(1)).over(wSh))
+        .withColumn("sz", count(lit(1)).over(wDoc))
+        .withColumn("rk", row_number().over(wRank))
+    }
+
   def jaccardPrefixPairs(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
-      maxPrefixDf: Long = 256L): DataFrame =
-    jaccardPrefixPairsOf(Tables.documents(spark, sfDir), threshold, maxPrefixDf)
+      maxPrefixDf: Long = 256L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    prefixJaccardFromStats(
+      shingleStatsShared(spark, sfDir), threshold, maxPrefixDf)
+  }
 
   /** [[jaccardPrefixPairs]] over an arbitrary (doc_id, text, ...) frame —
     * shared by the sfDir entry point and [[lshRecallSampled]].
@@ -698,44 +758,138 @@ object Dedup {
     // tokenize+window pass, persisted call-scoped like the other dedups.
     val rows = shingleRowsOf(docs, twinnable = true).distinct().persist()
     try {
-      // df, doc size and prefix rank as WINDOW aggregates, not
-      // groupBy+join round-trips: the sh-partitioned count and the
-      // doc-partitioned count+rank are two exchanges of the rows table
-      // total (the two doc_id windows share one — EnsureRequirements
-      // reuses the partitioning, the ordered one just adds a sort),
-      // where the join formulation paid four full-table shuffles.
-      val wSh = Window.partitionBy(col("sh"))
-      val wDoc = Window.partitionBy(col("doc_id"))
-      val wRank = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df").asc, col("sh").asc)
-      val prefix = rows
-        .withColumn("df", count(lit(1)).over(wSh))
-        .withColumn("sz", count(lit(1)).over(wDoc))
-        .withColumn("rk", row_number().over(wRank))
-        .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .filter(col("df") <= maxPrefixDf)
-        .select(col("sh"), col("doc_id"), col("sz"))
-      val cand = prefix
-        .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-        .join(prefix
-          .select(col("sh"), col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-          Seq("sh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
-          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
-        .select("doc_a", "doc_b").distinct()
-      val sets = rows.groupBy(col("doc_id"))
-        .agg(array_sort(collect_set(col("sh"))).as("shset"))
-      graft.ops.Materialize.smallLocal(cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
-          Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
-          Seq("doc_b"))
-        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy(col("doc_a").asc, col("doc_b").asc))
-    } finally rows.unpersist()
+      prefixJaccardFromStats(statsOf(rows), threshold, maxPrefixDf)
+    } finally { rows.unpersist(); () }
+  }
+
+  /** df/sz/rk window annotation for a live (not artifact-backed) distinct
+    * shingle-row frame — the same three columns [[shingleStatsShared]]
+    * persists. Window aggregates, not groupBy+join round-trips: the
+    * sh-partitioned count and the doc-partitioned count+rank are two
+    * exchanges of the rows table total (the two doc_id windows share one
+    * — EnsureRequirements reuses the partitioning, the ordered one just
+    * adds a sort), where the join formulation paid four full shuffles.
+    */
+  private def statsOf(rows: DataFrame): DataFrame = {
+    val wSh = Window.partitionBy(col("sh"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    rows
+      .withColumn("df", count(lit(1)).over(wSh))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rk", row_number().over(wRank))
+  }
+
+  /** The PPJoin pipeline over a (doc_id, sh, df, sz, rk) stats frame —
+    * shared by the artifact-backed sfDir entry point and the live `Of`
+    * form (specs, the sampled recall audit's slice).
+    */
+  private def prefixJaccardFromStats(
+      stats: DataFrame, threshold: Double, maxPrefixDf: Long): DataFrame = {
+    val prefix = stats
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("df") <= maxPrefixDf)
+      .select(col("sh"), col("doc_id"), col("sz"))
+    val cand = prefix
+      .select(col("sh"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(prefix
+        .select(col("sh"), col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = stats.groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"))
+    graft.ops.Materialize.smallLocal(cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy(col("doc_a").asc, col("doc_b").asc))
+  }
+
+  /** Asymmetric CONTAINMENT dedup — pairs where one document's shingle
+    * set is mostly inside the other's: C(A→B) = |A∩B| / |A| ≥ `threshold`
+    * in either direction. Catches what symmetric Jaccard structurally
+    * misses: a short document quoted/embedded verbatim inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |A|/|B| → 0, so neither MinHash
+    * banding nor [[jaccardPrefixPairs]] will pair them. This is the
+    * subset-duplication pass a curation pipeline runs AFTER Jaccard
+    * dedup (boilerplate wrappers, quoted articles, chunk-of-a-book).
+    *
+    * Candidate generation is the ONE-SIDED prefix filter: if
+    * C(A→B) ≥ t, at most ⌊(1−t)·|A|⌋ of A's shingles miss B, so one of
+    * A's ⌊(1−t)·|A|⌋+1 rarest shingles (df asc, sh asc — the global-rank
+    * prefix) must appear in B. Each doc's short probe prefix joins the
+    * FULL shingle table — never prefix×prefix-only as in the symmetric
+    * case, because the container's matching shingle can sit anywhere in
+    * its set. Fan-out per prefix row is bounded by the df cap
+    * (`maxPrefixDf`, the same documented skew guard as
+    * [[jaccardPrefixPairs]]); at t = 0.8 the prefix is ~20% of the
+    * corpus's shingle rows. Survivor pairs verify EXACTLY on sorted
+    * hash sets via the native merge-intersect — both containments are
+    * one exact integer-valued-double divide each, twin-identical.
+    *
+    * Scale shape: two window exchanges over the shingle table (shared
+    * shapes with [[jaccardPrefixPairsOf]]), one df-capped probe join,
+    * exact verify on the deduplicated candidate pairs only.
+    */
+  def containmentPairs(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.8,
+      maxPrefixDf: Long = 256L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    containmentFromStats(
+      shingleStatsShared(spark, sfDir), threshold, maxPrefixDf)
+  }
+
+  /** [[containmentPairs]] over an arbitrary (doc_id, text, ...) frame. */
+  def containmentPairsOf(
+      docs: DataFrame, threshold: Double = 0.8,
+      maxPrefixDf: Long = 256L): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val rows = shingleRowsOf(docs, twinnable = true).distinct().persist()
+    try {
+      containmentFromStats(statsOf(rows), threshold, maxPrefixDf)
+    } finally { rows.unpersist(); () }
+  }
+
+  /** The one-sided-prefix containment pipeline over a
+    * (doc_id, sh, df, sz, rk) stats frame.
+    */
+  private def containmentFromStats(
+      stats: DataFrame, threshold: Double, maxPrefixDf: Long): DataFrame = {
+    val prefix = stats
+      .filter(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("df") <= maxPrefixDf)
+      .select(col("sh"), col("doc_id").as("probe_id"))
+    val cand = prefix
+      .join(stats.select(col("sh"), col("doc_id").as("other_id")), Seq("sh"))
+      .filter(col("probe_id") =!= col("other_id"))
+      .select(
+        least(col("probe_id"), col("other_id")).as("doc_a"),
+        greatest(col("probe_id"), col("other_id")).as("doc_b"))
+      .distinct()
+    val sets = stats.groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"))
+    val inter =
+      call_function("graft_isect", col("set_a"), col("set_b")).cast("double")
+    graft.ops.Materialize.smallLocal(cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")),
+        Seq("doc_b"))
+      .withColumn("c_a", inter / size(col("set_a")).cast("double"))
+      .withColumn("c_b", inter / size(col("set_b")).cast("double"))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_a"), 6).as("containment_a"),
+        round(col("c_b"), 6).as("containment_b"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc))
   }
 
   /** Recall audit of the MinHash-LSH candidate generation against the
@@ -1046,19 +1200,19 @@ object Dedup {
       maxBlock: Int = 512): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val pairs = blockedPairs(Tables.documents(spark, sfDir), maxBlock)
-    // persisted: attached to both pair sides — one tokenize+agg, not two.
-    // Call-scoped: the small verified pair list is collected to the driver
-    // so the cache can drop before returning.
-    val sets = shingleSets(spark, sfDir).persist()
-    try {
-      graft.ops.Materialize.smallLocal(pairs
-        .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
-        .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
-        .filter(col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "lang", "jaccard")
-        .orderBy(col("doc_a").asc, col("doc_b").asc))
-    } finally sets.unpersist()
+    // verify sets come from the maintained shingle_stats artifact (sha
+    // hash family) — set Jaccard is hash-family-invariant, and the
+    // doc_id-bucketed table makes the collect_set exchange-free with no
+    // per-call tokenize pass or cache entry.
+    val sets = shingleStatsShared(spark, sfDir).groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"))
+    graft.ops.Materialize.smallLocal(pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("set_a"), col("set_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "lang", "jaccard")
+      .orderBy(col("doc_a").asc, col("doc_b").asc))
   }
 
   /** Exact-substring near-dup pairs — the ExactSubstr family (Lee et al.
@@ -1087,12 +1241,15 @@ object Dedup {
     * stats/summary views so all three see the identical span relation.
     */
   private def docSpans(
-      spark: SparkSession, sfDir: String, spanTokens: Int): DataFrame = {
+      spark: SparkSession, sfDir: String, spanTokens: Int): DataFrame =
+    docSpansOf(Tables.documents(spark, sfDir), spanTokens)
+
+  private def docSpansOf(docs: DataFrame, spanTokens: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     // hash each token ONCE, then combine the 16 lead LONGS — ~100-char
     // span strings never materialize, the window moves fixed-width rows
     val hashLeads = (1 until spanTokens).map(i => lead(col("__th"), i).over(w))
-    tokenRows(spark, sfDir)
+    tokenRowsOf(docs)
       .withColumn("__th", xxhash64(col("tok")))
       .withColumn("span_h", xxhash64((col("__th") +: hashLeads): _*))
       // complete spans only: the last lead exists ⇒ all of them do.
@@ -1104,10 +1261,45 @@ object Dedup {
       .distinct()
   }
 
+  /** The default-width span relation as a MAINTAINED derived table,
+    * bucketed on span_h so every consumer's `groupBy(span_h)` census is
+    * exchange-free. Spans are per-doc deterministic, so the
+    * `minhash_sig` append-only contract applies: a landed shard derives
+    * spans for ITS docs only and unions onto the committed relation
+    * (old rows win on a repeated id). Three registered queries
+    * (`span_dedup`, `span_stats`, `span_doc_summary`) read this instead
+    * of re-tokenizing and re-windowing the corpus per call.
+    */
+  private[graft] def spanRowsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "span_rows",
+      Seq("documents.parquet"), "span_h",
+      refresh = Some { ctx =>
+        val fresh = docSpansOf(
+          spark.read.parquet(ctx.addedFiles: _*), SpanTokensDefault)
+          .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(fresh)
+      }) {
+      docSpansOf(Tables.documents(spark, sfDir), SpanTokensDefault)
+    }
+
+  private[graft] val SpanTokensDefault = 16
+
+  /** Span relation for a consumer: the shared artifact at the default
+    * width, a live derivation for any other width (the width is part of
+    * the relation's identity — a non-default ask must not silently read
+    * default-width spans).
+    */
+  private def spansFor(
+      spark: SparkSession, sfDir: String, spanTokens: Int): DataFrame =
+    if (spanTokens == SpanTokensDefault) spanRowsShared(spark, sfDir)
+    else docSpans(spark, sfDir, spanTokens)
+
   def spanPairs(
       spark: SparkSession, sfDir: String,
       spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
-    val spans = docSpans(spark, sfDir, spanTokens)
+    val spans = spansFor(spark, sfDir, spanTokens)
     val eligible = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1 && col("n_docs") <= maxDocsPerSpan)
@@ -1130,7 +1322,7 @@ object Dedup {
   def spanStats(
       spark: SparkSession, sfDir: String,
       spanTokens: Int = 16, maxDocsPerSpan: Int = 32): DataFrame = {
-    val grouped = docSpans(spark, sfDir, spanTokens)
+    val grouped = spansFor(spark, sfDir, spanTokens)
       .groupBy(col("span_h"))
       .agg(count(lit(1)).as("n_docs"))
     val eligible = col("n_docs") > 1 && col("n_docs") <= maxDocsPerSpan
@@ -1153,7 +1345,7 @@ object Dedup {
     */
   def spanDocSummary(
       spark: SparkSession, sfDir: String, spanTokens: Int = 16): DataFrame = {
-    val spans = docSpans(spark, sfDir, spanTokens)
+    val spans = spansFor(spark, sfDir, spanTokens)
     val counts = spans.groupBy(col("span_h"))
       .agg(count(lit(1)).as("__n_docs"))
     val perDoc = spans.join(counts, Seq("span_h"))

@@ -117,6 +117,70 @@ object Search {
     } finally perDoc.unpersist()
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion — the standard way a
+    * RAG/curation stack combines a lexical index with a dense one
+    * (Cormack et al.'s RRF: score = Σ 1/(K + rank), K = 60). The lexical
+    * list is [[bm25]]'s top-k for the query terms; the dense list is the
+    * cosine top-k around the top lexical hit's embedding (query-by-
+    * example — the standard trick when the query has no embedding of its
+    * own); a document missing from a list contributes 0. Rank fusion is
+    * deliberately score-scale-free: BM25 logs and cosines never mix, so
+    * no per-modality calibration is needed.
+    *
+    * Cross-engine exactness: each contribution is one exactly-rounded
+    * divide of small integers (1/(K+rank)); the fused score is a single
+    * add in fixed operand order; ranks come from already-twin-matched
+    * orderings (rounded BM25 / exact cosine chains, doc-id tie-breaks).
+    *
+    * Scale shape: one tokenize+aggregate pass (BM25) + one corpus
+    * embedding scan with a broadcast 1-row probe ending in a distributed
+    * TakeOrdered top-k; the fusion join itself runs on two ≤k-row lists.
+    */
+  def rrfFusion(
+      spark: SparkSession, sfDir: String,
+      terms: Seq[String] = defaultQueryTerms,
+      topK: Int = 20, denseK: Int = 20, rrfK: Int = 60): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val lex = bm25(spark, sfDir, terms, topK = topK)
+      // bounded list (≤ topK rows, already driver-local): the global
+      // window is a rank stamp on a tiny frame, not a corpus sort
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("lex_rank"))
+    val lexRows = lex.collect() // bounded by topK
+    val shaped = lex.select(
+      col("doc_id"), col("lex_rank"), col("lex_rank").as("dense_rank"),
+      col("lex_rank").cast("double").as("rrf_score"))
+    if (lexRows.isEmpty) return shaped.limit(0)
+    val anchorId = lexRows.find(_.getInt(1) == 1).get.getLong(0)
+    val emb = Tables.embeddings(spark, sfDir)
+    def norm = sqrt(expr("graft_dot(embedding, embedding)"))
+    val probe = broadcast(emb.filter(col("vec_id") === anchorId)
+      .select(col("embedding").as("q_vec"), norm.as("q_norm")))
+    val dense = emb
+      .select(col("vec_id").as("doc_id"), col("embedding").as("c_vec"),
+        norm.as("c_norm"))
+      .filter(col("doc_id") =!= anchorId)
+      .crossJoin(probe)
+      .withColumn("sim",
+        expr("graft_dot(q_vec, c_vec)") / (col("q_norm") * col("c_norm")))
+      .orderBy(col("sim").desc, col("doc_id").asc).limit(denseK)
+      // rank stamp over the ≤ denseK survivors of the distributed top-k
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("sim").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("dense_rank"))
+    graft.ops.Materialize.smallLocal(lex
+      .join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF
     * (idf = ln(N / df), df counted on distinct docs). The whole-corpus
     * keyword profile — used for topic tagging and curation diagnostics.

@@ -1569,6 +1569,54 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
+  /** Hard-negative mining for contrastive retriever training — for every
+    * held-out anchor (the eval split [[semanticDecontaminate]] audits),
+    * the `nNeg` most-similar TRAIN vectors that are confusable but NOT
+    * near-duplicates: cosine in [`lo`, `hi`). Above `hi` the candidate is
+    * a positive/contaminant (mining it as a negative is the
+    * false-negative failure DPR-style training guards against); below
+    * `lo` it is a trivial negative with no gradient signal. One row per
+    * (anchor, rank) — the batch a contrastive trainer consumes directly.
+    *
+    * Pair production is cell-scoped exactly like [[semanticDedup]]: a
+    * hard negative is by definition semantically close, i.e. in the
+    * anchor's quantizer cell, so the cell join bounds candidates and
+    * all-pairs never happens. Cosines are the twin-matched exact chain
+    * (integer-free float dot in double, one divide by the norm product);
+    * ranks break ties on candidate id.
+    *
+    * Scale shape: join-free cell assignment (centroid literals) + one
+    * cell-keyed join + a per-anchor window over cell-bounded survivors —
+    * the [[crossLabelMine]] envelope with a band filter instead of the
+    * label inequality.
+    */
+  def hardNegatives(
+      spark: SparkSession, sfDir: String, k: Int = 16, nNeg: Int = 3,
+      lo: Double = 0.2, hi: Double = 0.95,
+      evalMod: Int = 10, evalRem: Int = 9): DataFrame = {
+    val emb = seedAssignedEmb(spark, sfDir, k)
+      .select(col("vec_id"), col("label"), col("embedding"), col("__norm"),
+        col("cell_id"))
+    val isEval = pmod(col("vec_id"), lit(evalMod.toLong)) === evalRem.toLong
+    val q = emb.filter(isEval).select(col("cell_id"),
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      col("__norm").as("q_norm"))
+    val c = emb.filter(!isEval).select(col("cell_id"),
+      col("vec_id").as("c_id"), col("label").as("c_label"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    q.join(c, Seq("cell_id"))
+      .withColumn("sim", simExpr)
+      .filter(col("sim") >= lo && col("sim") < hi)
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("q_id").as("anchor_id"), col("neg_rank"),
+        col("c_id").as("negative_id"), col("c_label").as("negative_label"),
+        round(col("sim"), 6).as("similarity"))
+      .orderBy(col("anchor_id").asc, col("neg_rank").asc)
+  }
+
   /** Cluster-balanced sample: an equal per-cell quota drawn in
     * deterministic pseudo-random order — the diversity-sampling step that
     * keeps a curated subset from collapsing onto the head clusters (the

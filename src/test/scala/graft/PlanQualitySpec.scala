@@ -487,4 +487,20 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("round-8 retrieval ops: containment/negatives joins are keyed; rrf dense leg is TakeOrdered") {
+    for (q <- Seq("containment_pairs", "hard_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // rrf_fusion's dense leg attaches the 1-row probe embedding by
+    // broadcast (the accepted scalar-attach BNLJ) and ends in a
+    // distributed top-k; the RETURNED frame is the materialized fused
+    // list — a bounded LocalTableScan, never a live corpus-wide plan
+    val p = plan("rrf_fusion")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("LocalTableScan"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }

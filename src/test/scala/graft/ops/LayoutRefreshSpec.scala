@@ -356,6 +356,44 @@ class LayoutRefreshSpec extends SparkSpec {
       "pair list after refresh diverged from the full rebuild")
   }
 
+  test("simhash_sig refreshes append-only; shingle_stats REBUILDS (global df/rank)") {
+    val base = Files.createTempDirectory("graft_sh_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_sh_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val extra = docs.orderBy(col("doc_id").asc).limit(15)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+      .withColumn("text", concat(col("text"), lit(" appended shard marker")))
+    graft.ext.Dedup.simHashSignaturesShared(spark, base).count()
+    graft.ext.Dedup.shingleStatsShared(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", extra)
+    // per-doc signatures: append-only refresh, old docs never re-hashed
+    val refreshed = graft.ext.Dedup.simHashSignaturesShared(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "simhash_sig must take the refresh path on an append")
+    assert(Layout.buildCount.get === b0)
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Dedup.simHashSignaturesShared(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed simhash index diverged from the full rebuild")
+    // global df/rank stats: an append REBUILDS (one new doc can shift any
+    // shingle's df and reorder prefixes) — and the rebuilt stats cover
+    // the appended docs. (Counter captured here: the pristine-dir rebuild
+    // above legitimately incremented buildCount once.)
+    val b1 = Layout.buildCount.get
+    val r1 = Layout.refreshCount.get
+    val stats = graft.ext.Dedup.shingleStatsShared(spark, base)
+    assert(Layout.buildCount.get === b1 + 1 && Layout.refreshCount.get === r1,
+      "shingle_stats must rebuild, not refresh, on an append")
+    assert(stats.filter(col("doc_id") > maxId).count() > 0,
+      "rebuilt shingle_stats must include the appended docs")
+  }
+
   test("copurch_edges refreshes via base⊕delta merge and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_edge_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_edge_full").toString + "/d"
