@@ -15,36 +15,78 @@ import graft.io.Tables
   * the scale path: tokenize once, score with classic IR statistics, never
   * move raw text through a shuffle.
   *
-  * Scale shape: every operator below is (token explode) → hash aggregations
-  * keyed on (doc_id) or (term) — fully parallel, map-side-combinable, no
-  * driver-side state. Corpus-level scalars (N, avgdl) are one-row aggregates
-  * broadcast into the scoring join. Scores are rounded to 6 decimals before
-  * any ORDER BY so ranking is stable across engines (ln() may differ in the
-  * last ulp between libm implementations).
+  * Scale shape: every operator below reads the maintained tok-bucketed
+  * [[postingsShared]] artifact (one row per (doc, term) with tf and the
+  * doc's length) and reduces it with hash aggregations keyed on (doc_id)
+  * or (term) — fully parallel, map-side-combinable, no driver-side state,
+  * no per-call corpus re-tokenize. Corpus-level scalars (N, avgdl, df) are
+  * one-row aggregates of the artifact inlined into the scoring pass.
+  * Scores are rounded to 6 decimals before any ORDER BY so ranking is
+  * stable across engines (ln() may differ in the last ulp between libm
+  * implementations).
   */
 object Search {
 
   /** Default curation query: engine-flavored terms present at every sf. */
   val defaultQueryTerms: Seq[String] = Seq("spark", "vector", "stream")
 
-  /** (doc_id, tok) rows; lowercase whitespace tokens, split runs once. */
-  private def tokenRows(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** The corpus's bag-of-words POSTINGS as a MAINTAINED derived table —
+    * one row per (doc_id, tok) with its term frequency `tf` and the
+    * doc's denormalized token length `dl`, bucketed on `tok` (the
+    * lexical index a retrieval service keeps warm at 100 TB). Every
+    * bag-of-words consumer ([[bm25]], [[tfidfTerms]], [[invertedIndex]],
+    * [[fuzzySearch]], and [[rrfFusion]] through its lexical leg) reads
+    * this instead of re-tokenizing and re-exploding the corpus per call;
+    * the tok bucketing makes term-keyed aggregations/windows
+    * exchange-free and term-equality filters parquet-prunable.
+    *
+    * Postings are per-doc deterministic, so the `minhash_sig`
+    * append-only contract applies: a landed shard tokenizes ONLY its new
+    * docs and unions onto the committed index (old rows win on a
+    * repeated id). Corpus-level statistics (N, avgdl, df) are NOT
+    * stored — consumers derive them from the artifact at query time, so
+    * a refresh never leaves a stale global behind.
+    */
+  private[graft] def postingsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "postings",
+      Seq("documents.parquet"), "tok",
+      refresh = Some { ctx =>
+        val fresh = postingsOf(spark.read.parquet(ctx.addedFiles: _*))
+          .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(fresh)
+      }) {
+      postingsOf(Tables.documents(spark, sfDir))
+    }
+
+  /** The postings build/refresh kernel over an arbitrary
+    * (doc_id, text, ...) frame: one tokenize+explode pass, one
+    * (doc, tok) hash aggregation, dl attached by a doc-partitioned
+    * window over the already-aggregated rows (vocab-sized, not
+    * occurrence-sized).
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
           .as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
 
   /** BM25-ranked top-k documents for a bag-of-words query.
     *
     * Standard Okapi BM25 with the Lucene +1 idf smoothing:
     * idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1 = 1.2, b = 0.75.
     *
-    * Plan: doc lengths and per-(doc, query-term) tf are two aggregations
-    * over the same token rows; term document-frequencies reduce from the tf
-    * frame (already one row per (doc, term)); the one-row corpus stats
-    * frame cross-joins (broadcast) into the scoring expression. Only docs
-    * containing ≥1 query term ever reach the scorer — the term filter runs
-    * before any aggregation.
+    * Plan: both passes read the maintained [[postingsShared]] artifact.
+    * Corpus stats (N, avgdl, per-term df) are ONE aggregation over the
+    * postings (rows are unique per (doc, term), so a row count IS df and
+    * Σtf/N IS avg doc length), collected and inlined as literals; scoring
+    * touches only the postings rows whose term is in the query — a
+    * parquet-pruned equality filter, never a corpus re-tokenize.
     */
   def bm25(
       spark: SparkSession, sfDir: String,
@@ -63,58 +105,58 @@ object Search {
           StructField("n_terms", LongType),
           StructField("bm25", DoubleType))))
     }
-    // Single-pass shape: the query's terms are plan-time literals, so each
-    // doc's length AND its per-query-term tf come out of ONE hash
-    // aggregation over the token rows (map-side combinable), persisted for
-    // the duration of this call. Corpus stats (N, avgdl, per-term df) are a
-    // one-row reduction of the cached per-doc frame, COLLECTED and inlined
-    // as literals into the scoring pass — so the tokenize+aggregate subtree
-    // genuinely runs once, not once per consumer. The top-k result is
-    // materialized to the driver (bounded by topK) so the cache can be
-    // released before returning.
-    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    val post = postingsShared(spark, sfDir)
+    // ONE corpus-stat pass over the postings artifact, collected and
+    // inlined as scoring literals. Rows are unique per (doc, tok), so a
+    // conditional row count IS each term's document frequency, and the
+    // exact-integer Σtf ÷ exact doc count is bit-identical to the avg(dl)
+    // the previous per-doc formulation (and the DuckDB twin) computes —
+    // both are one IEEE divide of the same exactly-represented integers.
+    val statCols =
+      count_distinct(col("doc_id")).cast("double").as("n_docs") +:
+        sum(col("tf")).as("total_toks") +:
+        qTerms.indices.map(i =>
+          sum(when(col("tok") === qTerms(i), 1L).otherwise(0L)).as(s"__df$i"))
+    val statsRow = post.agg(statCols.head, statCols.tail: _*).collect()(0)
+    // empty corpus (or all-whitespace texts): nothing to score — return
+    // the empty shaped frame instead of NPEing on the null sum
+    if (statsRow.isNullAt(1)) {
+      return post.select(col("doc_id"), lit(0L).as("n_terms"),
+        lit(0.0).as("bm25")).limit(0)
     }
-    val perDoc = tokenRows(spark, sfDir)
+    val nDocs = statsRow.getDouble(0)
+    val avgdl = statsRow.getLong(1).toDouble / nDocs
+    // Same IEEE operation order as the previous in-plan formulation (and
+    // the DuckDB twin): ((N - df) + 0.5) / (df + 0.5) + 1, logged.
+    def idf(i: Int): Column = {
+      val dfi = statsRow.getLong(2 + i).toDouble
+      lit(math.log((nDocs - dfi + 0.5) / (dfi + 0.5) + 1.0))
+    }
+    // Scoring touches only the query terms' postings — a parquet-pruned
+    // equality filter over the tok-bucketed artifact, then a hash-agg on
+    // the (tiny) matched frame. dl rides on every row (denormalized), so
+    // no second corpus pass and nothing to persist.
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("tf")).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = post
+      .filter(col("tok").isin(qTerms: _*))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("dl"), tfCols: _*)
-      .persist()
-    try {
-      val statCols =
-        count(lit(1)).cast("double").as("n_docs") +: avg(col("dl")).as("avgdl") +:
-          qTerms.indices.map(i =>
-            sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-      val statsRow = perDoc.agg(statCols.head, statCols.tail: _*).collect()(0)
-      val nDocs = statsRow.getDouble(0)
-      // empty corpus (or all-whitespace texts): avg(dl) aggregates to
-      // NULL and every downstream getDouble/getLong would NPE — there is
-      // nothing to score, so return the empty shaped frame instead
-      if (statsRow.isNullAt(1)) {
-        return perDoc.select(col("doc_id"), lit(0L).as("n_terms"),
-          lit(0.0).as("bm25")).limit(0)
-      }
-      val avgdl = statsRow.getDouble(1)
-      // Same IEEE operation order as the previous in-plan formulation (and
-      // the DuckDB twin): ((N - df) + 0.5) / (df + 0.5) + 1, logged.
-      def idf(i: Int): Column = {
-        val dfi = statsRow.getLong(2 + i).toDouble
-        lit(math.log((nDocs - dfi + 0.5) / (dfi + 0.5) + 1.0))
-      }
-      def tfNorm(i: Int): Column =
-        col(s"__tf$i") * (k1 + 1.0) /
-          (col(s"__tf$i") + (lit(1.0 - b) + col("dl") * b / avgdl) * k1)
-      val score = qTerms.indices
-        .map(i => when(col(s"__tf$i") > 0, idf(i) * tfNorm(i)).otherwise(lit(0.0)))
-        .reduce(_ + _)
-      val nTerms = qTerms.indices
-        .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
-      graft.ops.Materialize.smallLocal(
-        perDoc
-          .select(col("doc_id"), nTerms.as("n_terms"), round(score, 6).as("bm25"))
-          .filter(col("n_terms") > 0)
-          .orderBy(col("bm25").desc, col("doc_id").asc)
-          .limit(topK))
-    } finally perDoc.unpersist()
+      .agg(max(col("dl")).as("dl"), tfCols: _*)
+    def tfNorm(i: Int): Column =
+      col(s"__tf$i") * (k1 + 1.0) /
+        (col(s"__tf$i") + (lit(1.0 - b) + col("dl") * b / avgdl) * k1)
+    val score = qTerms.indices
+      .map(i => when(col(s"__tf$i") > 0, idf(i) * tfNorm(i)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val nTerms = qTerms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    graft.ops.Materialize.smallLocal(
+      perDoc
+        .select(col("doc_id"), nTerms.as("n_terms"), round(score, 6).as("bm25"))
+        .filter(col("n_terms") > 0)
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(topK))
   }
 
   /** Hybrid retrieval by reciprocal-rank fusion — the standard way a
@@ -132,9 +174,10 @@ object Search {
     * add in fixed operand order; ranks come from already-twin-matched
     * orderings (rounded BM25 / exact cosine chains, doc-id tie-breaks).
     *
-    * Scale shape: one tokenize+aggregate pass (BM25) + one corpus
-    * embedding scan with a broadcast 1-row probe ending in a distributed
-    * TakeOrdered top-k; the fusion join itself runs on two ≤k-row lists.
+    * Scale shape: one pruned read of the postings artifact (BM25) + one
+    * corpus embedding scan with a broadcast 1-row probe ending in a
+    * distributed TakeOrdered top-k; the fusion join runs on two ≤k-row
+    * lists.
     */
   def rrfFusion(
       spark: SparkSession, sfDir: String,
@@ -190,16 +233,14 @@ object Search {
     */
   def tfidfTerms(
       spark: SparkSession, sfDir: String, perDoc: Int = 3): DataFrame = {
-    // Cache-free single plan: the (doc, term) frame is aggregated once and
-    // document frequency comes from a count over a term-partitioned WINDOW
-    // on that same frame (one row per (doc, term) ⇒ the partition row
-    // count IS df) — no self-join, no second tokenize pass, nothing to
-    // persist or checkpoint. Three key-rooted shuffles total
-    // ((doc,term) agg → term window → doc window), each on fixed-width
-    // keys — the 100 TB shape, and the CacheManager stays empty.
-    val tf = tokenRows(spark, sfDir)
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
+    // Cache-free single plan off the maintained postings artifact:
+    // document frequency comes from a count over a term-partitioned
+    // WINDOW (one row per (doc, term) ⇒ the partition row count IS df) —
+    // and the artifact's tok bucketing satisfies that window's required
+    // distribution, so the only exchange left is the final doc-keyed
+    // ranking window. No self-join, no tokenize pass, nothing to persist.
+    val tf = postingsShared(spark, sfDir)
+      .select(col("doc_id"), col("tok"), col("tf"))
     val nDocs = Tables.documents(spark, sfDir)
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val scored = tf
@@ -225,11 +266,14 @@ object Search {
     */
   def invertedIndex(
       spark: SparkSession, sfDir: String, postingHead: Int = 20): DataFrame =
-    tokenRows(spark, sfDir)
+    // postings rows are unique per (doc, term): the row count IS df and
+    // Σtf the occurrence total — and the artifact's tok bucketing makes
+    // this whole aggregation exchange-free.
+    postingsShared(spark, sfDir)
       .groupBy(col("tok").as("term"))
       .agg(
-        count_distinct(col("doc_id")).as("df"),
-        count(lit(1)).as("total_occurrences"),
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_occurrences"),
         concat_ws(",",
           slice(array_sort(collect_set(col("doc_id"))), 1, postingHead))
           .as("postings_head"))
@@ -250,14 +294,17 @@ object Search {
   def fuzzySearch(
       spark: SparkSession, sfDir: String,
       term: String = "spak", maxDist: Int = 1, topK: Int = 20): DataFrame = {
-    val toks = tokenRows(spark, sfDir)
-    val matched = toks.select(col("tok")).distinct()
+    // vocabulary comes straight off the tok-bucketed postings artifact
+    // (partial-aggregated distinct, no exchange); scoring is a broadcast
+    // semi-join back onto the postings with Σtf as the occurrence count
+    val post = postingsShared(spark, sfDir)
+    val matched = post.select(col("tok")).distinct()
       .withColumn("edit_dist", levenshtein(col("tok"), lit(term)))
       .filter(col("edit_dist") <= maxDist)
-    toks.join(broadcast(matched), Seq("tok"))
+    post.join(broadcast(matched), Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_hits"),
+        sum(col("tf")).as("n_hits"),
         min(col("edit_dist")).as("best_dist"),
         countDistinct(col("tok")).as("n_matched_terms"))
       .orderBy(col("n_hits").desc, col("doc_id").asc)

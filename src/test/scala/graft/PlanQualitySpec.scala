@@ -488,6 +488,22 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("lexical family reads the tok-bucketed postings artifact, not the raw corpus") {
+    // tfidf/inverted/fuzzy must consume the maintained postings table;
+    // none of them may re-tokenize documents (no explode of a split over
+    // the text column anywhere in the executed plan)
+    for (q <- Seq("tfidf_terms", "inverted_index", "fuzzy_search")) {
+      val p = plan(q)
+      assert(p.contains("graft_postings"), s"$q must read the postings artifact")
+      assert(!p.toLowerCase.contains("explode"), s"$q re-tokenizes the corpus")
+    }
+    // inverted_index's term aggregation rides the bucketing: the ONLY
+    // exchange in its plan is the final presentation sort
+    val inv = plan("inverted_index")
+    assert("Exchange".r.findAllIn(inv).size == 1, inv.take(3000))
+    assert(inv.contains("rangepartitioning"), inv.take(3000))
+  }
+
   test("round-8 retrieval ops: containment/negatives joins are keyed; rrf dense leg is TakeOrdered") {
     for (q <- Seq("containment_pairs", "hard_negatives")) {
       val p = plan(q)

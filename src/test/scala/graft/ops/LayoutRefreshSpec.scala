@@ -394,6 +394,43 @@ class LayoutRefreshSpec extends SparkSpec {
       "rebuilt shingle_stats must include the appended docs")
   }
 
+  test("postings refreshes append-only and serves the same bm25 list as a rebuild") {
+    val base = Files.createTempDirectory("graft_post_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_post_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // appended shard mentions a query term so the refreshed index MUST
+    // surface it in the bm25 list (stale-global detection, not just
+    // row-set equality)
+    val extra = docs.orderBy(col("doc_id").asc).limit(10)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+      .withColumn("text",
+        concat(lit("spark spark vector stream "), col("text")))
+    graft.ext.Search.postingsShared(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", extra)
+    val refreshed = graft.ext.Search.postingsShared(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "postings must take the refresh path on an append")
+    assert(Layout.buildCount.get === b0)
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Search.postingsShared(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed postings diverged from the full rebuild")
+    // consumer-level: N/avgdl/df recompute off the refreshed artifact, so
+    // the bm25 lists over the two dirs agree row for row — and include
+    // the appended term-stuffed docs
+    val viaRefresh = graft.ext.Search.bm25(spark, base).collect().toSeq
+    val viaRebuild = graft.ext.Search.bm25(spark, pristine).collect().toSeq
+    assert(viaRefresh == viaRebuild)
+    assert(viaRefresh.exists(_.getLong(0) > maxId),
+      "bm25 over the refreshed index must rank the appended docs")
+  }
+
   test("copurch_edges refreshes via base⊕delta merge and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_edge_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_edge_full").toString + "/d"
