@@ -227,6 +227,11 @@ object SparkEntry {
     "span_stats"         -> ((s, d) => Dedup.spanStats(s, d)),
     // corpus-linear per-doc dup-span exposure
     "span_doc_summary"   -> ((s, d) => Dedup.spanDocSummary(s, d)),
+    // winnowing (MOSS) fingerprint selection, pinned on a 1/16 doc slice
+    "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
+    // corpus-wide pairs sharing winnowed fingerprints (local-overlap
+    // detection with the w+k-1-token guarantee), df-capped like span_dedup
+    "winnow_pairs"       -> ((s, d) => Dedup.winnowPairs(s, d)),
     // the STREAMING quality monitor run in batch mode over a synthetic
     // event-time column — same Dataset code both modes (the unification
     // claim), oracle-checked here instead of spec-only
@@ -2206,6 +2211,63 @@ object SparkEntry {
         |FROM es a JOIN es b USING (span)
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
+    // winnowing: per-window argmin is a lexicographic string min over
+    // hash ‖ zero-padded(999999999 − pos), so min hash wins and ties go
+    // rightmost — identical selection rule in both engines
+    "winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 16 = 7
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         substr(sha256(array_to_string(toks[i : i + 3], ' ')),
+        |                1, 15) AS hh
+        |  FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, pos,
+        |         min(hh || lpad((999999999 - pos)::VARCHAR, 9, '0'))
+        |           OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |)
+        |SELECT DISTINCT doc_id,
+        |       999999999 - substr(sel, 16, 9)::BIGINT AS pos,
+        |       substr(sel, 1, 15) AS fp
+        |FROM e WHERE pos >= 3
+        |ORDER BY doc_id ASC, pos ASC, fp ASC""".stripMargin,
+    "winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         substr(sha256(array_to_string(toks[i : i + 3], ' ')),
+        |                1, 15) AS hh
+        |  FROM t, unnest(generate_series(1, len(toks) - 3)) AS u(i)
+        |), e AS (
+        |  SELECT doc_id, pos,
+        |         min(hh || lpad((999999999 - pos)::VARCHAR, 9, '0'))
+        |           OVER (PARTITION BY doc_id ORDER BY pos ASC
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM g
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, substr(sel, 1, 15) AS fp
+        |  FROM e WHERE pos >= 3
+        |), elig AS (
+        |  SELECT fp FROM sel GROUP BY fp
+        |  HAVING count(*) > 1 AND count(*) <= 64
+        |), hits AS (
+        |  SELECT s.doc_id, s.fp FROM sel s JOIN elig USING (fp)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM hits a JOIN hits b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2
+        |ORDER BY doc_a ASC, doc_b ASC""".stripMargin,
     "bucketed_join" ->
       """SELECT o.o_orderkey, o.o_orderstatus, count(*) AS n_items,
         |       max(l.l_extendedprice) AS max_item_price

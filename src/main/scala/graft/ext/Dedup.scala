@@ -1368,6 +1368,103 @@ object Dedup {
       .orderBy(col("doc_id").asc)
   }
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every word `k`-gram, slide
+    * a window of `w` consecutive gram hashes over each document, and
+    * select each window's minimum (rightmost occurrence on ties). The
+    * guarantee winnowing buys over "sample every Nth hash": EVERY match
+    * of at least w + k − 1 tokens between two documents shares at least
+    * one SELECTED fingerprint, while storage drops to ~2/(w+1) of the
+    * gram count. This is the local-similarity primitive between
+    * [[fingerprints]]' one-hash-per-doc sketch and the full span relation
+    * ([[spanPairs]]): positional, sampled, and detection-complete above
+    * the guarantee threshold.
+    *
+    * Cross-engine exactness: gram hashes are the twinnable sha-256
+    * 15-hex-char prefix; the per-window argmin is ONE lexicographic
+    * string min over `hash ‖ zero-padded(MAX_POS − pos)` — fixed width,
+    * so smallest hash wins and ties resolve to the LARGEST position
+    * (the rightmost rule) in both engines with no struct/argmin
+    * builtin needed. Only complete windows (gram index ≥ w−1) select.
+    *
+    * Scale shape: tokenize → k−1 window leads → one more window min over
+    * the same doc-partitioned sort (ONE exchange total — every window
+    * shares the (doc_id, pos) ordering) → distinct. Output is the
+    * selected-fingerprint relation at winnowing density, ~2/(w+1) of the
+    * gram rows.
+    */
+  private[graft] def winnowSelectedOf(
+      docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val gramToks = (1 until k).map(i => lead(col("tok"), i).over(win))
+    val grams = tokenRowsOf(docs)
+      .withColumn("__last", lead(col("tok"), k - 1).over(win))
+      .withColumn("__gram", concat_ws(" ", (col("tok") +: gramToks): _*))
+      // complete k-grams only: the last lead exists ⇒ all of them do
+      // (concat_ws would silently shorten tail grams otherwise)
+      .filter(col("__last").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        substring(sha2(col("__gram"), 256), 1, 15).as("hh"))
+    // grams sit at CONSECUTIVE positions 0..n−k, so "the window ending
+    // here spans w grams" is simply pos ≥ w−1 — no row_number needed
+    val selWin = win.rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("__enc", concat(col("hh"),
+        lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
+      .withColumn("__sel", min(col("__enc")).over(selWin))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"),
+        (lit(999999999L) - substring(col("__sel"), 16, 9).cast("long"))
+          .as("pos"),
+        substring(col("__sel"), 1, 15).as("fp"))
+      .distinct()
+  }
+
+  /** The selected-fingerprint relation over a deterministic 1/`sampleMod`
+    * document slice — the registered, oracle-checkable dump (the full
+    * relation is corpus-sized; the slice pins the algorithm exactly while
+    * [[winnowPairs]] exercises it corpus-wide). The sample filter runs
+    * BEFORE tokenization, so only the slice is ever exploded.
+    */
+  def winnowFingerprints(
+      spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 4,
+      sampleMod: Int = 16, sampleRem: Int = 7): DataFrame =
+    winnowSelectedOf(
+      Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === sampleRem.toLong),
+      k, w)
+      .orderBy(col("doc_id").asc, col("pos").asc, col("fp").asc)
+
+  /** Document pairs sharing winnowed fingerprints — MOSS-style local
+    * plagiarism/copy detection at corpus scale: every verbatim overlap of
+    * ≥ w + k − 1 tokens surfaces here (the winnowing guarantee), ranked
+    * by how many selected fingerprints the pair shares.
+    *
+    * Pair production is bounded exactly like [[spanPairs]]: fingerprints
+    * shared by more than `maxDocsPerFp` documents are boilerplate (their
+    * pair lists grow quadratically and identify nothing) and are dropped
+    * from pairing — the df cap documented on every blocked dedup in this
+    * family. Pairs below `minShared` shared fingerprints are noise cut.
+    */
+  def winnowPairs(
+      spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 4,
+      maxDocsPerFp: Int = 64, minShared: Long = 2L): DataFrame = {
+    val sel = winnowSelectedOf(Tables.documents(spark, sfDir), k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val eligible = sel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") > 1 && col("__n_docs") <= maxDocsPerFp)
+      .select(col("fp"))
+    val hits = sel.join(eligible, Seq("fp"))
+    hits.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(hits.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Connected components over an EXACT, SQL-expressible pair relation —
     * the oracle anchor for the pairs→clusters chain ([[connectedComponents]]
     * is otherwise only reachable through hash-seeded MinHash pairs, which

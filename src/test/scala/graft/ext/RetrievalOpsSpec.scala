@@ -234,4 +234,69 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(r._4 > round6(1.0 / (60 + r._3)) - 1e-9)
     }
   }
+
+  // ---------------------------------------------------------------- //
+  // winnowing                                                         //
+  // ---------------------------------------------------------------- //
+
+  /** The operator's twinnable hash: lowercase-hex sha-256, 15-char prefix. */
+  private def sha15(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+
+  test("winnowing matches a brute-force replay and honors the window guarantee") {
+    import spark.implicits._
+    val k = 4; val w = 4
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 30).map(i => s"t$i")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    // 12 shared tokens ≥ the w+k−1 = 7 guarantee threshold, with margin:
+    // 9 shared grams ⇒ at least one full window inside the shared run
+    val shared = doc(12)
+    val d1 = doc(10) + " " + shared + " " + doc(8)
+    val d2 = doc(5) + " " + shared + " " + doc(15)
+    val dir = "/tmp/graft_test_winnow"
+    ((1L, d1) +: (2L, d2) +:
+      (10 until 18).map(i => (i.toLong, doc(20 + rnd.nextInt(10)))))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    val sel = Dedup.winnowSelectedOf(docs, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+    // brute-force replay: per window, min hash, rightmost on ties
+    val expect = docs.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = (0 to toks.length - k)
+        .map(i => (i, sha15(toks.slice(i, i + k).mkString(" "))))
+      ((w - 1) until grams.length).map { e =>
+        val winRows = grams.slice(e - w + 1, e + 1)
+        val m = winRows.map(_._2).min
+        val pos = winRows.filter(_._2 == m).map(_._1).max
+        (id, pos.toLong, m)
+      }.distinct
+    }.toSet
+    assert(sel.toSet == expect)
+
+    // the density guarantee on the engine's own output: consecutive
+    // selected positions within a doc are never more than w grams apart
+    sel.groupBy(_._1).foreach { case (_, rows) =>
+      val ps = rows.map(_._2).distinct.sorted
+      ps.zip(ps.drop(1)).foreach { case (a, b) =>
+        assert(b - a <= w, s"selection gap $a→$b exceeds the window")
+      }
+    }
+
+    // the planted ≥7-token overlap MUST surface as a shared fingerprint
+    // pair (the winnowing detection guarantee), and the pair query finds it
+    // minShared = 1: the guarantee promises ≥1 shared fp, not ≥2
+    val pairs = Dedup.winnowPairs(spark, dir, k, w, minShared = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
 }
