@@ -66,7 +66,7 @@ object Search {
     * window over the already-aggregated rows (vocab-sized, not
     * occurrence-sized).
     */
-  private def postingsOf(docs: DataFrame): DataFrame =
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))

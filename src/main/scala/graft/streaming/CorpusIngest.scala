@@ -358,6 +358,69 @@ object CorpusIngest {
       .start()
   }
 
+  /** Snapshot of the streamed postings index's doc_ids (file-list
+    * binding, as in [[readVecIndexIds]]); empty when absent.
+    */
+  private def readPostingsDocIds(
+      spark: SparkSession, indexPath: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (fs.exists(path))
+        fs.listStatus(path).map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          }
+          .map(_.toString)
+      else Array.empty[String]
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType))))
+    else spark.read.parquet(parts.toIndexedSeq: _*).select(col("doc_id"))
+  }
+
+  /** One foreachBatch body of [[ingestPostings]], exposed for the
+    * replay-idempotence spec: anti-join the batch against the index's
+    * current doc_ids, tokenize only the UNSEEN documents, append their
+    * postings. Postings (tf, dl) are per-doc deterministic, so a replay
+    * after any crash window re-derives zero rows and the index never
+    * holds a duplicate doc's rows — the [[vectorBatchBody]] contract.
+    */
+  private[graft] def postingsBatchBody(
+      batch: DataFrame, indexPath: String): Unit = {
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      val fresh = batch.join(
+        readPostingsDocIds(spark, indexPath), Seq("doc_id"), "left_anti")
+      graft.ext.Search.postingsOf(fresh)
+        .write.mode("append").parquet(indexPath)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Streaming LEXICAL-INDEX ingest — the streaming face of
+    * [[graft.ext.Search.postingsShared]]'s append-only refresh: document
+    * shards arrive as a stream and each micro-batch tokenizes ONLY its
+    * unseen docs into (doc_id, tok, tf, dl) postings rows. Corpus
+    * statistics (N, avgdl, df) are deliberately NOT maintained as stream
+    * state: every lexical consumer derives them from the index at query
+    * time (the same no-stale-global contract as the batch artifact), so
+    * the stream's only job is the per-doc rows — which makes it
+    * replay-idempotent with no generation bookkeeping.
+    */
+  def ingestPostings(
+      docs: DataFrame,
+      indexPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        postingsBatchBody(batch, indexPath)
+      }
+      .start()
+
   /** One micro-batch of the running heavy-hitter summary — the testable
     * kernel of [[heavyHitterMonitor]], mirroring [[dedupBatch]]'s
     * contract. Reads the summary state AS OF A BATCH BEFORE `batchId`,

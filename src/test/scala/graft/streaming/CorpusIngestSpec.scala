@@ -239,6 +239,54 @@ class CorpusIngestSpec extends SparkSpec {
     assert(indexRows() === streamed, "replay must not duplicate index rows")
   }
 
+  test("ingestPostings: streamed lexical index equals the batch derivation; replays add nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_postingest").toString
+    val docsTable = spark.read.parquet(s"$sf/documents.parquet")
+    val all = docsTable.filter(col("doc_id").between(100, 179))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = CorpusIngest.ingestPostings(docs, s"$dir/index", s"$dir/ckpt")
+    try {
+      input.addData(all.take(40).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(40).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def indexRows() = spark.read.parquet(s"$dir/index")
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    val streamed = indexRows()
+    // row-for-row identical to the batch kernel over the same docs —
+    // tf AND the denormalized dl (dl is per-doc, so per-shard derivation
+    // IS the global value)
+    val batchDerived = graft.ext.Search.postingsOf(
+      docsTable.filter(col("doc_id").between(100, 179))
+        .select("doc_id", "text"))
+      .collect().map(_.toSeq)
+      .sortBy(r => (r.head.asInstanceOf[Long], r(1).asInstanceOf[String]))
+    assert(streamed === batchDerived,
+      "streamed postings must equal the batch derivation")
+    // crash-window replay: re-running a completed shard derives ZERO rows
+    CorpusIngest.postingsBatchBody(
+      docsTable.filter(col("doc_id").between(140, 179))
+        .select("doc_id", "text"), s"$dir/index")
+    assert(indexRows() === streamed, "replay must not duplicate postings")
+    // consumer-level: corpus stats derived from the streamed index agree
+    // with the batch kernel's (no stale-global window for a stream to hit)
+    val streamedStats = spark.read.parquet(s"$dir/index")
+      .agg(count_distinct(col("doc_id")), sum(col("tf"))).first()
+    val expectToks = all.map(_._2.toLowerCase.split("\\s+")
+      .count(_.nonEmpty).toLong).sum
+    assert(streamedStats.getLong(0) ===
+      all.count(_._2.split("\\s+").exists(_.nonEmpty)).toLong)
+    assert(streamedStats.getLong(1) === expectToks)
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
