@@ -1420,19 +1420,47 @@ object Dedup {
       .distinct()
   }
 
+  private[graft] val WinnowK = 4
+  private[graft] val WinnowW = 4
+
+  /** The default-parameter winnowed-selection relation as a MAINTAINED
+    * derived table, bucketed on fp so [[winnowPairs]]' census and pair
+    * join are exchange-free. Selection is per-doc deterministic (each
+    * doc's windows see only its own grams), so the `minhash_sig`
+    * append-only contract applies: a landed shard winnows ITS docs only
+    * and unions onto the committed relation. (k, w) are part of the
+    * relation's identity — non-default asks derive live.
+    */
+  private[graft] def winnowSelShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "winnow_sel",
+      Seq("documents.parquet"), "fp",
+      refresh = Some { ctx =>
+        val fresh = winnowSelectedOf(
+          spark.read.parquet(ctx.addedFiles: _*), WinnowK, WinnowW)
+          .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(fresh)
+      }) {
+      winnowSelectedOf(Tables.documents(spark, sfDir), WinnowK, WinnowW)
+    }
+
+  private def winnowFor(
+      spark: SparkSession, sfDir: String, k: Int, w: Int): DataFrame =
+    if (k == WinnowK && w == WinnowW) winnowSelShared(spark, sfDir)
+    else winnowSelectedOf(Tables.documents(spark, sfDir), k, w)
+
   /** The selected-fingerprint relation over a deterministic 1/`sampleMod`
     * document slice — the registered, oracle-checkable dump (the full
     * relation is corpus-sized; the slice pins the algorithm exactly while
-    * [[winnowPairs]] exercises it corpus-wide). The sample filter runs
-    * BEFORE tokenization, so only the slice is ever exploded.
+    * [[winnowPairs]] exercises it corpus-wide). Selection is per-doc, so
+    * slicing the maintained relation equals winnowing the sliced corpus.
     */
   def winnowFingerprints(
       spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 4,
       sampleMod: Int = 16, sampleRem: Int = 7): DataFrame =
-    winnowSelectedOf(
-      Tables.documents(spark, sfDir)
-        .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === sampleRem.toLong),
-      k, w)
+    winnowFor(spark, sfDir, k, w)
+      .filter(pmod(col("doc_id"), lit(sampleMod.toLong)) === sampleRem.toLong)
       .orderBy(col("doc_id").asc, col("pos").asc, col("fp").asc)
 
   /** Document pairs sharing winnowed fingerprints — MOSS-style local
@@ -1449,7 +1477,10 @@ object Dedup {
   def winnowPairs(
       spark: SparkSession, sfDir: String, k: Int = 4, w: Int = 4,
       maxDocsPerFp: Int = 64, minShared: Long = 2L): DataFrame = {
-    val sel = winnowSelectedOf(Tables.documents(spark, sfDir), k, w)
+    // selection comes off the maintained fp-bucketed artifact at the
+    // default (k, w): the census, both join sides, and the pair groupBy
+    // all inherit the fp partitioning
+    val sel = winnowFor(spark, sfDir, k, w)
       .select(col("doc_id"), col("fp")).distinct()
     val eligible = sel.groupBy(col("fp"))
       .agg(count(lit(1)).as("__n_docs"))

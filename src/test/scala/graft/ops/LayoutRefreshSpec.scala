@@ -394,6 +394,33 @@ class LayoutRefreshSpec extends SparkSpec {
       "rebuilt shingle_stats must include the appended docs")
   }
 
+  test("winnow_sel refreshes append-only and matches a full rebuild") {
+    val base = Files.createTempDirectory("graft_wn_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_wn_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val extra = docs.orderBy(col("doc_id").asc).limit(12)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+      .withColumn("text", concat(col("text"), lit(" winnow shard marker")))
+    graft.ext.Dedup.winnowSelShared(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", extra)
+    val refreshed = graft.ext.Dedup.winnowSelShared(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "winnow_sel must take the refresh path on an append")
+    assert(Layout.buildCount.get === b0)
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Dedup.winnowSelShared(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed winnow selection diverged from the full rebuild")
+    assert(refreshed.filter(col("doc_id") > maxId).count() > 0,
+      "refreshed selection must cover the appended docs")
+  }
+
   test("postings refreshes append-only and serves the same bm25 list as a rebuild") {
     val base = Files.createTempDirectory("graft_post_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_post_full").toString + "/d"
