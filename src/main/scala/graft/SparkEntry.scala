@@ -169,6 +169,9 @@ object SparkEntry {
     "embedding_norms"    -> ((s, d) => Similarity.normStats(s, d)),
     // recall@k of the LSH path vs the exact path — the ANN quality gate
     "ann_recall"         -> ((s, d) => Similarity.annRecall(s, d)),
+    // rank-quality eval of the LSH retrieval: MRR + average precision
+    // (log-free rationals; exact top-k as the binary relevance set)
+    "retrieval_metrics"  -> ((s, d) => Similarity.retrievalMetrics(s, d)),
     // product-quantization codes (the IVF-PQ compression half)
     "pq_codes"           -> ((s, d) => Similarity.pqCodes(s, d)),
     // cohort retention matrix (first-seen day × day offset)
@@ -3013,6 +3016,66 @@ object SparkEntry {
         |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id ASC""".stripMargin),
+    // MRR + AP of the LSH list against the exact top-k relevance set;
+    // precision terms rounded to 6 dp BEFORE the DECIMAL sum (exact,
+    // order-independent), MRR one exact divide — no log2 anywhere
+    "retrieval_metrics" -> (lshOracleCtes +
+      """, cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM bands q JOIN bands c ON q.bi = c.bi AND q.sig = c.sig
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), lranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |), lsh AS (
+        |  SELECT q_id, c_id, nn_rank FROM lranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM emb q, emb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |), marked AS (
+        |  SELECT l.q_id, l.nn_rank,
+        |         CASE WHEN b.c_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM lsh l LEFT JOIN brute b
+        |    ON l.q_id = b.q_id AND l.c_id = b.c_id
+        |), run AS (
+        |  SELECT q_id, nn_rank, rel,
+        |         sum(rel) OVER (PARTITION BY q_id ORDER BY nn_rank ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS hits_at
+        |  FROM marked
+        |), term AS (
+        |  SELECT q_id, rel, nn_rank,
+        |         CASE WHEN rel = 1
+        |              THEN round(hits_at::DOUBLE / nn_rank::DOUBLE, 6)
+        |                     ::DECIMAL(18,6)
+        |              ELSE 0::DECIMAL(18,6) END AS prec
+        |  FROM run
+        |), agg AS (
+        |  SELECT q_id, sum(rel)::BIGINT AS n_hits,
+        |         min(CASE WHEN rel = 1 THEN nn_rank END) AS first_rel,
+        |         sum(prec) AS ap_sum
+        |  FROM term GROUP BY q_id
+        |), probes AS (
+        |  SELECT DISTINCT q_id FROM brute
+        |)
+        |SELECT p.q_id,
+        |       coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(1.0::DOUBLE / a.first_rel, 0.0), 6) AS mrr,
+        |       round(coalesce(a.ap_sum, 0::DECIMAL(18,6))::DOUBLE / 5.0, 6)
+        |         AS avg_precision
+        |FROM probes p LEFT JOIN agg a USING (q_id)
+        |ORDER BY p.q_id ASC""".stripMargin),
     // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
     // sub-vector — cannot change the argmin); only integer codes emitted
     "pq_codes" ->

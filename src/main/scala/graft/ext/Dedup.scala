@@ -1406,11 +1406,18 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         substring(sha2(col("__gram"), 256), 1, 15).as("hh"))
     // grams sit at CONSECUTIVE positions 0..n−k, so "the window ending
-    // here spans w grams" is simply pos ≥ w−1 — no row_number needed
+    // here spans w grams" is simply pos ≥ w−1 — no row_number needed.
+    // The 9-digit complement encoding is total only for pos < 1e9
+    // (lpad TRUNCATES beyond its length, which would corrupt the
+    // tie-break silently); a billion-token single document is beyond any
+    // real corpus row, so reject it loudly instead of mis-selecting.
     val selWin = win.rowsBetween(-(w - 1), 0)
+    val compl = when(col("pos") < lit(999999999),
+        (lit(999999999) - col("pos")).cast("string"))
+      .otherwise(raise_error(
+        lit("winnowing: gram position exceeds the 9-digit complement encoding")))
     grams
-      .withColumn("__enc", concat(col("hh"),
-        lpad((lit(999999999) - col("pos")).cast("string"), 9, "0")))
+      .withColumn("__enc", concat(col("hh"), lpad(compl, 9, "0")))
       .withColumn("__sel", min(col("__enc")).over(selWin))
       .filter(col("pos") >= w - 1)
       .select(col("doc_id"),

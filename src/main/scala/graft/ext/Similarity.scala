@@ -1113,6 +1113,57 @@ object Similarity {
       .orderBy(col("q_id").asc)
   }
 
+  /** Rank-quality evaluation of the ANN retrieval beyond [[annRecall]]'s
+    * set recall: per probe, MRR (reciprocal rank of the first true
+    * neighbor in the LSH list) and average precision at k (AP — the
+    * area-under-PR summary IR evaluation standardizes on), with the
+    * exact cosine top-k as the binary relevance set. Recall says how
+    * many true neighbors surfaced; MRR/AP say how EARLY — the quantity
+    * that decides whether a downstream re-ranker ever sees them.
+    *
+    * Cross-engine exactness: both metrics are LOG-FREE rationals —
+    * precision terms hits@r / r are divides of small integers, each
+    * rounded to 6 decimals BEFORE a DECIMAL(18,6) sum (exact,
+    * order-independent — the [[graft.ext.Corpus]] mix-report discipline),
+    * and MRR is one exact divide. No log2 discount (nDCG) on purpose:
+    * libm log2 is not guaranteed bit-identical across engines, AP
+    * carries the same ordering signal exactly.
+    *
+    * Scale shape: the two retrieval legs are the already-bounded
+    * [[bruteForceTopK]]/[[lshTopK]] probe frames (≤ nProbes·k rows
+    * each); everything after is arithmetic on their join.
+    */
+  def retrievalMetrics(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val exact = bruteForceTopK(spark, sfDir, nProbes, k)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("__rel"))
+    val approx = lshTopK(spark, sfDir, nProbes, k)
+      .select(col("q_id"), col("nn_rank"), col("neighbor_id"))
+    val marked = approx.join(exact, Seq("q_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(col("__rel"), lit(0L)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("nn_rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = marked
+      .withColumn("hits_at", sum(col("rel")).over(w))
+      .withColumn("__prec", when(col("rel") === 1L,
+          round(col("hits_at").cast("double") / col("nn_rank").cast("double"), 6))
+        .otherwise(lit(0.0)).cast("decimal(18,6)"))
+    val agg = scored.groupBy(col("q_id")).agg(
+      sum(col("rel")).as("n_hits"),
+      min(when(col("rel") === 1L, col("nn_rank"))).as("__first"),
+      sum(col("__prec")).as("__ap_sum"))
+    // probes with an EMPTY LSH list (no band collision at all) still
+    // belong in the report, scored zero
+    exact.select(col("q_id")).distinct()
+      .join(agg, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__ap_sum"), lit(0).cast("decimal(18,6)"))
+          .cast("double") / k, 6).as("avg_precision"))
+      .orderBy(col("q_id").asc)
+  }
+
   /** Product-quantization codes — the compression half of an IVF-PQ index:
     * each embedding split into `subspaces` contiguous sub-vectors, each
     * sub-vector replaced by the id of its nearest codebook centroid

@@ -393,7 +393,10 @@ object CorpusIngest {
     batch.persist()
     try {
       val spark = batch.sparkSession
-      val fresh = batch.join(
+      // a doc_id repeated WITHIN one micro-batch (an at-least-once source
+      // delivering the same shard row twice) would double its tf/dl in
+      // the groupBy — collapse to one row per doc before tokenizing
+      val fresh = batch.dropDuplicates("doc_id").join(
         readPostingsDocIds(spark, indexPath), Seq("doc_id"), "left_anti")
       graft.ext.Search.postingsOf(fresh)
         .write.mode("append").parquet(indexPath)

@@ -236,6 +236,28 @@ class RetrievalOpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- //
+  // retrieval metrics                                                 //
+  // ---------------------------------------------------------------- //
+
+  test("retrievalMetrics: hit counts agree with annRecall; MRR/AP bounded and consistent") {
+    val m = Similarity.retrievalMetrics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(m.nonEmpty)
+    val recall = Similarity.annRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.foreach { case (q, hits, mrr, ap) =>
+      assert(hits == recall(q), s"probe $q: n_hits diverges from annRecall")
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ap >= 0.0 && ap <= 1.0)
+      // AP can only reach 1 when every retrieved rank is a hit from the
+      // top — which forces MRR = 1; zero hits force both to 0
+      if (ap == 1.0) assert(mrr == 1.0)
+      if (hits == 0L) assert(mrr == 0.0 && ap == 0.0)
+      if (hits > 0L) assert(mrr > 0.0 && ap > 0.0)
+    }
+  }
+
+  // ---------------------------------------------------------------- //
   // winnowing                                                         //
   // ---------------------------------------------------------------- //
 
