@@ -183,6 +183,11 @@ object SparkEntry {
     // snapshot delta audit: added/removed/changed/unchanged by fingerprint
     "corpus_diff"        -> ((s, d) => Corpus.snapshotDiff(s, d)),
     "sample_budget"      -> ((s, d) => Corpus.sampleBudget(s, d)),
+    // weight-proportional sample WITHOUT replacement (Efraimidis–Spirakis
+    // over deterministic sha2 uniforms; quantized-ln ranking key)
+    "weighted_sample"    -> ((s, d) => Corpus.weightedSample(s, d)),
+    // per-rule first-fail vs any-fail blame within the C4 filter stage
+    "filter_attribution" -> ((s, d) => TextStats.filterAttribution(s, d)),
     "corpus_shard"       -> ((s, d) => Corpus.shardManifest(s, d)),
     // end-to-end curation: C4 → exact dedup → near-dup keepers → sample
     "training_set"       -> ((s, d) => Curation.trainingSet(s, d)),
@@ -1787,6 +1792,78 @@ object SparkEntry {
         |FROM documents
         |ORDER BY sample_key ASC, doc_id ASC
         |LIMIT 100""".stripMargin,
+    "weighted_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source,
+        |         greatest(n_chars, 1)::BIGINT AS weight,
+        |         ('0x' || substr(sha256(doc_id::VARCHAR || '#31'), 1, 12))::BIGINT
+        |           AS h
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, lang, source, weight,
+        |         CAST(round(ln((h + 1)::DOUBLE / 281474976710656.0) * 1e6, 0)
+        |              AS BIGINT) AS lnu_micros
+        |  FROM b
+        |)
+        |SELECT doc_id, lang, source, weight, lnu_micros,
+        |       lnu_micros::DOUBLE / weight::DOUBLE AS sample_key
+        |FROM k
+        |ORDER BY sample_key DESC, doc_id ASC
+        |LIMIT 200""".stripMargin,
+    "filter_attribution" ->
+      """WITH f AS (
+        |  SELECT
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |     END) AS toks,
+        |    strpos(lower(text), 'lorem ipsum') > 0 AS has_lorem,
+        |    strpos(text, '{') > 0 AS has_brace,
+        |    strpos(lower(text), 'javascript') > 0 AS has_js,
+        |    right(trim(text), 1) IN ('.', '!', '?', '"') AS ends_terminal
+        |  FROM documents
+        |), g AS (
+        |  SELECT *,
+        |    (toks < 5 OR toks > 100000) AS word_bad,
+        |    NOT ends_terminal AS term_bad
+        |  FROM f
+        |), c AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (word_bad) AS ff1,
+        |    count(*) FILTER (NOT word_bad AND term_bad) AS ff2,
+        |    count(*) FILTER (NOT word_bad AND NOT term_bad
+        |                     AND has_lorem) AS ff3,
+        |    count(*) FILTER (NOT word_bad AND NOT term_bad
+        |                     AND NOT has_lorem AND has_brace) AS ff4,
+        |    count(*) FILTER (NOT word_bad AND NOT term_bad
+        |                     AND NOT has_lorem AND NOT has_brace
+        |                     AND has_js) AS ff5,
+        |    count(*) FILTER (NOT word_bad AND NOT term_bad
+        |                     AND NOT has_lorem AND NOT has_brace
+        |                     AND NOT has_js) AS ff6,
+        |    count(*) FILTER (word_bad) AS af1,
+        |    count(*) FILTER (term_bad) AS af2,
+        |    count(*) FILTER (has_lorem) AS af3,
+        |    count(*) FILTER (has_brace) AS af4,
+        |    count(*) FILTER (has_js) AS af5,
+        |    count(*) FILTER (NOT has_lorem AND NOT has_brace AND NOT has_js
+        |                     AND ends_terminal
+        |                     AND toks BETWEEN 5 AND 100000) AS af6
+        |  FROM g
+        |)
+        |SELECT '1_word_bounds' AS rule, ff1 AS n_first_fail,
+        |       af1 AS n_any_fail,
+        |       ff1::DOUBLE / n::DOUBLE AS first_fail_share FROM c
+        |UNION ALL SELECT '2_terminal_punct', ff2, af2,
+        |       ff2::DOUBLE / n::DOUBLE FROM c
+        |UNION ALL SELECT '3_lorem_ipsum', ff3, af3,
+        |       ff3::DOUBLE / n::DOUBLE FROM c
+        |UNION ALL SELECT '4_curly_brace', ff4, af4,
+        |       ff4::DOUBLE / n::DOUBLE FROM c
+        |UNION ALL SELECT '5_javascript', ff5, af5,
+        |       ff5::DOUBLE / n::DOUBLE FROM c
+        |UNION ALL SELECT '6_kept', ff6, af6,
+        |       ff6::DOUBLE / n::DOUBLE FROM c
+        |ORDER BY rule ASC""".stripMargin,
     "corpus_shard" ->
       """WITH keyed AS (
         |  SELECT n_chars,

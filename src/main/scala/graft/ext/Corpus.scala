@@ -325,6 +325,46 @@ object Corpus {
       .limit(n)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES): each
+    * doc draws a deterministic uniform u from its sha2 key and competes on
+    * u^(1/w) — the top-`n` keys are a true weight-proportional sample (a
+    * doc with twice the weight is twice as likely in). The curation use:
+    * "sample documents proportional to length/quality", the mix-building
+    * dual of [[sampleBudget]]'s uniform carve-out.
+    *
+    * Determinism across engines, step by step:
+    *  - u = (h+1)/2^48 with h the first 48 sha2 bits — a power-of-two
+    *    denominator, so the double is EXACT (no rounding, both engines);
+    *  - maximizing u^(1/w) ≡ maximizing ln(u)/w (ln monotone, w > 0); the
+    *    only libm call, ln(u), is quantized to integer micros immediately
+    *    (`round(ln(u)·1e6)` — the zipf_fit convention) so engines agree;
+    *  - the ranking key is ONE correctly-rounded IEEE division of those
+    *    identical integers (micros / weight) — bit-identical doubles —
+    *    with a doc_id tie-break.
+    *
+    * Scale: order-by-limit plans as TakeOrdered (per-partition top-n +
+    * driver merge of n·partitions rows) — no global sort, no RNG state, no
+    * partition-order dependence; re-runs and replicas select the SAME
+    * rows. Streaming/incremental face: the reservoir is mergeable — the
+    * top-n of a union is the top-n of the per-batch top-ns.
+    */
+  def weightedSample(
+      spark: SparkSession, sfDir: String, n: Int = 200, salt: Int = 31): DataFrame = {
+    val h = conv(substring(
+      sha2(concat(col("doc_id").cast("string"), lit(s"#$salt")), 256), 1, 12),
+      16, 10).cast("long")
+    // (h+1)/2^48 ∈ (0,1]; exact in double (numerator < 2^53, denom = 2^48).
+    val u = (h + lit(1L)).cast("double") / lit(281474976710656.0)
+    val lnuMicros = round(log(u) * lit(1e6), 0).cast("long")
+    val w = greatest(col("n_chars"), lit(1)).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        w.as("weight"), lnuMicros.as("lnu_micros"),
+        (lnuMicros.cast("double") / w.cast("double")).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id").asc)
+      .limit(n)
+  }
+
   /** Stratified sample: per-language keep-fractions applied via the same
     * order-independent hash predicate (default fraction for unlisted
     * strata). The 100 TB contrast to `df.stat.sampleBy`: no RNG state, no

@@ -447,6 +447,66 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-RULE rejection attribution for the C4 cleaning pipeline — the
+    * report a curation team reads before touching thresholds: for every
+    * rule, how many docs it is RESPONSIBLE for dropping (first failing
+    * rule in the canonical order) vs how many it flags at all (any-fail,
+    * counting overlap with earlier rules). `curation_funnel` gives stage
+    * yields; this gives rule-level blame within the stage, which is what
+    * actually answers "if we relaxed the terminal-punctuation rule, how
+    * many docs would come back?" (answer: its first-fail count, not its
+    * any-fail count).
+    *
+    * One corpus pass: all six flags are narrow codegen'd expressions over
+    * `text`, folded into a single-row aggregate of integer counters, then
+    * unpivoted to a FIXED six-row rule spine (`stack`) so a rule that
+    * fires zero times still reports — the psi_drift fixed-spine
+    * convention. The twin replays the same counters in one CTE and
+    * UNION ALLs the spine.
+    */
+  def filterAttribution(
+      spark: SparkSession, sfDir: String,
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val f = c4FlagExprs
+    val wordBad = f.toks < minWords || f.toks > maxWords
+    val termBad = !f.endsTerminal
+    val firstFail = when(wordBad, "1_word_bounds")
+      .when(termBad, "2_terminal_punct")
+      .when(f.hasLorem, "3_lorem_ipsum")
+      .when(f.hasBrace, "4_curly_brace")
+      .when(f.hasJs, "5_javascript")
+      .otherwise("6_kept")
+    Tables.documents(spark, sfDir)
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(firstFail === "1_word_bounds").as("ff1"),
+        count_if(firstFail === "2_terminal_punct").as("ff2"),
+        count_if(firstFail === "3_lorem_ipsum").as("ff3"),
+        count_if(firstFail === "4_curly_brace").as("ff4"),
+        count_if(firstFail === "5_javascript").as("ff5"),
+        count_if(firstFail === "6_kept").as("ff6"),
+        count_if(wordBad).as("af1"),
+        count_if(termBad).as("af2"),
+        count_if(f.hasLorem).as("af3"),
+        count_if(f.hasBrace).as("af4"),
+        count_if(f.hasJs).as("af5"),
+        count_if(f.keep(minWords, maxWords)).as("af6"))
+      .selectExpr(
+        """stack(6,
+          |  '1_word_bounds',    ff1, af1,
+          |  '2_terminal_punct', ff2, af2,
+          |  '3_lorem_ipsum',    ff3, af3,
+          |  '4_curly_brace',    ff4, af4,
+          |  '5_javascript',     ff5, af5,
+          |  '6_kept',           ff6, af6
+          |) AS (rule, n_first_fail, n_any_fail)""".stripMargin,
+        "n")
+      .select(col("rule"), col("n_first_fail"), col("n_any_fail"),
+        (col("n_first_fail").cast("double") / col("n").cast("double"))
+          .as("first_fail_share"))
+      .orderBy(col("rule").asc)
+  }
+
   /** The C4 rule expressions over a `text` column, shared by [[c4Filters]]
     * and the calibration report so the rule set has one definition.
     */

@@ -247,4 +247,70 @@ class CorpusSpec extends SparkSpec {
     assert(byLang(counts.maxBy(_._2)._1) === 1L)
     assert(byLang.values.max > 1L, "fixture langs are skewed — expect upsampling")
   }
+
+  test("weightedSample: n rows, deterministic, weight-proportional, top-n plan") {
+    val s1 = Corpus.weightedSample(spark, sf, n = 40)
+    assert(s1.count() === 40L)
+    assert(s1.collect().toSeq === Corpus.weightedSample(spark, sf, n = 40).collect().toSeq)
+    // order-by-limit must plan as per-partition top-n, not a global sort
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // weight-proportionality: 1000 docs of weight 1 vs 1000 of weight 200;
+    // A-ES says the heavy half should dominate any prefix of the sample
+    val dir = "/tmp/graft_test_wsample"
+    (1L to 2000L).map { i =>
+      val w = if (i <= 1000L) 1L else 200L
+      (i, "x", "en", "s", w) // n_chars carries the weight
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val picked = Corpus.weightedSample(spark, dir, n = 400)
+      .collect().map(_.getAs[Long]("doc_id"))
+    val heavy = picked.count(_ > 1000L)
+    assert(heavy > 360, s"heavy=$heavy of 400 — weight bias missing")
+    // mergeable reservoir: top-n of per-half top-ns == global top-n
+    val keyed = Corpus.weightedSample(spark, dir, n = 2000)
+    val half1 = keyed.filter($"doc_id" % 2 === 0)
+      .orderBy($"sample_key".desc, $"doc_id".asc).limit(50)
+    val half2 = keyed.filter($"doc_id" % 2 === 1)
+      .orderBy($"sample_key".desc, $"doc_id".asc).limit(50)
+    val merged = half1.union(half2)
+      .orderBy($"sample_key".desc, $"doc_id".asc).limit(50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val global = Corpus.weightedSample(spark, dir, n = 50)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(merged === global)
+  }
+
+  test("filterAttribution: fixed spine, first-fail partitions, blame order") {
+    val dir = "/tmp/graft_test_fattr"
+    val clean = "A perfectly reasonable sentence with enough words to pass."
+    Seq(
+      (1L, clean, "en", "s", clean.length.toLong),
+      // fails word bounds AND lorem: blame must go to word bounds (rule 1)
+      (2L, "Lorem ipsum.", "en", "s", 12L),
+      (3L, "Lorem ipsum dolor sit amet and more words here too.", "en", "s", 52L),
+      (4L, "No terminal punctuation on this line of prose", "en", "s", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextStats.filterAttribution(spark, dir).collect()
+    val byRule = rows.map(r => r.getAs[String]("rule") ->
+      (r.getAs[Long]("n_first_fail"), r.getAs[Long]("n_any_fail"))).toMap
+    // all six rules report even when they never fire (fixed spine)
+    assert(rows.length === 6)
+    assert(byRule.keySet === Set("1_word_bounds", "2_terminal_punct",
+      "3_lorem_ipsum", "4_curly_brace", "5_javascript", "6_kept"))
+    // first-fail counts partition the corpus
+    assert(rows.map(_.getAs[Long]("n_first_fail")).sum === 4L)
+    // doc 2 blamed on word bounds, not lorem; any-fail still counts lorem
+    assert(byRule("1_word_bounds") === ((1L, 1L)))
+    assert(byRule("3_lorem_ipsum") === ((1L, 2L)))
+    assert(byRule("2_terminal_punct") === ((1L, 1L)))
+    assert(byRule("4_curly_brace") === ((0L, 0L)))
+    assert(byRule("6_kept") === ((1L, 1L)))
+    // share = first-fail / corpus size
+    rows.foreach { r =>
+      assert(r.getAs[Double]("first_fail_share")
+        === r.getAs[Long]("n_first_fail").toDouble / 4.0)
+    }
+  }
 }
