@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.ext.{BpeTrainer, Contamination, Corpus, Curation, Dedup, EventAnalytics, Multimodal, Search, Similarity, TextStats}
+import graft.ext.{BpeTrainer, Contamination, Corpus, Curation, Dedup, EntityResolution, EventAnalytics, Multimodal, Search, Similarity, TextStats}
 import graft.queries.{Ingest, Maintenance, Marketplace, Social}
 import graft.queries.Marketplace.AdsSearchParams
 import graft.streaming.CorpusIngest
@@ -325,6 +325,11 @@ object SparkEntry {
     // connected components over the strong (w>=2) co-purchase edges
     "copurchase_communities" -> ((s, d) =>
       ext.Graph.copurchaseCommunities(s, d)),
+    // entity resolution over the DISTINCT-name space: lossless
+    // (pos, token)-blocked fuzzy matches (lev ≤ 1), brute-force twin
+    "er_name_matches"    -> ((s, d) => EntityResolution.nameMatches(s, d)),
+    // golden record per matched-name entity via the CC kernel
+    "er_golden_records"  -> ((s, d) => EntityResolution.goldenRecords(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -1171,6 +1176,43 @@ object SparkEntry {
         |SELECT cluster_id, cluster_id AS keeper_doc_id, count(*) AS cluster_size
         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id ASC""".stripMargin,
+    "er_name_matches" ->
+      """WITH names AS (
+        |  SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY p_name
+        |)
+        |SELECT a.name_id AS id_a, b.name_id AS id_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       levenshtein(a.p_name, b.p_name)::INTEGER AS edit_dist
+        |FROM names a JOIN names b ON a.name_id < b.name_id
+        | AND levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin,
+    "er_golden_records" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name, min(p_partkey) AS name_id, count(*) AS n_parts
+        |  FROM part GROUP BY p_name
+        |), m AS (
+        |  SELECT a.name_id AS src, b.name_id AS dst
+        |  FROM names a JOIN names b ON a.name_id < b.name_id
+        |   AND levenshtein(a.p_name, b.p_name) <= 1
+        |), e AS (
+        |  SELECT src, dst FROM m UNION SELECT dst, src FROM m
+        |), walk(node, label) AS (
+        |  SELECT name_id, name_id FROM names
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS name_id, min(label) AS entity_id FROM walk
+        |  GROUP BY node
+        |), agg AS (
+        |  SELECT entity_id, count(*) AS n_variants,
+        |         CAST(sum(n.n_parts) AS BIGINT) AS n_parts
+        |  FROM cc JOIN names n USING (name_id) GROUP BY entity_id
+        |)
+        |SELECT a.entity_id, n2.p_name AS canonical_name,
+        |       a.n_variants, a.n_parts
+        |FROM agg a JOIN names n2 ON n2.name_id = a.entity_id
+        |ORDER BY a.entity_id ASC""".stripMargin,
     "fk_audit" -> fkAuditOracle,
     "copurchase_communities" ->
       """WITH RECURSIVE op AS (

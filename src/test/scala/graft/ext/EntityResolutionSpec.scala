@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nameMatches: blocking is lossless vs brute force; pairs unique") {
+    val matched = EntityResolution.nameMatches(spark, sf).collect()
+    // brute force over the distinct-name space (the oracle's shape)
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy($"p_name").agg(min($"p_partkey").as("name_id"))
+    val a = names.select($"name_id".as("id_a"), $"p_name".as("name_a"))
+    val b = names.select($"name_id".as("id_b"), $"p_name".as("name_b"))
+    val brute = a.crossJoin(b)
+      .where($"id_a" < $"id_b" &&
+        levenshtein($"name_a", $"name_b") <= 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(matched.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet === brute)
+    assert(matched.length === brute.size, "no duplicate pair rows")
+    assert(brute.nonEmpty, "fixture must exercise the matcher")
+    matched.foreach { r =>
+      assert(r.getAs[Int]("edit_dist") <= 1)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("goldenRecords: entities partition names, conserve rows, min-id canon") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    val nParts = parts.count()
+    val nNames = parts.select($"p_name").distinct().count()
+    val gold = EntityResolution.goldenRecords(spark, sf).collect()
+    // every part row lands in exactly one entity
+    assert(gold.map(_.getAs[Long]("n_parts")).sum === nParts)
+    // variants partition the distinct-name space
+    assert(gold.map(_.getAs[Long]("n_variants")).sum === nNames)
+    // canonical name is the entity id's own name (min name_id of cluster)
+    val idToName = parts.groupBy($"p_name")
+      .agg(min($"p_partkey").as("name_id"))
+      .collect().map(r => r.getAs[Long]("name_id") -> r.getAs[String]("p_name")).toMap
+    gold.foreach { r =>
+      assert(idToName(r.getAs[Long]("entity_id"))
+        === r.getAs[String]("canonical_name"))
+    }
+    // matches must actually merge something on the fixture
+    assert(gold.exists(_.getAs[Long]("n_variants") > 1L))
+  }
+}
