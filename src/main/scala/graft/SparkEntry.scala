@@ -267,6 +267,8 @@ object SparkEntry {
     // hybrid lexical+dense retrieval fused by reciprocal rank (RRF)
     "rrf_fusion"         -> ((s, d) => Search.rrfFusion(s, d)),
     "tfidf_terms"        -> ((s, d) => Search.tfidfTerms(s, d)),
+    // per-semantic-cell top TF-IDF terms — topic labels for clusters
+    "cluster_keywords"   -> ((s, d) => Search.clusterKeywords(s, d)),
     "inverted_index"     -> ((s, d) => Search.invertedIndex(s, d)),
     "brand_price_stats"  -> ((s, d) => EventAnalytics.brandPriceStats(s, d)),
     "events_asof_orders" -> ((s, d) => EventAnalytics.eventsAsOfOrders(s, d)),
@@ -3618,6 +3620,54 @@ object SparkEntry {
         |         AS rrf_score
         |FROM lex l FULL OUTER JOIN dense d USING (doc_id)
         |ORDER BY rrf_score DESC, doc_id ASC""".stripMargin,
+    "cluster_keywords" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, u.tok, count(*) AS tf
+        |  FROM t, UNNEST(toks) AS u(tok) GROUP BY 1, 2
+        |), ctf AS (
+        |  SELECT b.cell_id, tf.tok, CAST(sum(tf.tf) AS BIGINT) AS tf
+        |  FROM tf JOIN best b ON tf.doc_id = b.vec_id AND b.rk = 1
+        |  GROUP BY 1, 2
+        |), cdf AS (
+        |  SELECT tok, count(*) AS df FROM ctf GROUP BY 1
+        |), nc AS (
+        |  SELECT count(DISTINCT cell_id)::DOUBLE AS n_cells FROM ctf
+        |), sc AS (
+        |  SELECT ctf.cell_id, ctf.tok AS term, ctf.tf,
+        |         round(ctf.tf * ln(nc.n_cells / cdf.df), 6) AS tfidf
+        |  FROM ctf JOIN cdf USING (tok) CROSS JOIN nc
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cell_id
+        |                               ORDER BY tfidf DESC, term ASC)
+        |              AS term_rank
+        |  FROM sc
+        |)
+        |SELECT cell_id, term_rank, term, tf, tfidf
+        |FROM ranked WHERE term_rank <= 5
+        |ORDER BY cell_id ASC, term_rank ASC""".stripMargin,
     "tfidf_terms" ->
       """WITH t AS (
         |  SELECT doc_id,

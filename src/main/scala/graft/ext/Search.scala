@@ -257,6 +257,45 @@ object Search {
       .orderBy(col("doc_id").asc, col("term_rank").asc)
   }
 
+  /** Topic labels for embedding clusters: per seed-quantizer cell, the
+    * top `perCell` characteristic terms by cluster-level TF-IDF (each
+    * cell treated as one super-document: tf = Σ member tf, df = number
+    * of CELLS containing the term, idf = ln(n_cells/df)). The report a
+    * curator reads to know what each semantic cluster IS — the textual
+    * face of `kmeans_cells`.
+    *
+    * Scale shape: the heavy side (postings) joins the vocabulary-of-cells
+    * assignment on doc_id, then collapses to a (cells × vocab)-bounded
+    * frame before any window runs; cell-df is a window row count over
+    * that small frame (the tfidfTerms trick), never a self-join. The
+    * assignment comes off the maintained ivf_cells artifact, the tokens
+    * off the maintained postings artifact — no corpus re-scan at all.
+    */
+  def clusterKeywords(
+      spark: SparkSession, sfDir: String, perCell: Int = 5): DataFrame = {
+    val cells = Similarity.kmeansSeedAssign(spark, sfDir)
+      .select(col("vec_id").as("doc_id"), col("cell_id"))
+    val ctf = postingsShared(spark, sfDir)
+      .select(col("doc_id"), col("tok"), col("tf"))
+      .join(cells, Seq("doc_id"))
+      .groupBy(col("cell_id"), col("tok"))
+      .agg(sum(col("tf")).as("tf"))
+    val nCells = ctf
+      .agg(countDistinct(col("cell_id")).cast("double").as("n_cells"))
+    val scored = ctf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .crossJoin(broadcast(nCells))
+      .select(col("cell_id"), col("tok").as("term"), col("tf"),
+        round(col("tf") * log(col("n_cells") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= perCell)
+      .select("cell_id", "term_rank", "term", "tf", "tfidf")
+      .orderBy(col("cell_id").asc, col("term_rank").asc)
+  }
+
   /** Inverted-index build: term → document frequency, total occurrences,
     * and the head of the sorted posting list. The index artifact behind
     * [[bm25]] at scale — materialized once, term-partitioned, then

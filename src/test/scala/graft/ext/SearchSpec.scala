@@ -246,4 +246,32 @@ class SearchSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits"))
     assert(got.toSeq === top.map { case (id, n) => id -> n.toLong })
   }
+
+  test("clusterKeywords: contiguous ranks, terms from own cell, tfidf desc") {
+    val rows = Search.clusterKeywords(spark, sf).collect()
+    val byCell = rows.groupBy(_.getAs[Long]("cell_id"))
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("term_rank"))
+      assert(ranked.map(_.getAs[Int]("term_rank")).toSeq
+        === (1 to ranked.length), "ranks contiguous from 1")
+      assert(ranked.length <= 5)
+      // scores non-increasing in rank order (ties broken by term asc)
+      val scores = ranked.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // every keyword term actually occurs in a document of its own cell
+    val cellOf = graft.ext.Similarity.kmeansSeedAssign(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    val docToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+    val cellVocab = docToks.groupBy { case (id, _) => cellOf(id) }
+      .view.mapValues(_.flatMap(_._2).toSet).toMap
+    rows.foreach { r =>
+      assert(cellVocab(r.getAs[Long]("cell_id"))
+        .contains(r.getAs[String]("term")))
+    }
+  }
 }
