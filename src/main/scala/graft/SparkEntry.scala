@@ -163,6 +163,8 @@ object SparkEntry {
     "rolling_events"     -> ((s, d) => EventAnalytics.rollingCounts(s, d)),
     // ordered view→click→purchase conversion funnel
     "event_funnel"       -> ((s, d) => EventAnalytics.funnel(s, d)),
+    // exact conversion-lag order statistics for funnel completers
+    "funnel_latency"     -> ((s, d) => EventAnalytics.funnelLatency(s, d)),
     // typo-tolerant term search (vocab-level edit distance + broadcast)
     "fuzzy_search"       -> ((s, d) => Search.fuzzySearch(s, d)),
     // per-label embedding L2-norm profile (decimal-summed mean)
@@ -3074,6 +3076,45 @@ object SparkEntry {
         |LEFT JOIN v USING (user_id)
         |LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)""".stripMargin,
+    "funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        |  GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        |  GROUP BY e.user_id
+        |), f AS (
+        |  SELECT epoch_us(v.view_ts) AS vs,
+        |         epoch_us(c.click_ts) AS cs,
+        |         epoch_us(p.purchase_ts) AS ps
+        |  FROM v JOIN c USING (user_id) JOIN p USING (user_id)
+        |), l AS (
+        |  SELECT '1_view_to_click' AS stage, cs - vs AS lag_us FROM f
+        |  UNION ALL SELECT '2_click_to_purchase', ps - cs FROM f
+        |  UNION ALL SELECT '3_view_to_purchase', ps - vs FROM f
+        |)
+        |, r AS (
+        |  SELECT stage, lag_us,
+        |         row_number() OVER (PARTITION BY stage
+        |                            ORDER BY lag_us ASC) AS rk,
+        |         count(*) OVER (PARTITION BY stage) AS n
+        |  FROM l
+        |)
+        |SELECT stage, count(*) AS n_users,
+        |       min(lag_us) AS min_us,
+        |       max(CASE WHEN rk = (n + 1) // 2 THEN lag_us END)
+        |         AS median_us,
+        |       max(CASE WHEN rk = (n * 9 + 9) // 10 THEN lag_us END)
+        |         AS p90_us,
+        |       max(lag_us) AS max_us
+        |FROM r GROUP BY stage ORDER BY stage ASC""".stripMargin,
     "fuzzy_search" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -552,6 +552,71 @@ object EventAnalytics {
         count(col("view_ts")).as("n_viewed"),
         count(col("click_ts")).as("n_clicked_after_view"),
         count(col("purchase_ts")).as("n_purchased_after_click"))
+  }
+
+  /** Conversion-lag profile of the [[funnel]]: for users who complete
+    * view → click → purchase in order, the exact distribution (min /
+    * median / p90 / max seconds) of each stage-to-stage lag. The report
+    * that turns "how many converted" into "how long conversion takes" —
+    * the second question every funnel owner asks.
+    *
+    * Same per-user min-ts chain as [[funnel]] (hash-aggs + joins on
+    * user_id — at scale these co-partition after the first shuffle), then
+    * the completed-funnel frame is |converted users| rows: tiny relative
+    * to the event stream, so exact rank-selected order statistics are
+    * safe here; at corpus-scale cardinalities swap for
+    * `percentile_approx` (mergeable sketch, constant memory).
+    */
+  def funnelLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    // exact integer MICROSECONDS, not a seconds cast: the fixture carries
+    // sub-second timestamps, and Spark's long cast truncates where
+    // DuckDB's double→int cast rounds — micros sidestep the convention
+    def micros(c: Column) = unix_micros(c.cast("timestamp"))
+    val viewed = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val clicked = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+      .join(viewed, Seq("user_id"))
+      .filter(col("cts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("cts")).as("click_ts"))
+    val purchased = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+      .join(clicked, Seq("user_id"))
+      .filter(col("pts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("pts")).as("purchase_ts"))
+    val f = viewed
+      .join(clicked, Seq("user_id"))
+      .join(purchased, Seq("user_id"))
+      .select(
+        micros(col("view_ts")).as("vs"),
+        micros(col("click_ts")).as("cs"),
+        micros(col("purchase_ts")).as("ps"))
+    // exact TYPE-1 (rank-selected) order statistics, no interpolation:
+    // at 1e12-micro magnitudes interpolated percentiles differ in the
+    // last ulp between engines (fma/ordering), and a .5 boundary sits
+    // exactly there — the k-th smallest VALUE is engine-independent.
+    // median rank = ceil(n/2), p90 rank = ceil(0.9n), both in integer
+    // arithmetic; value-at-rank is well-defined under ties.
+    val w = Window.partitionBy(col("stage")).orderBy(col("lag_us").asc)
+    f.selectExpr(
+        """stack(3,
+          |  '1_view_to_click',     cs - vs,
+          |  '2_click_to_purchase', ps - cs,
+          |  '3_view_to_purchase',  ps - vs
+          |) AS (stage, lag_us)""".stripMargin)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stage"))))
+      .groupBy(col("stage"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("lag_us")).as("min_us"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("lag_us")))
+          .as("median_us"),
+        max(when(col("rk") === expr("(n * 9 + 9) div 10"), col("lag_us")))
+          .as("p90_us"),
+        max(col("lag_us")).as("max_us"))
+      .orderBy(col("stage").asc)
   }
 
   /** Fixed-width per-type value histogram — the distribution profile run

@@ -224,6 +224,52 @@ class SearchSpec extends SparkSpec {
     assert(nViewed >= nClicked && nClicked >= nPurchased)
   }
 
+  test("funnelLatency matches brute-force per-user lags and rank statistics") {
+    def epochUs(x: Any): Long = x match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+      case d: java.time.LocalDateTime =>
+        val i = d.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case i: java.time.Instant =>
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    val ev = graft.io.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        epochUs(r.get(2))))
+    def first(rows: Array[(Long, String, Long)], tpe: String,
+        after: Option[Long]): Option[Long] = {
+      val ts = rows.collect { case (_, t, x) if t == tpe => x }
+      val eligible = after.fold(ts)(a => ts.filter(_ > a))
+      if (eligible.isEmpty) None else Some(eligible.min)
+    }
+    val lags = ev.groupBy(_._1).values.flatMap { rows =>
+      for {
+        v <- first(rows, "view", None)
+        c <- first(rows, "click", Some(v))
+        p <- first(rows, "purchase", Some(c))
+      } yield (c - v, p - c, p - v)
+    }.toSeq
+    assert(lags.nonEmpty, "fixture must contain funnel completers")
+    def rankStat(xs: Seq[Long], rank: Int): Long = xs.sorted.apply(rank - 1)
+    val out = EventAnalytics.funnelLatency(spark, sf).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    val n = lags.length
+    val expect = Map(
+      "1_view_to_click" -> lags.map(_._1),
+      "2_click_to_purchase" -> lags.map(_._2),
+      "3_view_to_purchase" -> lags.map(_._3))
+    expect.foreach { case (stage, xs) =>
+      val r = out(stage)
+      assert(r.getAs[Long]("n_users") === n.toLong)
+      assert(r.getAs[Long]("min_us") === xs.min)
+      assert(r.getAs[Long]("max_us") === xs.max)
+      assert(r.getAs[Long]("median_us") === rankStat(xs, (n + 1) / 2))
+      assert(r.getAs[Long]("p90_us") === rankStat(xs, (n * 9 + 9) / 10))
+    }
+  }
+
   test("fuzzySearch expands the typo to near tokens and counts hits per doc") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "text").collect()
