@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, GraftFunctions, MisraGriesAgg, SortedIntersectCount}
+import graft.functions.{DotProduct, GraftFunctions, MisraGriesAgg, SortedIntersectCount, TopKAgg}
 
 /** `spark.sql.extensions` entry point: a deployment that cannot call
   * [[graft.functions.GraftFunctions.register]] programmatically (e.g. a
@@ -39,5 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_heavy_hitters_w"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters_w"),
       GraftFunctions.heavyHittersWeightedBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      GraftFunctions.topKBuilder))
   }
 }

@@ -282,6 +282,10 @@ object SparkEntry {
     // per-session (prompt, chosen, rejected) DPO preference assembly
     "preference_pairs"   -> ((s, d) => EventAnalytics.preferencePairs(s, d)),
     "top_parts_per_brand" -> ((s, d) => EventAnalytics.topPartsPerBrand(s, d)),
+    // same rows via the native mergeable TopKAgg (map-side-combined plan,
+    // no full-extent sort) — hash-checked against the window twin
+    "top_parts_per_brand_agg" -> ((s, d) =>
+      EventAnalytics.topPartsPerBrandAgg(s, d)),
     // per-source curation scorecard: volume + quality + exact-dup rate
     "source_scorecard"   -> ((s, d) => TextStats.sourceScorecard(s, d)),
     // Kneser–Ney continuation/fertility counts for the top vocabulary
@@ -3845,6 +3849,20 @@ object SparkEntry {
         |FROM per_sess GROUP BY user_id
         |ORDER BY user_id ASC""".stripMargin,
     "top_parts_per_brand" ->
+      """WITH ranked AS (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |         row_number() OVER (PARTITION BY p_brand
+        |                            ORDER BY p_retailprice DESC,
+        |                                     p_partkey ASC) AS price_rank
+        |  FROM part
+        |)
+        |SELECT p_brand, price_rank, p_partkey, p_name, p_retailprice
+        |FROM ranked WHERE price_rank <= 3
+        |ORDER BY p_brand ASC, price_rank ASC""".stripMargin,
+    // the aggregate-based variant must produce the IDENTICAL row set —
+    // same window twin on purpose (top-k under a total order is
+    // merge-order independent, so the two plans are value-equal)
+    "top_parts_per_brand_agg" ->
       """WITH ranked AS (
         |  SELECT p_brand, p_partkey, p_name, p_retailprice,
         |         row_number() OVER (PARTITION BY p_brand

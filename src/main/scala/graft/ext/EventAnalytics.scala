@@ -320,6 +320,35 @@ object EventAnalytics {
         col("p_retailprice"))
       .orderBy(col("p_brand").asc, col("price_rank").asc)
 
+  /** [[topPartsPerBrand]] recomputed through the native mergeable
+    * [[graft.functions.TopKAgg]] aggregate — identical rows (hash-checked
+    * against the SAME window-twin oracle), different physical plan: the
+    * window form sorts every brand's full extent after the shuffle; this
+    * form reduces each map task to ≤ k pairs per brand BEFORE the
+    * exchange (ObjectHashAggregate partial merge), so the shuffle carries
+    * |brands|·k fixed-size buffers and no full-extent sort ever runs —
+    * the grouped-top-k plan that survives 100 TB. Wide columns (p_name)
+    * are fetched AFTER selection by a broadcast join of the winners-only
+    * frame — rows that lose the top-k never materialize their payload.
+    */
+  def topPartsPerBrandAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val parts = Tables.part(spark, sfDir)
+    val winners = parts
+      .groupBy(col("p_brand"))
+      .agg(expr("graft_topk(p_retailprice, p_partkey, 3)").as("top"))
+      .select(col("p_brand"),
+        posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("p_brand"),
+        (col("pos") + 1).cast("int").as("price_rank"),
+        col("s.id").as("p_partkey"))
+    parts.select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .join(broadcast(winners), Seq("p_partkey"))
+      .select(col("p_brand"), col("price_rank"), col("p_partkey"),
+        col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_brand").asc, col("price_rank").asc)
+  }
+
   /** Hourly volume anomalies per event type: hours whose event count sits
     * more than `zThreshold` sample standard deviations from that type's
     * hourly mean — the monitoring query behind ingestion alerting (traffic

@@ -176,6 +176,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters_w", heavyHittersWeightedBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", topKBuilder, "built-in")
   }
 
   /** capacity must be a foldable integer literal — evaluate it now so a
@@ -185,6 +187,16 @@ object GraftFunctions {
     if (!k.foldable)
       throw new IllegalArgumentException(s"$name: capacity must be a literal")
     k.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** `graft_topk(score, id, k)` — bounded mergeable grouped top-k
+    * ([[TopKAgg]]); k must be a literal, enforced at analysis.
+    */
+  private[graft] val topKBuilder: Seq[Expression] => Expression = { children =>
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_topk requires exactly 3 arguments, got ${children.length}")
+    TopKAgg(children(0), children(1), literalCapacity("graft_topk", children(2)))
   }
 
   /** `graft_heavy_hitters_w(item, weight, k)` — the weighted Misra–Gries
