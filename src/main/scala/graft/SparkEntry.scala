@@ -319,6 +319,9 @@ object SparkEntry {
       EventAnalytics.incrementalDailyCounts(s, d)),
     // TPC-H Q1 shape: the scan-bound codegen showcase, decimal-exact sums
     "pricing_summary"    -> ((s, d) => Marketplace.pricingSummary(s, d)),
+    // Q5-shaped 6-table join: revenue per nation, same-nation cust/supp
+    "local_supplier_volume" -> ((s, d) =>
+      Marketplace.localSupplierVolume(s, d)),
     // time-series repair: absent hours linearly interpolated (level form)
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
@@ -4108,6 +4111,32 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "local_supplier_volume" ->
+      """WITH n AS (
+        |  SELECT n_nationkey, n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |              AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem
+        |), o AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |)
+        |SELECT n.n_name,
+        |       round(CAST(sum(l.rev) AS DOUBLE), 6) AS revenue,
+        |       count(*) AS n_items
+        |FROM l
+        |JOIN o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |              AND c.c_nationkey = s.s_nationkey
+        |JOIN n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "pricing_summary" ->
       """WITH l AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -385,4 +385,56 @@ object Marketplace {
         col("count_order"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)
   }
+
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    * orders where the customer and the line's supplier share that nation,
+    * restricted to one region and one order-date year. The deepest join
+    * chain in the registry (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈
+    * nation ⋈ region) — the query that exercises Catalyst's join
+    * planning the way a warehouse workload does.
+    *
+    * Scale decisions, explicitly: nation⋈region (≤ 25 rows) broadcasts to
+    * both sides; the date predicate lands on the orders SCAN (pushed
+    * filter, partition-prunable on a date-partitioned layout); the only
+    * big-big join is lineitem ⋈ orders on the order key; customer and
+    * supplier are left to AQE — broadcast at this SF, shuffle-join at
+    * warehouse scale where neither fits an executor. Revenue uses the
+    * pricing_summary decimal-sum convention (terms rounded to 6dp,
+    * DECIMAL(18,6) exact sums, presented as rounded double), so the
+    * result — including the revenue-desc ORDER — is bit-identical
+    * cross-engine.
+    */
+  def localSupplierVolume(
+      spark: SparkSession, sfDir: String, region: String = "ASIA",
+      from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame = {
+    def dec(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val nations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).as("__rev"), count(lit(1)).as("n_items"))
+      .select(col("n_name"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        col("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
 }
