@@ -322,6 +322,9 @@ object SparkEntry {
     // Q5-shaped 6-table join: revenue per nation, same-nation cust/supp
     "local_supplier_volume" -> ((s, d) =>
       Marketplace.localSupplierVolume(s, d)),
+    // Q17-shaped correlated scalar agg: per-part threshold joined back
+    "small_quantity_revenue" -> ((s, d) =>
+      Marketplace.smallQuantityRevenue(s, d)),
     // time-series repair: absent hours linearly interpolated (level form)
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
@@ -4111,6 +4114,25 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "small_quantity_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity,
+        |         CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)) AS price
+        |  FROM lineitem
+        |), t AS (
+        |  SELECT l_partkey,
+        |         CAST(0.2 AS DOUBLE) * (sum(l_quantity) / count(*)) AS t
+        |  FROM li GROUP BY 1
+        |), q AS (
+        |  SELECT li.l_partkey, li.price
+        |  FROM li JOIN t USING (l_partkey)
+        |  WHERE li.l_quantity < t.t
+        |)
+        |SELECT p.p_brand,
+        |       round(CAST(sum(q.price) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       count(*) AS n_items
+        |FROM q JOIN part p ON q.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
     "local_supplier_volume" ->
       """WITH n AS (
         |  SELECT n_nationkey, n_name

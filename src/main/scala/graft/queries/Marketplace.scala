@@ -437,4 +437,39 @@ object Marketplace {
         col("n_items"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
+
+  /** TPC-H Q17-shaped small-quantity revenue: per brand, the revenue
+    * carried by line items whose quantity sits below 20% of that PART's
+    * average quantity (divided by 7 — the "yearly loss to small orders"
+    * presentation). The correlated-scalar-aggregate pattern: in SQL this
+    * is a correlated subquery per row; here (and in Catalyst's own
+    * decorrelation) it is one hash-agg building the per-part threshold
+    * frame joined back to the stream — the shape that scales, because
+    * the threshold frame is |parts| rows, co-partitioned with the join
+    * key the stream already shuffles on.
+    *
+    * Determinism: the threshold is `0.2 · (Σqty / n)` in exactly that
+    * association — quantities are integer-valued doubles, so Σ is exact,
+    * the division correctly rounded, and both engines evaluate the same
+    * two IEEE ops; revenue uses the decimal-sum convention.
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    def dec(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        dec(col("l_extendedprice")).as("price"))
+    val thresh = li.groupBy(col("l_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("t"))
+    li.join(thresh, Seq("l_partkey"))
+      .where(col("l_quantity") < col("t"))
+      .join(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price")).as("__r"), count(lit(1)).as("n_items"))
+      .select(col("p_brand"),
+        round(col("__r").cast("double") / lit(7.0), 6).as("avg_yearly"),
+        col("n_items"))
+      .orderBy(col("p_brand").asc)
+  }
 }

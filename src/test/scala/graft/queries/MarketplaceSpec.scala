@@ -92,4 +92,32 @@ class MarketplaceSpec extends SparkSpec {
     val revs = out.map(_.getAs[Double]("revenue"))
     assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("smallQuantityRevenue matches a brute-force threshold replay") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .selectExpr("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brand = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val thresh = li.groupBy(_._1).view.mapValues { rs =>
+      0.2 * (rs.map(_._2).sum / rs.length)
+    }.toMap
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = li.filter { case (pk, q, _) => q < thresh(pk) }
+      .groupBy { case (pk, _, _) => brand(pk) }
+      .view.mapValues { rs =>
+        val r = rs.map { case (_, _, p) => dec6(p) }.sum
+        ((r / 7).toDouble, rs.length.toLong)
+      }.toMap
+    val got = Marketplace.smallQuantityRevenue(spark, sf).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        ((r.getAs[Double]("avg_yearly"), r.getAs[Long]("n_items")))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (b, (rev, n)) =>
+      assert(n === expect(b)._2, s"brand $b item count")
+      assert(math.abs(rev - expect(b)._1) < 1e-6, s"brand $b revenue")
+    }
+  }
 }
