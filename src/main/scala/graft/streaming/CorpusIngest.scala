@@ -453,6 +453,33 @@ object CorpusIngest {
     val words = batch.select(explode(
       expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
       .as("item")).withColumn("weight", lit(1L))
+    runningSummaryBatch(spark, summaryPath, batchId, "heavyHitterBatch") {
+      prior =>
+        val priorRows = prior
+          .map(_.select(col("item"), col("count_est").as("weight")))
+          .getOrElse(words.limit(0).select(col("item"), col("weight")))
+        words.unionByName(priorRows)
+          .agg(expr(s"graft_heavy_hitters_w(item, weight, $k)").as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item").as("item"), col("e.count_est"))
+    }
+  }
+
+  /** Shared generation-rotation discipline for RUNNING mergeable
+    * summaries (`live` / `__prev` / `__next` dirs, batch_id-stamped):
+    * reads the pre-batch state, hands it to `mergeWithPrior` (None =
+    * first batch or crash-window retry whose pre-batch state is `__prev`
+    * handled here), stamps the result with batch_id and publishes it
+    * with the crash-safe delete/rename pair. Replay semantics (the
+    * crash-window contracts the torn-write specs pin): a live generation
+    * stamped ≥ the current batch is this batch's own stale attempt —
+    * dropped, never rotated, so `__prev` keeps the pre-batch state for
+    * further retries; an out-of-order `__prev` (stamped ≥ current) fails
+    * loudly rather than double-counting.
+    */
+  private[graft] def runningSummaryBatch(
+      spark: SparkSession, statePath: String, batchId: Long, tag: String)(
+      mergeWithPrior: Option[DataFrame] => DataFrame): Unit = {
     // missing state (first batch, or a generation lost to the crash
     // window) is the ONLY silent fallback — any other read failure must
     // surface, not silently reset the stream's summary
@@ -463,40 +490,34 @@ object CorpusIngest {
         Some(df)
       } catch { case _: org.apache.spark.sql.AnalysisException => None
                 case _: java.util.NoSuchElementException => None }
-    val liveState = readState(summaryPath)
+    val liveState = readState(statePath)
     // live stamped ≥ this batch = this batch's own earlier attempt (replay)
     val liveIsReplay = liveState.exists(
       _.select(max(col("batch_id"))).first().getLong(0) >= batchId)
-    val prior = (if (liveState.isDefined && !liveIsReplay) liveState
+    val prior = if (liveState.isDefined && !liveIsReplay) liveState
     else {
       // live is this batch's stale attempt (replay) or missing (crash
       // window): the pre-batch state lives in __prev
-      val prevState = readState(summaryPath + "__prev")
+      val prevState = readState(statePath + "__prev")
       prevState.foreach { p =>
         val pb = p.select(max(col("batch_id"))).first().getLong(0)
         if (pb >= batchId) throw new IllegalStateException(
-          s"heavyHitterBatch: __prev generation is stamped batch $pb >= " +
+          s"$tag: __prev generation is stamped batch $pb >= " +
             s"current batch $batchId — pre-batch state is unrecoverable; " +
             "refusing to double-count")
       }
       if (prevState.isEmpty && liveIsReplay && batchId > 0L)
         throw new IllegalStateException(
-          s"heavyHitterBatch: replaying batch $batchId but no __prev " +
+          s"$tag: replaying batch $batchId but no __prev " +
             "generation exists — pre-batch state lost; refusing to guess")
       prevState
-    })
-      .map(_.select(col("item"), col("count_est").as("weight")))
-      .getOrElse(words.limit(0).select(col("item"), col("weight")))
-    val merged = words.unionByName(prior)
-      .agg(expr(s"graft_heavy_hitters_w(item, weight, $k)").as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.item").as("item"), col("e.count_est"),
-        lit(batchId).as("batch_id"))
-    val fs = new org.apache.hadoop.fs.Path(summaryPath)
+    }
+    val merged = mergeWithPrior(prior).withColumn("batch_id", lit(batchId))
+    val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(summaryPath + "__next")
-    val prev = new org.apache.hadoop.fs.Path(summaryPath + "__prev")
-    val live = new org.apache.hadoop.fs.Path(summaryPath)
+    val tmp = new org.apache.hadoop.fs.Path(statePath + "__next")
+    val prev = new org.apache.hadoop.fs.Path(statePath + "__prev")
+    val live = new org.apache.hadoop.fs.Path(statePath)
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (liveIsReplay) {
       // live is this batch's own stale attempt: drop it so __prev keeps the
@@ -506,7 +527,7 @@ object CorpusIngest {
       if (fs.exists(prev)) fs.delete(prev, true)
       if (!fs.rename(live, prev))
         throw new IllegalStateException(
-          s"heavyHitterBatch: failed to rotate $summaryPath to __prev")
+          s"$tag: failed to rotate $statePath to __prev")
     }
     // no live and not a replay = the crash-window retry (live was already
     // rotated to __prev by the crashed attempt): __prev IS the pre-batch
@@ -516,9 +537,52 @@ object CorpusIngest {
     // crashes before the rename, silently resetting the summary
     if (!fs.rename(tmp, live))
       throw new IllegalStateException(
-        s"heavyHitterBatch: failed to publish $summaryPath")
+        s"$tag: failed to publish $statePath")
     ()
   }
+
+  /** One batch of [[topKMonitor]]: merge the batch's top-k with the
+    * stored one. Unlike the Misra–Gries summary, this running state is
+    * EXACT, not an estimate — top-k under the (score desc, id asc) total
+    * order is exactly mergeable (top-k of a union = top-k of the
+    * per-part top-ks), so the stream's answer equals the batch answer
+    * over the whole history at ≤ k rows of state.
+    */
+  private[graft] def topKBatch(
+      batch: DataFrame, statePath: String, batchId: Long, k: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val scored = batch.select(
+      col("n_chars").cast("double").as("score"), col("doc_id").as("id"))
+    runningSummaryBatch(spark, statePath, batchId, "topKBatch") { prior =>
+      val priorRows = prior.map(_.select(col("score"), col("id")))
+        .getOrElse(scored.limit(0))
+      scored.unionByName(priorRows)
+        .agg(expr(s"graft_topk(score, id, $k)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.score").as("score"), col("e.id").as("id"))
+    }
+  }
+
+  /** Streaming top-k monitor: the RUNNING k highest-scoring documents
+    * seen on the stream (score = n_chars here; any numeric works),
+    * maintained by merging each micro-batch's top-k into the stored one
+    * under the [[runningSummaryBatch]] crash discipline. The exact
+    * streaming face of [[graft.functions.TopKAgg]]'s mergeability —
+    * state is ≤ k rows regardless of stream length, never re-reads the
+    * corpus, and the answer is EXACT over the whole history.
+    */
+  def topKMonitor(
+      docs: DataFrame,
+      statePath: String,
+      checkpoint: String,
+      k: Int = 16): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topKBatch(batch, statePath, batchId, k)
+      }
+      .start()
 
   /** Streaming heavy-hitter monitor: a RUNNING Misra–Gries summary of the
     * token stream, maintained by merging each micro-batch's summary into

@@ -358,6 +358,42 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topKMonitor: running top-k is EXACT over the whole stream; replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_topk_mon").toString
+    val input = MemoryStream[(Long, Long)]
+    val docs = input.toDF().selectExpr("_1 AS doc_id", "_2 AS n_chars")
+    val q = CorpusIngest.topKMonitor(docs, s"$dir/state", s"$dir/ckpt", k = 3)
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def feed(batch: Seq[(Long, Long)]): Unit = {
+      input.addData(batch)
+      q.processAllAvailable()
+      all ++= batch
+    }
+    def state(): Seq[(Double, Long)] =
+      spark.read.parquet(s"$dir/state")
+        .select("score", "id").collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+        .sortBy { case (s, i) => (-s, i) }
+    try {
+      feed(Seq((1L, 10L), (2L, 50L), (3L, 30L)))
+      feed(Seq((4L, 50L), (5L, 5L)))
+      // exact: top-3 of everything seen so far, score desc / id asc
+      val expect = all.map { case (id, n) => (n.toDouble, id) }
+        .sortBy { case (s, i) => (-s, i) }.take(3)
+      assert(state() === expect)
+      feed(Seq((6L, 99L)))
+      val expect2 = all.map { case (id, n) => (n.toDouble, id) }
+        .sortBy { case (s, i) => (-s, i) }.take(3)
+      assert(state() === expect2)
+      // crash-retry: replaying the last batch must not change the state
+      val b = Seq((6L, 99L)).toDF("doc_id", "n_chars")
+      CorpusIngest.topKBatch(b, s"$dir/state", batchId = 2L, k = 3)
+      assert(state() === expect2, "replay changed the exact running top-k")
+    } finally q.stop()
+  }
+
   test("heavyHitterBatch: replaying a batch is idempotent (crash-retry path)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hh_replay").toString
