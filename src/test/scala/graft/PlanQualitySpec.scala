@@ -519,4 +519,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LocalTableScan"), p.take(2000))
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("round-8b queries: keyed joins, top-n plans, combined grouped top-k") {
+    for (q <- Seq("er_name_matches", "er_golden_records", "funnel_latency",
+      "weighted_sample", "filter_attribution", "local_supplier_volume",
+      "small_quantity_revenue")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // cluster_keywords attaches the 1-row n_cells total by broadcast and
+    // retrieval_metrics the 1-row probe/exact-set — the accepted
+    // scalar-attach BNLJ — so only cartesians are banned for them
+    for (q <- Seq("cluster_keywords", "retrieval_metrics"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
+    // the A-ES weighted sample is per-partition top-n, never a global sort
+    assert(plan("weighted_sample").contains("TakeOrderedAndProject"))
+    // grouped top-k via the native aggregate: map-side partial combine,
+    // no window operator, no full-extent sort
+    val tk = plan("top_parts_per_brand_agg")
+    assert(tk.contains("partial_graft_topk"), tk.take(2000))
+    assert(!tk.contains("Window"), tk.take(2000))
+    // Q5: the date range reaches the orders scan; nation⋈region broadcasts
+    val q5 = plan("local_supplier_volume")
+    assert(q5.contains("GreaterThanOrEqual(o_orderdate"), q5.take(2000))
+    assert(q5.contains("BroadcastHashJoin"), q5.take(2000))
+  }
 }
