@@ -81,6 +81,9 @@ object SparkEntry {
     // that symmetric Jaccard structurally misses
     "containment_pairs"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
+    // simhash candidate recall vs the SAME slice truth as lsh_recall —
+    // the MinHash/SimHash/prefix-filter quality triangle, one truth set
+    "simhash_recall"     -> ((s, d) => Dedup.simhashRecallSampled(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -277,6 +280,18 @@ object SparkEntry {
     "errors_during_sessions" -> ((s, d) => EventAnalytics.errorsDuringSessions(s, d)),
     "user_distinct_values"   -> ((s, d) => EventAnalytics.distinctValuesPerUser(s, d)),
     "sessionize"         -> ((s, d) => EventAnalytics.sessionize(s, d)),
+    // sweep-line interval overlap: peak concurrent sessions per hour via
+    // a TWO-LEVEL prefix sum (in-hour run + tiny carry frame — no global
+    // single-reducer running sum)
+    "peak_concurrency"   -> ((s, d) => EventAnalytics.peakConcurrency(s, d)),
+    // Spark-native session_window aggregate (the streaming-ready form);
+    // twin restates the merge rule as gaps-and-islands — boundary-verified
+    // by ConcurrencySpec: an event at EXACTLY prev+gap merges (same `>`
+    // split rule as the manual sessionize pass)
+    "session_windows"    -> ((s, d) => EventAnalytics.sessionWindowsNative(s, d)),
+    // as-of join with staleness tolerance: last-touch attribution —
+    // purchase ← most recent view by the same user within the lookback
+    "purchase_attribution" -> ((s, d) => EventAnalytics.purchaseAttribution(s, d)),
     // conversation -> (context, response) SFT pair assembly
     "sft_pairs"          -> ((s, d) => EventAnalytics.sftPairs(s, d)),
     // per-session (prompt, chosen, rejected) DPO preference assembly
@@ -325,6 +340,18 @@ object SparkEntry {
     // Q17-shaped correlated scalar agg: per-part threshold joined back
     "small_quantity_revenue" -> ((s, d) =>
       Marketplace.smallQuantityRevenue(s, d)),
+    // Q15-shaped correlated max: top supplier(s) by quarter revenue,
+    // decorrelated as a broadcast 1-row max join (ties kept, exact)
+    "top_supplier_revenue" -> ((s, d) =>
+      Marketplace.topSupplierRevenue(s, d)),
+    // Q21-shaped exists/not-exists pair, decorrelated as one per-order
+    // countDistinct frame (sole 'R'-flagged supplier in shared orders)
+    "sole_return_supplier" -> ((s, d) =>
+      Marketplace.soleReturnSupplier(s, d)),
+    // Q2-shaped min-cost supplier per part via mergeable min(struct(...))
+    // (lineitem-derived supply costs; no window, no correlated rescan)
+    "min_cost_supplier" -> ((s, d) =>
+      Marketplace.minCostSupplier(s, d)),
     // time-series repair: absent hours linearly interpolated (level form)
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
@@ -424,6 +451,100 @@ object SparkEntry {
          |    AS n_unreferenced_parents""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY child_table ASC, fk_column ASC")
   }
+
+  /** Shared truth CTEs for the candidate-recall audits: lossless
+    * prefix-filter exact-Jaccard (≥ 0.5) pairs over the sha-bucketed 1/8
+    * slice of `sh` (from [[minHashOracleCtes]]) — ends at `truth`.
+    * Appended by `lsh_recall_sampled` and `simhash_recall` so both
+    * families are measured against the IDENTICAL truth set.
+    */
+  private def sliceTruthCtes: String =
+    """, shr AS (
+      |  SELECT DISTINCT doc_id, shh FROM sh
+      |  WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0
+      |), dfreq AS (
+      |  SELECT shh, count(*) AS df FROM shr GROUP BY shh
+      |), szr AS (
+      |  SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
+      |), rk2 AS (
+      |  SELECT s.doc_id, s.shh, d.df,
+      |         row_number() OVER (PARTITION BY s.doc_id
+      |                            ORDER BY d.df ASC, s.shh ASC) AS rk
+      |  FROM shr s JOIN dfreq d USING (shh)
+      |), pre AS (
+      |  SELECT r.doc_id, r.shh FROM rk2 r JOIN szr z USING (doc_id)
+      |  WHERE r.rk <= z.n - ceil(0.5 * z.n) + 1 AND r.df <= 256
+      |), cand2 AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id
+      |), isect2 AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand2 c
+      |  JOIN shr a ON a.doc_id = c.doc_a
+      |  JOIN shr b ON b.doc_id = c.doc_b AND b.shh = a.shh
+      |  GROUP BY 1, 2
+      |), truth AS (
+      |  SELECT i.doc_a, i.doc_b
+      |  FROM isect2 i JOIN szr sa ON sa.doc_id = i.doc_a
+      |                JOIN szr sb ON sb.doc_id = i.doc_b
+      |  WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
+      |          >= 0.5
+      |)""".stripMargin
+
+  /** 60-bit sha-simhash signatures + 4×15-bit chunk banding + hamming ≤ 3
+    * pairs over the sha-bucketed 1/8 document slice — the dedup_simhash
+    * twin's chain, sv-prefixed so it composes with [[minHashOracleCtes]]
+    * (whose names it would otherwise collide with), ending at `shamm`.
+    */
+  private def simhashSliceCtes: String = {
+    val votes = (0 until 60)
+      .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until 60)
+      .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s""", svtoks0 AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |           regexp_split_to_array(lower(text), '\\s+'),
+       |           t -> t <> '')) AS tok
+       |  FROM documents
+       |  WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0
+       |), svtoks AS (
+       |  SELECT doc_id, ('0x' || substr(sha256(tok), 1, 15))::BIGINT AS th
+       |  FROM svtoks0
+       |), svoted AS (
+       |  SELECT doc_id, $votes FROM svtoks GROUP BY doc_id
+       |), ssig AS (
+       |  SELECT doc_id, $bits AS simhash FROM svoted
+       |), schunked AS (
+       |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
+       |  FROM ssig, unnest(range(0, 4, 1)) AS u(c)
+       |), shamm AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM schunked a JOIN schunked b ON a.c = b.c AND a.cv = b.cv
+       |   AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |)""".stripMargin
+  }
+
+  /** Final recall SELECT: full-outer `truth` vs the `candCte` pair list,
+    * counting truth / candidates / found and the recall ratio (1.0 on an
+    * empty truth, matching [[graft.ext.Dedup]]'s recallReport).
+    */
+  private def recallReportSql(candCte: String, candAlias: String): String =
+    s""", jrep AS (
+       |  SELECT t2.doc_a IS NOT NULL AS in_t, l.doc_a IS NOT NULL AS in_l
+       |  FROM truth t2 FULL OUTER JOIN $candCte l
+       |    ON t2.doc_a = l.doc_a AND t2.doc_b = l.doc_b
+       |)
+       |SELECT count(CASE WHEN in_t THEN 1 END) AS n_true_pairs,
+       |       count(CASE WHEN in_l THEN 1 END) AS $candAlias,
+       |       count(CASE WHEN in_t AND in_l THEN 1 END) AS n_found,
+       |       CASE WHEN count(CASE WHEN in_t THEN 1 END) = 0 THEN 1.0::DOUBLE
+       |            ELSE count(CASE WHEN in_t AND in_l THEN 1 END)::DOUBLE
+       |                 / count(CASE WHEN in_t THEN 1 END)::DOUBLE
+       |       END AS recall
+       |FROM jrep""".stripMargin
 
   private def minHashOracleCtes(docSource: String = "documents"): String = {
     val slots = (0 until 64)
@@ -1545,54 +1666,18 @@ object SparkEntry {
     // both endpoints in the slice. `sh` comes from the full-corpus CTEs;
     // the truth side mirrors the jaccard_prefix twin over the slice's
     // hash-distinct shingle rows.
-    "lsh_recall_sampled" -> (minHashOracleCtes() +
-      """, shr AS (
-        |  SELECT DISTINCT doc_id, shh FROM sh
-        |  WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 = 0
-        |), dfreq AS (
-        |  SELECT shh, count(*) AS df FROM shr GROUP BY shh
-        |), szr AS (
-        |  SELECT doc_id, count(*) AS n FROM shr GROUP BY doc_id
-        |), rk2 AS (
-        |  SELECT s.doc_id, s.shh, d.df,
-        |         row_number() OVER (PARTITION BY s.doc_id
-        |                            ORDER BY d.df ASC, s.shh ASC) AS rk
-        |  FROM shr s JOIN dfreq d USING (shh)
-        |), pre AS (
-        |  SELECT r.doc_id, r.shh FROM rk2 r JOIN szr z USING (doc_id)
-        |  WHERE r.rk <= z.n - ceil(0.5 * z.n) + 1 AND r.df <= 256
-        |), cand2 AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id
-        |), isect2 AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-        |  FROM cand2 c
-        |  JOIN shr a ON a.doc_id = c.doc_a
-        |  JOIN shr b ON b.doc_id = c.doc_b AND b.shh = a.shh
-        |  GROUP BY 1, 2
-        |), truth AS (
-        |  SELECT i.doc_a, i.doc_b
-        |  FROM isect2 i JOIN szr sa ON sa.doc_id = i.doc_a
-        |                JOIN szr sb ON sb.doc_id = i.doc_b
-        |  WHERE inter::DOUBLE / (sa.n::DOUBLE + sb.n::DOUBLE - inter::DOUBLE)
-        |          >= 0.5
-        |), lshp AS (
+    "lsh_recall_sampled" -> (minHashOracleCtes() + sliceTruthCtes +
+      """, lshp AS (
         |  SELECT doc_a, doc_b FROM scored
         |  WHERE ('0x' || substr(sha256(doc_a::VARCHAR), 1, 8))::BIGINT % 8 = 0
         |    AND ('0x' || substr(sha256(doc_b::VARCHAR), 1, 8))::BIGINT % 8 = 0
-        |), j AS (
-        |  SELECT t2.doc_a IS NOT NULL AS in_t, l.doc_a IS NOT NULL AS in_l
-        |  FROM truth t2 FULL OUTER JOIN lshp l
-        |    ON t2.doc_a = l.doc_a AND t2.doc_b = l.doc_b
-        |)
-        |SELECT count(CASE WHEN in_t THEN 1 END) AS n_true_pairs,
-        |       count(CASE WHEN in_l THEN 1 END) AS n_lsh_pairs,
-        |       count(CASE WHEN in_t AND in_l THEN 1 END) AS n_found,
-        |       CASE WHEN count(CASE WHEN in_t THEN 1 END) = 0 THEN 1.0::DOUBLE
-        |            ELSE count(CASE WHEN in_t AND in_l THEN 1 END)::DOUBLE
-        |                 / count(CASE WHEN in_t THEN 1 END)::DOUBLE
-        |       END AS recall
-        |FROM j""".stripMargin),
+        |)""".stripMargin + recallReportSql("lshp", "n_lsh_pairs")),
+    // SimHash candidate recall against the SAME slice truth — the twin
+    // rebuilds the 60-bit signatures over slice docs only (lossless: a
+    // signature depends only on its own document), then the 4×15-bit
+    // chunk banding and the hamming gate, exactly as dedup_simhash does
+    "simhash_recall" -> (minHashOracleCtes() + sliceTruthCtes +
+      simhashSliceCtes + recallReportSql("shamm", "n_simhash_pairs")),
     "embedding_drift" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -3550,6 +3635,78 @@ object SparkEntry {
         |FROM bounds b JOIN err e ON e.ts >= b.s_start AND e.ts <= b.s_end
         |GROUP BY b.user_id
         |ORDER BY b.user_id ASC""".stripMargin,
+    "peak_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |), sb AS (
+        |  SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+        |  FROM sess GROUP BY 1, 2
+        |), b AS (
+        |  SELECT st AS ts, 1 AS delta FROM sb
+        |  UNION ALL
+        |  SELECT en AS ts, -1 AS delta FROM sb
+        |), r AS (
+        |  SELECT ts, delta,
+        |         sum(delta) OVER (ORDER BY ts ASC, delta DESC
+        |                          ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b
+        |)
+        |SELECT date_trunc('hour', ts) AS hour,
+        |       CAST(max(run) AS BIGINT) AS peak_concurrency,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_starts,
+        |       CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_ends
+        |FROM r GROUP BY 1 ORDER BY hour ASC""".stripMargin,
+    "session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |                        ORDER BY ts ASC, event_id ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_errors
+        |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id ASC, session_start ASC""".stripMargin,
+    "purchase_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       CASE WHEN v.ts IS NOT NULL
+        |                 AND v.ts >= p.ts - INTERVAL 360 MINUTE
+        |            THEN v.view_id ELSE -1 END AS attributed_view
+        |FROM p
+        |ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id ASC""".stripMargin,
     "events_asof_orders" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
@@ -4133,6 +4290,71 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM q JOIN part p ON q.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
+    "top_supplier_revenue" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(round(l_extendedprice * (1.0 - l_discount), 6)
+        |                  AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name,
+        |       round(CAST(r.rev AS DOUBLE), 6) AS total_revenue
+        |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev = (SELECT max(rev) FROM r)
+        |ORDER BY s.s_suppkey ASC""".stripMargin,
+    "sole_return_supplier" ->
+      """WITH os AS (
+        |  SELECT l_orderkey
+        |  FROM lineitem
+        |  GROUP BY 1
+        |  HAVING count(DISTINCT l_suppkey) > 1
+        |     AND count(DISTINCT CASE WHEN l_returnflag = 'R'
+        |                             THEN l_suppkey END) = 1
+        |), cand AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |)
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM cand JOIN os USING (l_orderkey)
+        |JOIN supplier s ON cand.l_suppkey = s.s_suppkey
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 25""".stripMargin,
+    "min_cost_supplier" ->
+      """WITH n AS (
+        |  SELECT n_nationkey, n_name
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), sp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN n ON s_nationkey = n_nationkey
+        |), c AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |         min(CAST(round(l.l_extendedprice / l.l_quantity, 6)
+        |                  AS DECIMAL(18,6))) AS cost
+        |  FROM lineitem l JOIN sp ON l.l_suppkey = sp.s_suppkey
+        |  WHERE l.l_quantity > 0
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l_partkey, min(cost) AS mc FROM c GROUP BY 1
+        |), w AS (
+        |  SELECT c.l_partkey, c.cost AS supply_cost,
+        |         min(c.l_suppkey) AS win_suppkey
+        |  FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cost = m.mc
+        |  GROUP BY 1, 2
+        |)
+        |SELECT sp.s_acctbal, sp.s_name, sp.n_name,
+        |       p.p_partkey, p.p_name,
+        |       round(CAST(w.supply_cost AS DOUBLE), 6) AS supply_cost
+        |FROM w
+        |JOIN part p ON w.l_partkey = p.p_partkey AND p.p_size <= 15
+        |JOIN sp ON w.win_suppkey = sp.s_suppkey
+        |ORDER BY sp.s_acctbal DESC, sp.n_name ASC, sp.s_name ASC,
+        |         p.p_partkey ASC
+        |LIMIT 100""".stripMargin,
     "local_supplier_volume" ->
       """WITH n AS (
         |  SELECT n_nationkey, n_name

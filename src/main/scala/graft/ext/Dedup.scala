@@ -957,6 +957,32 @@ object Dedup {
         .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
   }
 
+  /** Recall of the SIMHASH candidate stage (4-chunk banding + hamming ≤
+    * `maxHamming`) against the same lossless exact-Jaccard truth
+    * [[lshRecallSampled]] audits MinHash with — the third leg of the
+    * candidate-generation quality triangle (MinHash / SimHash / prefix
+    * filter all measured against one truth on one slice, so their recalls
+    * are directly comparable).
+    *
+    * SimHash targets cosine-of-token-distribution, not Jaccard, so its
+    * recall at a Jaccard-0.5 truth is EXPECTED to trail MinHash — that gap
+    * is the measurement: it is the number that justifies which family a
+    * 100 TB dedup pipeline banks on. Signatures restrict to the slice
+    * losslessly (a signature depends only on its own document).
+    */
+  def simhashRecallSampled(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.5,
+      sampleMod: Int = 8, maxPrefixDf: Long = 256L,
+      maxHamming: Int = 3): DataFrame = {
+    def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
+    val docs = Tables.documents(spark, sfDir).filter(inSlice(col("doc_id")))
+    recallReport(
+      jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),
+      simHashPairs(spark, sfDir, maxHamming, twinnable = true)
+        .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
+      .withColumnRenamed("n_lsh_pairs", "n_simhash_pairs")
+  }
+
   /** One-row recall report from the lossless truth and the LSH pair list
     * (shared by [[lshRecall]] and [[lshRecallSampled]]).
     */

@@ -876,4 +876,123 @@ object EventAnalytics {
             / (col("__nh") - col("__ph")).cast("double")), 6).as("value"))
       .orderBy(col("event_type").asc, col("hour").asc)
   }
+
+  /** Peak concurrent sessions per hour — the sweep-line interval-overlap
+    * aggregate (capacity planning / rate-limit sizing), computed WITHOUT
+    * a global single-reducer running sum.
+    *
+    * Sweep semantics: each session contributes (+1 at start, −1 at end),
+    * inclusive overlap — at equal timestamps starts order before ends
+    * (`delta desc`), so a session ending exactly when another starts
+    * counts as overlapping. `concurrency(t) = Σ deltas ≤ (t, start-first)`.
+    *
+    * The prefix sum is TWO-LEVEL, the same decomposition as
+    * [[graft.ops.Ranks]]: an in-bucket running sum partitioned by the
+    * hour (each hour's boundaries sort in one task), plus each hour's
+    * carry-in — the cumulative sum of PRIOR hours' deltas, computed on
+    * the |hours|-row aggregate frame (its single-partition window runs
+    * over a tiny post-agg frame, the PlanQualitySpec-sanctioned shape).
+    * No task ever sees more than one hour's boundaries; at 100 TB the
+    * bucket would be the day/shard key, same algebra.
+    *
+    * Determinism: within equal (ts, delta) the prefix-value MULTISET is
+    * permutation-invariant (equal summands), so per-hour `max` is exact
+    * cross-engine — no tie column beyond `delta` is needed.
+    */
+  def peakConcurrency(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame = {
+    val sessions = withSessionIds(spark, sfDir, gapMinutes)
+      .groupBy(col("user_id"), col("__sess_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val boundaries = sessions
+      .select(col("s_start").as("ts"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("s_end").as("ts"), lit(-1L).as("delta")))
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val inHour = Window.partitionBy(col("hour"))
+      .orderBy(col("ts").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = boundaries
+      .withColumn("__run", sum(col("delta")).over(inHour))
+    // carry-in per hour: cumulative total of all PRIOR hours' deltas —
+    // |hours| rows, windowed above the aggregate (tiny frame)
+    val carry = boundaries.groupBy(col("hour"))
+      .agg(sum(col("delta")).as("__tot"))
+      .withColumn("__carry",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("hour").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("hour"), col("__carry"))
+    local.join(broadcast(carry), Seq("hour"))
+      .groupBy(col("hour"))
+      .agg(
+        max(col("__carry") + col("__run")).as("peak_concurrency"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy(col("hour").asc)
+  }
+
+  /** Per-user session windows via Spark's NATIVE `session_window` —
+    * the declarative dual of the gaps-and-islands [[sessionize]]: the
+    * merging session-window aggregate node computes the same sessions
+    * (the hash-checked twin proves the two formulations coincide), and
+    * it is the form that carries over verbatim to Structured Streaming
+    * (watermark + session_window, state-store-merged).
+    *
+    * Spark's session end = last event + gap; the twin states
+    * `max(ts) + INTERVAL gap` over the island. Output is exact
+    * timestamps and counts — no floats anywhere.
+    */
+  def sessionWindowsNative(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame =
+    sessionWindowsOf(Tables.events(spark, sfDir), gapMinutes)
+
+  /** [[sessionWindowsNative]] over an arbitrary (user_id, ts, event_type)
+    * frame — the kernel the boundary-semantics spec drives with crafted
+    * exact-gap timestamps.
+    */
+  def sessionWindowsOf(events: DataFrame, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("n_errors"))
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  /** As-of join WITH TOLERANCE — last-touch attribution: each purchase
+    * event picks up the same user's most recent VIEW event, but only if
+    * that view happened within `lookbackMinutes` before the purchase
+    * (the marketing-attribution lookback window; also the feature-store
+    * point-in-time rule — a stale signal must NOT leak in just because
+    * nothing newer exists).
+    *
+    * Same merge-based kernel as [[eventsAsOfOrders]] ([[AsOf.joinAsOf]]
+    * union + last-carry — never a per-row range join): the carried value
+    * is a STRUCT(view ts, view id), so the staleness predicate is applied
+    * AFTER the carry against the matched view's own timestamp. Views
+    * sharing a timestamp collapse to the max event_id first — the same
+    * convention as the events_asof_orders twin.
+    */
+  def purchaseAttribution(
+      spark: SparkSession, sfDir: String,
+      lookbackMinutes: Int = 360): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("__vid"))
+      .select(col("user_id"), col("ts"),
+        struct(col("ts").as("vts"), col("__vid").as("vid")).as("last_view"))
+    AsOf.joinAsOf(purchases, views, "user_id", "ts", "last_view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("last_view").isNotNull &&
+          col("last_view.vts") >=
+            col("ts") - expr(s"INTERVAL '$lookbackMinutes' MINUTE"),
+          col("last_view.vid")).otherwise(lit(-1L)).as("attributed_view"))
+      .orderBy(col("event_id").asc)
+  }
 }

@@ -472,4 +472,121 @@ object Marketplace {
         col("n_items"))
       .orderBy(col("p_brand").asc)
   }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose shipped revenue
+    * over one quarter is the global maximum — Q15's CREATE VIEW +
+    * `total_revenue = (SELECT max(...))` correlated-max, decorrelated the
+    * way it scales: the revenue frame is |suppliers| rows, the max is a
+    * 1-row aggregate broadcast back as a join (never a global sort of the
+    * frame, never a window over one unbounded partition).
+    *
+    * Ties are real rows here (Q15 keeps all maximal suppliers), and the
+    * revenue is the decimal-exact [[pricingSummary]] convention, so "is
+    * equal to the max" is a well-defined cross-engine predicate — no
+    * epsilon.
+    */
+  def topSupplierRevenue(
+      spark: SparkSession, sfDir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .cast("decimal(18,6)")).as("__rev"))
+    val top = rev.agg(max(col("__rev")).as("__max"))
+    rev.join(broadcast(top), rev("__rev") === top("__max"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("__rev").cast("double"), 6).as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q21-shaped sole-blame supplier report: for each supplier, how
+    * many multi-supplier orders exist where THIS supplier is the only one
+    * whose line came back flagged 'R' — Q21's exists/not-exists pair over
+    * lineitem siblings (adapted to this schema's returnflag; there is no
+    * receipt/commit date).
+    *
+    * Decorrelated as one aggregate instead of two correlated self-joins:
+    * per order, `n_supp = countDistinct(supplier)` and `n_r_supp =
+    * countDistinct(supplier having an 'R' line)`; the Q21 predicate pair
+    * is exactly `n_supp > 1 AND n_r_supp = 1`, testable on a frame of
+    * |orders| rows. At 100 TB that is one map-side-combinable hash-agg
+    * co-partitioned with the join back to the candidate lines — the
+    * classic win over EXISTS-shaped double scans of the fact table.
+    */
+  def soleReturnSupplier(
+      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val orderStats = li.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_r_supp"))
+      .where(col("n_supp") > 1 && col("n_r_supp") === 1)
+      .select("l_orderkey")
+    li.where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(orderStats, Seq("l_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each qualifying part, the
+    * cheapest supplier in one region — Q2's correlated `ps_supplycost =
+    * (SELECT min(...))` re-expressed without a partsupp table: the
+    * supply-cost relation is derived from lineitem as the minimum
+    * observed unit price per (part, supplier).
+    *
+    * The per-part winner is `min(struct(cost, suppkey))` — a MERGEABLE
+    * aggregate (map-side combinable, no window sort, deterministic
+    * lowest-suppkey tie-break baked into the struct ordering). Unit cost
+    * is one IEEE division rounded to 6dp then DECIMAL — bit-identical
+    * cross-engine. Region pruning broadcasts (≤25-row nation⋈region) into
+    * the supplier dim BEFORE the cost frame joins it, so non-region
+    * suppliers never reach the agg.
+    */
+  def minCostSupplier(
+      spark: SparkSession, sfDir: String, region: String = "EUROPE",
+      sizeMax: Int = 15, topK: Int = 100): DataFrame = {
+    val nations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = Tables.lineitem(spark, sfDir)
+      .where(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") / col("l_quantity"), 6)
+          .cast("decimal(18,6)").as("unit_cost"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cost")).as("cost"))
+    val winner = cost
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("cost"), col("l_suppkey"))).as("w"))
+      .select(col("l_partkey"), col("w.cost").as("supply_cost"),
+        col("w.l_suppkey").as("win_suppkey"))
+    winner
+      .join(Tables.part(spark, sfDir).where(col("p_size") <= sizeMax)
+          .select(col("p_partkey"), col("p_name"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supp, col("win_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        round(col("supply_cost").cast("double"), 6).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc,
+        col("s_name").asc, col("p_partkey").asc)
+      .limit(topK)
+  }
 }

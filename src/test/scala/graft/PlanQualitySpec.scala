@@ -545,4 +545,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(q5.contains("GreaterThanOrEqual(o_orderdate"), q5.take(2000))
     assert(q5.contains("BroadcastHashJoin"), q5.take(2000))
   }
+
+  test("round-8c queries: keyed joins only; sweep/agg shapes hold") {
+    for (q <- Seq("top_supplier_revenue", "sole_return_supplier",
+      "min_cost_supplier", "peak_concurrency", "session_windows",
+      "purchase_attribution")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    // Q15: the 1-row max attaches by broadcast; the shipdate range reaches
+    // the lineitem scan
+    val q15 = plan("top_supplier_revenue")
+    assert(q15.contains("BroadcastHashJoin"), q15.take(2000))
+    assert(q15.contains("GreaterThanOrEqual(l_shipdate"), q15.take(2000))
+    // Q2: the per-part winner is the mergeable min(struct) aggregate —
+    // no window operator anywhere, and the top-100 is a TakeOrdered
+    val q2 = plan("min_cost_supplier")
+    assert(!q2.contains("Window"), q2.take(2000))
+    assert(q2.contains("TakeOrderedAndProject"), q2.take(2000))
+    // Q21: limit 25 never global-sorts
+    assert(plan("sole_return_supplier").contains("TakeOrderedAndProject"))
+    // sweep-line: every window either partitions on the hour bucket or
+    // runs above an aggregate (the |hours|-row carry frame); the per-user
+    // session pass partitions on user_id. (AQE hides WindowExec inside an
+    // unmaterialized AdaptiveSparkPlan — disable it for the collect, the
+    // rank-guard convention.)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val wins =
+      try SparkEntry.queries("peak_concurrency")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val partitioned = w.partitionSpec.nonEmpty
+      val aboveAgg = w.child.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
+      assert(partitioned || aboveAgg,
+        s"peak_concurrency: unpartitioned window not above an aggregate:\n$w")
+    }
+    // attribution: merge-based as-of — a single user_id-partitioned
+    // window pass, no range join, no nested loop
+    val pa = plan("purchase_attribution")
+    assert(pa.contains("Window"), pa.take(2000))
+    assert(!pa.contains("SortMergeJoin") || pa.contains("BroadcastHashJoin"),
+      pa.take(2000))
+  }
 }
