@@ -352,6 +352,12 @@ object SparkEntry {
     // (lineitem-derived supply costs; no window, no correlated rescan)
     "min_cost_supplier" -> ((s, d) =>
       Marketplace.minCostSupplier(s, d)),
+    // Q11-shaped HAVING-vs-global-scalar: part value share threshold
+    // (1-row broadcast attach; total from the pre-agg frame, no rescan)
+    "important_parts" -> ((s, d) => Marketplace.importantParts(s, d)),
+    // Q22-shaped dormant high-balance customers: scalar-avg broadcast +
+    // LEFT ANTI against the date-pruned recent-orders slice
+    "dormant_customers" -> ((s, d) => Marketplace.dormantCustomers(s, d)),
     // time-series repair: absent hours linearly interpolated (level form)
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
@@ -4290,6 +4296,43 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM q JOIN part p ON q.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
+    "important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice, 6) AS DECIMAL(18,6)))
+        |           AS val
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(val) AS DOUBLE) * 0.002 AS thresh FROM v
+        |)
+        |SELECT l_partkey AS p_partkey,
+        |       round(CAST(val AS DOUBLE), 6) AS part_value
+        |FROM v, t
+        |WHERE CAST(val AS DOUBLE) > t.thresh
+        |ORDER BY part_value DESC, p_partkey ASC""".stripMargin,
+    "dormant_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal, 6) AS DECIMAL(18,6)))
+        |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0
+        |), d AS (
+        |  SELECT c.c_nationkey, c.c_acctbal
+        |  FROM customer c, a
+        |  WHERE c.c_acctbal > a.avg_bal
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |)
+        |SELECT n.n_name, count(*) AS n_customers,
+        |       round(CAST(sum(CAST(round(d.c_acctbal, 6) AS DECIMAL(18,6)))
+        |                  AS DOUBLE), 6) AS total_balance
+        |FROM d JOIN nation n ON d.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY n_name ASC""".stripMargin,
     "top_supplier_revenue" ->
       """WITH r AS (
         |  SELECT l_suppkey,

@@ -540,6 +540,73 @@ object Marketplace {
       .limit(topK)
   }
 
+  /** TPC-H Q11-shaped important parts: each part's lineitem value through
+    * ONE nation's suppliers, kept only when it exceeds a fraction of that
+    * nation's total — Q11's `HAVING sum(...) > (SELECT sum(...) * f)`
+    * global-scalar comparison. The scalar attaches as a broadcast 1-row
+    * frame (the accepted scalar-attach pattern) — at 100 TB the per-part
+    * frame shuffles once on partkey and the total is a second pass over
+    * the SAME pre-aggregated frame, never a rescan of lineitem.
+    *
+    * Exactness: per-part values are DECIMAL(18,6) sums of 6dp-rounded
+    * prices; the threshold is one IEEE multiply of the total's double
+    * rendering — both engines evaluate the identical two doubles.
+    */
+  def importantParts(
+      spark: SparkSession, sfDir: String, nationName: String = "NATION_3",
+      fraction: Double = 0.002): DataFrame = {
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, sfDir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice"), 6).cast("decimal(18,6)"))
+        .as("__val"))
+    val total = perPart
+      .agg(sum(col("__val")).as("__tot"))
+      .select((col("__tot").cast("double") * lit(fraction)).as("__thresh"))
+    perPart.join(broadcast(total),
+        perPart("__val").cast("double") > total("__thresh"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("__val").cast("double"), 6).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey").asc)
+  }
+
+  /** TPC-H Q22-shaped dormant high-balance customers: per nation, the
+    * count and total balance of customers whose balance beats the global
+    * positive-balance average but who placed NO order since `cutoff` —
+    * Q22's two correlated subqueries (scalar avg + NOT EXISTS), shaped
+    * for scale: the avg is a 1-row broadcast, the NOT EXISTS a LEFT ANTI
+    * join against the date-pruned orders scan (the predicate pushes into
+    * the scan, so the anti join's build side is only the recent slice).
+    */
+  def dormantCustomers(
+      spark: SparkSession, sfDir: String,
+      cutoff: String = "1999-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(round(col("c_acctbal"), 6).cast("decimal(18,6)"))
+        .cast("double") / count(lit(1)).cast("double")).as("__avg"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("__avg"))
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(round(col("c_acctbal"), 6).cast("decimal(18,6)")).as("__bal"))
+      .select(col("n_name"), col("n_customers"),
+        round(col("__bal").cast("double"), 6).as("total_balance"))
+      .orderBy(col("n_name").asc)
+  }
+
   /** TPC-H Q2-shaped minimum-cost supplier: for each qualifying part, the
     * cheapest supplier in one region — Q2's correlated `ps_supplycost =
     * (SELECT min(...))` re-expressed without a partsupp table: the

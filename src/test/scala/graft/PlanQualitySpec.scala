@@ -595,5 +595,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(pa.contains("Window"), pa.take(2000))
     assert(!pa.contains("SortMergeJoin") || pa.contains("BroadcastHashJoin"),
       pa.take(2000))
+    // Q11/Q22: the global scalar attaches as a 1-row broadcast (the
+    // accepted scalar-attach BNLJ) — only cartesians are banned
+    for (q <- Seq("important_parts", "dormant_customers"))
+      assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian")
+    // Q22: the anti join builds on the DATE-PRUNED recent slice — the
+    // cutoff must reach the orders scan, and the join must be LeftAnti
+    val dc = plan("dormant_customers")
+    assert(dc.contains("GreaterThanOrEqual(o_orderdate"), dc.take(2000))
+    assert(dc.contains("LeftAnti"), dc.take(2000))
   }
 }
