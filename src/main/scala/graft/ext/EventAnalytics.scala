@@ -951,6 +951,16 @@ object EventAnalytics {
     * exact-gap timestamps.
     */
   def sessionWindowsOf(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionWindowAgg(events, gapMinutes)
+      .orderBy(col("user_id").asc, col("session_start").asc)
+
+  /** The session_window aggregate WITHOUT the presentation sort — the body
+    * shared verbatim between the batch query and the streaming monitor
+    * ([[graft.streaming.CorpusIngest.sessionMonitor]]): a global sort is
+    * not streamable, everything else is identical in both modes (the
+    * batch/stream unification claim, stated as shared code).
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int): DataFrame =
     events
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapMinutes minutes").as("w"))
@@ -960,7 +970,6 @@ object EventAnalytics {
       .select(col("user_id"),
         col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("n_events"), col("n_errors"))
-      .orderBy(col("user_id").asc, col("session_start").asc)
 
   /** As-of join WITH TOLERANCE — last-touch attribution: each purchase
     * event picks up the same user's most recent VIEW event, but only if

@@ -174,6 +174,25 @@ object CorpusIngest {
         total.as("n_docs"), round(psi, 6).as("psi"))
   }
 
+  /** Streaming SESSION monitor — the streaming face of the batch
+    * `session_windows` query, and literally the same aggregate body
+    * ([[graft.ext.EventAnalytics.sessionWindowAgg]] is shared verbatim;
+    * only the watermark and the unstreamable presentation sort differ).
+    * Unlike the fixed-grid [[qualityMonitor]], session_window state
+    * MERGES: an out-of-order event can fuse two open sessions into one,
+    * and the state store tracks per-user open sessions until the
+    * watermark passes their end — which is why the watermark is not
+    * optional here (append mode emits a session only once it can no
+    * longer grow, and state for closed sessions is dropped instead of
+    * accumulating per user forever).
+    */
+  def sessionMonitor(
+      events: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      gapMinutes: Int = 30): DataFrame =
+    graft.ext.EventAnalytics.sessionWindowAgg(
+      events.withWatermark("ts", watermarkDelay), gapMinutes)
+
   /** The streaming pipeline: per micro-batch, dedup against the index,
     * append the report, then append the batch's new keepers to the index
     * (report first — it reads the index state this batch was judged

@@ -322,6 +322,59 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionMonitor: merging session state, append on watermark close, batch parity") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = CorpusIngest.sessionMonitor(events, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("smon")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 one session; user 2 two (50 min gap); user 3 two
+      // OPEN sessions 40 min apart that a later event will bridge
+      input.addData(
+        (t(10, 0), 1L, "view"), (t(10, 10), 1L, "error"),
+        (t(10, 0), 2L, "view"), (t(10, 50), 2L, "view"),
+        (t(10, 0), 3L, "view"), (t(10, 40), 3L, "view"))
+      q.processAllAvailable()
+      // watermark after batch 1 = 10:50 − 1h < every session end: append
+      // mode must have emitted NOTHING yet
+      assert(spark.table("smon").isEmpty,
+        "sessions emitted before the watermark passed their end")
+      // batch 2: 10:20 is within the gap of BOTH of user 3's open
+      // sessions — the state store must MERGE them into one; the 13:00
+      // event advances the watermark to 12:00 on completion
+      input.addData((t(10, 20), 3L, "view"), (t(13, 0), 99L, "view"))
+      q.processAllAvailable()
+      // batch 3: push the watermark past every remaining session end
+      input.addData((t(15, 0), 99L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("smon")
+        .as[(Long, Timestamp, Timestamp, Long, Long)]
+        .collect().filter(_._1 < 50).toSet
+      val expected = Set(
+        (1L, t(10, 0), t(10, 40), 2L, 1L),
+        (2L, t(10, 0), t(10, 30), 1L, 0L),
+        (2L, t(10, 50), t(11, 20), 1L, 0L),
+        (3L, t(10, 0), t(11, 10), 3L, 0L)) // merged: one 3-event session
+      assert(got === expected)
+      // unification: the shared aggregate body over the SAME rows as a
+      // batch frame produces the identical sessions
+      val batch = graft.ext.EventAnalytics.sessionWindowAgg(
+        Seq(
+          (t(10, 0), 1L, "view"), (t(10, 10), 1L, "error"),
+          (t(10, 0), 2L, "view"), (t(10, 50), 2L, "view"),
+          (t(10, 0), 3L, "view"), (t(10, 40), 3L, "view"),
+          (t(10, 20), 3L, "view")).toDF("ts", "user_id", "event_type"),
+        gapMinutes = 30)
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+      assert(batch === expected, "batch sessionWindowAgg must equal streaming")
+    } finally q.stop()
+  }
+
   test("heavyHitterMonitor: running MG summary keeps the ε bound across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
