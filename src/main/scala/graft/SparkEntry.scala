@@ -212,6 +212,9 @@ object SparkEntry {
     // closed-form seed assignment — hash-checks the codegen'd argmax
     // machinery kmeans_cells iterates
     "kmeans_assign_seed" -> ((s, d) => Similarity.kmeansSeedAssign(s, d)),
+    // per-cell LEAST-cohesive vectors (noise/mislabel surfacing) via the
+    // mergeable bounded top-k on negated sim — no corpus-wide window
+    "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // SemDeDup: cell-scoped cosine near-dup, keeper = lowest id per pair
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     // bitext/parallel-pair mining: best cross-label neighbor + margin
@@ -2070,6 +2073,36 @@ object SparkEntry {
         |ORDER BY pair_count DESC, sym_left ASC, sym_right ASC
         |LIMIT 50""".stripMargin,
     "bpe_apply" -> bpeApplySql,
+    "embedding_outliers" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), asg AS (
+        |  SELECT vec_id, cell_id, round(sim, 6) AS sim FROM best WHERE rk = 1
+        |), ranked AS (
+        |  SELECT cell_id, vec_id, sim,
+        |         row_number() OVER (PARTITION BY cell_id
+        |                            ORDER BY sim ASC, vec_id ASC) AS ork
+        |  FROM asg
+        |)
+        |SELECT cell_id, CAST(ork AS INT) AS outlier_rank, vec_id, sim
+        |FROM ranked WHERE ork <= 5
+        |ORDER BY cell_id ASC, outlier_rank ASC""".stripMargin,
     "kmeans_assign_seed" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,

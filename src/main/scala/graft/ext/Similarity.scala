@@ -739,6 +739,32 @@ object Similarity {
           col("__norm"), col("label"))
     }
 
+  /** Per-cell embedding OUTLIERS: the `perCell` vectors LEAST similar to
+    * their own cell centroid — the curation op that surfaces mislabeled /
+    * noise / off-manifold vectors for pruning (the flip side of SemDeDup:
+    * instead of removing what is too close, inspect what fits nowhere).
+    *
+    * Scale shape: assignments come off the maintained cell index (one
+    * scan, no dot products), and bottom-k-per-cell is the MERGEABLE
+    * `graft_topk` aggregate on negated similarity — map-side combined,
+    * bounded state, never a window sorting a corpus through |cells|
+    * tasks. Determinism: sim is already rounded to 6dp, ties break on
+    * vec_id asc inside the aggregate's total order.
+    */
+  def embeddingOutliers(
+      spark: SparkSession, sfDir: String, perCell: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    kmeansSeedAssign(spark, sfDir)
+      .groupBy(col("cell_id"))
+      .agg(expr(s"graft_topk(-sim, vec_id, $perCell)").as("bot"))
+      .select(col("cell_id"), posexplode(col("bot")).as(Seq("pos", "s")))
+      .select(col("cell_id"),
+        (col("pos") + 1).cast("int").as("outlier_rank"),
+        col("s.id").as("vec_id"),
+        round(-col("s.score"), 6).as("sim"))
+      .orderBy(col("cell_id").asc, col("outlier_rank").asc)
+  }
+
   /** Cluster-size/cohesion summary of [[kmeansAssignments]] (rows-only —
     * iterative float means have no portable SQL twin).
     */

@@ -604,5 +604,10 @@ class PlanQualitySpec extends SparkSpec {
     val dc = plan("dormant_customers")
     assert(dc.contains("GreaterThanOrEqual(o_orderdate"), dc.take(2000))
     assert(dc.contains("LeftAnti"), dc.take(2000))
+    // outliers: bottom-k per cell rides the mergeable aggregate (map-side
+    // partial), never a window over the corpus
+    val eo = plan("embedding_outliers")
+    assert(eo.contains("partial_graft_topk"), eo.take(2000))
+    assert(!eo.contains("WindowExec"), eo.take(2000))
   }
 }
