@@ -355,6 +355,14 @@ object SparkEntry {
     // (lineitem-derived supply costs; no window, no correlated rescan)
     "min_cost_supplier" -> ((s, d) =>
       Marketplace.minCostSupplier(s, d)),
+    // Q4-shaped correlated EXISTS as a LEFT SEMI join (late-line orders
+    // per priority; build side pruned to (orderkey, shipdate))
+    "priority_pipeline" -> ((s, d) => Marketplace.priorityPipeline(s, d)),
+    // Q12-shaped CASE-sum severity split over a derived lag-band dim
+    "shipping_delay_bands" -> ((s, d) => Marketplace.shippingDelayBands(s, d)),
+    // Q8-shaped conditional-aggregate ratio: per-year market share of one
+    // supplier nation within a region's customer revenue, single pass
+    "nation_market_share" -> ((s, d) => Marketplace.nationMarketShare(s, d)),
     // Q11-shaped HAVING-vs-global-scalar: part value share threshold
     // (1-row broadcast attach; total from the pre-agg frame, no rescan)
     "important_parts" -> ((s, d) => Marketplace.importantParts(s, d)),
@@ -4329,6 +4337,61 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM q JOIN part p ON q.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
+    "priority_pipeline" ->
+      """SELECT o.o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority ASC""".stripMargin,
+    "shipping_delay_bands" ->
+      """WITH j AS (
+        |  SELECT date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                   CAST(l.l_shipdate AS DATE)) AS lag,
+        |         o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS crit
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |)
+        |SELECT CASE WHEN lag <= 30 THEN '0-30'
+        |            WHEN lag <= 90 THEN '31-90'
+        |            ELSE '90+' END AS delay_band,
+        |       CAST(sum(CASE WHEN crit THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_critical,
+        |       CAST(sum(CASE WHEN crit THEN 0 ELSE 1 END) AS BIGINT)
+        |         AS n_regular
+        |FROM j GROUP BY 1 ORDER BY delay_band ASC""".stripMargin,
+    "nation_market_share" ->
+      """WITH cn AS (
+        |  SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), c AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN cn ON c_nationkey = cn.n_nationkey
+        |), s AS (
+        |  SELECT s_suppkey, n_name AS s_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |), r AS (
+        |  SELECT year(o.o_orderdate) AS order_year,
+        |         CASE WHEN s.s_nation = 'NATION_3'
+        |              THEN CAST(round(l.l_extendedprice * (1.0 - l.l_discount),
+        |                              6) AS DECIMAL(18,6))
+        |              ELSE CAST(0 AS DECIMAL(18,6)) END AS nat_rev,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |              AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN c ON o.o_custkey = c.c_custkey
+        |  JOIN s ON l.l_suppkey = s.s_suppkey
+        |)
+        |SELECT order_year,
+        |       round(CAST(sum(nat_rev) AS DOUBLE), 6) AS nation_revenue,
+        |       round(CAST(sum(rev) AS DOUBLE), 6) AS total_revenue,
+        |       round(CAST(sum(nat_rev) AS DOUBLE)
+        |             / CAST(sum(rev) AS DOUBLE), 6) AS market_share
+        |FROM r GROUP BY 1 ORDER BY order_year ASC""".stripMargin,
     "important_parts" ->
       """WITH v AS (
         |  SELECT l_partkey,

@@ -540,6 +540,106 @@ object Marketplace {
       .limit(topK)
   }
 
+  /** TPC-H Q4-shaped priority pipeline check: per order priority, how many
+    * orders placed in one quarter had AT LEAST ONE line shipped more than
+    * `lateDays` after the order date — Q4's correlated EXISTS, expressed
+    * as the LEFT SEMI join it decorrelates to: the probe side is the
+    * date-pruned orders slice, the build side only (orderkey, shipdate)
+    * pairs, and the semi join deduplicates matches for free (no DISTINCT
+    * pass, no row explosion for orders with many late lines).
+    */
+  def priorityPipeline(
+      spark: SparkSession, sfDir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01",
+      lateDays: Int = 90): DataFrame = {
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ords.join(li,
+        ords("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >
+            ords("o_orderdate") + expr(s"INTERVAL '$lateDays' DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  /** TPC-H Q12-shaped shipping-delay bands: per (order→ship lag band),
+    * how many lines belong to critical-priority orders vs the rest —
+    * Q12's CASE-sum severity split over a derived dimension. The band is
+    * computed from the joined pair (a date_diff the scan cannot push, but
+    * the join is the SAME orderkey co-partitioned join every Q*-shape
+    * uses); counts are exact integers, the twin states the identical
+    * CASE arithmetic.
+    */
+  def shippingDelayBands(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    val band = when(lag <= 30, "0-30")
+      .when(lag <= 90, "31-90")
+      .otherwise("90+")
+    val critical = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(band.as("delay_band"))
+      .agg(
+        sum(when(critical, 1L).otherwise(0L)).as("n_critical"),
+        sum(when(critical, 0L).otherwise(1L)).as("n_regular"))
+      .orderBy(col("delay_band").asc)
+  }
+
+  /** TPC-H Q8-shaped market share: per order year, the fraction of
+    * ASIA-customer revenue supplied by ONE nation's suppliers — the
+    * conditional-aggregate RATIO pattern (`sum(CASE WHEN ...)/sum(...)`):
+    * one pass computes both decimal sums per year, the share is a single
+    * IEEE division of their double renderings — never two scans, never a
+    * self-join of aggregates.
+    */
+  def nationMarketShare(
+      spark: SparkSession, sfDir: String, region: String = "ASIA",
+      supplierNation: String = "NATION_3"): DataFrame = {
+    def dec(c: Column) = round(c, 6).cast("decimal(18,6)")
+    val custNations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(custNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name").as("s_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nation"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(when(col("s_nation") === supplierNation, col("rev"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("__nat"),
+        sum(col("rev")).as("__tot"))
+      .select(col("order_year"),
+        round(col("__nat").cast("double"), 6).as("nation_revenue"),
+        round(col("__tot").cast("double"), 6).as("total_revenue"),
+        round(col("__nat").cast("double") / col("__tot").cast("double"), 6)
+          .as("market_share"))
+      .orderBy(col("order_year").asc)
+  }
+
   /** TPC-H Q11-shaped important parts: each part's lineitem value through
     * ONE nation's suppliers, kept only when it exceeds a fraction of that
     * nation's total — Q11's `HAVING sum(...) > (SELECT sum(...) * f)`

@@ -609,5 +609,16 @@ class PlanQualitySpec extends SparkSpec {
     val eo = plan("embedding_outliers")
     assert(eo.contains("partial_graft_topk"), eo.take(2000))
     assert(!eo.contains("WindowExec"), eo.take(2000))
+    for (q <- Seq("priority_pipeline", "shipping_delay_bands",
+      "nation_market_share")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+    }
+    // Q4: the EXISTS decorrelates to a LEFT SEMI with the quarter pruned
+    // into the orders scan
+    val q4 = plan("priority_pipeline")
+    assert(q4.contains("LeftSemi"), q4.take(2000))
+    assert(q4.contains("GreaterThanOrEqual(o_orderdate"), q4.take(2000))
   }
 }
