@@ -232,6 +232,83 @@ object Multimodal {
     else None
   }
 
+  /** Real audio SAMPLE features for a RIFF/WAVE payload carrying plain
+    * 16-bit PCM — the audio counterpart of [[bmpFeatures]] (the one
+    * audio encoding whose samples are pure public byte math, no codec):
+    * the `fmt ` chunk must declare audio_format=1 (PCM) and 16 bits per
+    * sample, and the `data` chunk must be fully present with an even
+    * byte count. Samples are signed LE16, channels processed interleaved
+    * (features are channel-agnostic energy/shape statistics).
+    *
+    * Features (all from EXACT integer sums, so deterministic on any
+    * engine/partitioning): [mean|s|, rms, zero-crossing rate, peak|s|]
+    * — amplitudes normalized by 32768 — followed by a (dim-4)-bin
+    * histogram of |s| fractions. n_samples ≤ len/2 < 2³¹ and s² ≤ 2³⁰
+    * keep Σs² < 2⁶¹ — no overflow path.
+    *
+    * None (→ stub embedding) for anything that is not structurally valid
+    * 16-bit PCM with its full sample array present — never a guess.
+    */
+  private[ext] def pcmFeatures(
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
+    if (dim < 5) return None
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    var o = 12
+    var fmtOk = false
+    var dataOff = -1L
+    var dataBytes = -1L
+    while (o + 8 <= bytes.length && (!fmtOk || dataOff < 0L)) {
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val sz = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt ") {
+        if (o + 8 + 16 > bytes.length) return None
+        val audioFormat = le16(bytes, o + 8)
+        val channels = le16(bytes, o + 10)
+        val sampleRate = le32(bytes, o + 12)
+        val bitsPerSample = le16(bytes, o + 22)
+        if (audioFormat != 1 || channels <= 0 || sampleRate <= 0 ||
+          bitsPerSample != 16) return None
+        fmtOk = true
+      } else if (id == "data") { dataOff = o + 8L; dataBytes = sz }
+      // same Long-advance overflow discipline as wavDuration
+      val next = o.toLong + 8L + sz + (sz & 1L)
+      if (next > (Int.MaxValue - 8).toLong) return None
+      o = next.toInt
+    }
+    if (!fmtOk || dataOff < 0L || dataBytes < 2L ||
+      (dataBytes & 1L) == 1L ||
+      dataOff + dataBytes > bytes.length) return None
+    val off = dataOff.toInt
+    val n = (dataBytes / 2L).toInt
+    var sumAbs = 0L; var sumSq = 0L; var crossings = 0L; var peak = 0L
+    val bins = dim - 4
+    val hist = new Array[Long](bins)
+    var prevNeg = false
+    var i = 0
+    while (i < n) {
+      val p = off + i * 2
+      val s = ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort.toInt
+      val a = math.abs(s.toLong) // |Short.MinValue| = 32768 needs the Long
+      sumAbs += a; sumSq += a * a
+      if (a > peak) peak = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      hist(math.min((a * bins / 32768L).toInt, bins - 1)) += 1
+      i += 1
+    }
+    val out = new Array[Double](dim)
+    out(0) = sumAbs.toDouble / n / 32768.0
+    out(1) = math.sqrt(sumSq.toDouble / n) / 32768.0
+    out(2) = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+    out(3) = peak.toDouble / 32768.0
+    var j = 0
+    while (j < bins) { out(4 + j) = hist(j).toDouble / n; j += 1 }
+    Some(out)
+  }
+
   /** Real video/audio container parse — ISO Base Media File Format (MP4,
     * public spec ISO/IEC 14496-12): a box walk of [size BE32, type(4)]
     * (size==1 → 64-bit largesize follows; size==0 → box runs to EOF).
@@ -377,10 +454,13 @@ object Multimodal {
     * REAL pixel features — per-channel means + a luminance histogram,
     * computed straight from the public pixel-array layout
     * ([[bmpFeatures]]: bottom-up rows, BGR byte order, 4-byte row
-    * padding) — no codec library needed. Everything else (compressed
-    * codecs, headerless stand-ins) keeps the deterministic hashed
-    * byte-chunk embedding, the clearly-marked stub a real pipeline swaps
-    * for a model forward pass / native decode at this same spot.
+    * padding) — and audio payloads that parse as RIFF/WAVE 16-bit PCM
+    * get REAL sample features (mean/rms/zero-cross/peak + amplitude
+    * histogram, [[pcmFeatures]]) — no codec library needed for either.
+    * Everything else (compressed codecs, headerless stand-ins) keeps the
+    * deterministic hashed byte-chunk embedding, the clearly-marked stub
+    * a real pipeline swaps for a model forward pass / native decode at
+    * this same spot.
     *
     * Both paths emit `dim` doubles in [0,1] (stub strictly < 1),
     * ANN-able with [[Similarity]]'s operators.
@@ -392,8 +472,11 @@ object Multimodal {
     media.select("media_id", "media_type", "content").mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](2)
-        val fs = (if (r.getString(1) == "image") bmpFeatures(bytes, dim)
-          else None).getOrElse(hashedFeatures(bytes, dim))
+        val fs = (r.getString(1) match {
+          case "image" => bmpFeatures(bytes, dim)
+          case "audio" => pcmFeatures(bytes, dim)
+          case _ => None
+        }).getOrElse(hashedFeatures(bytes, dim))
         Row(r.getLong(0), fs.toSeq)
       }
     }(enc)

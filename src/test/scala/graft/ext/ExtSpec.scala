@@ -1474,4 +1474,69 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) !== out(1L), "non-image BMP bytes stay on the stub")
     assert(out.values.forall(_.length === 16))
   }
+
+  /** RIFF/WAVE with REAL 16-bit PCM samples (LE16 signed, interleaved) —
+    * [[wavBytes]] with a sample payload instead of zero fill.
+    */
+  private def wavPcm(samples: Seq[Int], channels: Int = 1,
+      sampleRate: Int = 8000, bits: Int = 16): Array[Byte] = {
+    def le32b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val byteRate = sampleRate * channels * (bits / 8)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++ le32b(byteRate) ++
+      le16b(channels * (bits / 8)) ++ le16b(bits)
+    val pcm = samples.toArray.flatMap(le16b)
+    val data = "data".getBytes("US-ASCII") ++ le32b(pcm.length) ++ pcm
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  test("pcmFeatures computes exact sample statistics from 16-bit PCM") {
+    // samples chosen to exercise sign changes, the peak, and |MinValue|
+    val s = Seq(1000, -1000, 0, 32767, -32768, 16384)
+    val f = Multimodal.pcmFeatures(wavPcm(s), dim = 16).get
+    assert(f.length === 16)
+    val abs = s.map(v => math.abs(v.toLong))
+    val n = s.length
+    assert(f(0) === abs.sum.toDouble / n / 32768.0)            // mean |s|
+    assert(f(1) === math.sqrt(abs.map(a => a * a).sum.toDouble / n) / 32768.0)
+    // sign transitions: +,-,0(+),+,-,+ → -,+ at 1, +? 0 counts nonneg:
+    // signs are (+,-,+,+,-,+) → crossings at 1,2,4,5 = 4 of n-1=5
+    assert(f(2) === 4.0 / 5.0)
+    assert(f(3) === 32768.0 / 32768.0)                         // peak = |MIN|
+    // 12-bin |s| histogram, bin = min(a*12/32768, 11)
+    val hist = f.drop(4)
+    val expBins = abs.map(a => math.min(a * 12 / 32768, 11L).toInt)
+    (0 until 12).foreach { b =>
+      assert(hist(b) === expBins.count(_ == b).toDouble / n, s"bin $b")
+    }
+    // hostile/unsupported → stub path (None), never a crash or a guess:
+    // 8-bit PCM, odd data size, truncated samples, headerless text
+    assert(Multimodal.pcmFeatures(wavPcm(s, bits = 8), 16).isEmpty)
+    // truncated sample array: declared data size exceeds the payload
+    assert(Multimodal.pcmFeatures(wavPcm(s).dropRight(1), 16).isEmpty)
+    assert(Multimodal.pcmFeatures(
+      "RIFF raff audio essay".getBytes("UTF-8"), 16).isEmpty)
+    // stereo interleave is accepted (channel-agnostic stats)
+    assert(Multimodal.pcmFeatures(wavPcm(s, channels = 2), 16).isDefined)
+  }
+
+  test("extractFeatures routes a real PCM payload to the sample path") {
+    import spark.implicits._
+    val s = Seq(1000, -1000, 0, 32767, -32768, 16384)
+    val media = Seq(
+      (1L, wavPcm(s), "audio"),   // real sample features
+      (2L, wavPcm(s), "image"),   // wrong modality → stub
+      (3L, "no header".getBytes("UTF-8"), "audio")) // stub
+      .toDF("media_id", "content", "media_type")
+    val out = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getSeq[Double](r.fieldIndex("features")).toVector)
+      .toMap
+    assert(out(1L)(3) === 1.0, "PCM audio must use sample features")
+    assert(out(2L) !== out(1L), "non-audio WAVE bytes stay on the stub")
+    assert(out(3L).forall(v => v >= 0.0 && v < 1.0))
+  }
 }
