@@ -32,6 +32,51 @@ class SkewSpec extends SparkSpec {
       .as[(Long, Int)].collect().map { case (k, n) => k -> n.toLong }.toMap
     assert(salted === exact)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in plan)") {
+    // The third leg of the skew story: key_skew REPORTS hot keys, Skew.*
+    // handles them explicitly, and AQE is the runtime net for the ones
+    // nobody predicted. Prove the net actually catches: a hot key big
+    // enough (under test-scaled thresholds) must show `skew=true` on the
+    // executed SMJ and still produce exact results.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // the payload must be incompressible — skew detection reads the
+      // COMPRESSED map-output sizes, and a constant key column alone
+      // shrinks below any threshold
+      val hot = (1 to 20000).map(i =>
+        (if (i <= 19000) 1L else 100L + (i % 50).toLong, i.toLong))
+        .toDF("key", "row_id")
+        .withColumn("pad", sha2(concat(col("row_id").cast("string"),
+          col("key").cast("string")), 512))
+      val dim = (0L to 160L).map(k => (k, s"name$k")).toDF("k", "name")
+      // NOTE no aggregate on the join key above the join: a keyed agg
+      // would reuse the join's hash partitioning, and AQE refuses to
+      // split a skewed join whose output partitioning a parent requires
+      // (splitting would break it). The raw join result has no required
+      // distribution, which is the case the optimization targets.
+      val joined = hot.join(dim, col("key") === col("k"))
+        .select(col("key"), col("name"), col("pad"))
+      // collect through `joined` ITSELF so its AdaptiveSparkPlan is the
+      // one that materializes (a derived Dataset would execute a sibling
+      // QueryExecution and leave this plan isFinalPlan=false)
+      val rows = joined.collect()
+      assert(rows.length === 20000, "skew-split join lost or duplicated rows")
+      assert(rows.count(_.getLong(0) == 1L) === 19000)
+      assert(joined.queryExecution.executedPlan.toString.contains("skew=true"),
+        "AQE did not mark the skewed join: " +
+          joined.queryExecution.executedPlan.toString.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
 
 /** Storage-layout shapes for scale: partitioned writes must prune at read
