@@ -84,6 +84,9 @@ object SparkEntry {
     // simhash candidate recall vs the SAME slice truth as lsh_recall —
     // the MinHash/SimHash/prefix-filter quality triangle, one truth set
     "simhash_recall"     -> ((s, d) => Dedup.simhashRecallSampled(s, d)),
+    // threshold-tuning curve: verified pairs + touched docs at each
+    // candidate Jaccard threshold, off the maintained pair artifact
+    "dedup_sensitivity"  -> ((s, d) => Dedup.dedupSensitivity(s, d)),
     "dedup_clusters"     -> ((s, d) => Dedup.minHashClusters(s, d, twinnable = true)),
     "dedup_clusters_exact" -> ((s, d) => Dedup.exactPairClusters(s, d)),
     "knn_brute"          -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -1683,6 +1686,30 @@ object SparkEntry {
     // both endpoints in the slice. `sh` comes from the full-corpus CTEs;
     // the truth side mirrors the jaccard_prefix twin over the slice's
     // hash-distinct shingle rows.
+    // sensitivity twin: the shared `scored` pairs joined against the
+    // threshold list (zero-pair thresholds kept via the left joins)
+    "dedup_sensitivity" -> (minHashOracleCtes() +
+      """, th AS (
+        |  SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+        |), px AS (
+        |  SELECT t.threshold, s.doc_a, s.doc_b
+        |  FROM scored s JOIN th t ON s.jaccard >= t.threshold
+        |), np AS (
+        |  SELECT threshold, count(*) AS n_pairs FROM px GROUP BY 1
+        |), nd AS (
+        |  SELECT threshold, count(DISTINCT d) AS n_docs FROM (
+        |    SELECT threshold, doc_a AS d FROM px
+        |    UNION ALL
+        |    SELECT threshold, doc_b AS d FROM px)
+        |  GROUP BY 1
+        |)
+        |SELECT th.threshold,
+        |       coalesce(np.n_pairs, 0) AS n_pairs,
+        |       coalesce(nd.n_docs, 0) AS n_docs
+        |FROM th
+        |LEFT JOIN np USING (threshold)
+        |LEFT JOIN nd USING (threshold)
+        |ORDER BY threshold ASC""".stripMargin),
     "lsh_recall_sampled" -> (minHashOracleCtes() + sliceTruthCtes +
       """, lshp AS (
         |  SELECT doc_a, doc_b FROM scored

@@ -575,6 +575,43 @@ object Dedup {
     } finally perDoc.unpersist()
   }
 
+  /** Threshold-sensitivity curve for near-dup dedup: at each candidate
+    * Jaccard threshold, how many verified pairs survive and how many
+    * documents they touch — the tuning report that decides the
+    * PRODUCTION threshold (too low over-merges distinct docs into one
+    * keeper cluster; too high leaves templated spam in the corpus).
+    *
+    * Reads the maintained `minhash_pairs` artifact (already verified at
+    * the floor 0.5), so the whole report is |pairs|×|thresholds| rows —
+    * corpus-size-independent. Jaccard values are the identical double
+    * expression in both engines, so `>= t` is a well-defined predicate
+    * at every step; thresholds with zero pairs still appear (left join
+    * against the threshold frame).
+    */
+  def dedupSensitivity(
+      spark: SparkSession, sfDir: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    import spark.implicits._
+    val pairs = minHashPairsShared(spark, sfDir)
+    val ths = thresholds.toDF("threshold")
+    val surviving = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .where(col("jaccard") >= col("threshold"))
+    val nPairs = surviving.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__np"))
+    val nDocs = surviving
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("threshold"))
+      .agg(countDistinct(col("d")).as("__nd"))
+    ths.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("__np"), lit(0L)).as("n_pairs"),
+        coalesce(col("__nd"), lit(0L)).as("n_docs"))
+      .orderBy(col("threshold").asc)
+  }
+
   /** SimHash per doc: token rows → codegen'd vote sums (+1/-1 per bit of
     * the token hash) → closed-form bit assembly. `twinnable = false`
     * (default): 64-bit xxhash64 token hashes — the throughput path.
