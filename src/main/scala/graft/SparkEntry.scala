@@ -358,6 +358,12 @@ object SparkEntry {
     // (lineitem-derived supply costs; no window, no correlated rescan)
     "min_cost_supplier" -> ((s, d) =>
       Marketplace.minCostSupplier(s, d)),
+    // Q19-shaped OR-of-ANDs: common bounds extracted from the
+    // disjunction reach both scans; residual OR evaluates post-join
+    "disjunctive_revenue" -> ((s, d) => Marketplace.disjunctiveRevenue(s, d)),
+    // Q10-shaped returned-item loss: grouped-by-customer Q3 variant,
+    // returnflag + date pushed to the scans, TakeOrdered top-20
+    "returned_item_loss" -> ((s, d) => Marketplace.returnedItemLoss(s, d)),
     // Q4-shaped correlated EXISTS as a LEFT SEMI join (late-line orders
     // per priority; build side pruned to (orderkey, shipdate))
     "priority_pipeline" -> ((s, d) => Marketplace.priorityPipeline(s, d)),
@@ -4364,6 +4370,36 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM q JOIN part p ON q.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
+    "disjunctive_revenue" ->
+      """SELECT round(CAST(sum(CAST(round(l.l_extendedprice
+        |                                 * (1.0 - l.l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "returned_item_loss" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice
+        |                                 * (1.0 - l.l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "priority_pipeline" ->
       """SELECT o.o_orderpriority, count(*) AS n_late_orders
         |FROM orders o

@@ -544,6 +544,73 @@ object Marketplace {
       .limit(topK)
   }
 
+  /** TPC-H Q19-shaped disjunctive revenue: total discounted revenue from
+    * lineitems matching an OR of three (brand, size band, quantity band)
+    * conjunctions — the classic OR-of-ANDs predicate-pushdown test.
+    * Catalyst extracts the common `p_size`/`l_quantity` bounds from the
+    * disjunction and pushes them into BOTH scans (the plan guard asserts
+    * the quantity range reaches the lineitem scan), so at 100 TB the
+    * join builds only over candidate rows; the residual OR evaluates
+    * post-join in codegen.
+    */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+    val part = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val arm1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .where(arm1 || arm2 || arm3)
+      .agg(
+        sum(col("rev")).as("__rev"),
+        count(lit(1)).as("n_items"))
+      .select(round(col("__rev").cast("double"), 6).as("revenue"),
+        col("n_items"))
+  }
+
+  /** TPC-H Q10-shaped returned-item loss report: per customer, the
+    * revenue on 'R'-flagged lines of their orders in one quarter —
+    * top `topK` by lost revenue. The all-big-table variant of the Q3
+    * shape (customer is the GROUPING key, not a pruned filter): the
+    * returnflag + date predicates land on the scans, the grouped frame
+    * is |customers|, and the top-k is a TakeOrdered — no global sort.
+    */
+  def returnedItemLoss(
+      spark: SparkSession, sfDir: String,
+      from: String = "1996-01-01", until: String = "1996-04-01",
+      topK: Int = 20): DataFrame = {
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+    li.join(ords, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("__rev"), count(lit(1)).as("n_items"))
+      .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(topK)
+  }
+
   /** TPC-H Q4-shaped priority pipeline check: per order priority, how many
     * orders placed in one quarter had AT LEAST ONE line shipped more than
     * `lateDays` after the order date — Q4's correlated EXISTS, expressed

@@ -620,5 +620,15 @@ class PlanQualitySpec extends SparkSpec {
     val q4 = plan("priority_pipeline")
     assert(q4.contains("LeftSemi"), q4.take(2000))
     assert(q4.contains("GreaterThanOrEqual(o_orderdate"), q4.take(2000))
+    // Q19: the per-side weakening of the OR-of-ANDs must reach the
+    // lineitem scan as pushed quantity bands (the pushdown this shape
+    // exists to exercise)
+    val q19 = plan("disjunctive_revenue")
+    assert(q19.contains("GreaterThanOrEqual(l_quantity,1.0)"), q19.take(2000))
+    assert(!q19.contains("CartesianProduct"), q19.take(2000))
+    // Q10: flag + date pushed; top-20 is a TakeOrdered, never a sort
+    val q10 = plan("returned_item_loss")
+    assert(q10.contains("EqualTo(l_returnflag,R)"), q10.take(2000))
+    assert(q10.contains("TakeOrderedAndProject"), q10.take(2000))
   }
 }
