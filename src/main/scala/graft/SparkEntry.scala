@@ -321,6 +321,9 @@ object SparkEntry {
     "heavy_hitters"      -> ((s, d) => TextStats.heavyHitters(s, d)),
     // leakage-safe split: near-dup clusters never straddle train/test
     "cluster_split"      -> ((s, d) => Curation.clusterSplit(s, d)),
+    // the AUDIT of that claim as data: 0 straddling pairs under the
+    // cluster split, vs the leakage a naive doc-hash split would admit
+    "split_leakage_audit" -> ((s, d) => Curation.splitLeakageAudit(s, d)),
     // per-column null/distinct census of orders (data-quality profile)
     "column_profile"     -> ((s, d) => graft.ops.Profiling.ordersProfile(s, d)),
     // referential-integrity audit over the warehouse's FK edges
@@ -4208,6 +4211,48 @@ object SparkEntry {
         |FROM c, t
         |WHERE c.n * 1000 >= t.total_tokens
         |ORDER BY c.n DESC, word ASC""".stripMargin,
+    // audit twin: same cluster walk + same split rule; both audits join
+    // the SAME scored pairs against their endpoints' assignments
+    "split_leakage_audit" -> (minHashOracleCtes() +
+      """, p AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |), asg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(sha256(cluster_id::VARCHAR || '#29'),
+        |               1, 8))::BIGINT % 1000 < 100 THEN 'test'
+        |         WHEN ('0x' || substr(sha256(cluster_id::VARCHAR || '#29'),
+        |               1, 8))::BIGINT % 1000 < 200 THEN 'val'
+        |         ELSE 'train' END AS c_split,
+        |    CASE WHEN ('0x' || substr(sha256(doc_id::VARCHAR || '#29'),
+        |               1, 8))::BIGINT % 1000 < 100 THEN 'test'
+        |         WHEN ('0x' || substr(sha256(doc_id::VARCHAR || '#29'),
+        |               1, 8))::BIGINT % 1000 < 200 THEN 'val'
+        |         ELSE 'train' END AS d_split
+        |  FROM cc
+        |), j AS (
+        |  SELECT a.c_split AS ca, b.c_split AS cb,
+        |         a.d_split AS da, b.d_split AS db
+        |  FROM scored s JOIN asg a ON s.doc_a = a.doc_id
+        |                JOIN asg b ON s.doc_b = b.doc_id
+        |)
+        |SELECT 'cluster' AS method, count(*) AS n_pairs,
+        |       CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_straddling
+        |FROM j
+        |UNION ALL
+        |SELECT 'naive_doc', count(*),
+        |       CAST(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM j
+        |ORDER BY method ASC""".stripMargin),
     "cluster_split" -> (minHashOracleCtes() +
       """, p AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM scored

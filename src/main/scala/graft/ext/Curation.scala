@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
@@ -89,6 +89,54 @@ object Curation {
     * hash-agg. At 100 TB the countDistinct expand swaps for
     * approx_count_distinct; exact here for oracle parity.
     */
+  /** Leakage AUDIT of the cluster-level split — the verifiable claim
+    * behind [[clusterSplit]], stated as data: every verified near-dup
+    * pair is joined against its endpoints' split assignments and counted
+    * by whether it straddles train/val/test. Under cluster-level
+    * splitting the straddle count is ZERO by construction (both
+    * endpoints share a cluster, clusters split atomically) — the oracle
+    * hash-checks that invariant — while the naive doc-hash split on the
+    * SAME pairs shows the leakage it would have admitted (the
+    * counterfactual that justifies the cluster walk's cost).
+    *
+    * Scale shape: |pairs| rows join two |docs| assignment frames on
+    * doc ids — dup-density-bounded, never corpus-quadratic.
+    */
+  def splitLeakageAudit(
+      spark: SparkSession, sfDir: String,
+      valPct: Int = 10, testPct: Int = 10, salt: Int = 29,
+      maxIter: Int = 10): DataFrame = {
+    def bucket(c: Column): Column = conv(
+      substring(sha2(concat(c.cast("string"), lit(s"#$salt")), 256), 1, 8),
+      16, 10).cast("long") % 1000L
+    def splitOf(c: Column): Column =
+      when(bucket(c) < testPct * 10L, "test")
+        .when(bucket(c) < (testPct + valPct) * 10L, "val")
+        .otherwise("train")
+    val membership = Dedup.minHashMembership(
+      spark, sfDir, twinnable = true, maxIter = maxIter)
+    val pairs = Dedup.minHashPairsShared(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    def audit(assign: DataFrame, method: String): DataFrame =
+      pairs
+        .join(assign.select(col("doc_id").as("doc_a"),
+          col("split").as("__sa")), Seq("doc_a"))
+        .join(assign.select(col("doc_id").as("doc_b"),
+          col("split").as("__sb")), Seq("doc_b"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count_if(col("__sa") =!= col("__sb")).as("n_straddling"))
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_straddling"))
+    val byCluster = membership
+      .select(col("doc_id"), splitOf(col("cluster_id")).as("split"))
+    val byDoc = membership
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+    audit(byCluster, "cluster")
+      .unionByName(audit(byDoc, "naive_doc"))
+      .orderBy(col("method").asc)
+  }
+
   def clusterSplit(
       spark: SparkSession, sfDir: String,
       valPct: Int = 10, testPct: Int = 10, salt: Int = 29,
