@@ -106,6 +106,10 @@ object SparkEntry {
     "quality_classifier" -> ((s, d) => TextStats.qualityClassifier(s, d)),
     // classifier-score deciles vs C4 rule pass rate (calibration curve)
     "quality_calibration" -> ((s, d) => TextStats.qualityCalibration(s, d)),
+    // per-language EXACT-order-statistic score cutoffs (worst-20% cut)
+    // via the bucket-pruned selection kernel + keep/cut census
+    "quality_threshold_by_lang" -> ((s, d) =>
+      TextStats.qualityThresholdByLang(s, d)),
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
@@ -2598,6 +2602,42 @@ object SparkEntry {
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang
         |ORDER BY lang ASC""".stripMargin,
+    "quality_threshold_by_lang" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    list_concat(toks, list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS feats
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    (0 + coalesce(list_sum(list_transform(feats, f ->
+        |       (('0x' || substr(sha256(f), 1, 8))::BIGINT % 2001) - 1000)),
+        |       0))::BIGINT AS logit
+        |  FROM f
+        |), r AS (
+        |  SELECT lang, logit,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY logit ASC) AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM s
+        |), th AS (
+        |  SELECT lang, logit AS threshold FROM r
+        |  WHERE rk = CAST(ceil(n * 0.2) AS BIGINT)
+        |)
+        |SELECT s.lang, th.threshold,
+        |       count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN s.logit < th.threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+        |       CAST(sum(CASE WHEN s.logit >= th.threshold
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM s JOIN th ON s.lang = th.lang
+        |GROUP BY 1, 2
+        |ORDER BY s.lang ASC""".stripMargin,
     "quality_classifier" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -67,6 +67,34 @@ object TextStats {
       .withColumn("kept", col("logit") > 0L)
       .orderBy(col("doc_id").asc)
 
+  /** Per-language adaptive quality thresholds: the classifier-score value
+    * cutting the worst `pct` of each language, found by the EXACT
+    * order-statistic selection kernel ([[graft.ops.Ranks
+    * .selectOrderStatistic]] — per group only ONE sampled bucket of rows
+    * is ever ranked, everything else drops at the scan), then the keep /
+    * cut census against that threshold. This is how a real curation run
+    * sets per-language cutoffs: a single global threshold over-prunes
+    * low-resource languages whose score distribution sits lower.
+    *
+    * Exactness: logits are exact integers, the selected threshold is an
+    * actual data element (no interpolation), and the census is integer
+    * counts — the twin states the same rank selection with a window.
+    */
+  def qualityThresholdByLang(
+      spark: SparkSession, sfDir: String, pct: Double = 0.2): DataFrame = {
+    val scored = classifierScored(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("logit"))
+    val thresholds = graft.ops.Ranks.selectOrderStatistic(
+      scored, Seq("lang"), col("logit"), pct, "threshold")
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .groupBy(col("lang"), col("threshold"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("logit") < col("threshold")).as("n_cut"),
+        count_if(col("logit") >= col("threshold")).as("n_kept"))
+      .orderBy(col("lang").asc)
+  }
+
   /** The [[qualityClassifier]] scoring pass as a frame transform: appends
     * `n_feats` (LONG) and `logit` (LONG) to a frame carrying `text` —
     * shared with the calibration report so the model definition has one
