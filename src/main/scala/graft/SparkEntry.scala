@@ -328,6 +328,9 @@ object SparkEntry {
     // the AUDIT of that claim as data: 0 straddling pairs under the
     // cluster split, vs the leakage a naive doc-hash split would admit
     "split_leakage_audit" -> ((s, d) => Curation.splitLeakageAudit(s, d)),
+    // per-doc curation provenance: FIRST-failing stage + the keeper a
+    // dedup cut lost to ("why is my document not in the training set")
+    "curation_provenance" -> ((s, d) => Curation.curationProvenance(s, d)),
     // per-column null/distinct census of orders (data-quality profile)
     "column_profile"     -> ((s, d) => graft.ops.Profiling.ordersProfile(s, d)),
     // referential-integrity audit over the warehouse's FK edges
@@ -4251,6 +4254,45 @@ object SparkEntry {
         |FROM c, t
         |WHERE c.n * 1000 >= t.total_tokens
         |ORDER BY c.n DESC, word ASC""".stripMargin,
+    // provenance twin: c4 flags + text-group keeper + the recursive
+    // cluster walk + the sample bucket rule, folded to first-fail status
+    "curation_provenance" -> (minHashOracleCtes() +
+      """, p AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM scored
+        |), e AS (
+        |  SELECT src, dst FROM p UNION SELECT dst, src FROM p
+        |), walk(node, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+        |  WHERE w.label < e.dst
+        |), cc AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+        |), flags AS (
+        |  SELECT doc_id, lang,
+        |    (strpos(lower(text), 'lorem ipsum') > 0
+        |     OR strpos(text, '{') > 0
+        |     OR strpos(lower(text), 'javascript') > 0
+        |     OR (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |         NOT BETWEEN 5 AND 100000) AS c4_fail,
+        |    min(doc_id) OVER (PARTITION BY text) AS keeper,
+        |    ('0x' || substr(sha256(doc_id::VARCHAR || '#11'), 1, 8))::BIGINT
+        |      % 1000 < CASE WHEN lang = 'en' THEN 500 ELSE 200 END AS sampled
+        |  FROM documents
+        |)
+        |SELECT f.doc_id,
+        |  CASE WHEN f.c4_fail THEN 'cut_c4'
+        |       WHEN f.doc_id <> f.keeper THEN 'cut_exact_dup'
+        |       WHEN f.doc_id <> cc.cluster_id THEN 'cut_near_dup'
+        |       WHEN NOT f.sampled THEN 'cut_sample'
+        |       ELSE 'kept' END AS status,
+        |  CASE WHEN f.c4_fail THEN -1
+        |       WHEN f.doc_id <> f.keeper THEN f.keeper
+        |       WHEN f.doc_id <> cc.cluster_id THEN cc.cluster_id
+        |       ELSE -1 END AS keeper_id
+        |FROM flags f JOIN cc ON f.doc_id = cc.doc_id
+        |ORDER BY f.doc_id ASC""".stripMargin),
     // audit twin: same cluster walk + same split rule; both audits join
     // the SAME scored pairs against their endpoints' assignments
     "split_leakage_audit" -> (minHashOracleCtes() +

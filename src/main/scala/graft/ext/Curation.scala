@@ -89,6 +89,59 @@ object Curation {
     * hash-agg. At 100 TB the countDistinct expand swaps for
     * approx_count_distinct; exact here for oracle parity.
     */
+  /** Per-document curation PROVENANCE — the auditable "why is my document
+    * not in the training set": each doc gets its FIRST-failing stage in
+    * pipeline order (`cut_c4` → `cut_exact_dup` → `cut_near_dup` →
+    * `cut_sample` → `kept`) and, for the two dedup cuts, the keeper it
+    * lost to (the min-id copy of identical text; the near-dup cluster's
+    * representative). [[trainingSet]]'s stages are independent per-doc
+    * predicates, so first-fail attribution is well-defined — the same
+    * convention as [[TextStats.filterAttribution]] inside the C4 stage.
+    *
+    * Scale shape: all four stage flags are doc-keyed frames joined on
+    * doc_id (the exact-keeper frame groups on the 32-byte text
+    * fingerprint, never the text) — no new shuffle pattern beyond the
+    * component operators the pipeline already runs.
+    */
+  def curationProvenance(
+      spark: SparkSession, sfDir: String,
+      fractions: Map[String, Double] = Map("en" -> 0.5),
+      defaultFraction: Double = 0.2,
+      maxIter: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val c4Fail = TextStats.c4Filters(spark, sfDir)
+      .select(col("doc_id"),
+        (col("has_lorem") || col("has_brace") || col("has_js") ||
+          !col("n_words").between(5, 100000)).as("__c4_fail"))
+    val exactKeeper = docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("__fp"))
+      .withColumn("__keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))))
+      .select(col("doc_id"), col("__keeper"))
+    val membership = Dedup.minHashMembership(
+      spark, sfDir, twinnable = true, maxIter = maxIter)
+      .select(col("doc_id"), col("cluster_id"))
+    val sampled = Corpus.stratifiedSample(
+      spark, sfDir, fractions, defaultFraction, twinnable = true)
+      .select(col("doc_id"), lit(true).as("__sampled"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(c4Fail, Seq("doc_id"))
+      .join(exactKeeper, Seq("doc_id"))
+      .join(membership, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__c4_fail"), "cut_c4")
+          .when(col("doc_id") =!= col("__keeper"), "cut_exact_dup")
+          .when(col("doc_id") =!= col("cluster_id"), "cut_near_dup")
+          .when(col("__sampled").isNull, "cut_sample")
+          .otherwise("kept").as("status"),
+        when(col("__c4_fail"), -1L)
+          .when(col("doc_id") =!= col("__keeper"), col("__keeper"))
+          .when(col("doc_id") =!= col("cluster_id"), col("cluster_id"))
+          .otherwise(-1L).as("keeper_id"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Leakage AUDIT of the cluster-level split — the verifiable claim
     * behind [[clusterSplit]], stated as data: every verified near-dup
     * pair is joined against its endpoints' split assignments and counted
