@@ -987,9 +987,8 @@ object Dedup {
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
       sampleMod: Int = 8, maxPrefixDf: Long = 256L): DataFrame = {
     def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
-    val docs = Tables.documents(spark, sfDir).filter(inSlice(col("doc_id")))
     recallReport(
-      jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),
+      sliceTruthShared(spark, sfDir, threshold, sampleMod, maxPrefixDf),
       minHashPairsShared(spark, sfDir)
         .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
   }
@@ -1012,13 +1011,32 @@ object Dedup {
       sampleMod: Int = 8, maxPrefixDf: Long = 256L,
       maxHamming: Int = 3): DataFrame = {
     def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
-    val docs = Tables.documents(spark, sfDir).filter(inSlice(col("doc_id")))
     recallReport(
-      jaccardPrefixPairsOf(docs, threshold, maxPrefixDf),
+      sliceTruthShared(spark, sfDir, threshold, sampleMod, maxPrefixDf),
       simHashPairs(spark, sfDir, maxHamming, twinnable = true)
         .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
       .withColumnRenamed("n_lsh_pairs", "n_simhash_pairs")
   }
+
+  /** The sampled exact-Jaccard TRUTH set as a MAINTAINED artifact — the
+    * frozen evaluation set a production pipeline keeps so every
+    * candidate-generation family (MinHash banding, SimHash chunks,
+    * whatever comes next) is scored against the SAME pairs without
+    * re-running the lossless PPJoin per audit. No refresh kernel for
+    * the same reason as `minhash_pairs`: pair sets are not
+    * compositional under the df cap, so an appended shard re-derives
+    * from scratch (the slice is 1/sampleMod of the corpus — cheap).
+    */
+  private def sliceTruthShared(
+      spark: SparkSession, sfDir: String, threshold: Double,
+      sampleMod: Int, maxPrefixDf: Long): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "slice_truth",
+      Seq("documents.parquet"), "doc_a") {
+      jaccardPrefixPairsOf(
+        Tables.documents(spark, sfDir)
+          .filter(shaBucket(col("doc_id"), sampleMod.toLong) === 0L),
+        threshold, maxPrefixDf)
+    }
 
   /** One-row recall report from the lossless truth and the LSH pair list
     * (shared by [[lshRecall]] and [[lshRecallSampled]]).
