@@ -82,17 +82,26 @@ object TextStats {
     */
   def qualityThresholdByLang(
       spark: SparkSession, sfDir: String, pct: Double = 0.2): DataFrame = {
+    // persist the scored frame CALL-SCOPED: the per-feature sha fold is
+    // the expensive part, and the selection kernel alone reads its input
+    // three times (sample, histogram, target-bucket rank) before the
+    // census pass — unpersisted, the fold would run 4× over the corpus
+    // (measured 9.3 s vs 1.9 s at sf0.1)
     val scored = classifierScored(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("lang"), col("logit"))
-    val thresholds = graft.ops.Ranks.selectOrderStatistic(
-      scored, Seq("lang"), col("logit"), pct, "threshold")
-    scored.join(broadcast(thresholds), Seq("lang"))
-      .groupBy(col("lang"), col("threshold"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        count_if(col("logit") < col("threshold")).as("n_cut"),
-        count_if(col("logit") >= col("threshold")).as("n_kept"))
-      .orderBy(col("lang").asc)
+      .persist()
+    try {
+      val thresholds = graft.ops.Ranks.selectOrderStatistic(
+        scored, Seq("lang"), col("logit"), pct, "threshold")
+      graft.ops.Materialize.smallLocal(
+        scored.join(broadcast(thresholds), Seq("lang"))
+          .groupBy(col("lang"), col("threshold"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            count_if(col("logit") < col("threshold")).as("n_cut"),
+            count_if(col("logit") >= col("threshold")).as("n_kept"))
+          .orderBy(col("lang").asc))
+    } finally { scored.unpersist(); () }
   }
 
   /** The [[qualityClassifier]] scoring pass as a frame transform: appends
