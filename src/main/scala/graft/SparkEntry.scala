@@ -271,6 +271,9 @@ object SparkEntry {
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
+    // schema census over the JSON props column: keys discovered from the
+    // DATA (no declared schema) + per-key occurrence/distinct/numeric
+    "props_schema"       -> ((s, d) => Ingest.propsSchema(s, d)),
     "conversation_pairs" -> ((s, d) => Ingest.conversationPairs(s, d)),
     "ads_pagination"     -> ((s, d) => Ingest.adsPagination(s, d)),
     "source_validation"  -> ((s, d) => Ingest.sourceValidation(s, d)),
@@ -3686,6 +3689,22 @@ object SparkEntry {
         |       strlen(text) AS n_bytes
         |FROM documents
         |ORDER BY media_id ASC""".stripMargin,
+    "props_schema" ->
+      """WITH kv AS (
+        |  SELECT e.event_id,
+        |         unnest(json_keys(e.props::JSON)) AS key, e.props
+        |  FROM events e
+        |), v AS (
+        |  SELECT key,
+        |         json_extract_string(props::JSON, '$.' || key) AS val
+        |  FROM kv
+        |)
+        |SELECT key, count(*) AS n_rows,
+        |       count(DISTINCT val) AS n_distinct,
+        |       count(TRY_CAST(val AS BIGINT)) AS n_numeric,
+        |       min(TRY_CAST(val AS BIGINT)) AS min_num,
+        |       max(TRY_CAST(val AS BIGINT)) AS max_num
+        |FROM v GROUP BY key ORDER BY key ASC""".stripMargin,
     "props_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

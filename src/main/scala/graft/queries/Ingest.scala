@@ -29,6 +29,37 @@ object Ingest {
         sum(col("k")).as("sum_k"))
       .orderBy(col("event_type").asc)
 
+  /** Semi-structured SCHEMA CENSUS over the JSON `props` column — the
+    * profiling pass a pipeline runs before trusting an upstream event
+    * contract: every key that actually occurs, how often, how many
+    * distinct values, and whether/what it looks like numerically. No
+    * declared schema anywhere — keys come from the data
+    * (`json_object_keys`), so a producer silently adding or breaking a
+    * field shows up as a new/changed census row.
+    *
+    * Scale shape: one events scan, key explosion bounded by real key
+    * counts per row, then a hash-agg on (key) — map-side combinable;
+    * the numeric min/max/count are exact integers (TRY-cast semantics
+    * identical in both engines: non-numeric → NULL → ignored).
+    */
+  def propsSchema(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("props"),
+        explode(json_object_keys(col("props"))).as("key"))
+      // the Scala get_json_object wrapper demands a literal path; the SQL
+      // form accepts the per-row key expression
+      .withColumn("__v",
+        expr("get_json_object(props, concat('$.', key))"))
+      .withColumn("__n", col("__v").cast("long"))
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("__v")).as("n_distinct"),
+        count(col("__n")).as("n_numeric"),
+        min(col("__n")).as("min_num"),
+        max(col("__n")).as("max_num"))
+      .orderBy(col("key").asc)
+
   /** F5: order-independent pair normalization (`chat.ts:18`:
     * `[a,b].sort()` so the conversation key is unique per pair).
     */
