@@ -405,6 +405,9 @@ object SparkEntry {
     // connected components over the strong (w>=2) co-purchase edges
     "copurchase_communities" -> ((s, d) =>
       ext.Graph.copurchaseCommunities(s, d)),
+    // k-core peeling curve over the strong co-purchase graph: per-round
+    // surviving nodes/edges + fixpoint flag (unrolled exact twin)
+    "copurchase_kcore" -> ((s, d) => ext.Graph.copurchaseKCore(s, d)),
     // entity resolution over the DISTINCT-name space: lossless
     // (pos, token)-blocked fuzzy matches (lev ≤ 1), brute-force twin
     "er_name_matches"    -> ((s, d) => EntityResolution.nameMatches(s, d)),
@@ -428,6 +431,59 @@ object SparkEntry {
     * Spark's decimal-string HALF_UP and DuckDB's binary rounding disagree
     * at half-ulp boundaries of round(·,12).
     */
+  /** Twin for `copurchase_kcore`: the same `rounds` peeling iterations
+    * UNROLLED as CTEs over the strong (w≥2, src<dst) co-purchase edges —
+    * integer degree counts, so each round's survivor set is bit-exact;
+    * `converged` compares consecutive node COUNTS (sets shrink
+    * monotonically, equal counts ⇔ equal sets, same as the Spark loop).
+    */
+  private def kcoreOracle(k: Int = 2, rounds: Int = 5): String = {
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    // reference, so the unrolled rounds would otherwise re-scan (and
+    // re-open) the lineitem file dozens of times — EMFILE on default
+    // ulimits. Materialized, the base graph is computed once.
+    val roundCtes = (1 to rounds).map { r =>
+      s""", e$r AS MATERIALIZED (
+         |  SELECT u.src, u.dst FROM und u
+         |  JOIN n${r - 1} a ON u.src = a.node
+         |  JOIN n${r - 1} b ON u.dst = b.node
+         |), n$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS deg FROM (
+         |      SELECT src AS node FROM e$r
+         |      UNION ALL SELECT dst AS node FROM e$r)
+         |    GROUP BY 1)
+         |  WHERE deg >= $k
+         |), s$r AS MATERIALIZED (
+         |  SELECT src, dst FROM und u
+         |  WHERE EXISTS (SELECT 1 FROM n$r a WHERE a.node = u.src)
+         |    AND EXISTS (SELECT 1 FROM n$r b WHERE b.node = u.dst)
+         |)""".stripMargin
+    }.mkString
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round,
+         |  (SELECT count(*) FROM n$r) AS n_nodes,
+         |  (SELECT count(*) FROM s$r) AS n_edges,
+         |  (SELECT count(*) FROM n$r) =
+         |    (SELECT count(*) FROM n${r - 1}) AS converged""".stripMargin
+    }.mkString("\n|UNION ALL\n|".stripMargin)
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+       |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |), und AS MATERIALIZED (
+       |  SELECT src, dst FROM e WHERE w >= 2
+       |), n0 AS MATERIALIZED (
+       |  SELECT src AS node FROM und UNION SELECT dst AS node FROM und
+       |)$roundCtes
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY round ASC""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int = 5): String = {
     val rounds = (1 to iters).map { i =>
       s""", c$i AS (
@@ -4854,6 +4910,7 @@ object SparkEntry {
         |FROM ev e LEFT JOIN best2 b ON b.vec_id = e.vec_id AND b.rk = 1
         |ORDER BY e.vec_id ASC""".stripMargin,
     "part_pagerank" -> pageRankOracle(),
+    "copurchase_kcore" -> kcoreOracle(),
     "part_triangles" ->
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -260,6 +260,68 @@ object Graph {
     } finally strong.unpersist()
   }
 
+  /** k-core PEELING CURVE of the strong co-purchase graph: per peeling
+    * round, the surviving node/edge counts — the graph-density backbone
+    * report (how much of the graph is load-bearing structure vs fringe).
+    * Round r removes every node whose degree within round r−1's induced
+    * subgraph is < k; `converged = true` marks rounds past the fixpoint
+    * (node sets shrink monotonically, so equal consecutive COUNTS imply
+    * equal sets). `rounds` bounds work deterministically — the row
+    * semantics are "after r peels", exact whether or not the true k-core
+    * was reached, and the flag says which.
+    *
+    * Scale shape per round: two left-semi joins prune the edge artifact
+    * to the surviving induced subgraph and one hash-agg computes degrees
+    * — fixed-width (long,long) rows, each round persisted and the
+    * previous round dropped (the CC/pagerank loop discipline). The
+    * report is `rounds` rows, assembled driver-side from per-round
+    * counts (bounded actions, like the Lloyd trainer).
+    */
+  def copurchaseKCore(
+      spark: SparkSession, sfDir: String, k: Int = 2,
+      minWeight: Long = 2L, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val und = coPurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst") && col("w") >= minWeight)
+      .select("src", "dst").persist()
+    try {
+      var induced = und
+      // round 1's `converged` compares against the FULL node universe
+      // (the twin's n0) — not a sentinel — so a graph that is already
+      // its own k-core reports converged from round 1 in both engines
+      var prevNodes = und.select(col("src").as("node"))
+        .unionByName(und.select(col("dst").as("node")))
+        .distinct().count()
+      val report = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, Long, Long, Boolean)]
+      var r = 1
+      while (r <= rounds) {
+        val deg = induced.select(col("src").as("node"))
+          .unionByName(induced.select(col("dst").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val nodes = deg.filter(col("deg") >= k).select("node").persist()
+        val nNodes = nodes.count()
+        // localCheckpoint SEVERS the lineage: `induced` feeds three
+        // consumers per round, so a persist-only loop triples the LOGICAL
+        // plan every iteration — 3^rounds subtrees and a planner OOM (the
+        // same failure mode tier H caught in the first distributed CC
+        // loop). The checkpointed frame is a leaf; plan size stays O(1).
+        val nextInduced = induced
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        val nEdges = nextInduced.count()
+        report += ((r, nNodes, nEdges, nNodes == prevNodes))
+        prevNodes = nNodes
+        nodes.unpersist()
+        induced = nextInduced
+        r += 1
+      }
+      report.toSeq.toDF("round", "n_nodes", "n_edges", "converged")
+        .orderBy(col("round").asc)
+    } finally { und.unpersist(); () }
+  }
+
   /** Triangle participation per part in the co-purchase graph (simple,
     * undirected): how many part-triples are mutually co-purchased through
     * each part — the local clustering signal behind bundle detection and
