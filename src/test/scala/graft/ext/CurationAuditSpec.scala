@@ -47,6 +47,22 @@ class CurationAuditSpec extends SparkSpec {
     }
   }
 
+  test("copurchase_kcore: monotone peeling, consistent converged flag, degree bound") {
+    val rows = Graph.copurchaseKCore(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSeq === (1 to rows.length))
+    rows.sliding(2).foreach {
+      case Array((_, n1, e1, _), (r2, n2, e2, conv2)) =>
+        assert(n2 <= n1 && e2 <= e1, s"round $r2 grew the subgraph")
+        assert(conv2 === (n2 == n1), s"round $r2 converged flag wrong")
+      case _ =>
+    }
+    // a surviving k-core round supports at least k·n/2 edges
+    rows.filter(_._4).foreach { case (r, n, e, _) =>
+      assert(e * 2 >= 2L * n, s"round $r: converged subgraph under-degreed")
+    }
+  }
+
   test("curation_provenance: statuses partition docs; keepers are real and kept-or-cut consistently") {
     val rows = Curation.curationProvenance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
