@@ -81,6 +81,8 @@ object SparkEntry {
     // that symmetric Jaccard structurally misses
     "containment_pairs"  -> ((s, d) => Dedup.containmentPairs(s, d)),
     "lsh_recall_sampled" -> ((s, d) => Dedup.lshRecallSampled(s, d)),
+    // dedup EXPLAIN: shared-shingle evidence + set sizes per verified pair
+    "pair_evidence"      -> ((s, d) => Dedup.pairEvidence(s, d)),
     // simhash candidate recall vs the SAME slice truth as lsh_recall —
     // the MinHash/SimHash/prefix-filter quality triangle, one truth set
     "simhash_recall"     -> ((s, d) => Dedup.simhashRecallSampled(s, d)),
@@ -112,6 +114,8 @@ object SparkEntry {
       TextStats.qualityThresholdByLang(s, d)),
     "lang_id"            -> ((s, d) => TextStats.langId(s, d)),
     "lang_id_accuracy"   -> ((s, d) => TextStats.langIdAccuracy(s, d)),
+    // full (actual x predicted) confusion matrix behind the accuracy
+    "lang_confusion"     -> ((s, d) => TextStats.langConfusion(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
     "pii_scan"           -> ((s, d) => TextStats.piiScan(s, d)),
     "kmeans_cells"       -> ((s, d) => Similarity.kmeansCells(s, d)),
@@ -1761,6 +1765,19 @@ object SparkEntry {
     // both endpoints in the slice. `sh` comes from the full-corpus CTEs;
     // the truth side mirrors the jaccard_prefix twin over the slice's
     // hash-distinct shingle rows.
+    // evidence twin: the shared scored/isect/sz CTEs already carry the
+    // intersection and set sizes per verified pair
+    "pair_evidence" -> (minHashOracleCtes() +
+      """
+        |SELECT s.doc_a, s.doc_b,
+        |       CAST(i.inter AS BIGINT) AS shared_shingles,
+        |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |       s.jaccard
+        |FROM scored s
+        |JOIN isect i ON s.doc_a = i.doc_a AND s.doc_b = i.doc_b
+        |JOIN sz sa ON sa.doc_id = s.doc_a
+        |JOIN sz sb ON sb.doc_id = s.doc_b
+        |ORDER BY s.doc_a ASC, s.doc_b ASC""".stripMargin),
     // sensitivity twin: the shared `scored` pairs joined against the
     // threshold list (zero-pair thresholds kept via the left joins)
     "dedup_sensitivity" -> (minHashOracleCtes() +
@@ -3643,6 +3660,52 @@ object SparkEntry {
         |    AS redacted_len
         |FROM documents
         |ORDER BY doc_id ASC""".stripMargin,
+    "lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('the','and','of','to','in','is','that','it','was','for')))
+        |      AS s_en,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('der','die','und','das','ist','nicht','ein','mit','auf','sich')))
+        |      AS s_de,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('el','la','de','que','los','se','un','por','con','una')))
+        |      AS s_es,
+        |    len(list_filter(list_distinct(toks), x -> x IN
+        |      ('le','la','les','des','et','est','une','dans','que','pour')))
+        |      AS s_fr,
+        |    ((CASE WHEN strpos(text, '的') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '是') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '了') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '在') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '我') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '有') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '和') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '不') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '人') > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN strpos(text, '这') > 0 THEN 1 ELSE 0 END)) AS s_zh
+        |  FROM t
+        |), m AS (
+        |  SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM s
+        |), p AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    CASE WHEN mx = 0 THEN 'unknown'
+        |         WHEN s_zh = mx THEN 'zh'
+        |         WHEN s_fr = mx THEN 'fr'
+        |         WHEN s_es = mx THEN 'es'
+        |         WHEN s_en = mx THEN 'en'
+        |         ELSE 'de' END AS predicted_lang
+        |  FROM m
+        |)
+        |SELECT actual_lang, predicted_lang, count(*) AS n_docs
+        |FROM p GROUP BY 1, 2
+        |ORDER BY actual_lang ASC, predicted_lang ASC""".stripMargin,
     "lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

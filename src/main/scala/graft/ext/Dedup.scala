@@ -1018,6 +1018,33 @@ object Dedup {
       .withColumnRenamed("n_lsh_pairs", "n_simhash_pairs")
   }
 
+  /** EVIDENCE for each verified near-dup pair — the dedup EXPLAIN: the
+    * shared-shingle count and both set sizes behind every pair's
+    * Jaccard, so a curation reviewer can see WHY two documents were
+    * called duplicates (30 shared shingles out of 31/32 reads very
+    * differently from 3 out of 5). Pairs come off the maintained pair
+    * artifact, evidence sets off the maintained shingle index; the
+    * intersection is the native merge-count expression per pair —
+    * |pairs|-bounded work, never corpus-quadratic.
+    */
+  def pairEvidence(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sets = shingleStatsShared(spark, sfDir).groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("sh"))).as("shset"))
+    minHashPairsShared(spark, sfDir)
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("__sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("__sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("graft_isect", col("__sa"), col("__sb"))
+          .cast("long").as("shared_shingles"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** The sampled exact-Jaccard TRUTH set as a MAINTAINED artifact — the
     * frozen evaluation set a production pipeline keeps so every
     * candidate-generation family (MinHash banding, SimHash chunks,

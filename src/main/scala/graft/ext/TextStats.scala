@@ -750,6 +750,19 @@ object TextStats {
         col("n_correct").cast("double") / col("n_docs").cast("double"))
       .orderBy(col("actual_lang").asc)
 
+  /** Full language-ID CONFUSION MATRIX — which labels the n-gram
+    * heuristic confuses with which (the per-class view behind
+    * [[langIdAccuracy]]'s per-label rate: a 90% accuracy hiding
+    * systematic es→fr confusion reads very differently from uniform
+    * noise). Only observed (actual, predicted) cells emit — at 100 TB
+    * the matrix is ≤ |langs|² rows either way.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("actual_lang").asc, col("predicted_lang").asc)
+
   /** Document fingerprints: whole-text hash + a winnowing-style content
     * fingerprint (min shingle hash) robust to reordering at the margins.
     *
