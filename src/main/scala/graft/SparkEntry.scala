@@ -375,6 +375,12 @@ object SparkEntry {
     // (lineitem-derived supply costs; no window, no correlated rescan)
     "min_cost_supplier" -> ((s, d) =>
       Marketplace.minCostSupplier(s, d)),
+    // fused per-supplier scorecard: revenue/reach/returns/delay in one
+    // co-partitioned pass (the supply-side source_scorecard)
+    "supplier_scorecard" -> ((s, d) => Marketplace.supplierScorecard(s, d)),
+    // market-basket association rules: support/confidence/lift over
+    // basket pairs, 1-row basket total broadcast, top-k by support
+    "part_affinity" -> ((s, d) => Marketplace.partAffinity(s, d)),
     // Q19-shaped OR-of-ANDs: common bounds extracted from the
     // disjunction reach both scans; residual OR evaluates post-join
     "disjunctive_revenue" -> ((s, d) => Marketplace.disjunctiveRevenue(s, d)),
@@ -4635,6 +4641,59 @@ object SparkEntry {
         |       count(*) AS n_items
         |FROM q JOIN part p ON q.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY p_brand ASC""".stripMargin,
+    "supplier_scorecard" ->
+      """WITH j AS (
+        |  SELECT l.l_suppkey, l.l_orderkey, l.l_returnflag,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |              AS DECIMAL(18,6)) AS rev,
+        |         date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                   CAST(l.l_shipdate AS DATE)) AS delay
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), g AS (
+        |  SELECT l_suppkey,
+        |         sum(rev) AS rev, count(*) AS n_items,
+        |         count(DISTINCT l_orderkey) AS n_orders,
+        |         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS nr,
+        |         CAST(sum(delay) AS BIGINT) AS delay_sum
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT s.s_suppkey, s.s_name,
+        |       round(CAST(g.rev AS DOUBLE), 6) AS revenue,
+        |       g.n_orders, g.n_items,
+        |       round(CAST(g.nr AS DOUBLE)
+        |             / CAST(g.n_items AS DOUBLE), 6) AS return_rate,
+        |       round(CAST(g.delay_sum AS DOUBLE)
+        |             / CAST(g.n_items AS DOUBLE), 6) AS avg_ship_delay_days
+        |FROM g JOIN supplier s ON g.l_suppkey = s.s_suppkey
+        |ORDER BY revenue DESC, s_suppkey ASC
+        |LIMIT 25""".stripMargin,
+    "part_affinity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), n AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n FROM b
+        |), pc AS (
+        |  SELECT l_partkey, count(*) AS c FROM b GROUP BY 1
+        |), pr AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*) AS n_both
+        |  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+        |   AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pr.pa AS part_a, pr.pb AS part_b, pr.n_both,
+        |       round(CAST(pr.n_both AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+        |         AS support,
+        |       round(CAST(pr.n_both AS DOUBLE) / CAST(ca.c AS DOUBLE), 6)
+        |         AS confidence,
+        |       round((CAST(pr.n_both AS DOUBLE) * CAST(n.n AS DOUBLE))
+        |             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6)
+        |         AS lift
+        |FROM pr JOIN pc ca ON pr.pa = ca.l_partkey
+        |        JOIN pc cb ON pr.pb = cb.l_partkey
+        |        CROSS JOIN n
+        |ORDER BY n_both DESC, part_a ASC, part_b ASC
+        |LIMIT 25""".stripMargin,
     "disjunctive_revenue" ->
       """SELECT round(CAST(sum(CAST(round(l.l_extendedprice
         |                                 * (1.0 - l.l_discount), 6)

@@ -544,6 +544,95 @@ object Marketplace {
       .limit(topK)
   }
 
+  /** Fused per-supplier operational scorecard — the supply-side dual of
+    * the corpus source_scorecard: ONE lineitem⋈orders pass computes
+    * revenue (decimal-exact), order reach, return rate, and the exact
+    * average ship delay per supplier, top `topK` by revenue. One scan,
+    * one co-partitioned join, one hash-agg — never one pass per metric.
+    *
+    * Exactness: revenue via the decimal-sum convention; return rate and
+    * avg delay from exact integer counts/day-sums, each a single IEEE
+    * division rendered at 6dp.
+    */
+  def supplierScorecard(
+      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_shipdate"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+    li.join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(col("rev")).as("__rev"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("__nr"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .as("__delay"))
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("__rev").cast("double"), 6).as("revenue"),
+        col("n_orders"), col("n_items"),
+        round(col("__nr").cast("double") / col("n_items").cast("double"), 6)
+          .as("return_rate"),
+        round(col("__delay").cast("double") / col("n_items").cast("double"),
+          6).as("avg_ship_delay_days"))
+      .orderBy(col("revenue").desc, col("s_suppkey").asc)
+      .limit(topK)
+  }
+
+  /** Association-rule metrics over co-purchased part pairs — market-basket
+    * support/confidence/lift: for the strongest pairs, how often they
+    * co-occur (support), how predictive each side is of the other
+    * (confidence, reported for the a→b direction with a < b), and the
+    * independence ratio (lift > 1 = genuinely associated, not just two
+    * popular parts). The inputs are exact integer counts over the order
+    * baskets; the three ratios are fixed IEEE expressions stated
+    * identically in the twin.
+    *
+    * Scale shape: basket pairs bounded by per-order basket size (the
+    * copurchase_pairs kernel), per-part counts one hash-agg, the 1-row
+    * basket total a broadcast scalar attach; top-k by support is a
+    * TakeOrdered.
+    */
+  def partAffinity(
+      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val partCounts = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("__pc"))
+    val pairs = baskets.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("pb")),
+        Seq("l_orderkey"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(partCounts.select(col("l_partkey").as("pa"),
+        col("__pc").as("__ca")), Seq("pa"))
+      .join(partCounts.select(col("l_partkey").as("pb"),
+        col("__pc").as("__cb")), Seq("pb"))
+      .join(broadcast(nBaskets))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") / col("__n").cast("double"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") / col("__ca").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_both").cast("double") * col("__n").cast("double"))
+          / (col("__ca").cast("double") * col("__cb").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("n_both").desc, col("part_a").asc, col("part_b").asc)
+      .limit(topK)
+  }
+
   /** TPC-H Q19-shaped disjunctive revenue: total discounted revenue from
     * lineitems matching an OR of three (brand, size band, quantity band)
     * conjunctions — the classic OR-of-ANDs predicate-pushdown test.
