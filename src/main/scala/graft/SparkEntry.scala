@@ -229,7 +229,7 @@ object SparkEntry {
     // SemDeDup: cell-scoped cosine near-dup, keeper = lowest id per pair
     "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
     // bitext/parallel-pair mining: best cross-label neighbor + margin
-    "bitext_mine"        -> ((s, d) => Similarity.crossLabelMine(s, d)),
+    "bitext_mine"        -> ((s, d) => Similarity.crossLabelMineAdaptive(s, d)),
     // contrastive-training negatives: per-anchor top-n in the [lo, hi)
     // "confusable but not duplicate" cosine band, cell-scoped
     "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
@@ -2294,16 +2294,24 @@ object SparkEntry {
         |SELECT a.vec_id, a.cell_id, d.dup_of, d.dup_of IS NULL AS kept
         |FROM assigned a LEFT JOIN dups d USING (vec_id)
         |ORDER BY a.vec_id ASC""".stripMargin,
+    // seeds limit is the census-derived 16·ceil(N/500) — the same k the
+    // Spark path computes from parquet footers (crossLabelMineAdaptive),
+    // so the twin stays size-parameterized at any corpus scale
     "bitext_mine" ->
       """WITH emb AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
         |         sqrt(list_inner_product(embedding::DOUBLE[],
         |                                 embedding::DOUBLE[])) AS nrm
         |  FROM embeddings
+        |), nk AS (
+        |  SELECT greatest(16, 16 * CAST(ceil(count(*) / 500.0) AS BIGINT))
+        |           AS k
+        |  FROM emb
         |), seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
-        |         list_transform(vec, x -> x / nrm) AS c
-        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |  SELECT rn - 1 AS cell_id, list_transform(vec, x -> x / nrm) AS c
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id ASC) AS rn
+        |        FROM emb)
+        |  WHERE rn <= (SELECT k FROM nk)
         |), scored AS (
         |  SELECT e.vec_id, s.cell_id,
         |         list_inner_product(e.vec, s.c) / e.nrm AS sim
@@ -3823,13 +3831,18 @@ object SparkEntry {
         |  SELECT key,
         |         json_extract_string(props::JSON, '$.' || key) AS val
         |  FROM kv
+        |), n AS (
+        |  SELECT key, val,
+        |         CASE WHEN regexp_matches(val, '^-?[0-9]+$')
+        |              THEN CAST(val AS BIGINT) END AS num
+        |  FROM v
         |)
         |SELECT key, count(*) AS n_rows,
         |       count(DISTINCT val) AS n_distinct,
-        |       count(TRY_CAST(val AS BIGINT)) AS n_numeric,
-        |       min(TRY_CAST(val AS BIGINT)) AS min_num,
-        |       max(TRY_CAST(val AS BIGINT)) AS max_num
-        |FROM v GROUP BY key ORDER BY key ASC""".stripMargin,
+        |       count(num) AS n_numeric,
+        |       min(num) AS min_num,
+        |       max(num) AS max_num
+        |FROM n GROUP BY key ORDER BY key ASC""".stripMargin,
     "props_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

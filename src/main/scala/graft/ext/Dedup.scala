@@ -1053,11 +1053,16 @@ object Dedup {
     * the same reason as `minhash_pairs`: pair sets are not
     * compositional under the df cap, so an appended shard re-derives
     * from scratch (the slice is 1/sampleMod of the corpus — cheap).
+    * The build parameters are FOLDED INTO the artifact family tag —
+    * a truth set is only valid for the (threshold, sampleMod,
+    * maxPrefixDf) it was built under, so non-default calls get their
+    * own artifact instead of silently reusing a mismatched one.
     */
   private def sliceTruthShared(
       spark: SparkSession, sfDir: String, threshold: Double,
       sampleMod: Int, maxPrefixDf: Long): DataFrame =
-    graft.ops.Layout.ensureDerived(spark, sfDir, "slice_truth",
+    graft.ops.Layout.ensureDerived(spark, sfDir,
+      s"slice_truth_${(threshold * 1000).round}_${sampleMod}_$maxPrefixDf",
       Seq("documents.parquet"), "doc_a") {
       jaccardPrefixPairsOf(
         Tables.documents(spark, sfDir)

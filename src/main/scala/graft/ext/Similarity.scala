@@ -730,8 +730,17 @@ object Similarity {
         .select(col("vec_id"), col("cell_id"), col("embedding"),
           col("norm").as("__norm"), col("label"))
     else {
-      val cells = kmeansAssignments(spark, sfDir, k, iters = 0)
-        .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+      // Non-default widths (e.g. the census-adaptive bitext k) are served
+      // from their own maintained artifact — seed assignment is a pure
+      // function of (k, source census), both folded into the artifact tag,
+      // so the k-dot scan runs once per census and every later call is one
+      // bucketed read (the `ivf_cells` discipline at any k).
+      val cells = graft.ops.Layout.ensureDerived(
+        spark, sfDir, s"seed_cells_$k", Seq("embeddings.parquet"),
+        key = "vec_id", buckets = 32, version = 1) {
+        kmeansAssignments(spark, sfDir, k, iters = 0)
+          .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"))
+      }
       withNorm(spark, Tables.embeddings(spark, sfDir))
         .select(col("vec_id"), col("embedding"), col("__norm"), col("label"))
         .join(cells, Seq("vec_id"))
@@ -1612,6 +1621,30 @@ object Similarity {
     * cell-keyed join, one (cell-bounded) per-query window; one row per
     * vector with ≥1 cross-label neighbor above `threshold`.
     */
+  /** The quantizer width the REGISTERED bitext path uses: 16 cells per
+    * 500 corpus vectors (the sf0.01 base census), so the EXPECTED cell
+    * size stays ~31 at any corpus size and within-cell pair production —
+    * quadratic in cell size — stays corpus-LINEAR. This is the census
+    * contract of `ivf_model`/`kmeans_model` applied to the mining k: the
+    * corpus size comes from parquet footers (no scan), the twin computes
+    * the identical `16·ceil(N/500)` from `count(*)`, and any census
+    * change re-derives both sides. Fixed k was the one tier-H scale flag
+    * (cells grow linearly with the corpus at fixed k; tier E proved
+    * k=16·R restores base scope) — this makes the registered artifact
+    * take the prescribed fix.
+    */
+  def bitextCensusK(spark: SparkSession, sfDir: String): Int = {
+    val n = Tables.parquetRowCount(spark, sfDir, "embeddings")
+    (16L * ((n + 499L) / 500L)).max(16L).toInt
+  }
+
+  /** [[crossLabelMine]] with the census-derived quantizer width — the
+    * registered `bitext_mine` path (scale shape above).
+    */
+  def crossLabelMineAdaptive(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.3): DataFrame =
+    crossLabelMine(spark, sfDir, bitextCensusK(spark, sfDir), threshold)
+
   def crossLabelMine(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.3): DataFrame = {

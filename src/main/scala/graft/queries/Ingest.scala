@@ -38,9 +38,12 @@ object Ingest {
     * field shows up as a new/changed census row.
     *
     * Scale shape: one events scan, key explosion bounded by real key
-    * counts per row, then a hash-agg on (key) — map-side combinable;
-    * the numeric min/max/count are exact integers (TRY-cast semantics
-    * identical in both engines: non-numeric → NULL → ignored).
+    * counts per row, then a hash-agg on (key) — map-side combinable.
+    * Numeric detection is gated on an explicit integer regex BEFORE the
+    * cast — bare TRY-cast semantics differ cross-engine on non-integer
+    * numeric strings (Spark's non-ANSI cast truncates '12.5'→12 and
+    * rejects '1e3'; DuckDB's TRY_CAST rounds '12.5'→13 and accepts
+    * '1e3'), so the gate is the portable definition of "integer-valued".
     */
   def propsSchema(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
@@ -50,7 +53,8 @@ object Ingest {
       // form accepts the per-row key expression
       .withColumn("__v",
         expr("get_json_object(props, concat('$.', key))"))
-      .withColumn("__n", col("__v").cast("long"))
+      .withColumn("__n",
+        when(col("__v").rlike("^-?[0-9]+$"), col("__v").cast("long")))
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n_rows"),
