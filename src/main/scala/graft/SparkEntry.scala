@@ -477,8 +477,11 @@ object SparkEntry {
          |  (SELECT count(*) FROM n$r) =
          |    (SELECT count(*) FROM n${r - 1}) AS converged""".stripMargin
     }.mkString("\n|UNION ALL\n|".stripMargin)
-    s"""WITH op AS MATERIALIZED (
+    s"""WITH op0 AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), op AS MATERIALIZED (
+       |  SELECT l_orderkey, l_partkey FROM op0
+       |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
        |), e AS MATERIALIZED (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
@@ -509,8 +512,11 @@ object SparkEntry {
          |  FROM nd LEFT JOIN c$i c USING (node)
          |)""".stripMargin
     }.mkString
-    s"""WITH op AS (
+    s"""WITH op0 AS (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |), op AS (
+       |  SELECT l_orderkey, l_partkey FROM op0
+       |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
        |), e AS (
        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
@@ -1455,8 +1461,11 @@ object SparkEntry {
         |ORDER BY a.entity_id ASC""".stripMargin,
     "fk_audit" -> fkAuditOracle,
     "copurchase_communities" ->
-      """WITH RECURSIVE op AS (
+      """WITH RECURSIVE op0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), op AS (
+        |  SELECT l_orderkey, l_partkey FROM op0
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
         |), pe AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
         |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
@@ -2500,8 +2509,11 @@ object SparkEntry {
         |       round(sum(nt)::DOUBLE / sum(nw)::DOUBLE, 6) AS fertility
         |FROM perdoc GROUP BY lang ORDER BY lang ASC""".stripMargin),
     "copurchase_pairs" ->
-      """WITH op AS (
+      """WITH op0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), op AS (
+        |  SELECT l_orderkey, l_partkey FROM op0
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
         |)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
         |       count(*) AS n_orders
@@ -4682,8 +4694,11 @@ object SparkEntry {
         |ORDER BY revenue DESC, s_suppkey ASC
         |LIMIT 25""".stripMargin,
     "part_affinity" ->
-      """WITH b AS (
+      """WITH b0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), b AS (
+        |  SELECT l_orderkey, l_partkey FROM b0
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
         |), n AS (
         |  SELECT count(DISTINCT l_orderkey) AS n FROM b
         |), pc AS (
@@ -5046,9 +5061,16 @@ object SparkEntry {
         |ORDER BY e.vec_id ASC""".stripMargin,
     "part_pagerank" -> pageRankOracle(),
     "copurchase_kcore" -> kcoreOracle(),
+    // basket cap measured on the FULL basket (pre-sample), matching the
+    // Spark path's artifact-then-sample order of operations
     "part_triangles" ->
-      """WITH op AS (
+      """WITH op0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), opb AS (
+        |  SELECT l_orderkey, l_partkey FROM op0
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
+        |), op AS (
+        |  SELECT l_orderkey, l_partkey FROM opb
         |  WHERE ('0x' || substr(sha256(CAST(l_partkey AS VARCHAR)), 1, 8))
         |          ::BIGINT % 4 = 0
         |), und AS (

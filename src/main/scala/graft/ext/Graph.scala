@@ -28,8 +28,27 @@ object Graph {
     * src-keyed shuffle join against another src-bucketed artifact would be
     * exchange-free.
     */
+  /** Per-order pair production is C(basket, 2) — quadratic in basket
+    * size. TPC-H bounds baskets at 7 lines/order, but a real marketplace
+    * does not: one hot basket of 100k parts is 5×10⁹ pair rows from a
+    * single order. Orders with more than `MaxBasket` DISTINCT parts are
+    * therefore EXCLUDED from pair production entirely (the
+    * `maxDocsPerSpan` discipline: a mega-basket is a degenerate signal
+    * for association mining — a basket containing everything co-occurs
+    * with everything — so dropping it changes no meaningful rule). The
+    * guard is mirrored verbatim in every DuckDB twin that derives basket
+    * pairs, so capped results stay hash-checked.
+    */
+  private[graft] val MaxBasket = 256L
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession, sfDir: String): DataFrame = {
+    // baskets ≤ MaxBasket distinct parts; see the guard's scaladoc above
+    def bounded(op: DataFrame): DataFrame =
+      op.join(
+        op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bs"))
+          .filter(col("__bs") <= MaxBasket).select("l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
     def pairsOf(src: DataFrame, dst: DataFrame): DataFrame =
       src.select(col("l_orderkey"), col("l_partkey").as("src"))
         .join(dst.select(col("l_orderkey"), col("l_partkey").as("dst")),
@@ -38,7 +57,7 @@ object Graph {
     def aggW(pairs: DataFrame): DataFrame =
       pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
-      Seq("lineitem.parquet"), "src",
+      Seq("lineitem.parquet"), "src", version = 2,
       // APPEND-ONLY REFRESH — the base⊕delta merge: an appended lineitem
       // shard contributes exactly the pairs with ≥1 end among its NEW
       // (l_orderkey, l_partkey) rows — new×all ∪ old×new, both computed
@@ -56,14 +75,44 @@ object Graph {
         // rows already present before the append contribute nothing new
         val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
           "left_anti")
-        val delta = aggW(
-          pairsOf(newOnly, oldRaw.unionByName(newOnly))
-            .unionByName(pairsOf(oldRaw, newOnly)))
-        ctx.oldArtifact.unionByName(delta)
-          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        // MaxBasket under append: a touched order that CROSSES the cap
+        // (old size ≤ cap, merged size > cap) has pairs in the old
+        // artifact that a from-scratch build would drop — the one case
+        // the base⊕delta merge cannot express, so it falls back to a
+        // full rebuild (rare: it needs one order to grow past MaxBasket
+        // in a single append). Orders already over the cap contribute
+        // nothing on either path; merged-under-cap orders take the
+        // normal delta.
+        val touched = newOnly.select("l_orderkey").distinct()
+        val mergedSz = oldRaw.unionByName(newOnly)
+          .join(touched, Seq("l_orderkey"), "left_semi")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
+        val oldSz = oldRaw
+          .join(touched, Seq("l_orderkey"), "left_semi")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
+        // old size in [2, cap]: the old artifact holds pairs for the
+        // order (a 0/1-part history has none — pure exclusion suffices)
+        val crossed = mergedSz.filter(col("__m") > MaxBasket)
+          .join(oldSz, Seq("l_orderkey"), "left")
+          .filter(coalesce(col("__o"), lit(0L)).between(2L, MaxBasket))
+        if (!crossed.isEmpty) {
+          val all = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+          aggW(pairsOf(bounded(all), bounded(all)))
+        } else {
+          val okTouched = mergedSz.filter(col("__m") <= MaxBasket)
+            .select("l_orderkey")
+          def ok(df: DataFrame): DataFrame =
+            df.join(okTouched, Seq("l_orderkey"), "left_semi")
+          val delta = aggW(
+            pairsOf(ok(newOnly), ok(oldRaw.unionByName(newOnly)))
+              .unionByName(pairsOf(ok(oldRaw), ok(newOnly))))
+          ctx.oldArtifact.unionByName(delta)
+            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        }
       }) {
-      val op = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val op = bounded(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
       aggW(pairsOf(op, op))
     }
   }

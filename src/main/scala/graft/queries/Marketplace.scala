@@ -281,10 +281,11 @@ object Marketplace {
     * artifact ([[graft.ext.Graph.coPurchaseEdges]] — built once per sfDir:
     * the order-keyed self-join co-partitions both sides on one shuffle,
     * pair production per order is C(parts-in-order, 2), bounded by the
-    * natural order width). Here the `<` filter keeps one orientation of
-    * the symmetric table and the top-k is a TakeOrdered — no global sort.
-    * A pathological mega-order would need the same cap treatment as
-    * [[graft.ext.Dedup]]'s bucket guards — TPC-H's schema bounds it here.
+    * artifact's `MaxBasket` guard — orders wider than
+    * [[graft.ext.Graph.MaxBasket]] distinct parts are excluded, so a
+    * pathological mega-order can never emit quadratic pair rows). Here
+    * the `<` filter keeps one orientation of the symmetric table and the
+    * top-k is a TakeOrdered — no global sort.
     */
   def copurchasePairs(
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame =
@@ -595,25 +596,35 @@ object Marketplace {
     * baskets; the three ratios are fixed IEEE expressions stated
     * identically in the twin.
     *
-    * Scale shape: basket pairs bounded by per-order basket size (the
-    * copurchase_pairs kernel), per-part counts one hash-agg, the 1-row
-    * basket total a broadcast scalar attach; top-k by support is a
-    * TakeOrdered.
+    * Scale shape: pair counts come off the graph family's shared
+    * co-purchase edge artifact ([[graft.ext.Graph.coPurchaseEdges]] —
+    * one bucketed scan, the basket self-join never re-runs here), which
+    * carries the `MaxBasket` guard: orders wider than
+    * [[graft.ext.Graph.MaxBasket]] distinct parts are excluded from the
+    * whole analysis (pairs AND denominators — a mega-basket co-occurs
+    * with everything, pure noise for association rules, and C(basket,2)
+    * pair rows from one hot order is the unbounded-marketplace failure
+    * mode). Per-part counts are one hash-agg over the bounded basket
+    * universe, the 1-row basket total a broadcast scalar attach; top-k
+    * by support is a TakeOrdered.
     */
   def partAffinity(
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val baskets = Tables.lineitem(spark, sfDir)
+    val op = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val baskets = op.join(
+      op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= graft.ext.Graph.MaxBasket)
+        .select("l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
     val nBaskets = baskets.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("__n"))
     val partCounts = baskets.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("__pc"))
-    val pairs = baskets.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(baskets.select(col("l_orderkey"), col("l_partkey").as("pb")),
-        Seq("l_orderkey"))
-      .where(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n_both"))
+    val pairs = graft.ext.Graph.coPurchaseEdges(spark, sfDir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("pa"), col("dst").as("pb"),
+        col("w").cast("long").as("n_both"))
     pairs
       .join(partCounts.select(col("l_partkey").as("pa"),
         col("__pc").as("__ca")), Seq("pa"))

@@ -490,6 +490,63 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("MaxBasket guard: a hot basket emits no pairs; cap-crossing append rebuilds") {
+    val cap = graft.ext.Graph.MaxBasket
+    val base = Files.createTempDirectory("graft_hot_base").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_hot_none").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    seedAsDir(s"$sf/lineitem.parquet", s"$pristine/lineitem.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val liCols = li.columns.toSeq
+    // one synthetic hot order holding cap+20 distinct parts, all of them
+    // otherwise absent from the corpus — C(cap+20, 2) pairs if unguarded
+    def hotRows(orderkey: Long, partBase: Long, n: Long): DataFrame =
+      li.limit(1).drop("l_orderkey", "l_partkey")
+        .crossJoin(spark.range(n).withColumnRenamed("id", "__i"))
+        .withColumn("l_orderkey", lit(orderkey))
+        .withColumn("l_partkey", col("__i") + lit(partBase))
+        .select(liCols.map(col): _*)
+    appendFile(s"$base/lineitem.parquet",
+      hotRows(999999901L, 5000000L, cap + 20))
+    val edges = graft.ext.Graph.coPurchaseEdges(spark, base)
+    assert(edges.filter(col("src") >= 5000000L || col("dst") >= 5000000L)
+      .isEmpty, "hot-basket parts must emit no pairs")
+    // the bounded universe equals the corpus WITHOUT the hot order — for
+    // the edge artifact and for part_affinity's denominators alike
+    val cleanEdges = graft.ext.Graph.coPurchaseEdges(spark, pristine)
+    assert(edges.exceptAll(cleanEdges).isEmpty &&
+      cleanEdges.exceptAll(edges).isEmpty)
+    assert(graft.queries.Marketplace.partAffinity(spark, base)
+      .collect().toSeq ===
+      graft.queries.Marketplace.partAffinity(spark, pristine)
+        .collect().toSeq,
+      "part_affinity must exclude the hot basket from pairs and denominators")
+
+    // cap-CROSSING append: an existing under-cap order grows past the cap
+    // in one delta — the one case base⊕delta cannot express; the refresh
+    // must fall back to a from-scratch derivation that DROPS that order
+    val firstOrder = li.agg(min(col("l_orderkey"))).first().getLong(0)
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/lineitem.parquet",
+      hotRows(firstOrder, 6000000L, cap + 5))
+    val refreshed = graft.ext.Graph.coPurchaseEdges(spark, base)
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    assert(Layout.refreshCount.get === r0 + 1,
+      "append must still take the refresh path (fallback is internal)")
+    copyDir(s"$base/lineitem.parquet", s"$pristine/lineitem2.parquet")
+    fs.delete(new Path(s"$pristine/lineitem.parquet"), true)
+    assert(fs.rename(new Path(s"$pristine/lineitem2.parquet"),
+      new Path(s"$pristine/lineitem.parquet")))
+    val rebuilt = graft.ext.Graph.coPurchaseEdges(spark, pristine)
+      .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "cap-crossing refresh diverged from the full rebuild")
+    assert(refreshed.filter(col("src") >= 6000000L).isEmpty,
+      "the crossed order's new parts must not appear")
+  }
+
   test("part_rank REBUILDS on a lineitem append (rank has no frozen-model refresh)") {
     val base = Files.createTempDirectory("graft_rank_incr").toString + "/d"
     fs.mkdirs(new Path(base))
