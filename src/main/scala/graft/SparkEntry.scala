@@ -118,8 +118,12 @@ object SparkEntry {
     "lang_confusion"     -> ((s, d) => TextStats.langConfusion(s, d)),
     "doc_fingerprints"   -> ((s, d) => TextStats.fingerprints(s, d)),
     "pii_scan"           -> ((s, d) => TextStats.piiScan(s, d)),
-    "kmeans_cells"       -> ((s, d) => Similarity.kmeansCells(s, d)),
-    // hash-checked cell-balance/cohesion report of the TRAINED quantizer
+    // hash-checked cell-balance/cohesion report of the TRAINED quantizer.
+    // (The float-Lloyd variant `Similarity.kmeansCells` is no longer
+    // registered: it duplicated this row's subject with iterated float
+    // means no portable SQL can replay — the integer fixed-point twin IS
+    // the registered face; the float trainer stays spec-pinned in
+    // KmeansAndPiiSpec. corpus_sketch is the ONE remaining rows-only row.)
     "kmeans_cells_trained" -> ((s, d) => Similarity.kmeansCellsTrained(s, d)),
     // dominant embedding direction by fixed-point power iteration (ABTT)
     "embedding_pc1"      -> ((s, d) => Similarity.embeddingPc1(s, d)),
@@ -270,6 +274,12 @@ object SparkEntry {
       CorpusIngest.qualityMonitor(docs)
         .orderBy(col("window_start").asc, col("lang").asc)
     }),
+    // the streaming ANN/lexical ingest dataflows run END-TO-END in batch
+    // mode (two shards + a crash-window replay through the shared
+    // foreachBatch bodies) — the oracle hash proves shard-2 saw shard-1's
+    // commits and the replay appended nothing
+    "ingest_vector_index"   -> ((s, d) => CorpusIngest.vectorIngestFace(s, d)),
+    "ingest_postings_index" -> ((s, d) => CorpusIngest.postingsIngestFace(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -3561,6 +3571,80 @@ object SparkEntry {
         |         AS avg_precision
         |FROM probes p LEFT JOIN agg a USING (q_id)
         |ORDER BY p.q_id ASC""".stripMargin),
+    // twin of the batch-mode streaming-vector-ingest face: the committed
+    // index must equal one-shot derivation under the frozen 16-seed
+    // quantizer — cosine cell assignment (kmeans_assign_seed's chain)
+    // joined with the PQ argmin codes (pq_codes' chain). Any duplicate
+    // from the replayed shard, or a shard-2 row derived without seeing
+    // shard-1's commits, breaks the hash.
+    "ingest_vector_index" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
+        |         list_transform(vec, x -> x / nrm) AS c, vec AS rawc
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scored AS (
+        |  SELECT e.vec_id, s.cell_id,
+        |         list_inner_product(e.vec, s.c) / e.nrm AS sim
+        |  FROM emb e CROSS JOIN seeds s
+        |), best AS (
+        |  SELECT vec_id, cell_id, sim,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY sim DESC, cell_id ASC) AS rk
+        |  FROM scored
+        |), sub AS (
+        |  SELECT vec_id, t.m, vec[t.m * 16 + 1 : t.m * 16 + 16] AS x
+        |  FROM emb, unnest([0, 1, 2, 3]) AS t(m)
+        |), csub AS (
+        |  SELECT cell_id AS j, t.m,
+        |         rawc[t.m * 16 + 1 : t.m * 16 + 16] AS cx
+        |  FROM seeds, unnest([0, 1, 2, 3]) AS t(m)
+        |), d AS (
+        |  SELECT s.vec_id, s.m, c.j,
+        |         list_inner_product(c.cx, c.cx)
+        |           - 2 * list_inner_product(s.x, c.cx) AS dist
+        |  FROM sub s JOIN csub c ON s.m = c.m
+        |), bcode AS (
+        |  SELECT vec_id, m, j,
+        |         row_number() OVER (PARTITION BY vec_id, m
+        |                            ORDER BY dist ASC, j ASC) AS rk
+        |  FROM d
+        |), codes AS (
+        |  SELECT vec_id,
+        |         max(CASE WHEN m = 0 THEN j END) AS code0,
+        |         max(CASE WHEN m = 1 THEN j END) AS code1,
+        |         max(CASE WHEN m = 2 THEN j END) AS code2,
+        |         max(CASE WHEN m = 3 THEN j END) AS code3
+        |  FROM bcode WHERE rk = 1 GROUP BY vec_id
+        |)
+        |SELECT b.vec_id, b.cell_id, round(b.sim, 6) AS sim,
+        |       c.code0, c.code1, c.code2, c.code3
+        |FROM best b JOIN codes c USING (vec_id)
+        |WHERE b.rk = 1
+        |ORDER BY b.vec_id ASC""".stripMargin,
+    // twin of the batch-mode streaming-postings-ingest face: the
+    // committed lexical index restricted to the dumped 1/97 doc slice
+    // must equal one-shot tokenization (span_stats' tokenizer)
+    "ingest_postings_index" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(text),
+        |                                                  '\s+'),
+        |                            x -> x <> '')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id, tf.tok, tf.tf, dl.dl
+        |FROM tf JOIN dl USING (doc_id)
+        |WHERE tf.doc_id % 97 = 0
+        |ORDER BY tf.doc_id ASC, tf.tok ASC""".stripMargin,
     // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
     // sub-vector — cannot change the argmin); only integer codes emitted
     "pq_codes" ->

@@ -281,8 +281,18 @@ object TextStats {
 
   /** Sketch-based corpus profile — the 100 TB formulation of the exact
     * stats above: HyperLogLog distinct counts and quantile sketches
-    * (constant memory, one pass, mergeable across partitions). Rows-only
-    * check (approximate results have no cross-engine oracle).
+    * (constant memory, one pass, mergeable across partitions).
+    *
+    * PERMANENTLY rows-only — the one registered query without a hash
+    * twin, and that is final: the outputs are sketch INTERNALS
+    * (Spark's HLL++ register layout and its `percentile_approx`
+    * Greenwald-Khanna variant), which no other engine reproduces
+    * bit-for-bit by design — DuckDB's approx_count_distinct is a
+    * different HLL implementation with different hashing, so even a
+    * "same algorithm" twin would be a coincidence-match, not a check.
+    * The estimates themselves ARE pinned: CorpusSketchSpec bounds each
+    * sketch against the exact value computed the way the hash-checked
+    * exact siblings (`dedup_exact`, `length_quantiles`) compute theirs.
     */
   def corpusSketch(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).agg(

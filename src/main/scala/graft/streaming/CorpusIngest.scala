@@ -443,6 +443,72 @@ object CorpusIngest {
       }
       .start()
 
+  /** [[ingestVectors]]'s dataflow run end-to-end in BATCH mode — the
+    * registered, ORACLE-CHECKED face of the streaming vector-ingest
+    * kernel (`ingest_vector_index`): the embedding corpus arrives as two
+    * disjoint shards through [[vectorBatchBody]] (so the second shard
+    * really anti-joins against the first's committed files), the second
+    * shard is then REPLAYED (the crash-window retry — must derive zero
+    * rows, which the oracle hash proves: one duplicated index row would
+    * break the match), and the committed index is read back. The index
+    * dir is reset per call (the S8 DDL-reset discipline), so the row is
+    * deterministic at any sfDir.
+    */
+  def vectorIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = resetDir(spark, sfDir, "graft_ingest_vec")
+    val emb = graft.io.Tables.embeddings(spark, sfDir)
+    val seeds = emb.orderBy(col("vec_id").asc).limit(16)
+      .select("vec_id", "embedding")
+    def shard(r: Int): DataFrame = emb
+      .filter(pmod(col("vec_id"), lit(2L)) === r.toLong)
+      .select("vec_id", "embedding", "label")
+    vectorBatchBody(shard(0), seeds, dir)
+    vectorBatchBody(shard(1), seeds, dir)
+    vectorBatchBody(shard(1), seeds, dir) // replay: must append nothing
+    spark.read.parquet(dir)
+      .select(Seq(col("vec_id"), col("cell_id"),
+        round(col("sim"), 6).as("sim")) ++
+        (0 to 3).map(m => col(s"code$m").cast("long").as(s"code$m")): _*)
+      .orderBy(col("vec_id").asc)
+  }
+
+  /** [[ingestPostings]]'s dataflow in BATCH mode — the registered face
+    * (`ingest_postings_index`), same contract as [[vectorIngestFace]]:
+    * two disjoint document shards through [[postingsBatchBody]], a
+    * replayed second shard that must tokenize and append NOTHING, then
+    * the committed postings read back. The full corpus is ingested (the
+    * kernel under test); the dumped rows are a deterministic 1/97 doc
+    * slice so the oracle artifact stays small at any sfDir.
+    */
+  def postingsIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = resetDir(spark, sfDir, "graft_ingest_post")
+    val docs = graft.io.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    def shard(r: Int): DataFrame =
+      docs.filter(pmod(col("doc_id"), lit(2L)) === r.toLong)
+    postingsBatchBody(shard(0), dir)
+    postingsBatchBody(shard(1), dir)
+    postingsBatchBody(shard(1), dir) // replay: must append nothing
+    spark.read.parquet(dir)
+      .filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+      .orderBy(col("doc_id").asc, col("tok").asc)
+  }
+
+  /** Per-(sfDir, face) scratch dir under the session warehouse, deleted
+    * on entry — each face call re-ingests from scratch (determinism over
+    * cleverness: a stale index from an earlier corpus can never leak in).
+    */
+  private def resetDir(
+      spark: SparkSession, sfDir: String, tag: String): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = s"$wh/${tag}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    dir
+  }
+
   /** One micro-batch of the running heavy-hitter summary — the testable
     * kernel of [[heavyHitterMonitor]], mirroring [[dedupBatch]]'s
     * contract. Reads the summary state AS OF A BATCH BEFORE `batchId`,
