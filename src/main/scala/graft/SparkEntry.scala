@@ -284,6 +284,10 @@ object SparkEntry {
     "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
     "media_frames"       -> ((s, d) => Multimodal.mediaFrames(s, d)),
+    // pHash banded-Hamming media dedup — the last dedup modality; real
+    // perceptual hashes wherever pixels parse (spec-pinned), sha-band
+    // stubs elsewhere so the twin rebuilds every signature bit-for-bit
+    "media_near_dup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
     // schema census over the JSON props column: keys discovered from the
     // DATA (no declared schema) + per-key occurrence/distinct/numeric
@@ -3918,6 +3922,49 @@ object SparkEntry {
         |       strlen(text) AS n_bytes
         |FROM documents
         |ORDER BY media_id ASC""".stripMargin,
+    // twin of the media pHash dedup: every fixture payload is a text
+    // stand-in (no parseable BMP), so each signature is the 60-bit
+    // character-4-gram SimHash stub rebuilt here bit-for-bit; the
+    // 16-bit-window candidate banding and the Hamming verify are the
+    // machinery under hash-check
+    "media_near_dup" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS media_id, substr(text, g.p, 4) AS sh
+         |  FROM documents,
+         |       unnest(generate_series(1, greatest(length(text) - 3, 1)))
+         |         AS g(p)
+         |), sh AS (
+         |  SELECT DISTINCT media_id,
+         |         ('0x' || substr(sha256(sh), 1, 15))::BIGINT AS th
+         |  FROM sh0
+         |), voted AS (
+         |  SELECT media_id, $votes FROM sh GROUP BY media_id
+         |), sig AS (
+         |  SELECT media_id, $bits AS phash FROM voted
+         |), chunks AS (
+         |  SELECT media_id, phash, t.c AS chunk_idx,
+         |         (phash >> (t.c * 16)) & 65535 AS chunk_val
+         |  FROM sig, unnest([0, 1, 2, 3]) AS t(c)
+         |), pairs AS (
+         |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |         a.phash AS ph_a, b.phash AS ph_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND a.media_id < b.media_id
+         |)
+         |SELECT media_a, media_b,
+         |       CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming,
+         |       false AS perceptual
+         |FROM pairs
+         |WHERE bit_count(xor(ph_a, ph_b)) <= 8
+         |ORDER BY media_a ASC, media_b ASC""".stripMargin
+    },
     "props_schema" ->
       """WITH kv AS (
         |  SELECT e.event_id,

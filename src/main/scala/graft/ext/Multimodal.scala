@@ -494,6 +494,37 @@ object Multimodal {
       (((h % 1000L) + 1000L) % 1000L).toDouble / 1000.0
     }
 
+  /** Structural validation + pixel-array layout for an uncompressed
+    * 24/32-bit BITMAPINFOHEADER BMP — the shared prologue of
+    * [[bmpFeatures]] and [[bmpPHash]]. Returns
+    * (width, height, pixelOffset, bytesPerPixel, rowSize); None for
+    * anything whose full pixel array is not verifiably present.
+    */
+  private def bmpLayout(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    if (le32(bytes, 14) != 40) return None // BITMAPINFOHEADER only
+    val bpp = le16(bytes, 28)
+    if (bpp != 24 && bpp != 32) return None
+    if (le32(bytes, 30) != 0) return None // BI_RGB (uncompressed)
+    val width = le32(bytes, 18)
+    val rawHeight = le32(bytes, 22)
+    val height = math.abs(rawHeight)
+    // <= 0, not == 0: abs(Int.MinValue) stays negative, and a negative
+    // height must take the stub path, not survive into the bounds math
+    if (width <= 0 || height <= 0) return None
+    val offset = le32(bytes, 10)
+    // rowSize in Long BEFORE the int cast: a hostile width near 2^31
+    // would otherwise wrap negative and defeat the bounds check below
+    val rowSizeL = (bpp.toLong * width + 31) / 32 * 4
+    if (rowSizeL <= 0 || rowSizeL > bytes.length) return None
+    val rowSize = rowSizeL.toInt
+    if (offset < 54 ||
+      offset.toLong + rowSize.toLong * height > bytes.length) return None
+    Some((width, height, offset, bpp / 8, rowSize))
+  }
+
   /** Real pixel features for an uncompressed BITMAPINFOHEADER BMP — the
     * one raster format whose pixel array is pure public math (no entropy
     * coding): rows stored bottom-up (top-down when height is negative —
@@ -510,27 +541,8 @@ object Multimodal {
   private[ext] def bmpFeatures(
       bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
     if (dim < 5) return None
-    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
-      return None
-    if (le32(bytes, 14) != 40) return None // BITMAPINFOHEADER only
-    val bpp = le16(bytes, 28)
-    if (bpp != 24 && bpp != 32) return None
-    if (le32(bytes, 30) != 0) return None // BI_RGB (uncompressed)
-    val width = le32(bytes, 18)
-    val rawHeight = le32(bytes, 22)
-    val height = math.abs(rawHeight)
-    // <= 0, not == 0: abs(Int.MinValue) stays negative, and a negative
-    // height must take the stub path, not survive into the bounds math
-    if (width <= 0 || height <= 0) return None
-    val offset = le32(bytes, 10)
-    val bytesPerPixel = bpp / 8
-    // rowSize in Long BEFORE the int cast: a hostile width near 2^31
-    // would otherwise wrap negative and defeat the bounds check below
-    val rowSizeL = (bpp.toLong * width + 31) / 32 * 4
-    if (rowSizeL <= 0 || rowSizeL > bytes.length) return None
-    val rowSize = rowSizeL.toInt
-    if (offset < 54 ||
-      offset.toLong + rowSize.toLong * height > bytes.length) return None
+    val (width, height, offset, bytesPerPixel, rowSize) =
+      bmpLayout(bytes).getOrElse(return None)
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
     val bins = dim - 4
     val hist = new Array[Long](bins)
@@ -554,5 +566,182 @@ object Multimodal {
     Some(
       Array(sumR, sumG, sumB, sumLuma).map(_.toDouble / n / 256.0) ++
         hist.map(_.toDouble / n))
+  }
+
+  /** 64-bit PERCEPTUAL hash for an uncompressed BMP — the block-mean
+    * hash (Yang/Gao/Niu, IIH-MSP'06 family; the blockhash.io scheme):
+    * the image is divided into an 8×8 grid, bit (gy·8+gx) is set iff
+    * that cell's mean luminance exceeds the global mean. Robust to
+    * resizing/re-encode (means survive), sensitive to content; two
+    * perceptually-near images differ in few bits, so banded Hamming
+    * search ([[mediaNearDup]]) finds them without all-pairs.
+    *
+    * All integer math: per-cell luma sums (exact), the cell-vs-global
+    * mean compare done by BigInt cross-multiplication (64 compares per
+    * image — exactness is free), grid assignment `gx = x·8/width`. No
+    * float anywhere ⇒ bit-identical on any engine/partitioning.
+    */
+  private[ext] def bmpPHash(bytes: Array[Byte]): Option[Long] = {
+    val (width, height, offset, bytesPerPixel, rowSize) =
+      bmpLayout(bytes).getOrElse(return None)
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < height) {
+      val rowStart = offset + y * rowSize
+      val gy = (y.toLong * 8 / height).toInt
+      var x = 0
+      while (x < width) {
+        val p = rowStart + x * bytesPerPixel
+        val b = bytes(p) & 0xFF
+        val g = bytes(p + 1) & 0xFF
+        val r = bytes(p + 2) & 0xFF
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        val cell = gy * 8 + (x.toLong * 8 / width).toInt
+        cellSum(cell) += luma
+        cellCnt(cell) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = width.toLong * height
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // cellMean > globalMean  ⇔  cellSum·nPix > total·cellCnt (exact)
+      if (cellCnt(i) > 0 &&
+        BigInt(cellSum(i)) * nPix > BigInt(total) * cellCnt(i))
+        hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-media 60/64-bit signature rows: REAL [[bmpPHash]] for payloads
+    * that parse as uncompressed BMP (`is_perceptual` true), and for
+    * everything else — compressed codecs this container can't decode,
+    * headerless stand-ins — a CONTENT-DEFINED 60-bit SimHash stub over
+    * the payload's distinct character 4-grams (twinnable sha-60 hash
+    * family, the [[Dedup.simHashSignatures]] vote kernel): similar
+    * payloads get near signatures, so the banded-Hamming search below
+    * finds near-duplicate stand-ins too, not just byte-identical ones.
+    * This is the honest stub for an opaque blob — shingle SimHash is
+    * exactly what a production pipeline hashes when it CAN'T decode a
+    * payload — and the DuckDB twin rebuilds every stub signature
+    * bit-for-bit. The perceptual path is real wherever the pixels are
+    * (spec-pinned on planted BMP near-duplicates in MultimodalSpec).
+    */
+  def mediaSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    mediaSignaturesOf(mediaTable(spark, sfDir))
+
+  /** [[mediaSignatures]] over an arbitrary (media_id, media_type,
+    * content) frame — the kernel, also driven directly by the
+    * planted-duplicate recall spec.
+    */
+  private[ext] def mediaSignaturesOf(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType),
+      StructField("phash", LongType, nullable = true),
+      StructField("is_perceptual", BooleanType))))
+    val withP = media
+      .select("media_id", "media_type", "content").mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          val ph =
+            if (r.getString(1) == "image") bmpPHash(bytes) else None
+          Row(r.getLong(0), bytes, ph.map(Long.box).orNull, ph.isDefined)
+        }
+      }(enc)
+    val real = withP.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"), col("is_perceptual"))
+    val stubShingles = withP.filter(col("phash").isNull)
+      .select(col("media_id"),
+        org.apache.spark.sql.functions.decode(col("content"), "UTF-8")
+          .as("__t"))
+      .select(col("media_id"),
+        explode(expr("sequence(1, greatest(length(__t) - 3, 1))")).as("__p"),
+        col("__t"))
+      .select(col("media_id"), expr("substring(__t, __p, 4)").as("sh"))
+      .distinct()
+    real.unionByName(simHash60(stubShingles))
+  }
+
+  /** 60-bit SimHash votes over (media_id, sh) shingle rows — the
+    * [[Dedup]] vote kernel on the twinnable sha-60 hash family.
+    */
+  private def simHash60(shingles: DataFrame): DataFrame = {
+    val th = conv(substring(sha2(col("sh"), 256), 1, 15), 16, 10)
+      .cast("long")
+    val toks = shingles.withColumn("__h", th)
+    val votes: Seq[org.apache.spark.sql.Column] = (0 until 60).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$j")
+    }
+    val voted = toks.groupBy(col("media_id")).agg(votes.head, votes.tail: _*)
+    val bits: org.apache.spark.sql.Column = (0 until 60).map { j =>
+      when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("media_id"), bits.as("phash"),
+      lit(false).as("is_perceptual"))
+  }
+
+  /** Media near-duplicate pairs — the LAST dedup modality (text ✓,
+    * embeddings ✓, media now ✓): banded Hamming search over
+    * [[mediaSignatures]], the [[Dedup.simHashPairs]] machinery applied
+    * to perceptual hashes. Candidates collide on any of the four 16-bit
+    * signature chunks (Hamming ≤ `maxHamming` ⇒ some chunk is equal
+    * whenever maxHamming < 4·... pigeonhole: ≤ 3 differing chunks out of
+    * 4 at maxHamming ≤ 3 per-chunk spread — with the default 8 the
+    * chunk-collision recall is the standard SimHash-banding bound, and
+    * the planted-duplicate spec measures it); verification is one
+    * bit_count(xor) per candidate.
+    *
+    * Scale shape: signatures are fixed-width rows (corpus-linear, one
+    * partition-local decode pass); the chunk self-join keys on 16-bit
+    * values — flood-bounded through [[graft.ops.Materialize.localOrSpill]]
+    * like the LSH families; verify cost is |candidates|. At 100 TB this
+    * is the pHash dedup a crawl pipeline runs per ingest shard against a
+    * signature index; the incremental shape is [[Dedup]]'s
+    * delta-probes-index pattern unchanged.
+    */
+  def mediaNearDup(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame =
+    mediaNearDupOf(mediaTable(spark, sfDir), maxHamming)
+
+  /** [[mediaNearDup]] over an arbitrary media frame — the kernel. */
+  private[ext] def mediaNearDupOf(
+      media: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sig = mediaSignaturesOf(media).persist()
+    try {
+      val chunkCols = (0 until 4).map { c =>
+        struct(lit(c).as("idx"),
+          shiftright(col("phash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))
+      }
+      val chunked = sig.select(col("media_id"), col("phash"),
+        col("is_perceptual"), explode(array(chunkCols: _*)).as("chunk"))
+        .select(col("media_id"), col("phash"), col("is_perceptual"),
+          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+      val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("media_id").as("media_a"), col("phash").as("ph_a"),
+        col("is_perceptual").as("pc_a"))
+      val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("media_id").as("media_b"), col("phash").as("ph_b"),
+        col("is_perceptual").as("pc_b"))
+      graft.ops.Materialize.localOrSpill(
+        a.join(b, Seq("chunk_idx", "chunk_val"))
+          .filter(col("media_a") < col("media_b"))
+          .select("media_a", "media_b", "ph_a", "ph_b", "pc_a", "pc_b")
+          .distinct()
+          .withColumn("hamming",
+            bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+          .filter(col("hamming") <= maxHamming)
+          .select(col("media_a"), col("media_b"), col("hamming"),
+            (col("pc_a") && col("pc_b")).as("perceptual"))
+          .orderBy(col("media_a").asc, col("media_b").asc))
+    } finally { sig.unpersist(); () }
   }
 }

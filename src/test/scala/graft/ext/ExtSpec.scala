@@ -1539,4 +1539,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) !== out(1L), "non-audio WAVE bytes stay on the stub")
     assert(out(3L).forall(v => v >= 0.0 && v < 1.0))
   }
+
+  /** A real 24-bit BMP whose pixels follow `gray(x, y)` (grayscale, so
+    * luma == gray exactly: (299+587+114)·g / 1000 = g).
+    */
+  private def bmpPattern(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val out = bmpBytes(w, h)
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (gray(x, y) & 0xFF).toByte
+      val p = 54 + y * rowBytes + x * 3
+      out(p) = g; out(p + 1) = g; out(p + 2) = g
+    }
+    out
+  }
+
+  private def hamming(a: Long, b: Long): Int =
+    java.lang.Long.bitCount(a ^ b)
+
+  test("bmpPHash: resize-invariant, noise-tolerant, content-sensitive") {
+    def leftRight(x: Int, y: Int, w: Int): Int = if (x < w / 2) 0 else 255
+    val base = Multimodal.bmpPHash(bmpPattern(64, 64, (x, y) => leftRight(x, y, 64))).get
+    // same content at 2× the resolution → identical block means → equal hash
+    val scaled = Multimodal.bmpPHash(bmpPattern(128, 128, (x, y) => leftRight(x, y, 128))).get
+    assert(hamming(base, scaled) === 0, "block-mean hash must survive resize")
+    // a corrupted 8x8 corner block (one grid cell of the 64x64 image)
+    // moves few bits — a near-duplicate
+    val noisy = Multimodal.bmpPHash(bmpPattern(64, 64, (x, y) =>
+      if (x < 8 && y < 8) 255 - leftRight(x, y, 64) else leftRight(x, y, 64))).get
+    val dNoise = hamming(base, noisy)
+    assert(dNoise >= 1 && dNoise <= 8, s"noise hamming $dNoise")
+    // different content (top/bottom split) is far
+    val other = Multimodal.bmpPHash(bmpPattern(64, 64, (_, y) =>
+      if (y < 32) 0 else 255)).get
+    assert(hamming(base, other) > 16, s"got ${hamming(base, other)}")
+    // non-BMP payloads refuse (stub path upstream)
+    assert(Multimodal.bmpPHash("BM25 text".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mediaNearDup finds planted perceptual near-duplicates with full recall") {
+    import spark.implicits._
+    def leftRight(w: Int): (Int, Int) => Int =
+      (x, _) => if (x < w / 2) 0 else 255
+    // 4 planted (base, near-twin) image pairs + unrelated images + text
+    // stand-ins; twins differ by one corrupted grid cell
+    def withNoise(w: Int, h: Int, f: (Int, Int) => Int): (Int, Int) => Int =
+      (x, y) => if (x < w / 8 && y < h / 8) 255 - f(x, y) else f(x, y)
+    val patterns: Seq[(Int, Int) => Int] = Seq(
+      leftRight(64),
+      (_, y) => if (y < 32) 0 else 255,
+      (x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 40 else 220,
+      (x, y) => if (x < 32 && y < 32) 230 else 20)
+    val rows = patterns.zipWithIndex.flatMap { case (f, i) =>
+      Seq(
+        (i * 10L, "image", bmpPattern(64, 64, f)),
+        (i * 10L + 1L, "image", bmpPattern(64, 64, withNoise(64, 64, f))))
+    } ++ Seq(
+      (900L, "image", bmpPattern(64, 64, (x, y) => (x * 4 + y * 2) % 256)),
+      (901L, "image", "no bmp header at all".getBytes("UTF-8")),
+      (902L, "audio", "some audio stand-in text".getBytes("UTF-8")))
+    val media = rows.toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // full recall on the planted twins, flagged perceptual
+    patterns.indices.foreach { i =>
+      assert(found.contains((i * 10L, i * 10L + 1L)),
+        s"planted pair $i missed; found=$found")
+    }
+    pairs.filter(p => p._1 % 10 == 0 && p._2 == p._1 + 1).foreach { p =>
+      assert(p._4 === true, s"planted pair $p must be perceptual")
+      assert(p._3 >= 1 && p._3 <= 8)
+    }
+    // no cross-pattern false positives among the planted bases
+    patterns.indices.combinations(2).foreach { c =>
+      assert(!found.contains((c(0) * 10L, c(1) * 10L)),
+        s"patterns ${c(0)} and ${c(1)} must not match")
+    }
+    ()
+  }
 }
