@@ -352,10 +352,49 @@ object Layout {
     * (asserted in LayoutSpec's no-Exchange plan guard). Aggregates are
     * order-independent (count/max) so the result is oracle-exact.
     */
+  /** Append-only refresh for pure projection artifacts: project ONLY the
+    * added files and union onto the committed copy — an appended shard
+    * never rewrites the old rows' derivation.
+    */
+  private def projectAppend(
+      spark: SparkSession, cols: Seq[String]): RefreshCtx => DataFrame =
+    ctx => ctx.oldArtifact.unionByName(
+      spark.read.parquet(ctx.addedFiles: _*).select(cols.map(col): _*))
+
+  /** The warehouse's CO-BUCKETED FACT LAYOUT on the order key — orders
+    * and lineitem written once per sfDir as order-key-bucketed derived
+    * tables carrying every column the big-big warehouse joins consume
+    * (`shipping_priority`, `local_supplier_volume`, `supplier_scorecard`,
+    * `returned_item_loss`). With both sides pre-shuffled into matching
+    * buckets the lineitem⋈orders join — THE dominant fact⋈fact shuffle
+    * of the whole TPC-H family, both facts at 100 TB — needs no
+    * exchange (plan-guarded in SkewAndLayoutSpec); per-call predicates
+    * (date windows, returnflag) still push into the bucketed parquet
+    * scan, and column pruning keeps narrow consumers narrow. Refresh is
+    * the trivial projection-append.
+    */
+  private[graft] def ordersByOrderkey(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderdate",
+      "o_orderpriority")
+    ensureDerived(spark, sfDir, "orders_okey", Seq("orders.parquet"),
+      "o_orderkey", refresh = Some(projectAppend(spark, cols))) {
+      graft.io.Tables.orders(spark, sfDir).select(cols.map(col): _*)
+    }
+  }
+
+  /** Lineitem side of the co-bucketed fact layout (scaladoc above). */
+  private[graft] def lineitemByOrderkey(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate",
+      "l_extendedprice", "l_discount")
+    ensureDerived(spark, sfDir, "lineitem_okey", Seq("lineitem.parquet"),
+      "l_orderkey", refresh = Some(projectAppend(spark, cols))) {
+      graft.io.Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
+    }
+  }
+
   def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
-    // projection artifacts refresh trivially on an append-only source
-    // delta: project ONLY the added files and union onto the committed
-    // copy — an appended shard never rewrites the old rows' derivation
     def projectAppend(cols: Seq[String]): RefreshCtx => DataFrame = ctx =>
       ctx.oldArtifact.unionByName(
         spark.read.parquet(ctx.addedFiles: _*)

@@ -321,10 +321,13 @@ object Marketplace {
     val cust = broadcast(Tables.customer(spark, sfDir)
       .filter(col("c_mktsegment") === segment)
       .select("c_custkey"))
-    val ords = Tables.orders(spark, sfDir)
+    // facts come off the co-bucketed order-key layout: the orders⋈lineitem
+    // join needs no exchange, and the date predicates still push into the
+    // bucketed parquet scans
+    val ords = graft.ops.Layout.ordersByOrderkey(spark, sfDir)
       .filter(col("o_orderdate") < cut)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
-    val li = Tables.lineitem(spark, sfDir)
+    val li = graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
       .filter(col("l_shipdate") > cut)
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
@@ -419,11 +422,12 @@ object Marketplace {
     val supp = Tables.supplier(spark, sfDir)
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-    val ord = Tables.orders(spark, sfDir)
+    // co-bucketed fact layout: the lineitem⋈orders leg is exchange-free
+    val ord = graft.ops.Layout.ordersByOrderkey(spark, sfDir)
       .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
         col("o_orderdate") < lit(until).cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
-    Tables.lineitem(spark, sfDir)
+    graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"),
         dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("rev"))
@@ -557,12 +561,14 @@ object Marketplace {
     */
   def supplierScorecard(
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // co-bucketed fact layout: the one lineitem⋈orders pass is
+    // exchange-free, and the groupBy shuffles only the slim agg rows
+    val li = graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
         col("l_shipdate"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .cast("decimal(18,6)").as("rev"))
-    li.join(Tables.orders(spark, sfDir)
+    li.join(graft.ops.Layout.ordersByOrderkey(spark, sfDir)
           .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_suppkey"))
@@ -686,11 +692,12 @@ object Marketplace {
       spark: SparkSession, sfDir: String,
       from: String = "1996-01-01", until: String = "1996-04-01",
       topK: Int = 20): DataFrame = {
-    val ords = Tables.orders(spark, sfDir)
+    // co-bucketed fact layout: the lineitem⋈orders leg is exchange-free
+    val ords = graft.ops.Layout.ordersByOrderkey(spark, sfDir)
       .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
         col("o_orderdate") < lit(until).cast("timestamp"))
       .select(col("o_orderkey"), col("o_custkey"))
-    val li = Tables.lineitem(spark, sfDir)
+    val li = graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)

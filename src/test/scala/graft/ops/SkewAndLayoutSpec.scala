@@ -335,6 +335,47 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("warehouse fact joins ride the co-bucketed layout: no shuffle below lineitem⋈orders") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qs = Seq(
+        "shipping_priority" ->
+          graft.queries.Marketplace.shippingPriority(spark, sf),
+        "local_supplier_volume" ->
+          graft.queries.Marketplace.localSupplierVolume(spark, sf),
+        "supplier_scorecard" ->
+          graft.queries.Marketplace.supplierScorecard(spark, sf),
+        "returned_item_loss" ->
+          graft.queries.Marketplace.returnedItemLoss(spark, sf))
+      qs.foreach { case (name, df) =>
+        val phys = df.queryExecution.executedPlan
+        val factJoins = phys.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.exists(_.toString.contains("orderkey")) &&
+              j.rightKeys.exists(_.toString.contains("orderkey")) => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.leftKeys.exists(_.toString.contains("orderkey")) &&
+              j.rightKeys.exists(_.toString.contains("orderkey")) => j
+        }
+        assert(factJoins.nonEmpty, s"$name lost its order-key fact join")
+        factJoins.foreach { j =>
+          val shuffles = j.collect {
+            case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+          }
+          assert(shuffles.isEmpty,
+            s"$name: lineitem⋈orders must be exchange-free on the " +
+              s"co-bucketed layout, found:\n$j")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("registered bucketed_join query plans with no shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
