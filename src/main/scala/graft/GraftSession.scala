@@ -27,6 +27,15 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Janino class cache (static conf, default 100 entries): a session
+      // serving the whole ~200-query registry generates far more than 100
+      // distinct codegen units per pass, so at the default every
+      // driver-report loop recompiles what the previous pass evicted —
+      // measured as ~0.1 s/query of pure compile churn in the bench's
+      // isolated-vs-registry gap. 4096 entries keeps every unit of a full
+      // registry sweep resident (compiled classes are small; the cache is
+      // weak-ref'd) and makes repeat passes compile-free.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // ContextCleaner reads this at context startup: checkpoint files of
       // GC'd RDDs are deleted instead of accumulating per clustering call
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -35,7 +35,13 @@ object Multimodal {
     * for an encoded media payload (TESTDATA provides no real blobs).
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    mediaTableOf(Tables.documents(spark, sfDir))
+
+  /** [[mediaTable]]'s projection over an arbitrary documents frame —
+    * shared with the signature artifact's append-only refresh.
+    */
+  private def mediaTableOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("content"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -636,6 +642,28 @@ object Multimodal {
   def mediaSignatures(spark: SparkSession, sfDir: String): DataFrame =
     mediaSignaturesOf(mediaTable(spark, sfDir))
 
+  /** The per-media signature index as a MAINTAINED derived table with
+    * the `simhash_sig` append-only contract: signatures are per-payload
+    * deterministic, so one appended shard hashes ONLY its new media and
+    * unions onto the committed index. The registered `media_near_dup`
+    * reads this instead of re-hashing the corpus per call — at 100 TB
+    * this IS the pHash index a crawl pipeline maintains, with each
+    * ingest shard paying one partition-local decode pass.
+    */
+  private def mediaSignaturesShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "media_sig",
+      Seq("documents.parquet"), "media_id",
+      refresh = Some { ctx =>
+        val fresh = mediaSignaturesOf(
+          mediaTableOf(spark.read.parquet(ctx.addedFiles: _*)))
+          .join(ctx.oldArtifact.select(col("media_id")), Seq("media_id"),
+            "left_anti")
+        ctx.oldArtifact.unionByName(fresh)
+      }) {
+      mediaSignaturesOf(mediaTable(spark, sfDir))
+    }
+
   /** [[mediaSignatures]] over an arbitrary (media_id, media_type,
     * content) frame — the kernel, also driven directly by the
     * planted-duplicate recall spec.
@@ -709,13 +737,23 @@ object Multimodal {
     */
   def mediaNearDup(
       spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame =
-    mediaNearDupOf(mediaTable(spark, sfDir), maxHamming)
+    // signatures off the maintained index (disk-backed, bucketed): the
+    // per-call cost is the chunk join, never a corpus re-hash
+    pairsFromSignatures(mediaSignaturesShared(spark, sfDir), maxHamming)
 
-  /** [[mediaNearDup]] over an arbitrary media frame — the kernel. */
+  /** [[mediaNearDup]] over an arbitrary media frame — the kernel the
+    * planted-duplicate spec drives directly (live signatures).
+    */
   private[ext] def mediaNearDupOf(
       media: DataFrame, maxHamming: Int = 8): DataFrame = {
     val sig = mediaSignaturesOf(media).persist()
-    try {
+    try pairsFromSignatures(sig, maxHamming)
+    finally { sig.unpersist(); () }
+  }
+
+  private def pairsFromSignatures(
+      sig: DataFrame, maxHamming: Int): DataFrame = {
+    {
       val chunkCols = (0 until 4).map { c =>
         struct(lit(c).as("idx"),
           shiftright(col("phash"), c * 16)
@@ -742,6 +780,6 @@ object Multimodal {
           .select(col("media_a"), col("media_b"), col("hamming"),
             (col("pc_a") && col("pc_b")).as("perceptual"))
           .orderBy(col("media_a").asc, col("media_b").asc))
-    } finally { sig.unpersist(); () }
+    }
   }
 }

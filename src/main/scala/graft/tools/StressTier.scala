@@ -55,7 +55,11 @@ import graft.ext.{Curation, Dedup}
   *   fixed stage overhead flattens ratios; run explicitly (not in "all",
   *   ~30 min) per round for STRESS_r{N}.md (see [[tierH]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|all]"
+  *   Tier I (documents × 1000 from sf0.1 = 5M twin docs): the dedup
+  *   ENVELOPE — pair producers only, default caps, bounded (zero) pair
+  *   emission with the drop visible in the span census (see [[tierI]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -724,6 +728,62 @@ object StressTier {
     println(f"STRESS $label.summary queries=${names.size} errors=${errs.size} flagged=${flagged.size}")
   }
 
+  /** Tier I — the DEDUP-ENVELOPE readout for the README: documents
+    * replicated 1000× from the BENCH scale factor (sf0.1 → 5M docs,
+    * every doc a 1000-way exact twin — the worst duplication a crawl
+    * shard can present), driving ONLY the pair producers under their
+    * DEFAULT caps. The contract at this scale is bounded emission: the
+    * linear paths (exact dedup, span census) stay exact, and every
+    * quadratic-capable producer (span, minhash banding, winnowing)
+    * must emit ZERO pairs because its df/bucket cap drops the
+    * 1000-doc groups — visibly (the span census reports the drop),
+    * never silently attempting C(1000,2)·5000 pairs. Run explicitly
+    * (`stress i`); the replicate+scan volume is ~10 min on this host.
+    */
+  private def tierI(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 1000
+    val (_, tRep) = timed("i.replicate")(replicate(spark, baseDir, dir, reps))
+    val nBase = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS i.replicate seconds=$tRep%.1f base=$nBase docs=$n")
+    check(n == nBase * reps, s"tier I row count $n != $nBase*$reps")
+
+    val (exact, tExact) = timed("i.exact")(
+      Dedup.exactSummary(spark, dir).collect().head)
+    val distinctBase = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select(sha2(col("text"), 256)).distinct().count()
+    println(f"STRESS i.exact seconds=$tExact%.1f distinct=${
+      exact.getAs[Long]("distinct_texts")} removed=${
+      exact.getAs[Long]("dup_docs_removed")}")
+    check(exact.getAs[Long]("distinct_texts") == distinctBase,
+      "exact dedup must collapse each 1000-family to its base text")
+
+    val (st, tStats) = timed("i.span_stats")(
+      Dedup.spanStats(spark, dir).collect().head)
+    val shared = st.getAs[Long]("n_spans_shared")
+    val dropped = st.getAs[Long]("n_spans_dropped")
+    println(f"STRESS i.span_stats seconds=$tStats%.1f shared=$shared dropped=$dropped candidates=${st.getAs[Long]("candidate_pairs")}")
+    check(shared > 0, "tier I corpus must actually share spans")
+    check(dropped == shared && st.getAs[Long]("candidate_pairs") == 0L,
+      "every shared span exceeds the cap at 1000 twins: dropped == shared")
+
+    val (nSpanPairs, tSpan) = timed("i.span_dedup")(
+      Dedup.spanPairs(spark, dir).count())
+    println(f"STRESS i.span_dedup seconds=$tSpan%.1f pairs=$nSpanPairs")
+    check(nSpanPairs == 0L, "span cap must drop the 1000-doc span groups")
+
+    val (nMhPairs, tMh) = timed("i.minhash")(
+      Dedup.minHashPairs(spark, dir).count())
+    println(f"STRESS i.minhash seconds=$tMh%.1f pairs=$nMhPairs")
+    check(nMhPairs == 0L, "maxBucket must drop the 1000-doc LSH buckets")
+
+    val (nWinnow, tWn) = timed("i.winnow_pairs")(
+      Dedup.winnowPairs(spark, dir).count())
+    println(f"STRESS i.winnow_pairs seconds=$tWn%.1f pairs=$nWinnow")
+    check(nWinnow == 0L,
+      "maxDocsPerFp must drop every 1000-twin fingerprint group")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -745,10 +805,13 @@ object StressTier {
         tierF(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc100")
       if (tier == "g" || tier == "all")
         tierG(spark, "/root/testdata/sf0.01", s"$root/sf0.01x10all")
-      // tier H is NOT in "all": the sf0.1 registry-wide pass costs ~30 min
-      // on this host — run it explicitly (`stress h`) for the round readout
+      // tiers H and I are NOT in "all": the sf0.1 registry-wide pass and
+      // the 5M-doc dedup envelope each cost tens of minutes on this host —
+      // run explicitly (`stress h`, `stress i`) for the round readout
       if (tier == "h")
         tierH(spark, "/root/testdata/sf0.1", s"$root/sf0.1x10all")
+      if (tier == "i")
+        tierI(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc1000")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
