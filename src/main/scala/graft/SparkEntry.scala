@@ -392,6 +392,27 @@ object SparkEntry {
     // fused per-supplier scorecard: revenue/reach/returns/delay in one
     // co-partitioned pass (the supply-side source_scorecard)
     "supplier_scorecard" -> ((s, d) => Marketplace.supplierScorecard(s, d)),
+    // r9: the remaining TPC-H shapes — the suite is now 22/22.
+    // Q6 scan-aggregate (all predicates pushed to the parquet scan)
+    "forecast_revenue" -> ((s, d) => Marketplace.forecastRevenue(s, d)),
+    // Q7 nation-pair shipping volume by year on the co-bucketed facts
+    "volume_shipping" -> ((s, d) => Marketplace.volumeShipping(s, d)),
+    // Q9 shape (adapted: no partsupp in the fixture schema)
+    "product_type_profit" -> ((s, d) => Marketplace.productTypeProfit(s, d)),
+    // Q13 left-join count-of-counts distribution (zero-order customers kept)
+    "customer_order_counts" -> ((s, d) =>
+      Marketplace.customerOrderCounts(s, d)),
+    // Q14 conditional-aggregate promotion share
+    "promo_revenue" -> ((s, d) => Marketplace.promoRevenue(s, d)),
+    // Q16 supplier-per-part census (adapted partsupp -> distinct lineitem pairs)
+    "supplier_part_census" -> ((s, d) =>
+      Marketplace.supplierPartCensus(s, d)),
+    // Q18 large-volume customers: rollup AND join exchange-free on the
+    // co-bucketed order-key layout
+    "large_volume_customers" -> ((s, d) =>
+      Marketplace.largeVolumeCustomers(s, d)),
+    // Q20 correlated fraction-of-available (adapted), one conditional agg
+    "excess_suppliers" -> ((s, d) => Marketplace.excessSuppliers(s, d)),
     // market-basket association rules: support/confidence/lift over
     // basket pairs, 1-row basket total broadcast, top-k by support
     "part_affinity" -> ((s, d) => Marketplace.partAffinity(s, d)),
@@ -4778,6 +4799,128 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day ASC, event_type ASC""".stripMargin,
+    "forecast_revenue" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount, 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       year(l.l_shipdate) AS l_year,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice
+        |                                 * (1.0 - l.l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+        |  AND sn.n_name <> cn.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "product_type_profit" ->
+      """SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+        |       round(CAST(sum(CAST(round(l.l_extendedprice
+        |                                 * (1.0 - l.l_discount), 6)
+        |                          AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS profit,
+        |       count(*) AS n_items
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE p.p_name LIKE '%plate%'
+        |GROUP BY 1, 2
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+    "customer_order_counts" ->
+      """WITH per AS (
+        |  SELECT c.c_custkey, count(o.o_custkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> 'URGENT'
+        |  GROUP BY c.c_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |         CAST(round(l.l_extendedprice * (1.0 - l.l_discount), 6)
+        |              AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        |), s AS (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo,
+        |         sum(rev) AS total
+        |  FROM j
+        |)
+        |SELECT round(100.0 * CAST(promo AS DOUBLE)
+        |             / CAST(total AS DOUBLE), 6) AS promo_share_pct,
+        |       round(CAST(promo AS DOUBLE), 6) AS promo_revenue,
+        |       round(CAST(total AS DOUBLE), 6) AS total_revenue
+        |FROM s""".stripMargin,
+    "supplier_part_census" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND ps.l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        |LIMIT 50""".stripMargin,
+    "large_volume_customers" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS tq
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200
+        |)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       round(o.o_totalprice, 6) AS o_totalprice,
+        |       CAST(q.tq AS BIGINT) AS total_qty
+        |FROM q
+        |JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "excess_suppliers" ->
+      """WITH f AS (
+        |  SELECT l.l_suppkey,
+        |         CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |                        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        |                       THEN l.l_quantity ELSE 0.0 END) AS BIGINT)
+        |           AS window_qty,
+        |         CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM part p
+        |                WHERE p.p_partkey = l.l_partkey
+        |                  AND p.p_name LIKE 'red%')
+        |  GROUP BY 1
+        |)
+        |SELECT f.l_suppkey AS s_suppkey, s.s_name, f.window_qty, f.total_qty
+        |FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+        |WHERE f.window_qty * 4 > f.total_qty
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "small_quantity_revenue" ->
       """WITH li AS (
         |  SELECT l_partkey, l_quantity,

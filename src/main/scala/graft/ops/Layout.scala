@@ -376,20 +376,25 @@ object Layout {
   private[graft] def ordersByOrderkey(
       spark: SparkSession, sfDir: String): DataFrame = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderdate",
-      "o_orderpriority")
+      "o_orderpriority", "o_totalprice")
     ensureDerived(spark, sfDir, "orders_okey", Seq("orders.parquet"),
-      "o_orderkey", refresh = Some(projectAppend(spark, cols))) {
+      "o_orderkey", version = 2,
+      refresh = Some(projectAppend(spark, cols))) {
       graft.io.Tables.orders(spark, sfDir).select(cols.map(col): _*)
     }
   }
 
-  /** Lineitem side of the co-bucketed fact layout (scaladoc above). */
+  /** Lineitem side of the co-bucketed fact layout (scaladoc above).
+    * `version` bumps whenever the column set widens — the census tag
+    * alone cannot see a schema change.
+    */
   private[graft] def lineitemByOrderkey(
       spark: SparkSession, sfDir: String): DataFrame = {
-    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate",
-      "l_extendedprice", "l_discount")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
     ensureDerived(spark, sfDir, "lineitem_okey", Seq("lineitem.parquet"),
-      "l_orderkey", refresh = Some(projectAppend(spark, cols))) {
+      "l_orderkey", version = 2,
+      refresh = Some(projectAppend(spark, cols))) {
       graft.io.Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
     }
   }

@@ -934,4 +934,249 @@ object Marketplace {
         col("s_name").asc, col("p_partkey").asc)
       .limit(topK)
   }
+
+  /** TPC-H Q6-shaped forecast revenue change: one filtered scan, one
+    * global aggregate — the canonical predicate-pushdown benchmark (all
+    * three predicates reach the parquet scan as PushedFilters; no join,
+    * no shuffle beyond the single-row final agg). Revenue =
+    * Σ price·discount under the decimal-sum convention.
+    */
+  def forecastRevenue(
+      spark: SparkSession, sfDir: String,
+      from: String = "1996-01-01", until: String = "1997-01-01",
+      discLo: Double = 0.05, discHi: Double = 0.07,
+      qtyMax: Double = 24.0): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < qtyMax)
+      .agg(
+        sum(round(col("l_extendedprice") * col("l_discount"), 6)
+          .cast("decimal(18,6)")).as("__rev"),
+        count(lit(1)).as("n_items"))
+      .select(round(col("__rev").cast("double"), 6).as("revenue"),
+        col("n_items"))
+
+  /** TPC-H Q7-shaped volume shipping: revenue between one nation PAIR,
+    * both directions, by ship year. The facts ride the co-bucketed
+    * order-key layout (lineitem⋈orders exchange-free); supplier and
+    * customer nations attach via broadcast dims; the pair disjunction
+    * evaluates post-join in codegen over dim-sized columns.
+    */
+  def volumeShipping(
+      spark: SparkSession, sfDir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2",
+      from: String = "1996-01-01", until: String = "1998-01-01"): DataFrame = {
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val supp = broadcast(Tables.supplier(spark, sfDir)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(spark, sfDir)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_name").isin(nationA, nationB))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+      .join(graft.ops.Layout.ordersByOrderkey(spark, sfDir)
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev")).as("__rev"), count(lit(1)).as("n_items"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("__rev").cast("double"), 6).as("revenue"), col("n_items"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc,
+        col("l_year").asc)
+  }
+
+  /** TPC-H Q9-shaped product-type profit, ADAPTED: the fixture schema
+    * carries no partsupp table (reference src has no supply-cost
+    * analog), so profit is the revenue of the name-filtered part family
+    * per (supplier nation, order year) — the same 5-table join tree and
+    * agg spine as Q9 minus the supplycost term. Part filter broadcasts
+    * as a semi-join into the fact scan; lineitem⋈orders rides the
+    * co-bucketed layout.
+    */
+  def productTypeProfit(
+      spark: SparkSession, sfDir: String, namePart: String = "plate"): DataFrame = {
+    val parts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(namePart))
+      .select("p_partkey"))
+    val supp = broadcast(Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation")))
+    graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+      .join(graft.ops.Layout.ordersByOrderkey(spark, sfDir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("rev")).as("__rev"), count(lit(1)).as("n_items"))
+      .select(col("nation"), col("o_year"),
+        round(col("__rev").cast("double"), 6).as("profit"), col("n_items"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: per-customer
+    * order counts INCLUDING zero-order customers (the left join that
+    * makes Q13 interesting), orders filtered to a priority class, then
+    * the count-of-counts histogram. ADAPTED filter: the fixture has no
+    * o_comment, so the excluded class is URGENT priority.
+    *
+    * Scale shape: one custkey-keyed left join + two hash-aggs, the
+    * second over the tiny (c_count) domain.
+    */
+  def customerOrderCounts(
+      spark: SparkSession, sfDir: String,
+      excludePriority: String = "URGENT"): DataFrame = {
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .select("o_custkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ords, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_custkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14-shaped promotion revenue share: the percentage of one
+    * month's revenue carried by PROMO-type parts — conditional aggregate
+    * over one fact⋈dim join, the part side broadcast. Both sums are
+    * exact decimals; the share is ONE IEEE division of their doubles
+    * stated identically in the twin.
+    */
+  def promoRevenue(
+      spark: SparkSession, sfDir: String,
+      from: String = "1996-03-01", until: String = "1996-04-01"): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .cast("decimal(18,6)").as("rev"))
+      .join(broadcast(Tables.part(spark, sfDir)
+          .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("__promo"),
+        sum(col("rev")).as("__total"))
+      .select(
+        round(lit(100.0) * col("__promo").cast("double")
+          / col("__total").cast("double"), 6).as("promo_share_pct"),
+        round(col("__promo").cast("double"), 6).as("promo_revenue"),
+        round(col("__total").cast("double"), 6).as("total_revenue"))
+
+  /** TPC-H Q16-shaped supplier-per-part census, ADAPTED: the fixture has
+    * no partsupp, so the part↔supplier relation is the DISTINCT
+    * (l_partkey, l_suppkey) pairs observed in lineitem; the excluded-
+    * supplier predicate is s_acctbal < 0 (no s_comment column). Per
+    * (brand, type, size) outside one excluded brand/type: how many
+    * distinct suppliers serve it.
+    *
+    * Scale shape: the pair-distinct is one hash-agg on the join key the
+    * part join reuses; the supplier exclusion is a broadcast anti-join;
+    * countDistinct rides the grouped agg.
+    */
+  def supplierPartCensus(
+      spark: SparkSession, sfDir: String,
+      excludeBrand: String = "Brand#1", excludeType: String = "PROMO",
+      topK: Int = 50): DataFrame = {
+    val badSupp = broadcast(Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= excludeBrand &&
+            col("p_type") =!= excludeType)
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total line
+    * quantity exceeds `qtyMin`, with their customer and value. BOTH the
+    * per-order quantity rollup and the orders join ride the co-bucketed
+    * order-key layout — the rollup needs no exchange (grouping key =
+    * bucket key) and neither does the join; only the broadcast customer
+    * attach and the top-k remain.
+    */
+  def largeVolumeCustomers(
+      spark: SparkSession, sfDir: String, qtyMin: Double = 200.0,
+      topK: Int = 20): DataFrame = {
+    val qty = graft.ops.Layout.lineitemByOrderkey(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > qtyMin)
+    qty
+      .join(graft.ops.Layout.ordersByOrderkey(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+          .select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        // stored value, no arithmetic — rendered at 6dp for the twin
+        round(col("o_totalprice"), 6).as("o_totalprice"),
+        col("__q").cast("long").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(topK)
+  }
+
+  /** TPC-H Q20-shaped excess-stock suppliers, ADAPTED (no partsupp
+    * availqty): suppliers whose shipments of the name-filtered part
+    * family CONCENTRATE in one year — year-window quantity > half of
+    * their all-time quantity for those parts. Keeps Q20's correlated
+    * fraction-of-available shape as one conditional aggregate per
+    * supplier (the decorrelated plan): one fact pass, part filter as a
+    * broadcast semi-join, integer-exact quantity sums. The bar is
+    * window > total/`frac` (frac=4 ⇒ >25% of all-time volume in one
+    * year — the fixture's ship dates span 7 years, so a uniform
+    * supplier sits near 14% and only genuine concentration qualifies).
+    */
+  def excessSuppliers(
+      spark: SparkSession, sfDir: String, namePrefix: String = "red",
+      from: String = "1996-01-01", until: String = "1997-01-01",
+      frac: Int = 4): DataFrame = {
+    val parts = broadcast(Tables.part(spark, sfDir)
+      .filter(col("p_name").startsWith(namePrefix))
+      .select("p_partkey"))
+    val inWin = col("l_shipdate") >= lit(from).cast("timestamp") &&
+      col("l_shipdate") < lit(until).cast("timestamp")
+    Tables.lineitem(spark, sfDir)
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(
+        sum(when(inWin, col("l_quantity")).otherwise(lit(0.0)))
+          .cast("long").as("window_qty"),
+        sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("window_qty") * frac > col("total_qty"))
+      .join(broadcast(Tables.supplier(spark, sfDir)
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("window_qty"),
+        col("total_qty"))
+      .orderBy(col("s_suppkey").asc)
+  }
 }

@@ -349,7 +349,15 @@ class LayoutSpec extends SparkSpec {
         "supplier_scorecard" ->
           graft.queries.Marketplace.supplierScorecard(spark, sf),
         "returned_item_loss" ->
-          graft.queries.Marketplace.returnedItemLoss(spark, sf))
+          graft.queries.Marketplace.returnedItemLoss(spark, sf),
+        "volume_shipping" ->
+          graft.queries.Marketplace.volumeShipping(spark, sf),
+        "product_type_profit" ->
+          graft.queries.Marketplace.productTypeProfit(spark, sf),
+        // Q18: the per-order quantity rollup AND the orders join must both
+        // ride the bucket distribution — no exchange below either
+        "large_volume_customers" ->
+          graft.queries.Marketplace.largeVolumeCustomers(spark, sf))
       qs.foreach { case (name, df) =>
         val phys = df.queryExecution.executedPlan
         val factJoins = phys.collect {
