@@ -456,11 +456,12 @@ object Multimodal {
       .orderBy(col("media_id").asc, col("frame_ms").asc)
 
   /** Feature extraction, partition-local (the same kernel slot as
-    * [[decode]]): payloads that parse as UNCOMPRESSED 24/32-bit BMP get
-    * REAL pixel features — per-channel means + a luminance histogram,
-    * computed straight from the public pixel-array layout
-    * ([[bmpFeatures]]: bottom-up rows, BGR byte order, 4-byte row
-    * padding) — and audio payloads that parse as RIFF/WAVE 16-bit PCM
+    * [[decode]]): payloads that parse as UNCOMPRESSED 24/32-bit BMP or
+    * as non-interlaced 8-bit PNG get REAL pixel features — per-channel
+    * means + a luminance histogram, computed straight from the public
+    * pixel layouts ([[bmpFeatures]]: bottom-up rows, BGR byte order,
+    * 4-byte row padding; [[pngFeatures]]: zlib inflate + scanline
+    * unfilter) — and audio payloads that parse as RIFF/WAVE 16-bit PCM
     * get REAL sample features (mean/rms/zero-cross/peak + amplitude
     * histogram, [[pcmFeatures]]) — no codec library needed for either.
     * Everything else (compressed codecs, headerless stand-ins) keeps the
@@ -479,7 +480,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](2)
         val fs = (r.getString(1) match {
-          case "image" => bmpFeatures(bytes, dim)
+          case "image" =>
+            bmpFeatures(bytes, dim).orElse(pngFeatures(bytes, dim))
           case "audio" => pcmFeatures(bytes, dim)
           case _ => None
         }).getOrElse(hashedFeatures(bytes, dim))
@@ -587,27 +589,38 @@ object Multimodal {
     * image — exactness is free), grid assignment `gx = x·8/width`. No
     * float anywhere ⇒ bit-identical on any engine/partitioning.
     */
-  private[ext] def bmpPHash(bytes: Array[Byte]): Option[Long] = {
-    val (width, height, offset, bytesPerPixel, rowSize) =
-      bmpLayout(bytes).getOrElse(return None)
+  private[ext] def bmpPHash(bytes: Array[Byte]): Option[Long] =
+    bmpLayout(bytes).map { case (width, height, offset, bpp, rowSize) =>
+      rasterPHash(width, height, (x, y) => {
+        val p = offset + y * rowSize + x * bpp
+        val b = bytes(p) & 0xFF
+        val g = bytes(p + 1) & 0xFF
+        val r = bytes(p + 2) & 0xFF
+        (299 * r + 587 * g + 114 * b) / 1000
+      })
+    }
+
+  /** The format-agnostic block-mean hash kernel (scaladoc above) over
+    * any (x, y) → integer-luma raster accessor — shared by the BMP and
+    * PNG decoders, so the SAME image content hashes identically across
+    * container formats (spec-pinned: a BMP and a PNG of one pattern
+    * collide at Hamming 0).
+    */
+  private def rasterPHash(
+      width: Int, height: Int, luma: (Int, Int) => Int): Long = {
     val cellSum = new Array[Long](64)
     val cellCnt = new Array[Long](64)
     var total = 0L
     var y = 0
     while (y < height) {
-      val rowStart = offset + y * rowSize
       val gy = (y.toLong * 8 / height).toInt
       var x = 0
       while (x < width) {
-        val p = rowStart + x * bytesPerPixel
-        val b = bytes(p) & 0xFF
-        val g = bytes(p + 1) & 0xFF
-        val r = bytes(p + 2) & 0xFF
-        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        val l = luma(x, y)
         val cell = gy * 8 + (x.toLong * 8 / width).toInt
-        cellSum(cell) += luma
+        cellSum(cell) += l
         cellCnt(cell) += 1
-        total += luma
+        total += l
         x += 1
       }
       y += 1
@@ -622,13 +635,166 @@ object Multimodal {
         hash |= 1L << i
       i += 1
     }
-    Some(hash)
+    hash
   }
 
-  /** Per-media 60/64-bit signature rows: REAL [[bmpPHash]] for payloads
-    * that parse as uncompressed BMP (`is_perceptual` true), and for
-    * everything else — compressed codecs this container can't decode,
-    * headerless stand-ins — a CONTENT-DEFINED 60-bit SimHash stub over
+  /** Decode a non-interlaced 8-bit PNG's pixel array — pure public math
+    * (RFC 2083): zlib-inflate the concatenated IDAT payloads
+    * (`java.util.zip.Inflater` — zlib is in the JVM, no codec library),
+    * then reverse the per-scanline filters (None/Sub/Up/Average/Paeth)
+    * over rows of `1 filter byte + width·channels` samples. Color types
+    * 0 (gray), 2 (RGB), 4 (gray+alpha) and 6 (RGBA) are supported;
+    * palette, 16-bit and Adam7-interlaced images return None (stub
+    * path, never a guess). Returns (width, height, RGB triplets
+    * row-major).
+    */
+  private[ext] def pngPixels(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 33 || !bytes.take(8).sameElements(pngMagic))
+      return None
+    // chunk walk: collect IHDR fields + concatenated IDAT payloads
+    var o = 8
+    var w = 0; var h = 0; var bitDepth = -1; var colorType = -1
+    var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (o + 8 <= bytes.length) {
+      val len = be32(bytes, o)
+      if (len < 0 || o + 12L + len > bytes.length) return None
+      val typ = new String(bytes, o + 4, 4, "US-ASCII")
+      typ match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = be32(bytes, o + 8); h = be32(bytes, o + 12)
+          bitDepth = bytes(o + 16) & 0xFF
+          colorType = bytes(o + 17) & 0xFF
+          interlace = bytes(o + 20) & 0xFF
+        case "IDAT" => idat.write(bytes, o + 8, len)
+        case "IEND" => o = bytes.length // stop the walk
+        case _      => ()
+      }
+      if (o < bytes.length) o += 12 + len
+    }
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // palette/unknown → stub path
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (w.toLong * h > 67108864L) return None // 64 MP sanity bound
+    // zlib inflate to exactly h rows of (1 + w·channels) bytes
+    val stride = 1 + w * channels
+    val rawLen = stride.toLong * h
+    if (rawLen > Int.MaxValue - 8) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val got = try {
+      var off = 0
+      var n = 1
+      while (off < raw.length && n > 0 && !inf.finished())
+        { n = inf.inflate(raw, off, raw.length - off); off += n }
+      off
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    if (got != raw.length) return None
+    // reverse the scanline filters in place (bpp = channels at depth 8)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    var y = 0
+    while (y < h) {
+      val rs = y * stride
+      val filter = raw(rs) & 0xFF
+      if (filter > 4) return None
+      var i = 1
+      while (i < stride) {
+        val cur = raw(rs + i) & 0xFF
+        val left = if (i > channels) raw(rs + i - channels) & 0xFF else 0
+        val up = if (y > 0) raw(rs - stride + i) & 0xFF else 0
+        val ul =
+          if (y > 0 && i > channels) raw(rs - stride + i - channels) & 0xFF
+          else 0
+        val rec = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case _ => cur + paeth(left, up, ul)
+        }
+        raw(rs + i) = (rec & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // project every color type onto RGB triplets
+    val rgb = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val s = yy * stride + 1 + xx * channels
+        val d = (yy * w + xx) * 3
+        colorType match {
+          case 0 | 4 =>
+            rgb(d) = raw(s); rgb(d + 1) = raw(s); rgb(d + 2) = raw(s)
+          case _ =>
+            rgb(d) = raw(s); rgb(d + 1) = raw(s + 1); rgb(d + 2) = raw(s + 2)
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** [[bmpPHash]] for PNG payloads — the same block-mean kernel over the
+    * inflated, unfiltered pixel array.
+    */
+  private[ext] def pngPHash(bytes: Array[Byte]): Option[Long] =
+    pngPixels(bytes).map { case (w, h, rgb) =>
+      rasterPHash(w, h, (x, y) => {
+        val p = (y * w + x) * 3
+        (299 * (rgb(p) & 0xFF) + 587 * (rgb(p + 1) & 0xFF) +
+          114 * (rgb(p + 2) & 0xFF)) / 1000
+      })
+    }
+
+  /** [[bmpFeatures]] for PNG payloads — the same channel-mean + luma-
+    * histogram features over the decoded pixels.
+    */
+  private[ext] def pngFeatures(
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
+    if (dim < 5) return None
+    pngPixels(bytes).map { case (w, h, rgb) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
+      val bins = dim - 4
+      val hist = new Array[Long](bins)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val r = rgb(i * 3) & 0xFF
+        val g = rgb(i * 3 + 1) & 0xFF
+        val b = rgb(i * 3 + 2) & 0xFF
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        sumR += r; sumG += g; sumB += b; sumLuma += luma
+        hist(luma * bins / 256) += 1
+        i += 1
+      }
+      Array(sumR, sumG, sumB, sumLuma).map(_.toDouble / n / 256.0) ++
+        hist.map(_.toDouble / n)
+    }
+  }
+
+  /** Per-media 60/64-bit signature rows: REAL block-mean perceptual
+    * hashes for payloads whose pixels are pure public math — uncompressed
+    * BMP ([[bmpPHash]]) and non-interlaced 8-bit PNG ([[pngPHash]]: zlib
+    * inflate + scanline unfilter, both in the JVM) — with
+    * `is_perceptual` true; the SAME content hashes identically across
+    * the two formats (shared raster kernel). For everything else —
+    * compressed codecs this container can't decode, headerless
+    * stand-ins — a CONTENT-DEFINED 60-bit SimHash stub over
     * the payload's distinct character 4-grams (twinnable sha-60 hash
     * family, the [[Dedup.simHashSignatures]] vote kernel): similar
     * payloads get near signatures, so the banded-Hamming search below
@@ -679,7 +845,9 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
           val ph =
-            if (r.getString(1) == "image") bmpPHash(bytes) else None
+            if (r.getString(1) == "image")
+              bmpPHash(bytes).orElse(pngPHash(bytes))
+            else None
           Row(r.getLong(0), bytes, ph.map(Long.box).orNull, ph.isDefined)
         }
       }(enc)

@@ -1577,6 +1577,99 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.bmpPHash("BM25 text".getBytes("UTF-8")).isEmpty)
   }
 
+  /** A real 8-bit grayscale PNG whose pixels follow `gray(x, y)`, with
+    * row `y` encoded under filter `y % 5` — every PNG filter type
+    * (None/Sub/Up/Average/Paeth) round-trips through the decoder.
+    */
+  private def pngPattern(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw(y * (w + 1)) = f.toByte
+      for (x <- 0 until w) {
+        val cur = gray(x, y) & 0xFF
+        val left = if (x > 0) gray(x - 1, y) & 0xFF else 0
+        val up = if (y > 0) gray(x, y - 1) & 0xFF else 0
+        val ul = if (x > 0 && y > 0) gray(x - 1, y - 1) & 0xFF else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(y * (w + 1) + 1 + x) = (enc & 0xFF).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val out = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(out)
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.take(n)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("pngPixels round-trips all five scanline filters; pHash matches BMP cross-format") {
+    def grad(x: Int, y: Int): Int = (x * 7 + y * 3) % 256
+    val png = pngPattern(40, 25, grad)
+    // javax.imageio agrees the multi-filter encoding is a valid PNG
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 40 && img.getHeight === 25)
+    val (w, h, rgb) = Multimodal.pngPixels(png).get
+    assert(w === 40 && h === 25)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xFF) === grad(x, y), s"pixel ($x,$y)")
+      assert(rgb(p + 1) === rgb(p) && rgb(p + 2) === rgb(p))
+    }
+    // cross-format perceptual identity: the SAME pattern as BMP and as
+    // PNG must produce the IDENTICAL block-mean hash
+    def leftRight(x: Int, y: Int): Int = if (x < 32) 0 else 255
+    val viaPng = Multimodal.pngPHash(pngPattern(64, 64, leftRight)).get
+    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, leftRight)).get
+    assert(viaPng === viaBmp, "block-mean hash must be format-invariant")
+    // hostile/unsupported payloads refuse: truncated IDAT, interlaced
+    // flag, text — stub path, never a crash
+    assert(Multimodal.pngPixels(png.dropRight(30)).isEmpty)
+    val interlaced = png.clone(); interlaced(8 + 8 + 12) = 1.toByte
+    assert(Multimodal.pngPixels(interlaced).isEmpty)
+    assert(Multimodal.pngPixels("PNG is a format".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("mediaNearDup pairs a BMP with its PNG re-encode as a perceptual duplicate") {
+    import spark.implicits._
+    def checker(x: Int, y: Int): Int =
+      if (((x / 8) + (y / 8)) % 2 == 0) 30 else 225
+    val media = Seq(
+      (1L, "image", bmpPattern(64, 64, checker)),
+      (2L, "image", pngPattern(64, 64, checker)),          // re-encode
+      (3L, "image", bmpPattern(64, 64, (x, _) => if (x < 32) 0 else 255)),
+      (4L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0 && p._4),
+      s"BMP/PNG re-encode must pair at Hamming 0; got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      "different content must not pair")
+  }
+
   test("mediaNearDup finds planted perceptual near-duplicates with full recall") {
     import spark.implicits._
     def leftRight(w: Int): (Int, Int) => Int =
