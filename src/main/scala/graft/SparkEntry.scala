@@ -236,7 +236,7 @@ object SparkEntry {
     "bitext_mine"        -> ((s, d) => Similarity.crossLabelMineAdaptive(s, d)),
     // contrastive-training negatives: per-anchor top-n in the [lo, hi)
     // "confusable but not duplicate" cosine band, cell-scoped
-    "hard_negatives"     -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "hard_negatives"     -> ((s, d) => Similarity.hardNegativesAdaptive(s, d)),
     // per-cell quota in twinnable sha-bucket order (diversity sampling)
     "cluster_sample"     -> ((s, d) => Similarity.clusterBalancedSample(s, d)),
     // ranked strip-list of the most-shared word n-grams
@@ -440,9 +440,10 @@ object SparkEntry {
     "gapfill_interpolate" -> ((s, d) => EventAnalytics.gapFillInterpolate(s, d)),
     // anti-entropy replica comparison: per-shard order-independent digests
     "shard_checksums"    -> ((s, d) => graft.ops.Profiling.shardChecksums(s, d)),
-    // embedding-space eval-leak detection (semantic twin of decontaminate)
+    // embedding-space eval-leak detection (semantic twin of decontaminate;
+    // census-adaptive quantizer width like bitext_mine)
     "semantic_decontaminate" -> ((s, d) =>
-      Similarity.semanticDecontaminate(s, d)),
+      Similarity.semanticDecontaminateAdaptive(s, d)),
     // decimal-exact PageRank over the co-purchase part graph (5 rounds)
     "part_pagerank"      -> ((s, d) => ext.Graph.partPageRank(s, d)),
     // degree-ordered triangle counting (bounded-wedge formulation)
@@ -2390,16 +2391,22 @@ object SparkEntry {
         |ORDER BY vec_id ASC""".stripMargin,
     // hard negatives: eval/train split as semantic_decontaminate, cosine
     // band [0.2, 0.95), per-anchor top-3 by sim desc / candidate-id asc
+    // census-adaptive seeds (16·ceil(N/500)) — same contract as bitext_mine
     "hard_negatives" ->
       """WITH emb AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS vec,
         |         sqrt(list_inner_product(embedding::DOUBLE[],
         |                                 embedding::DOUBLE[])) AS nrm
         |  FROM embeddings
+        |), nk AS (
+        |  SELECT greatest(16, 16 * CAST(ceil(count(*) / 500.0) AS BIGINT))
+        |           AS k
+        |  FROM emb
         |), seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
-        |         list_transform(vec, x -> x / nrm) AS c
-        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |  SELECT rn - 1 AS cell_id, list_transform(vec, x -> x / nrm) AS c
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id ASC) AS rn
+        |        FROM emb)
+        |  WHERE rn <= (SELECT k FROM nk)
         |), scored AS (
         |  SELECT e.vec_id, s.cell_id,
         |         list_inner_product(e.vec, s.c) / e.nrm AS sim
@@ -5290,16 +5297,22 @@ object SparkEntry {
         |       bit_xor(hh) AS xor_digest,
         |       CAST(sum(hh % 1000000007) AS BIGINT) AS mod_digest
         |FROM h GROUP BY shard ORDER BY shard ASC""".stripMargin,
+    // census-adaptive seeds (16·ceil(N/500)) — same contract as bitext_mine
     "semantic_decontaminate" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
         |         sqrt(list_inner_product(embedding::DOUBLE[],
         |                                 embedding::DOUBLE[])) AS nrm
         |  FROM embeddings
+        |), nk AS (
+        |  SELECT greatest(16, 16 * CAST(ceil(count(*) / 500.0) AS BIGINT))
+        |           AS k
+        |  FROM emb
         |), seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
-        |         list_transform(vec, x -> x / nrm) AS c
-        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |  SELECT rn - 1 AS cell_id, list_transform(vec, x -> x / nrm) AS c
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id ASC) AS rn
+        |        FROM emb)
+        |  WHERE rn <= (SELECT k FROM nk)
         |), scored AS (
         |  SELECT e.vec_id, s.cell_id,
         |         list_inner_product(e.vec, s.c) / e.nrm AS sim

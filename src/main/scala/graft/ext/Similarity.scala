@@ -1572,6 +1572,17 @@ object Similarity {
     * join keys on cell_id, and the per-eval argmax is a window over the
     * threshold survivors — work is cell-local, never eval × train.
     */
+  /** [[semanticDecontaminate]] with the census-derived quantizer width
+    * ([[bitextCensusK]]) — the registered path: cell size stays bounded
+    * as the corpus grows, so the within-cell eval×train join stays
+    * corpus-linear (tier H flagged the fixed-k form at 10.6× under 10×).
+    */
+  def semanticDecontaminateAdaptive(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4,
+      evalMod: Int = 10, evalRem: Int = 9): DataFrame =
+    semanticDecontaminate(spark, sfDir, bitextCensusK(spark, sfDir),
+      threshold, evalMod, evalRem)
+
   def semanticDecontaminate(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.4, evalMod: Int = 10, evalRem: Int = 9): DataFrame = {
@@ -1700,6 +1711,19 @@ object Similarity {
     * the [[crossLabelMine]] envelope with a band filter instead of the
     * label inequality.
     */
+  /** [[hardNegatives]] with the census-derived quantizer width
+    * ([[bitextCensusK]]) — the registered path (tier H flagged the
+    * fixed-k form at 19.8× under 10×: at fixed k=16 the per-cell
+    * candidate join is quadratic in cell size, which grows linearly
+    * with the corpus; the adaptive width keeps expected cell size ~31).
+    */
+  def hardNegativesAdaptive(
+      spark: SparkSession, sfDir: String, nNeg: Int = 3,
+      lo: Double = 0.2, hi: Double = 0.95,
+      evalMod: Int = 10, evalRem: Int = 9): DataFrame =
+    hardNegatives(spark, sfDir, bitextCensusK(spark, sfDir), nNeg, lo, hi,
+      evalMod, evalRem)
+
   def hardNegatives(
       spark: SparkSession, sfDir: String, k: Int = 16, nNeg: Int = 3,
       lo: Double = 0.2, hi: Double = 0.95,
