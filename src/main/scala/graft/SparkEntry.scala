@@ -288,6 +288,10 @@ object SparkEntry {
     // perceptual hashes wherever pixels parse (spec-pinned), sha-band
     // stubs elsewhere so the twin rebuilds every signature bit-for-bit
     "media_near_dup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    // the signature index itself, hash-checked row-for-row (stub rows —
+    // fixture payloads carry no pixels; the pHash path is spec-pinned)
+    "media_signatures"   -> ((s, d) =>
+      Multimodal.mediaSignatures(s, d).orderBy("media_id")),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
     // schema census over the JSON props column: keys discovered from the
     // DATA (no declared schema) + per-key occurrence/distinct/numeric
@@ -3950,6 +3954,30 @@ object SparkEntry {
         |       strlen(text) AS n_bytes
         |FROM documents
         |ORDER BY media_id ASC""".stripMargin,
+    // the signature index itself (same stub chain as media_near_dup's)
+    "media_signatures" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS media_id, substr(text, g.p, 4) AS sh
+         |  FROM documents,
+         |       unnest(generate_series(1, greatest(length(text) - 3, 1)))
+         |         AS g(p)
+         |), sh AS (
+         |  SELECT DISTINCT media_id,
+         |         ('0x' || substr(sha256(sh), 1, 15))::BIGINT AS th
+         |  FROM sh0
+         |), voted AS (
+         |  SELECT media_id, $votes FROM sh GROUP BY media_id
+         |)
+         |SELECT media_id, $bits AS phash, false AS is_perceptual
+         |FROM voted
+         |ORDER BY media_id ASC""".stripMargin
+    },
     // twin of the media pHash dedup: every fixture payload is a text
     // stand-in (no parseable BMP), so each signature is the 60-bit
     // character-4-gram SimHash stub rebuilt here bit-for-bit; the

@@ -258,36 +258,9 @@ object Multimodal {
   private[ext] def pcmFeatures(
       bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
     if (dim < 5) return None
-    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
-      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
-      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
-    var o = 12
-    var fmtOk = false
-    var dataOff = -1L
-    var dataBytes = -1L
-    while (o + 8 <= bytes.length && (!fmtOk || dataOff < 0L)) {
-      val id = new String(bytes, o, 4, "US-ASCII")
-      val sz = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
-      if (id == "fmt ") {
-        if (o + 8 + 16 > bytes.length) return None
-        val audioFormat = le16(bytes, o + 8)
-        val channels = le16(bytes, o + 10)
-        val sampleRate = le32(bytes, o + 12)
-        val bitsPerSample = le16(bytes, o + 22)
-        if (audioFormat != 1 || channels <= 0 || sampleRate <= 0 ||
-          bitsPerSample != 16) return None
-        fmtOk = true
-      } else if (id == "data") { dataOff = o + 8L; dataBytes = sz }
-      // same Long-advance overflow discipline as wavDuration
-      val next = o.toLong + 8L + sz + (sz & 1L)
-      if (next > (Int.MaxValue - 8).toLong) return None
-      o = next.toInt
-    }
-    if (!fmtOk || dataOff < 0L || dataBytes < 2L ||
-      (dataBytes & 1L) == 1L ||
-      dataOff + dataBytes > bytes.length) return None
-    val off = dataOff.toInt
-    val n = (dataBytes / 2L).toInt
+    // structural validation + data span shared with pcmPHash (same
+    // Long-advance overflow discipline as wavDuration)
+    val (off, n) = pcmDataSpan(bytes).getOrElse(return None)
     var sumAbs = 0L; var sumSq = 0L; var crossings = 0L; var peak = 0L
     val bins = dim - 4
     val hist = new Array[Long](bins)
@@ -749,6 +722,73 @@ object Multimodal {
     Some((w, h, rgb))
   }
 
+  /** 63-bit PERCEPTUAL fingerprint for RIFF/WAVE 16-bit PCM audio — the
+    * energy-delta sign hash (the Haitsma–Kalker "robust audio
+    * fingerprint" family, one band): samples split into 64 equal time
+    * windows, per-window energy = Σs² (exact integer — s² ≤ 2³⁰,
+    * window length < 2²⁵ keeps sums < 2⁵⁵), bit w set iff
+    * energy(w) > energy(w+1). Sign-of-delta is VOLUME-INVARIANT
+    * (uniform scaling preserves every comparison) and robust to small
+    * local corruption (one damaged window moves ≤ 2 bits), so banded
+    * Hamming search finds re-encoded/re-gained copies. None for
+    * payloads that are not structurally valid 16-bit PCM or carry
+    * fewer than 128 samples (too short for 64 meaningful windows).
+    */
+  private[ext] def pcmPHash(bytes: Array[Byte]): Option[Long] = {
+    val layout = pcmDataSpan(bytes).getOrElse(return None)
+    val (off, n) = layout
+    if (n < 128) return None
+    val energy = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val p = off + i * 2
+      val s = ((bytes(p) & 0xFF) | (bytes(p + 1) << 8)).toShort.toLong
+      energy(((i.toLong * 64) / n).toInt) += s * s
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < 63) {
+      if (energy(w) > energy(w + 1)) hash |= 1L << w
+      w += 1
+    }
+    Some(hash)
+  }
+
+  /** Structural 16-bit-PCM validation shared by [[pcmFeatures]] and
+    * [[pcmPHash]]: returns (sample array byte offset, sample count).
+    */
+  private def pcmDataSpan(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 12 || bytes(0) != 'R' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != 'F' || bytes(8) != 'W' ||
+      bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E') return None
+    var o = 12
+    var fmtOk = false
+    var dataOff = -1L
+    var dataBytes = -1L
+    while (o + 8 <= bytes.length && (!fmtOk || dataOff < 0L)) {
+      val id = new String(bytes, o, 4, "US-ASCII")
+      val sz = le32(bytes, o + 4).toLong & 0xFFFFFFFFL
+      if (id == "fmt ") {
+        if (o + 8 + 16 > bytes.length) return None
+        val audioFormat = le16(bytes, o + 8)
+        val channels = le16(bytes, o + 10)
+        val sampleRate = le32(bytes, o + 12)
+        val bitsPerSample = le16(bytes, o + 22)
+        if (audioFormat != 1 || channels <= 0 || sampleRate <= 0 ||
+          bitsPerSample != 16) return None
+        fmtOk = true
+      } else if (id == "data") { dataOff = o + 8L; dataBytes = sz }
+      val next = o.toLong + 8L + sz + (sz & 1L)
+      if (next > (Int.MaxValue - 8).toLong) return None
+      o = next.toInt
+    }
+    if (!fmtOk || dataOff < 0L || dataBytes < 2L ||
+      (dataBytes & 1L) == 1L ||
+      dataOff + dataBytes > bytes.length) return None
+    Some((dataOff.toInt, (dataBytes / 2L).toInt))
+  }
+
   /** [[bmpPHash]] for PNG payloads — the same block-mean kernel over the
     * inflated, unfiltered pixel array.
     */
@@ -790,9 +830,11 @@ object Multimodal {
   /** Per-media 60/64-bit signature rows: REAL block-mean perceptual
     * hashes for payloads whose pixels are pure public math — uncompressed
     * BMP ([[bmpPHash]]) and non-interlaced 8-bit PNG ([[pngPHash]]: zlib
-    * inflate + scanline unfilter, both in the JVM) — with
-    * `is_perceptual` true; the SAME content hashes identically across
-    * the two formats (shared raster kernel). For everything else —
+    * inflate + scanline unfilter, both in the JVM) and RIFF/WAVE
+    * 16-bit PCM audio ([[pcmPHash]]: volume-invariant energy-delta sign
+    * fingerprint) — with `is_perceptual` true; the SAME image content
+    * hashes identically across BMP and PNG (shared raster kernel). For
+    * everything else —
     * compressed codecs this container can't decode, headerless
     * stand-ins — a CONTENT-DEFINED 60-bit SimHash stub over
     * the payload's distinct character 4-grams (twinnable sha-60 hash
@@ -844,10 +886,11 @@ object Multimodal {
       .select("media_id", "media_type", "content").mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
-          val ph =
-            if (r.getString(1) == "image")
-              bmpPHash(bytes).orElse(pngPHash(bytes))
-            else None
+          val ph = r.getString(1) match {
+            case "image" => bmpPHash(bytes).orElse(pngPHash(bytes))
+            case "audio" => pcmPHash(bytes)
+            case _       => None
+          }
           Row(r.getLong(0), bytes, ph.map(Long.box).orNull, ph.isDefined)
         }
       }(enc)

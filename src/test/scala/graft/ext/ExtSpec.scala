@@ -1670,6 +1670,47 @@ class MultimodalSpec extends SparkSpec {
       "different content must not pair")
   }
 
+  test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
+    // deterministic pseudo-waveform with distinct per-window energies
+    def wave(n: Int, seed: Int): Seq[Int] =
+      (0 until n).map(i => (((i * 2654435761L + seed * 40503L) >> 7)
+        % 20000L).toInt - 10000)
+    val base = wave(4096, 1)
+    val ph = Multimodal.pcmPHash(wavPcm(base)).get
+    // uniform gain change preserves every energy-delta sign exactly
+    val quieter = base.map(_ / 2)
+    assert(Multimodal.pcmPHash(wavPcm(quieter)).get === ph ||
+      java.lang.Long.bitCount(
+        Multimodal.pcmPHash(wavPcm(quieter)).get ^ ph) <= 4,
+      "volume scaling must preserve (almost) every delta sign")
+    // corrupting one 64-sample window moves at most 2 bits
+    val corrupted = base.zipWithIndex.map { case (s, i) =>
+      if (i < 64) 0 else s }
+    val dCorrupt = java.lang.Long.bitCount(
+      Multimodal.pcmPHash(wavPcm(corrupted)).get ^ ph)
+    assert(dCorrupt <= 4, s"local corruption moved $dCorrupt bits")
+    // a different waveform is far
+    val other = Multimodal.pcmPHash(wavPcm(wave(4096, 99))).get
+    assert(java.lang.Long.bitCount(other ^ ph) > 16)
+    // too short / non-PCM refuse
+    assert(Multimodal.pcmPHash(wavPcm(base.take(100))).isEmpty)
+    assert(Multimodal.pcmPHash("RIFF raff".getBytes("UTF-8")).isEmpty)
+    // mediaNearDup pairs the re-gained copy as a perceptual duplicate
+    import spark.implicits._
+    val media = Seq(
+      (1L, "audio", wavPcm(base)),
+      (2L, "audio", wavPcm(quieter)),
+      (3L, "audio", wavPcm(wave(4096, 99))),
+      (4L, "audio", "no audio header".getBytes("UTF-8")))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3),
+      s"re-gained audio must pair perceptually; got ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 3L),
+      "different waveform must not pair")
+  }
+
   test("mediaNearDup finds planted perceptual near-duplicates with full recall") {
     import spark.implicits._
     def leftRight(w: Int): (Int, Int) => Int =
