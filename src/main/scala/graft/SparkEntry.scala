@@ -292,6 +292,10 @@ object SparkEntry {
     // fixture payloads carry no pixels; the pHash path is spec-pinned)
     "media_signatures"   -> ((s, d) =>
       Multimodal.mediaSignatures(s, d).orderBy("media_id")),
+    // pairs -> transitive clusters via the shared CC kernel (the media
+    // analog of dedup_clusters: one keeper per duplicate group)
+    "media_dedup_clusters" -> ((s, d) =>
+      Multimodal.mediaDedupClusters(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
     // schema census over the JSON props column: keys discovered from the
     // DATA (no declared schema) + per-key occurrence/distinct/numeric
@@ -3977,6 +3981,54 @@ object SparkEntry {
          |SELECT media_id, $bits AS phash, false AS is_perceptual
          |FROM voted
          |ORDER BY media_id ASC""".stripMargin
+    },
+    // media pairs -> transitive clusters: the same signature/band/Hamming
+    // chain as media_near_dup, closed under the recursive min-label walk
+    "media_dedup_clusters" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE sh0 AS (
+         |  SELECT doc_id AS media_id, substr(text, g.p, 4) AS sh
+         |  FROM documents,
+         |       unnest(generate_series(1, greatest(length(text) - 3, 1)))
+         |         AS g(p)
+         |), sh AS (
+         |  SELECT DISTINCT media_id,
+         |         ('0x' || substr(sha256(sh), 1, 15))::BIGINT AS th
+         |  FROM sh0
+         |), voted AS (
+         |  SELECT media_id, $votes FROM sh GROUP BY media_id
+         |), sig AS (
+         |  SELECT media_id, $bits AS phash FROM voted
+         |), chunks AS (
+         |  SELECT media_id, phash, t.c AS chunk_idx,
+         |         (phash >> (t.c * 16)) & 65535 AS chunk_val
+         |  FROM sig, unnest([0, 1, 2, 3]) AS t(c)
+         |), mpairs AS (
+         |  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 8
+         |), e AS (
+         |  SELECT src, dst FROM mpairs UNION SELECT dst, src FROM mpairs
+         |), walk(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN e ON w.node = e.src
+         |  WHERE w.label < e.dst
+         |), cc AS (
+         |  SELECT node AS media_id, min(label) AS cluster_id
+         |  FROM walk GROUP BY node
+         |)
+         |SELECT cluster_id, min(media_id) AS keeper_media_id,
+         |       count(*) AS cluster_size
+         |FROM cc GROUP BY cluster_id HAVING count(*) > 1
+         |ORDER BY cluster_id ASC""".stripMargin
     },
     // twin of the media pHash dedup: every fixture payload is a text
     // stand-in (no parseable BMP), so each signature is the 60-bit

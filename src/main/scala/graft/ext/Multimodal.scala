@@ -962,6 +962,29 @@ object Multimodal {
     finally { sig.unpersist(); () }
   }
 
+  /** Media near-dup pairs → transitive duplicate CLUSTERS through the
+    * family-shared connected-components kernel ([[Dedup]]'s
+    * size-adaptive union-find / graph-contraction CC) — the missing
+    * last step that turns pairwise pHash matches into one keeper per
+    * duplicate group, exactly as `dedup_clusters` does for text. One
+    * row per multi-member cluster: (cluster_id = min member id, keeper,
+    * size).
+    */
+  def mediaDedupClusters(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    val pairs = mediaNearDup(spark, sfDir, maxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val all = mediaTable(spark, sfDir).select(col("media_id").as("doc_id"))
+    Dedup.connectedComponents(pairs, all)
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("keeper_media_id"),
+        count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > 1L)
+      .select(col("cluster_id"), col("keeper_media_id"),
+        col("cluster_size"))
+      .orderBy(col("cluster_id").asc)
+  }
+
   private def pairsFromSignatures(
       sig: DataFrame, maxHamming: Int): DataFrame = {
     {
