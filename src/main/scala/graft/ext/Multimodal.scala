@@ -858,7 +858,7 @@ object Multimodal {
     * this IS the pHash index a crawl pipeline maintains, with each
     * ingest shard paying one partition-local decode pass.
     */
-  private def mediaSignaturesShared(
+  private[graft] def mediaSignaturesShared(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "media_sig",
       Seq("documents.parquet"), "media_id",

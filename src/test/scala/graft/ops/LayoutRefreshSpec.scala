@@ -421,6 +421,43 @@ class LayoutRefreshSpec extends SparkSpec {
       "refreshed selection must cover the appended docs")
   }
 
+  test("media_sig refreshes append-only; refreshed pairs equal a full rebuild") {
+    val base = Files.createTempDirectory("graft_msig_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_msig_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // appended shard: byte-identical copies of existing payloads under
+    // new ids — the refreshed signature index must pair each one with
+    // its source at Hamming 0
+    val extra = docs.orderBy(col("doc_id").asc).limit(8)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+    graft.ext.Multimodal.mediaSignaturesShared(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/documents.parquet", extra)
+    val refreshed = graft.ext.Multimodal.mediaSignaturesShared(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "media_sig must take the refresh path on an append")
+    assert(Layout.buildCount.get === b0,
+      "the committed corpus must not re-hash on an append")
+    copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+    val rebuilt = graft.ext.Multimodal.mediaSignaturesShared(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed media signatures diverged from the full rebuild")
+    // consumer-level: every appended twin pairs with its source
+    val pairs = graft.ext.Multimodal.mediaNearDup(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    (0 until 8).foreach { i =>
+      val src = docs.orderBy(col("doc_id").asc).limit(8)
+        .collect()(i).getLong(0)
+      assert(pairs.contains((src, src + maxId + 1000L, 0)),
+        s"appended twin of $src missing from the refreshed pair set")
+    }
+  }
+
   test("postings refreshes append-only and serves the same bm25 list as a rebuild") {
     val base = Files.createTempDirectory("graft_post_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_post_full").toString + "/d"
