@@ -504,6 +504,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(inv.contains("rangepartitioning"), inv.take(3000))
   }
 
+  test("media family reads the maintained signature index, not the raw payloads") {
+    // the shared signature frame the registered pair/cluster rows consume
+    // must be the media_sig artifact scan — no per-call shingle
+    // explosion, no SimHash vote re-aggregation, no mapPartitions decode
+    val sig = graft.ext.Multimodal.mediaSignaturesShared(spark, sf)
+    val sp = sig.queryExecution.executedPlan.toString
+    assert(sp.contains("graft_media_sig"),
+      "signatures must come off the maintained artifact")
+    assert(!sp.toLowerCase.contains("explode"), "artifact read re-shingles")
+    assert(!sp.contains("SerializeFromObject"), "artifact read re-decodes")
+    // the pair row itself is the BOUNDED materialization of the banded
+    // join (localOrSpill) — the candidate stream never feeds downstream
+    // plans unbounded
+    assert(plan("media_near_dup").contains("LocalTableScan") ||
+      plan("media_near_dup").contains("graft_spill"))
+  }
+
   test("round-8 retrieval ops: containment/negatives joins are keyed; rrf dense leg is TakeOrdered") {
     for (q <- Seq("containment_pairs", "hard_negatives")) {
       val p = plan(q)
