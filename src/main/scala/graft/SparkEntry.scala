@@ -296,6 +296,10 @@ object SparkEntry {
     // analog of dedup_clusters: one keeper per duplicate group)
     "media_dedup_clusters" -> ((s, d) =>
       Multimodal.mediaDedupClusters(s, d)),
+    // delta-probes-index incremental media dedup (the 100 TB ingest
+    // shape — the media analog of dedup_incremental_near)
+    "media_incremental_near" -> ((s, d) =>
+      Multimodal.mediaNearDupIncremental(s, d)),
     "props_extract"      -> ((s, d) => Ingest.propsExtract(s, d)),
     // schema census over the JSON props column: keys discovered from the
     // DATA (no declared schema) + per-key occurrence/distinct/numeric
@@ -3981,6 +3985,56 @@ object SparkEntry {
          |SELECT media_id, $bits AS phash, false AS is_perceptual
          |FROM voted
          |ORDER BY media_id ASC""".stripMargin
+    },
+    // delta-probes-index: same signature chain; delta = id%10==9, best
+    // corpus match by (hamming asc, id asc), -1 when nothing clears
+    "media_incremental_near" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS media_id, substr(text, g.p, 4) AS sh
+         |  FROM documents,
+         |       unnest(generate_series(1, greatest(length(text) - 3, 1)))
+         |         AS g(p)
+         |), sh AS (
+         |  SELECT DISTINCT media_id,
+         |         ('0x' || substr(sha256(sh), 1, 15))::BIGINT AS th
+         |  FROM sh0
+         |), voted AS (
+         |  SELECT media_id, $votes FROM sh GROUP BY media_id
+         |), sig AS (
+         |  SELECT media_id, $bits AS phash FROM voted
+         |), chunks AS (
+         |  SELECT media_id, phash, t.c AS chunk_idx,
+         |         (phash >> (t.c * 16)) & 65535 AS chunk_val
+         |  FROM sig, unnest([0, 1, 2, 3]) AS t(c)
+         |), cand AS (
+         |  SELECT DISTINCT d.media_id AS new_media_id, x.media_id AS c_id,
+         |         d.phash AS ph_n, x.phash AS ph_c
+         |  FROM chunks d JOIN chunks x
+         |    ON d.chunk_idx = x.chunk_idx AND d.chunk_val = x.chunk_val
+         |  WHERE d.media_id % 10 = 9 AND x.media_id % 10 <> 9
+         |), best AS (
+         |  SELECT new_media_id, c_id,
+         |         CAST(bit_count(xor(ph_n, ph_c)) AS INT) AS hamming,
+         |         row_number() OVER (
+         |           PARTITION BY new_media_id
+         |           ORDER BY bit_count(xor(ph_n, ph_c)) ASC, c_id ASC) AS rk
+         |  FROM cand
+         |  WHERE bit_count(xor(ph_n, ph_c)) <= 8
+         |)
+         |SELECT s.media_id AS new_media_id,
+         |       coalesce(b.c_id, -1) AS dup_of,
+         |       b.c_id IS NOT NULL AS is_dup,
+         |       coalesce(b.hamming, -1) AS hamming
+         |FROM sig s
+         |LEFT JOIN best b ON b.new_media_id = s.media_id AND b.rk = 1
+         |WHERE s.media_id % 10 = 9
+         |ORDER BY new_media_id ASC""".stripMargin
     },
     // media pairs -> transitive clusters: the same signature/band/Hamming
     // chain as media_near_dup, closed under the recursive min-label walk

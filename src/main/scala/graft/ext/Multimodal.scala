@@ -962,6 +962,62 @@ object Multimodal {
     finally { sig.unpersist(); () }
   }
 
+  /** Incremental (delta-vs-index) media near-dup — the
+    * [[Dedup.incrementalMinHash]] shape for the media modality, and the
+    * 100 TB media-ingest dataflow: the corpus maintains its signature
+    * index once ([[mediaSignaturesShared]], per-payload append-only
+    * refresh); an arriving batch hashes only itself, probes the index on
+    * the 16-bit signature windows, and Hamming-verifies the candidates.
+    * The corpus is never re-paired against itself — per batch, work is
+    * proportional to the delta's window collisions.
+    *
+    * The "new batch" is carved deterministically
+    * (`media_id % deltaMod == deltaRem`) so the report is
+    * oracle-checkable. One row per delta medium: `dup_of` = the
+    * best-matching corpus medium (lowest Hamming, smallest id on ties),
+    * `-1`/`is_dup=false` when nothing clears `maxHamming`.
+    */
+  def mediaNearDupIncremental(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 8,
+      deltaMod: Int = 10, deltaRem: Int = 9): DataFrame = {
+    val sig = mediaSignaturesShared(spark, sfDir)
+    val isDelta = pmod(col("media_id"), lit(deltaMod.toLong)) === deltaRem.toLong
+    def chunked(df: DataFrame): DataFrame = {
+      val chunkCols = (0 until 4).map { c =>
+        struct(lit(c).as("idx"),
+          shiftright(col("phash"), c * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("v"))
+      }
+      df.select(col("media_id"), col("phash"),
+        explode(array(chunkCols: _*)).as("chunk"))
+        .select(col("media_id"), col("phash"),
+          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+    }
+    val probe = chunked(sig.filter(isDelta))
+      .select(col("chunk_idx"), col("chunk_val"),
+        col("media_id").as("new_media_id"), col("phash").as("ph_n"))
+    val index = chunked(sig.filter(!isDelta))
+      .select(col("chunk_idx"), col("chunk_val"),
+        col("media_id").as("c_id"), col("phash").as("ph_c"))
+    val best = probe.join(index, Seq("chunk_idx", "chunk_val"))
+      .select("new_media_id", "c_id", "ph_n", "ph_c").distinct()
+      .withColumn("hamming", bit_count(col("ph_n").bitwiseXOR(col("ph_c"))))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("new_media_id"))
+          .orderBy(col("hamming").asc, col("c_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("new_media_id"), col("c_id"), col("hamming"))
+    sig.filter(isDelta).select(col("media_id").as("new_media_id"))
+      .join(best, Seq("new_media_id"), "left")
+      .select(col("new_media_id"),
+        coalesce(col("c_id"), lit(-1L)).as("dup_of"),
+        col("c_id").isNotNull.as("is_dup"),
+        coalesce(col("hamming"), lit(-1)).as("hamming"))
+      .orderBy(col("new_media_id").asc)
+  }
+
   /** Media near-dup pairs → transitive duplicate CLUSTERS through the
     * family-shared connected-components kernel ([[Dedup]]'s
     * size-adaptive union-find / graph-contraction CC) — the missing
