@@ -455,6 +455,7 @@ object Multimodal {
         val fs = (r.getString(1) match {
           case "image" =>
             bmpFeatures(bytes, dim).orElse(pngFeatures(bytes, dim))
+              .orElse(gifFeatures(bytes, dim))
           case "audio" => pcmFeatures(bytes, dim)
           case _ => None
         }).getOrElse(hashedFeatures(bytes, dim))
@@ -789,6 +790,187 @@ object Multimodal {
     Some((dataOff.toInt, (dataBytes / 2L).toInt))
   }
 
+  /** Decode a GIF87a/89a's FIRST image frame — pure public math
+    * (GIF spec + the original Welch LZW): logical screen descriptor →
+    * global color table; skip extension blocks; image descriptor →
+    * local color table override; then variable-width LZW decompression
+    * of the sub-block-chained pixel data (code width grows 3..12 bits,
+    * clear/EOI codes per spec), palette lookup to RGB, and Adam-less
+    * 4-pass row remap when the interlace flag is set. None for
+    * malformed/truncated payloads or frames that don't fill the
+    * logical screen (animations' partial frames) — stub path, never a
+    * guess.
+    */
+  private[ext] def gifPixels(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 13 || bytes(0) != 'G' || bytes(1) != 'I' ||
+      bytes(2) != 'F' || bytes(3) != '8' ||
+      (bytes(4) != '7' && bytes(4) != '9') || bytes(5) != 'a') return None
+    val sw = le16(bytes, 6); val sh = le16(bytes, 8)
+    if (sw <= 0 || sh <= 0 || sw.toLong * sh > 67108864L) return None
+    val packed = bytes(10) & 0xFF
+    var o = 13
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) { // global color table
+      val sz = 3 * (1 << ((packed & 7) + 1))
+      if (o + sz > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, o, o + sz)
+      o += sz
+    }
+    // block walk to the first image descriptor
+    while (o < bytes.length && (bytes(o) & 0xFF) == 0x21) { // extension
+      o += 2 // introducer + label
+      while (o < bytes.length && (bytes(o) & 0xFF) != 0) {
+        o += 1 + (bytes(o) & 0xFF)
+        if (o > bytes.length) return None
+      }
+      o += 1 // block terminator
+    }
+    if (o >= bytes.length || (bytes(o) & 0xFF) != 0x2C) return None
+    if (o + 10 > bytes.length) return None
+    val ix = le16(bytes, o + 1); val iy = le16(bytes, o + 3)
+    val iw = le16(bytes, o + 5); val ih = le16(bytes, o + 7)
+    val ipacked = bytes(o + 9) & 0xFF
+    // only full-screen first frames (a partial frame needs a composited
+    // background this decoder deliberately does not invent)
+    if (ix != 0 || iy != 0 || iw != sw || ih != sh) return None
+    val interlaced = (ipacked & 0x40) != 0
+    o += 10
+    if ((ipacked & 0x80) != 0) { // local color table wins
+      val sz = 3 * (1 << ((ipacked & 7) + 1))
+      if (o + sz > bytes.length) return None
+      palette = java.util.Arrays.copyOfRange(bytes, o, o + sz)
+      o += sz
+    }
+    if (palette == null || o >= bytes.length) return None
+    val minCodeSize = bytes(o) & 0xFF
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    o += 1
+    // concatenate the data sub-blocks
+    val data = new java.io.ByteArrayOutputStream()
+    while (o < bytes.length && (bytes(o) & 0xFF) != 0) {
+      val n = bytes(o) & 0xFF
+      if (o + 1 + n > bytes.length) return None
+      data.write(bytes, o + 1, n)
+      o += 1 + n
+    }
+    val in = data.toByteArray
+    // LZW decode (variable code width, dictionary of byte chains)
+    val nPix = sw * sh
+    val out = new Array[Byte](nPix)
+    var outLen = 0
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val stack = new Array[Byte](maxDict)
+    var dictSize = eoi + 1
+    var codeSize = minCodeSize + 1
+    var bitPos = 0
+    var prev = -1
+    def readCode(): Int = {
+      if ((bitPos + codeSize + 7) / 8 > in.length) return -1
+      var v = 0; var i = 0
+      while (i < codeSize) {
+        val bp = bitPos + i
+        if ((in(bp >> 3) & (1 << (bp & 7))) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    def emit(code: Int): Boolean = { // expand a code onto the output
+      var sp = 0
+      var c = code
+      while (c >= clear) { // walk the chain (root codes are < clear)
+        if (sp >= maxDict || c >= dictSize) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (outLen + sp + 1 > nPix) return false
+      out(outLen) = c.toByte; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      true
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    var done = false
+    while (!done && outLen < nPix) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) done = true
+      else {
+        if (prev < 0) {
+          if (code >= clear) return None
+          if (!emit(code)) return None
+        } else {
+          if (code < dictSize) {
+            if (!emit(code)) return None
+            if (dictSize < maxDict) {
+              prefix(dictSize) = prev
+              suffix(dictSize) = firstByteOf(code)
+              dictSize += 1
+            }
+          } else if (code == dictSize && dictSize < maxDict) {
+            // the KwKwK case: new entry = prev chain + its first byte
+            prefix(dictSize) = prev
+            suffix(dictSize) = firstByteOf(prev)
+            dictSize += 1
+            if (!emit(code)) return None
+          } else return None
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    if (outLen != nPix) return None
+    // palette lookup (+ interlace row remap) to RGB
+    val rgb = new Array[Byte](nPix * 3)
+    val rowOf: Int => Int =
+      if (!interlaced) identity
+      else {
+        val order = new Array[Int](sh)
+        var r = 0
+        for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2));
+             y <- start until sh by step) { order(r) = y; r += 1 }
+        val inv = new Array[Int](sh)
+        for (i <- 0 until sh) inv(order(i)) = i
+        y => inv(y)
+      }
+    var y = 0
+    while (y < sh) {
+      val srcRow = rowOf(y)
+      var x = 0
+      while (x < sw) {
+        val idx = (out(srcRow * sw + x) & 0xFF) * 3
+        if (idx + 2 >= palette.length) return None
+        val d = (y * sw + x) * 3
+        rgb(d) = palette(idx); rgb(d + 1) = palette(idx + 1)
+        rgb(d + 2) = palette(idx + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some((sw, sh, rgb))
+  }
+
+  /** [[bmpPHash]] for GIF payloads — block-mean kernel over the
+    * LZW-decoded, palette-resolved pixels.
+    */
+  private[ext] def gifPHash(bytes: Array[Byte]): Option[Long] =
+    gifPixels(bytes).map { case (w, h, rgb) =>
+      rasterPHash(w, h, (x, y) => {
+        val p = (y * w + x) * 3
+        (299 * (rgb(p) & 0xFF) + 587 * (rgb(p + 1) & 0xFF) +
+          114 * (rgb(p + 2) & 0xFF)) / 1000
+      })
+    }
+
   /** [[bmpPHash]] for PNG payloads — the same block-mean kernel over the
     * inflated, unfiltered pixel array.
     */
@@ -805,26 +987,40 @@ object Multimodal {
     * histogram features over the decoded pixels.
     */
   private[ext] def pngFeatures(
-      bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
-    if (dim < 5) return None
-    pngPixels(bytes).map { case (w, h, rgb) =>
-      var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
-      val bins = dim - 4
-      val hist = new Array[Long](bins)
-      var i = 0
-      val n = w * h
-      while (i < n) {
-        val r = rgb(i * 3) & 0xFF
-        val g = rgb(i * 3 + 1) & 0xFF
-        val b = rgb(i * 3 + 2) & 0xFF
-        val luma = (299 * r + 587 * g + 114 * b) / 1000
-        sumR += r; sumG += g; sumB += b; sumLuma += luma
-        hist(luma * bins / 256) += 1
-        i += 1
-      }
-      Array(sumR, sumG, sumB, sumLuma).map(_.toDouble / n / 256.0) ++
-        hist.map(_.toDouble / n)
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] =
+    if (dim < 5) None
+    else pngPixels(bytes).map { case (w, h, rgb) => rgbFeatures(w, h, rgb, dim) }
+
+  /** [[bmpFeatures]] for GIF payloads — same kernel over the
+    * LZW-decoded, palette-resolved pixels.
+    */
+  private[ext] def gifFeatures(
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] =
+    if (dim < 5) None
+    else gifPixels(bytes).map { case (w, h, rgb) => rgbFeatures(w, h, rgb, dim) }
+
+  /** Channel-mean + luma-histogram features over a row-major RGB array —
+    * the shared tail of the PNG and GIF feature paths (the BMP path
+    * accumulates in file order for the same exact sums).
+    */
+  private def rgbFeatures(
+      w: Int, h: Int, rgb: Array[Byte], dim: Int): Array[Double] = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
+    val bins = dim - 4
+    val hist = new Array[Long](bins)
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val r = rgb(i * 3) & 0xFF
+      val g = rgb(i * 3 + 1) & 0xFF
+      val b = rgb(i * 3 + 2) & 0xFF
+      val luma = (299 * r + 587 * g + 114 * b) / 1000
+      sumR += r; sumG += g; sumB += b; sumLuma += luma
+      hist(luma * bins / 256) += 1
+      i += 1
     }
+    Array(sumR, sumG, sumB, sumLuma).map(_.toDouble / n / 256.0) ++
+      hist.map(_.toDouble / n)
   }
 
   /** Per-media 60/64-bit signature rows: REAL block-mean perceptual
@@ -887,7 +1083,8 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
           val ph = r.getString(1) match {
-            case "image" => bmpPHash(bytes).orElse(pngPHash(bytes))
+            case "image" =>
+              bmpPHash(bytes).orElse(pngPHash(bytes)).orElse(gifPHash(bytes))
             case "audio" => pcmPHash(bytes)
             case _       => None
           }

@@ -1670,6 +1670,59 @@ class MultimodalSpec extends SparkSpec {
       "different content must not pair")
   }
 
+  /** A real GIF encoded by javax.imageio from the pattern — exercises a
+    * PRODUCTION LZW encoder against our decoder, not a hand-rolled one.
+    */
+  private def gifPattern(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    out.toByteArray
+  }
+
+  test("gifPixels LZW-decodes ImageIO-encoded GIFs; pHash matches BMP cross-format") {
+    def grad(x: Int, y: Int): Int = (x * 5 + y * 11) % 2 * 200 + 20
+    val gif = gifPattern(48, 30, grad)
+    val (w, h, rgb) = Multimodal.gifPixels(gif).get
+    assert(w === 48 && h === 30)
+    // pixel-exact round trip through a production encoder (grayscale
+    // values land verbatim in the color table)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      assert((rgb(p) & 0xFF) === grad(x, y), s"pixel ($x,$y)")
+      assert(rgb(p + 1) === rgb(p) && rgb(p + 2) === rgb(p))
+    }
+    // cross-format perceptual identity with BMP (third format now)
+    def leftRight(x: Int, y: Int): Int = if (x < 32) 0 else 255
+    val viaGif = Multimodal.gifPHash(gifPattern(64, 64, leftRight)).get
+    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, leftRight)).get
+    assert(viaGif === viaBmp, "block-mean hash must be format-invariant")
+    // hostile payloads refuse: truncated stream, bare header, text
+    assert(Multimodal.gifPixels(gif.dropRight(20)).isEmpty)
+    assert(Multimodal.gifPixels(gifBytes(320, 200)).isEmpty) // no frame
+    assert(Multimodal.gifPixels("GIF89a la la".getBytes("UTF-8")).isEmpty)
+    // a BMP, its PNG re-encode AND its GIF re-encode all pair at
+    // Hamming 0 through the registered machinery
+    import spark.implicits._
+    def checker(x: Int, y: Int): Int =
+      if (((x / 8) + (y / 8)) % 2 == 0) 30 else 225
+    val media = Seq(
+      (1L, "image", bmpPattern(64, 64, checker)),
+      (2L, "image", pngPattern(64, 64, checker)),
+      (3L, "image", gifPattern(64, 64, checker)))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(pairs === Set((1L, 2L, 0, true), (1L, 3L, 0, true),
+      (2L, 3L, 0, true)), s"got $pairs")
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =
