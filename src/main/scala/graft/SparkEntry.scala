@@ -3982,7 +3982,10 @@ object SparkEntry {
          |), voted AS (
          |  SELECT media_id, $votes FROM sh GROUP BY media_id
          |)
-         |SELECT media_id, $bits AS phash, false AS is_perceptual
+         |SELECT media_id,
+         |       (['image', 'audio', 'video'])[CAST(media_id % 3 AS INT) + 1]
+         |         AS media_type,
+         |       $bits AS phash, false AS is_perceptual
          |FROM voted
          |ORDER BY media_id ASC""".stripMargin
     },
@@ -4017,6 +4020,7 @@ object SparkEntry {
          |         d.phash AS ph_n, x.phash AS ph_c
          |  FROM chunks d JOIN chunks x
          |    ON d.chunk_idx = x.chunk_idx AND d.chunk_val = x.chunk_val
+         |   AND (d.media_id % 3) = (x.media_id % 3)
          |  WHERE d.media_id % 10 = 9 AND x.media_id % 10 <> 9
          |), best AS (
          |  SELECT new_media_id, c_id,
@@ -4066,6 +4070,7 @@ object SparkEntry {
          |  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
          |  FROM chunks a JOIN chunks b
          |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND (a.media_id % 3) = (b.media_id % 3)
          |   AND a.media_id < b.media_id
          |  WHERE bit_count(xor(a.phash, b.phash)) <= 8
          |), e AS (
@@ -4118,6 +4123,7 @@ object SparkEntry {
          |         a.phash AS ph_a, b.phash AS ph_b
          |  FROM chunks a JOIN chunks b
          |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         |   AND (a.media_id % 3) = (b.media_id % 3)
          |   AND a.media_id < b.media_id
          |)
          |SELECT media_a, media_b,

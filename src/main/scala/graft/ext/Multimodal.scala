@@ -1057,7 +1057,7 @@ object Multimodal {
   private[graft] def mediaSignaturesShared(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "media_sig",
-      Seq("documents.parquet"), "media_id",
+      Seq("documents.parquet"), "media_id", version = 2,
       refresh = Some { ctx =>
         val fresh = mediaSignaturesOf(
           mediaTableOf(spark.read.parquet(ctx.addedFiles: _*)))
@@ -1075,6 +1075,7 @@ object Multimodal {
   private[ext] def mediaSignaturesOf(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType),
+      StructField("media_type", StringType),
       StructField("content", BinaryType),
       StructField("phash", LongType, nullable = true),
       StructField("is_perceptual", BooleanType))))
@@ -1088,11 +1089,13 @@ object Multimodal {
             case "audio" => pcmPHash(bytes)
             case _       => None
           }
-          Row(r.getLong(0), bytes, ph.map(Long.box).orNull, ph.isDefined)
+          Row(r.getLong(0), r.getString(1), bytes,
+            ph.map(Long.box).orNull, ph.isDefined)
         }
       }(enc)
     val real = withP.filter(col("phash").isNotNull)
-      .select(col("media_id"), col("phash"), col("is_perceptual"))
+      .select(col("media_id"), col("media_type"), col("phash"),
+        col("is_perceptual"))
     val stubShingles = withP.filter(col("phash").isNull)
       .select(col("media_id"),
         org.apache.spark.sql.functions.decode(col("content"), "UTF-8")
@@ -1102,7 +1105,12 @@ object Multimodal {
         col("__t"))
       .select(col("media_id"), expr("substring(__t, __p, 4)").as("sh"))
       .distinct()
-    real.unionByName(simHash60(stubShingles))
+    real.unionByName(
+      simHash60(stubShingles)
+        .join(withP.select(col("media_id"), col("media_type")),
+          Seq("media_id"))
+        .select(col("media_id"), col("media_type"), col("phash"),
+          col("is_perceptual")))
   }
 
   /** 60-bit SimHash votes over (media_id, sh) shingle rows — the
@@ -1185,18 +1193,18 @@ object Multimodal {
           shiftright(col("phash"), c * 16)
             .bitwiseAND(lit(0xFFFFL)).as("v"))
       }
-      df.select(col("media_id"), col("phash"),
+      df.select(col("media_id"), col("media_type"), col("phash"),
         explode(array(chunkCols: _*)).as("chunk"))
-        .select(col("media_id"), col("phash"),
+        .select(col("media_id"), col("media_type"), col("phash"),
           col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
     }
     val probe = chunked(sig.filter(isDelta))
-      .select(col("chunk_idx"), col("chunk_val"),
+      .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
         col("media_id").as("new_media_id"), col("phash").as("ph_n"))
     val index = chunked(sig.filter(!isDelta))
-      .select(col("chunk_idx"), col("chunk_val"),
+      .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
         col("media_id").as("c_id"), col("phash").as("ph_c"))
-    val best = probe.join(index, Seq("chunk_idx", "chunk_val"))
+    val best = probe.join(index, Seq("chunk_idx", "chunk_val", "media_type"))
       .select("new_media_id", "c_id", "ph_n", "ph_c").distinct()
       .withColumn("hamming", bit_count(col("ph_n").bitwiseXOR(col("ph_c"))))
       .filter(col("hamming") <= maxHamming)
@@ -1246,18 +1254,25 @@ object Multimodal {
           shiftright(col("phash"), c * 16)
             .bitwiseAND(lit(0xFFFFL)).as("v"))
       }
-      val chunked = sig.select(col("media_id"), col("phash"),
-        col("is_perceptual"), explode(array(chunkCols: _*)).as("chunk"))
-        .select(col("media_id"), col("phash"), col("is_perceptual"),
+      // modality is part of the candidate key: an image block-mean hash
+      // and an audio energy hash share no feature space, so a
+      // cross-modality Hamming coincidence must never become a "pair"
+      val chunked = sig.select(col("media_id"), col("media_type"),
+        col("phash"), col("is_perceptual"),
+        explode(array(chunkCols: _*)).as("chunk"))
+        .select(col("media_id"), col("media_type"), col("phash"),
+          col("is_perceptual"),
           col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
       val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("media_type"),
         col("media_id").as("media_a"), col("phash").as("ph_a"),
         col("is_perceptual").as("pc_a"))
       val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+        col("media_type"),
         col("media_id").as("media_b"), col("phash").as("ph_b"),
         col("is_perceptual").as("pc_b"))
       graft.ops.Materialize.localOrSpill(
-        a.join(b, Seq("chunk_idx", "chunk_val"))
+        a.join(b, Seq("chunk_idx", "chunk_val", "media_type"))
           .filter(col("media_a") < col("media_b"))
           .select("media_a", "media_b", "ph_a", "ph_b", "pc_a", "pc_b")
           .distinct()

@@ -430,9 +430,12 @@ class LayoutRefreshSpec extends SparkSpec {
     val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
     // appended shard: byte-identical copies of existing payloads under
     // new ids — the refreshed signature index must pair each one with
-    // its source at Hamming 0
+    // its source at Hamming 0. The id shift is a multiple of 3 so the
+    // copies keep their source's synthesized modality (pairs never
+    // cross modality by design).
+    val shift = (maxId + 1000L + 2L) / 3L * 3L
     val extra = docs.orderBy(col("doc_id").asc).limit(8)
-      .withColumn("doc_id", col("doc_id") + lit(maxId + 1000L))
+      .withColumn("doc_id", col("doc_id") + lit(shift))
     graft.ext.Multimodal.mediaSignaturesShared(spark, base).count()
     val b0 = Layout.buildCount.get
     val r0 = Layout.refreshCount.get
@@ -453,7 +456,7 @@ class LayoutRefreshSpec extends SparkSpec {
     (0 until 8).foreach { i =>
       val src = docs.orderBy(col("doc_id").asc).limit(8)
         .collect()(i).getLong(0)
-      assert(pairs.contains((src, src + maxId + 1000L, 0)),
+      assert(pairs.contains((src, src + shift, 0)),
         s"appended twin of $src missing from the refreshed pair set")
     }
   }
