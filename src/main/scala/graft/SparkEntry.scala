@@ -288,6 +288,11 @@ object SparkEntry {
     // perceptual hashes wherever pixels parse (spec-pinned), sha-band
     // stubs elsewhere so the twin rebuilds every signature bit-for-bit
     "media_near_dup"     -> ((s, d) => Multimodal.mediaNearDup(s, d)),
+    // resize planning over the decoded geometry (stub dims on the
+    // fixture; the closed-form scale/floor math is what's hash-checked)
+    "resize_plan"        -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(s, d)))
+        .orderBy("media_id")),
     // the signature index itself, hash-checked row-for-row (stub rows —
     // fixture payloads carry no pixels; the pHash path is spec-pinned)
     "media_signatures"   -> ((s, d) =>
@@ -2110,6 +2115,37 @@ object SparkEntry {
         |         AS effective_epochs
         |FROM s, ss
         |ORDER BY source ASC""".stripMargin,
+    // resize planning: stub dims rebuilt from the same sha chain as
+    // media_frames (image and video ranges differ), then the shared
+    // aspect-preserving scale/floor arithmetic stated identically
+    "resize_plan" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]
+        |           AS media_type,
+        |         ('0x' || substr(sha256(text), 1, 15))::BIGINT AS pos
+        |  FROM documents WHERE doc_id % 3 <> 1
+        |), d AS (
+        |  SELECT media_id, media_type,
+        |         CAST(CASE WHEN media_type = 'image'
+        |                   THEN (pos % 1920) + 1
+        |                   ELSE (pos % 1280) + 1 END AS INT) AS width,
+        |         CAST(CASE WHEN media_type = 'image'
+        |                   THEN ((pos >> 16) % 1080) + 1
+        |                   ELSE ((pos >> 16) % 720) + 1 END AS INT) AS height
+        |  FROM v
+        |), p AS (
+        |  SELECT media_id, media_type, width, height,
+        |         least(1.0, 512.0 / CAST(greatest(width, height) AS DOUBLE))
+        |           AS scale
+        |  FROM d
+        |)
+        |SELECT media_id, media_type, width, height,
+        |       CAST(floor(width * scale) AS INT) AS out_width,
+        |       CAST(floor(height * scale) AS INT) AS out_height,
+        |       scale < 1.0 AS resize_needed
+        |FROM p
+        |ORDER BY media_id ASC""".stripMargin,
     "media_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id,
