@@ -294,9 +294,11 @@ object SparkEntry {
       Multimodal.resizePlan(Multimodal.decode(Multimodal.mediaTable(s, d)))
         .orderBy("media_id")),
     // the signature index itself, hash-checked row-for-row (stub rows —
-    // fixture payloads carry no pixels; the pHash path is spec-pinned)
+    // fixture payloads carry no pixels; the pHash path is spec-pinned).
+    // Served from the MAINTAINED artifact — the same rows the pair
+    // queries consume, at one bucketed scan instead of a corpus re-hash
     "media_signatures"   -> ((s, d) =>
-      Multimodal.mediaSignatures(s, d).orderBy("media_id")),
+      Multimodal.mediaSignaturesShared(s, d).orderBy("media_id")),
     // pairs -> transitive clusters via the shared CC kernel (the media
     // analog of dedup_clusters: one keeper per duplicate group)
     "media_dedup_clusters" -> ((s, d) =>
@@ -4180,8 +4182,8 @@ object SparkEntry {
         |  FROM kv
         |), n AS (
         |  SELECT key, val,
-        |         CASE WHEN regexp_matches(val, '^-?[0-9]+$')
-        |              THEN CAST(val AS BIGINT) END AS num
+        |         CASE WHEN regexp_matches(val, '\A-?[0-9]+\z')
+        |              THEN TRY_CAST(val AS BIGINT) END AS num
         |  FROM v
         |)
         |SELECT key, count(*) AS n_rows,

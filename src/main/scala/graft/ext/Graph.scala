@@ -41,14 +41,22 @@ object Graph {
     */
   private[graft] val MaxBasket = 256L
 
+  /** Restrict a distinct (l_orderkey, l_partkey) basket frame to orders
+    * of ≤ [[MaxBasket]] distinct parts — THE basket guard, shared by the
+    * edge artifact's build/refresh and by `part_affinity`'s denominators
+    * so a cap change can never make the pair universe and the ratio
+    * denominators drift apart.
+    */
+  private[graft] def boundedBaskets(op: DataFrame): DataFrame =
+    op.join(
+      op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bs"))
+        .filter(col("__bs") <= MaxBasket).select("l_orderkey"),
+      Seq("l_orderkey"), "left_semi")
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession, sfDir: String): DataFrame = {
     // baskets ≤ MaxBasket distinct parts; see the guard's scaladoc above
-    def bounded(op: DataFrame): DataFrame =
-      op.join(
-        op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bs"))
-          .filter(col("__bs") <= MaxBasket).select("l_orderkey"),
-        Seq("l_orderkey"), "left_semi")
+    def bounded(op: DataFrame): DataFrame = boundedBaskets(op)
     def pairsOf(src: DataFrame, dst: DataFrame): DataFrame =
       src.select(col("l_orderkey"), col("l_partkey").as("src"))
         .join(dst.select(col("l_orderkey"), col("l_partkey").as("dst")),

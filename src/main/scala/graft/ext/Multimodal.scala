@@ -130,9 +130,12 @@ object Multimodal {
     * sizes) and sane dimensions, not just the 2-byte "BM" magic — any
     * document starting "BM…" (BM25, BMW) would otherwise decode ASCII
     * bytes as garbage geometry. JPEG's 0xFF D8 magic cannot occur in
-    * UTF-8 text at all. GIF's 6-byte magic has no structural field to
-    * validate beyond positive dims — a document literally starting
-    * "GIF89a" parses as GIF, the same residual ambiguity as any
+    * UTF-8 text at all. The GIF branch validates the first BLOCK
+    * INTRODUCER after the (color-table-adjusted) header — one of
+    * 0x2C/0x21/0x3B per the spec — on top of the 6-byte magic and
+    * positive dims; a text payload must now open "GIF8[79]a", encode
+    * plausible dims AND place ','/'!'/';' at the exact post-table
+    * offset to false-positive — the residual ambiguity of any
     * magic-sniffing ingest; real deployments carry a declared MIME type.
     */
   private[ext] def parseDims(
@@ -147,12 +150,28 @@ object Multimodal {
       bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
       bytes(3) == '8'.toByte &&
       (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
-      bytes(5) == 'a'.toByte && le16(bytes, 6) > 0 && le16(bytes, 8) > 0)
+      bytes(5) == 'a'.toByte && le16(bytes, 6) > 0 && le16(bytes, 8) > 0 &&
+      gifIntroducerOk(bytes))
       Some((le16(bytes, 6), le16(bytes, 8), 0L))
     else if (bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF &&
       (bytes(1) & 0xFF) == 0xD8)
       jpegDims(bytes)
     else None
+
+  /** Structural follow-through for the GIF sniff: the byte after the
+    * logical screen descriptor (plus the global color table when its
+    * flag is set) must be a legal block introducer — image descriptor
+    * 0x2C, extension 0x21, or trailer 0x3B.
+    */
+  private def gifIntroducerOk(bytes: Array[Byte]): Boolean = {
+    val packed = bytes(10) & 0xFF
+    val o = 13L +
+      (if ((packed & 0x80) != 0) 3L * (1 << ((packed & 7) + 1)) else 0L)
+    o < bytes.length && {
+      val b = bytes(o.toInt) & 0xFF
+      b == 0x2C || b == 0x21 || b == 0x3B
+    }
+  }
 
   /** JPEG dimension scan (public JFIF/EXIF marker structure): after the
     * SOI marker, segments are [0xFF, marker, len BE16, payload]; walk them
@@ -483,7 +502,7 @@ object Multimodal {
     * anything whose full pixel array is not verifiably present.
     */
   private def bmpLayout(
-      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Boolean)] = {
     if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None
     if (le32(bytes, 14) != 40) return None // BITMAPINFOHEADER only
@@ -504,7 +523,11 @@ object Multimodal {
     val rowSize = rowSizeL.toInt
     if (offset < 54 ||
       offset.toLong + rowSize.toLong * height > bytes.length) return None
-    Some((width, height, offset, bpp / 8, rowSize))
+    // negative height = top-down row order; positive (the standard
+    // encoder default) = bottom-up, where image row y lives in file row
+    // height-1-y — the flag matters to any ORDER-SENSITIVE consumer
+    // (bmpPHash's spatial grid), not to the order-invariant features
+    Some((width, height, offset, bpp / 8, rowSize, rawHeight < 0))
   }
 
   /** Real pixel features for an uncompressed BITMAPINFOHEADER BMP — the
@@ -523,7 +546,8 @@ object Multimodal {
   private[ext] def bmpFeatures(
       bytes: Array[Byte], dim: Int): Option[Array[Double]] = {
     if (dim < 5) return None
-    val (width, height, offset, bytesPerPixel, rowSize) =
+    // features are pixel-order-invariant: the topDown flag is irrelevant
+    val (width, height, offset, bytesPerPixel, rowSize, _) =
       bmpLayout(bytes).getOrElse(return None)
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumLuma = 0L
     val bins = dim - 4
@@ -564,9 +588,14 @@ object Multimodal {
     * float anywhere ⇒ bit-identical on any engine/partitioning.
     */
   private[ext] def bmpPHash(bytes: Array[Byte]): Option[Long] =
-    bmpLayout(bytes).map { case (width, height, offset, bpp, rowSize) =>
+    bmpLayout(bytes).map { case (width, height, offset, bpp, rowSize, topDown) =>
       rasterPHash(width, height, (x, y) => {
-        val p = offset + y * rowSize + x * bpp
+        // the grid is in IMAGE coordinates: standard (bottom-up) BMPs
+        // store image row y in file row height-1-y — without the flip
+        // the hash would describe the mirrored image and never match
+        // the same content's PNG/GIF re-encode
+        val fileRow = if (topDown) y else height - 1 - y
+        val p = offset + fileRow * rowSize + x * bpp
         val b = bytes(p) & 0xFF
         val g = bytes(p + 1) & 0xFF
         val r = bytes(p + 2) & 0xFF
@@ -1187,21 +1216,10 @@ object Multimodal {
       deltaMod: Int = 10, deltaRem: Int = 9): DataFrame = {
     val sig = mediaSignaturesShared(spark, sfDir)
     val isDelta = pmod(col("media_id"), lit(deltaMod.toLong)) === deltaRem.toLong
-    def chunked(df: DataFrame): DataFrame = {
-      val chunkCols = (0 until 4).map { c =>
-        struct(lit(c).as("idx"),
-          shiftright(col("phash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("v"))
-      }
-      df.select(col("media_id"), col("media_type"), col("phash"),
-        explode(array(chunkCols: _*)).as("chunk"))
-        .select(col("media_id"), col("media_type"), col("phash"),
-          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
-    }
-    val probe = chunked(sig.filter(isDelta))
+    val probe = chunkedSignatures(sig.filter(isDelta))
       .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
         col("media_id").as("new_media_id"), col("phash").as("ph_n"))
-    val index = chunked(sig.filter(!isDelta))
+    val index = chunkedSignatures(sig.filter(!isDelta))
       .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
         col("media_id").as("c_id"), col("phash").as("ph_c"))
     val best = probe.join(index, Seq("chunk_idx", "chunk_val", "media_type"))
@@ -1246,23 +1264,31 @@ object Multimodal {
       .orderBy(col("cluster_id").asc)
   }
 
+  /** The 16-bit banding key rows of a signature frame — the ONE place
+    * the chunk layout is defined; the batch pair kernel and the
+    * incremental probe both band through this, so they can never band
+    * differently.
+    */
+  private def chunkedSignatures(sig: DataFrame): DataFrame = {
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("idx"),
+        shiftright(col("phash"), c * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("v"))
+    }
+    sig.select(col("media_id"), col("media_type"), col("phash"),
+      col("is_perceptual"), explode(array(chunkCols: _*)).as("chunk"))
+      .select(col("media_id"), col("media_type"), col("phash"),
+        col("is_perceptual"),
+        col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+  }
+
   private def pairsFromSignatures(
       sig: DataFrame, maxHamming: Int): DataFrame = {
     {
-      val chunkCols = (0 until 4).map { c =>
-        struct(lit(c).as("idx"),
-          shiftright(col("phash"), c * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("v"))
-      }
       // modality is part of the candidate key: an image block-mean hash
       // and an audio energy hash share no feature space, so a
       // cross-modality Hamming coincidence must never become a "pair"
-      val chunked = sig.select(col("media_id"), col("media_type"),
-        col("phash"), col("is_perceptual"),
-        explode(array(chunkCols: _*)).as("chunk"))
-        .select(col("media_id"), col("media_type"), col("phash"),
-          col("is_perceptual"),
-          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+      val chunked = chunkedSignatures(sig)
       val a = chunked.select(col("chunk_idx"), col("chunk_val"),
         col("media_type"),
         col("media_id").as("media_a"), col("phash").as("ph_a"),

@@ -53,8 +53,11 @@ object Ingest {
       // form accepts the per-row key expression
       .withColumn("__v",
         expr("get_json_object(props, concat('$.', key))"))
+      // \A..\z anchors, not ^..$: Java's $ also matches before a final
+      // newline while RE2's does not, so "42\n" would count as numeric
+      // here but not in the twin
       .withColumn("__n",
-        when(col("__v").rlike("^-?[0-9]+$"), col("__v").cast("long")))
+        when(col("__v").rlike("\\A-?[0-9]+\\z"), col("__v").cast("long")))
       .groupBy(col("key"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -618,11 +618,7 @@ object Marketplace {
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
     val op = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val baskets = op.join(
-      op.groupBy(col("l_orderkey")).agg(count(lit(1)).as("__bs"))
-        .filter(col("__bs") <= graft.ext.Graph.MaxBasket)
-        .select("l_orderkey"),
-      Seq("l_orderkey"), "left_semi")
+    val baskets = graft.ext.Graph.boundedBaskets(op)
     val nBaskets = baskets.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("__n"))
     val partCounts = baskets.groupBy(col("l_partkey"))

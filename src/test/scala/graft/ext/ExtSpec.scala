@@ -1540,15 +1540,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).forall(v => v >= 0.0 && v < 1.0))
   }
 
-  /** A real 24-bit BMP whose pixels follow `gray(x, y)` (grayscale, so
-    * luma == gray exactly: (299+587+114)·g / 1000 = g).
+  /** A real 24-bit BMP whose pixels follow `gray(x, y)` in IMAGE
+    * coordinates (grayscale, so luma == gray exactly). BMPs store rows
+    * bottom-up, so image row y is written to file row h-1-y — exactly
+    * what a standard encoder does, which is what makes the cross-format
+    * pHash assertions below meaningful for vertically ASYMMETRIC
+    * patterns.
     */
   private def bmpPattern(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
     val out = bmpBytes(w, h)
     val rowBytes = (w * 3 + 3) / 4 * 4
     for (y <- 0 until h; x <- 0 until w) {
       val g = (gray(x, y) & 0xFF).toByte
-      val p = 54 + y * rowBytes + x * 3
+      val p = 54 + (h - 1 - y) * rowBytes + x * 3
       out(p) = g; out(p + 1) = g; out(p + 2) = g
     }
     out
@@ -1697,11 +1701,22 @@ class MultimodalSpec extends SparkSpec {
       assert((rgb(p) & 0xFF) === grad(x, y), s"pixel ($x,$y)")
       assert(rgb(p + 1) === rgb(p) && rgb(p + 2) === rgb(p))
     }
-    // cross-format perceptual identity with BMP (third format now)
-    def leftRight(x: Int, y: Int): Int = if (x < 32) 0 else 255
-    val viaGif = Multimodal.gifPHash(gifPattern(64, 64, leftRight)).get
-    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, leftRight)).get
-    assert(viaGif === viaBmp, "block-mean hash must be format-invariant")
+    // cross-format perceptual identity with BMP (third format now) — on
+    // a vertically ASYMMETRIC pattern, so the bottom-up BMP row order
+    // must actually be un-flipped (a file-order hash would come out
+    // mirrored and fail here)
+    def topBottom(x: Int, y: Int): Int = if (y < 20) 0 else 255
+    val viaGif = Multimodal.gifPHash(gifPattern(64, 64, topBottom)).get
+    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, topBottom)).get
+    val viaPngA = Multimodal.pngPHash(pngPattern(64, 64, topBottom)).get
+    assert(viaGif === viaBmp && viaPngA === viaBmp,
+      "block-mean hash must be format-invariant on asymmetric content")
+    // ImageIO cross-check: our BMP builder + decoder agree with a
+    // production decoder on the SAME image
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmpPattern(64, 64, topBottom)))
+    assert((img.getRGB(0, 0) & 0xFF) === 0 && (img.getRGB(0, 63) & 0xFF) === 255,
+      "bmpPattern must paint image coordinates per a production decoder")
     // hostile payloads refuse: truncated stream, bare header, text
     assert(Multimodal.gifPixels(gif.dropRight(20)).isEmpty)
     assert(Multimodal.gifPixels(gifBytes(320, 200)).isEmpty) // no frame
