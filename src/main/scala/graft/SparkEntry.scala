@@ -189,6 +189,9 @@ object SparkEntry {
     "embedding_norms"    -> ((s, d) => Similarity.normStats(s, d)),
     // recall@k of the LSH path vs the exact path — the ANN quality gate
     "ann_recall"         -> ((s, d) => Similarity.annRecall(s, d)),
+    // same gate for the IVF and IVF-PQ production legs (one brute truth)
+    "ann_recall_ivf"     -> ((s, d) => Similarity.annRecallIvf(s, d)),
+    "ann_recall_ivfpq"   -> ((s, d) => Similarity.annRecallIvfPq(s, d)),
     // rank-quality eval of the LSH retrieval: MRR + average precision
     // (log-free rationals; exact top-k as the binary relevance set)
     "retrieval_metrics"  -> ((s, d) => Similarity.retrievalMetrics(s, d)),
@@ -3593,6 +3596,152 @@ object SparkEntry {
         |FROM brute b LEFT JOIN lsh l ON b.q_id = l.q_id AND b.c_id = l.c_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id ASC""".stripMargin),
+    // recall@k of the IVF retrieval (knn_ivf's exact CTE chain) against
+    // the same brute truth — one ADDED tail, the retrieval SQL is
+    // byte-identical to the knn_ivf twin
+    "ann_recall_ivf" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), probecells AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.vec_id
+        |), ranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |), ivf AS (
+        |  SELECT q_id, c_id FROM ranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM emb q, emb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |)
+        |SELECT b.q_id, count(l.c_id) AS n_hits,
+        |       round(count(l.c_id)::DOUBLE / 5.0, 6) AS recall_at_k
+        |FROM brute b LEFT JOIN ivf l ON b.q_id = l.q_id AND b.c_id = l.c_id
+        |GROUP BY b.q_id
+        |ORDER BY b.q_id ASC""".stripMargin,
+    // recall@k of the compressed-domain IVF-PQ retrieval (knn_ivfpq's
+    // exact CTE chain) against the brute truth — measures cell pruning
+    // AND PQ distortion together
+    "ann_recall_ivfpq" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec
+        |  FROM embeddings
+        |), nemb AS (
+        |  SELECT vec_id, vec,
+        |         sqrt(list_inner_product(vec, vec)) AS nrm
+        |  FROM emb
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM nemb ORDER BY vec_id ASC LIMIT 16
+        |), cb AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec
+        |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id ASC LIMIT 16)
+        |), cbs AS (
+        |  SELECT j, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+        |  FROM cb, UNNEST(generate_series(0, 3)) AS w(m)
+        |), subs AS (
+        |  SELECT vec_id, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+        |  FROM emb, UNNEST(generate_series(0, 3)) AS u(m)
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), codes AS (
+        |  SELECT vec_id, m, j AS code FROM (
+        |    SELECT s.vec_id, s.m, c.j,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.m
+        |             ORDER BY list_inner_product(c.sub, c.sub)
+        |                        - 2 * list_inner_product(s.sub, c.sub) ASC,
+        |                      c.j ASC) AS rk
+        |    FROM subs s JOIN cbs c ON c.m = s.m) WHERE rk = 1
+        |), probecells AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.vec_id
+        |), dists AS (
+        |  SELECT cand.q_id, cand.c_id, co.m,
+        |         list_inner_product(qs.sub, qs.sub)
+        |           - 2 * list_inner_product(qs.sub, c.sub)
+        |           + list_inner_product(c.sub, c.sub) AS d
+        |  FROM cand
+        |  JOIN codes co ON co.vec_id = cand.c_id
+        |  JOIN subs qs ON qs.vec_id = cand.q_id AND qs.m = co.m
+        |  JOIN cbs c ON c.m = co.m AND c.j = co.code
+        |), est AS (
+        |  SELECT q_id, c_id,
+        |         max(CASE WHEN m = 0 THEN d END)
+        |           + max(CASE WHEN m = 1 THEN d END)
+        |           + max(CASE WHEN m = 2 THEN d END)
+        |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
+        |  FROM dists GROUP BY 1, 2
+        |), pqranked AS (
+        |  SELECT q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
+        |  FROM est
+        |), ivfpq AS (
+        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM nemb q, nemb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |)
+        |SELECT b.q_id, count(l.c_id) AS n_hits,
+        |       round(count(l.c_id)::DOUBLE / 5.0, 6) AS recall_at_k
+        |FROM brute b LEFT JOIN ivfpq l ON b.q_id = l.q_id AND b.c_id = l.c_id
+        |GROUP BY b.q_id
+        |ORDER BY b.q_id ASC""".stripMargin,
     // MRR + AP of the LSH list against the exact top-k relevance set;
     // precision terms rounded to 6 dp BEFORE the DECIMAL sum (exact,
     // order-independent), MRR one exact divide — no log2 anywhere
@@ -5091,11 +5240,11 @@ object SparkEntry {
     "excess_suppliers" ->
       """WITH f AS (
         |  SELECT l.l_suppkey,
-        |         CAST(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |         CAST(round(sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1996-01-01'
         |                        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
-        |                       THEN l.l_quantity ELSE 0.0 END) AS BIGINT)
+        |                       THEN l.l_quantity ELSE 0.0 END), 0) AS BIGINT)
         |           AS window_qty,
-        |         CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
+        |         CAST(round(sum(l.l_quantity), 0) AS BIGINT) AS total_qty
         |  FROM lineitem l
         |  WHERE EXISTS (SELECT 1 FROM part p
         |                WHERE p.p_partkey = l.l_partkey

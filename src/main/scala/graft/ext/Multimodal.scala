@@ -896,14 +896,18 @@ object Multimodal {
     val stack = new Array[Byte](maxDict)
     var dictSize = eoi + 1
     var codeSize = minCodeSize + 1
-    var bitPos = 0
+    // Long bit cursor: a hostile stream of >~268 MB of concatenated
+    // sub-blocks (e.g. endless clear codes) would overflow an Int
+    // `bitPos + codeSize + 7`, defeat the bounds check, and throw in
+    // the executor instead of taking the documented stub path
+    var bitPos = 0L
     var prev = -1
     def readCode(): Int = {
       if ((bitPos + codeSize + 7) / 8 > in.length) return -1
       var v = 0; var i = 0
       while (i < codeSize) {
         val bp = bitPos + i
-        if ((in(bp >> 3) & (1 << (bp & 7))) != 0) v |= 1 << i
+        if ((in((bp >> 3).toInt) & (1 << (bp & 7).toInt)) != 0) v |= 1 << i
         i += 1
       }
       bitPos += codeSize
@@ -1216,13 +1220,18 @@ object Multimodal {
       deltaMod: Int = 10, deltaRem: Int = 9): DataFrame = {
     val sig = mediaSignaturesShared(spark, sfDir)
     val isDelta = pmod(col("media_id"), lit(deltaMod.toLong)) === deltaRem.toLong
+    // like pairsFromSignatures: modality AND signature family key the
+    // probe, so a perceptual hash never Hamming-compares against a stub
     val probe = chunkedSignatures(sig.filter(isDelta))
       .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
+        col("is_perceptual"),
         col("media_id").as("new_media_id"), col("phash").as("ph_n"))
     val index = chunkedSignatures(sig.filter(!isDelta))
       .select(col("chunk_idx"), col("chunk_val"), col("media_type"),
+        col("is_perceptual"),
         col("media_id").as("c_id"), col("phash").as("ph_c"))
-    val best = probe.join(index, Seq("chunk_idx", "chunk_val", "media_type"))
+    val best = probe.join(index,
+        Seq("chunk_idx", "chunk_val", "media_type", "is_perceptual"))
       .select("new_media_id", "c_id", "ph_n", "ph_c").distinct()
       .withColumn("hamming", bit_count(col("ph_n").bitwiseXOR(col("ph_c"))))
       .filter(col("hamming") <= maxHamming)
@@ -1285,28 +1294,29 @@ object Multimodal {
   private def pairsFromSignatures(
       sig: DataFrame, maxHamming: Int): DataFrame = {
     {
-      // modality is part of the candidate key: an image block-mean hash
-      // and an audio energy hash share no feature space, so a
-      // cross-modality Hamming coincidence must never become a "pair"
+      // modality AND signature family are part of the candidate key: an
+      // image block-mean hash and an audio energy hash share no feature
+      // space, and a perceptual pHash shares none with a character-4-gram
+      // SimHash stub of the same modality — a cross-family Hamming
+      // coincidence must never become a "pair"
       val chunked = chunkedSignatures(sig)
       val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-        col("media_type"),
-        col("media_id").as("media_a"), col("phash").as("ph_a"),
-        col("is_perceptual").as("pc_a"))
+        col("media_type"), col("is_perceptual"),
+        col("media_id").as("media_a"), col("phash").as("ph_a"))
       val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-        col("media_type"),
-        col("media_id").as("media_b"), col("phash").as("ph_b"),
-        col("is_perceptual").as("pc_b"))
+        col("media_type"), col("is_perceptual"),
+        col("media_id").as("media_b"), col("phash").as("ph_b"))
       graft.ops.Materialize.localOrSpill(
-        a.join(b, Seq("chunk_idx", "chunk_val", "media_type"))
+        a.join(b, Seq("chunk_idx", "chunk_val", "media_type",
+            "is_perceptual"))
           .filter(col("media_a") < col("media_b"))
-          .select("media_a", "media_b", "ph_a", "ph_b", "pc_a", "pc_b")
+          .select("media_a", "media_b", "ph_a", "ph_b", "is_perceptual")
           .distinct()
           .withColumn("hamming",
             bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
           .filter(col("hamming") <= maxHamming)
           .select(col("media_a"), col("media_b"), col("hamming"),
-            (col("pc_a") && col("pc_b")).as("perceptual"))
+            col("is_perceptual").as("perceptual"))
           .orderBy(col("media_a").asc, col("media_b").asc))
     }
   }

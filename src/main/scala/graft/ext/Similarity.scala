@@ -1134,12 +1134,40 @@ object Similarity {
     * recall is an estimate, the sample IS the method.
     */
   def annRecall(
-      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    recallVsBrute(spark, sfDir, lshTopK(spark, sfDir, nProbes, k), nProbes, k)
+
+  /** Recall@k of the IVF coarse-quantizer retrieval ([[ivfTopK]]) against
+    * the same brute-force truth set — the production-shaped index path
+    * gets the same audited quality metric as the LSH leg, so a quantizer
+    * or cell-probe regression shows up as a hash change here.
+    */
+  def annRecallIvf(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    recallVsBrute(spark, sfDir, ivfTopK(spark, sfDir, nProbes, k), nProbes, k)
+
+  /** Recall@k of the compressed-domain IVF-PQ retrieval ([[ivfPqTopK]])
+    * against the brute truth — measures BOTH losses at once (cell pruning
+    * + PQ distance distortion), the number that decides whether 4-byte
+    * codes are deployable for a given corpus.
+    */
+  def annRecallIvfPq(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    recallVsBrute(spark, sfDir, ivfPqTopK(spark, sfDir, nProbes, k), nProbes, k)
+
+  /** Shared recall kernel: left-join the approximate list onto the exact
+    * cosine top-k ([[bruteForceTopK]]) and count hits per probe. Both
+    * sides are bounded (nProbes × k rows); the expensive parts are the
+    * retrievals themselves, which keep their own documented shapes.
+    */
+  private def recallVsBrute(
+      spark: SparkSession, sfDir: String, approx: DataFrame,
+      nProbes: Int, k: Int): DataFrame = {
     val exact = bruteForceTopK(spark, sfDir, nProbes, k)
       .select(col("q_id"), col("neighbor_id"))
-    val approx = lshTopK(spark, sfDir, nProbes, k)
+    val hits = approx
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+    exact.join(hits, Seq("q_id", "neighbor_id"), "left")
       .groupBy(col("q_id"))
       .agg(count(col("__hit")).as("n_hits"))
       .select(col("q_id"), col("n_hits"),

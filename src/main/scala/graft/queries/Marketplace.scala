@@ -1164,9 +1164,13 @@ object Marketplace {
       .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"))
       .agg(
-        sum(when(inWin, col("l_quantity")).otherwise(lit(0.0)))
+        // round before the long cast: Spark's double→long cast truncates
+        // while DuckDB's rounds half-up, so a fractional quantity sum
+        // would silently diverge between the engines. round() is
+        // HALF_UP in both for the positive sums seen here.
+        round(sum(when(inWin, col("l_quantity")).otherwise(lit(0.0))), 0)
           .cast("long").as("window_qty"),
-        sum(col("l_quantity")).cast("long").as("total_qty"))
+        round(sum(col("l_quantity")), 0).cast("long").as("total_qty"))
       .filter(col("window_qty") * frac > col("total_qty"))
       .join(broadcast(Tables.supplier(spark, sfDir)
           .select("s_suppkey", "s_name")),

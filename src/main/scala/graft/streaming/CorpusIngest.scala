@@ -502,7 +502,13 @@ object CorpusIngest {
   private def resetDir(
       spark: SparkSession, sfDir: String, tag: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val dir = s"$wh/${tag}_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+    // collision-resistant dir tag: a 32-bit hashCode can collide across
+    // distinct sfDirs, and a collision here would delete another run's
+    // committed index mid-flight. SHA-256 of the full path cannot.
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8"))
+      .take(12).map(b => f"$b%02x").mkString
+    val dir = s"$wh/${tag}_$sha"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
