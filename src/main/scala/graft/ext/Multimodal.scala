@@ -1016,6 +1016,398 @@ object Multimodal {
       })
     }
 
+  /** Deliberate bail out of the JPEG entropy decoder — malformed or
+    * unsupported streams surface as this single caught control exception
+    * and become None (the stub path), never an executor throw.
+    */
+  private object JpegBail extends scala.util.control.ControlThrowable
+
+  /** Canonical Huffman table per ITU-T T.81 §F.2.2.3 (the public
+    * MINCODE/MAXCODE/VALPTR decode): `counts(l)` codes of length l+1,
+    * values in code order.
+    */
+  private final class JpegHuff(counts: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = br.bit()
+      var l = 1
+      while (maxCode(l) < code) {
+        code = (code << 1) | br.bit()
+        l += 1
+        if (l > 16) throw JpegBail
+      }
+      val idx = valPtr(l) + code - minCode(l)
+      if (idx < 0 || idx >= vals.length) throw JpegBail
+      vals(idx)
+    }
+  }
+
+  /** Entropy-coded-segment bit reader (T.81 §F.2.2.5): 0xFF 0x00 byte
+    * stuffing unstuffed; any other marker mid-read is a bail; Long bit
+    * budget (the GIF cursor lesson). `syncRst` realigns to a byte
+    * boundary and consumes an expected RSTn marker.
+    */
+  private final class JpegBits(bytes: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) throw JpegBail
+        var b = bytes(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          if (pos >= bytes.length) throw JpegBail
+          val m = bytes(pos) & 0xFF
+          if (m == 0x00) pos += 1 // stuffed data 0xFF
+          else throw JpegBail     // real marker inside coded data
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def syncRst(n: Int): Unit = {
+      nbits = 0 // discard partial byte
+      if (pos + 2 > bytes.length || (bytes(pos) & 0xFF) != 0xFF ||
+        (bytes(pos + 1) & 0xFF) != (0xD0 + n)) throw JpegBail
+      pos += 2
+    }
+  }
+
+  /** T.81 §F.2.2.1 EXTEND: map a `receive`d magnitude-category value to
+    * its signed coefficient.
+    */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Zig-zag index → natural (row-major) index, T.81 Figure A.6. */
+  private val jpegZigzag: Array[Int] = {
+    val z = new Array[Int](64)
+    var i = 0; var x = 0; var y = 0; var up = true
+    while (i < 64) {
+      z(i) = y * 8 + x
+      if (up) {
+        if (x == 7) { y += 1; up = false }
+        else if (y == 0) { x += 1; up = false }
+        else { x += 1; y -= 1 }
+      } else {
+        if (y == 7) { x += 1; up = true }
+        else if (x == 0) { y += 1; up = true }
+        else { x -= 1; y += 1 }
+      }
+      i += 1
+    }
+    z
+  }
+
+  /** cos((2i+1)·j·π/16) · C(j) table for the reference IDCT. */
+  private val jpegCos: Array[Array[Double]] = Array.tabulate(8, 8) { (i, j) =>
+    val c = if (j == 0) 1.0 / math.sqrt(2.0) else 1.0
+    c * math.cos((2 * i + 1) * j * math.Pi / 16.0)
+  }
+
+  /** Decode the LUMA (Y) plane of a BASELINE sequential JPEG — pure
+    * public ITU-T T.81 math in the JVM (marker walk per §B, canonical
+    * Huffman per §F.2.2, byte unstuffing, restart-interval resync, the
+    * reference separable IDCT of §A.3.3), the zlib/LZW precedent
+    * extended to the dominant web image format. Only the Y component is
+    * dequantized + inverse-transformed: the block-mean hash needs luma
+    * alone, and JPEG's Y IS BT.601 luma — the same 299/587/114 weights
+    * [[rasterPHash]] computes from RGB — so a JPEG re-encode hashes
+    * within a few bits of its BMP/PNG source. Chroma blocks are still
+    * entropy-decoded (the bitstream interleaves them) and dropped.
+    *
+    * SOF0 and SOF1 (both Huffman sequential) are accepted; progressive
+    * (SOF2), arithmetic-coded, hierarchical, 12-bit, >4-component and
+    * malformed streams return None — the documented stub path, never a
+    * guess. Returns (width, height, row-major Y samples) at the Y
+    * component's own sampling resolution ([[rasterPHash]] is
+    * resolution-invariant, so subsampled luma hashes identically).
+    */
+  private[ext] def jpegLuma(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
+      (bytes(1) & 0xFF) != 0xD8) return None
+    try {
+      val qt = Array.ofDim[Int](4, 64)
+      val huffDc = new Array[JpegHuff](4)
+      val huffAc = new Array[JpegHuff](4)
+      var restart = 0
+      var w = 0; var h = 0; var nComp = 0
+      // per SOF component: id, hSamp, vSamp, quant-table id
+      var cId: Array[Int] = null; var cH: Array[Int] = null
+      var cV: Array[Int] = null; var cQ: Array[Int] = null
+      var o = 2
+      while (o + 4 <= bytes.length) {
+        if ((bytes(o) & 0xFF) != 0xFF) throw JpegBail
+        var m = bytes(o + 1) & 0xFF
+        o += 2
+        while (m == 0xFF && o < bytes.length) { // fill bytes
+          m = bytes(o) & 0xFF; o += 1
+        }
+        if (m == 0xD9) return None // EOI before any scan
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
+          // standalone marker, no payload
+        } else {
+          if (o + 2 > bytes.length) throw JpegBail
+          val len = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+          if (len < 2 || o + len > bytes.length) throw JpegBail
+          val seg = o + 2
+          val segEnd = o + len
+          m match {
+            case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+              if (segEnd - seg < 6) throw JpegBail
+              if ((bytes(seg) & 0xFF) != 8) return None // 12-bit → stub
+              h = ((bytes(seg + 1) & 0xFF) << 8) | (bytes(seg + 2) & 0xFF)
+              w = ((bytes(seg + 3) & 0xFF) << 8) | (bytes(seg + 4) & 0xFF)
+              nComp = bytes(seg + 5) & 0xFF
+              if (w <= 0 || h <= 0 || nComp < 1 || nComp > 4) return None
+              if (w.toLong * h > 67108864L) return None // 64 MP bound
+              if (segEnd - seg < 6 + 3 * nComp) throw JpegBail
+              cId = new Array[Int](nComp); cH = new Array[Int](nComp)
+              cV = new Array[Int](nComp); cQ = new Array[Int](nComp)
+              var c = 0
+              while (c < nComp) {
+                cId(c) = bytes(seg + 6 + 3 * c) & 0xFF
+                val hv = bytes(seg + 7 + 3 * c) & 0xFF
+                cH(c) = hv >> 4; cV(c) = hv & 15
+                cQ(c) = bytes(seg + 8 + 3 * c) & 0xFF
+                if (cH(c) < 1 || cH(c) > 4 || cV(c) < 1 || cV(c) > 4 ||
+                  cQ(c) > 3) return None
+                c += 1
+              }
+            case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+                0xCD | 0xCE | 0xCF =>
+              return None // progressive/lossless/arithmetic → stub path
+            case 0xC4 => // DHT, possibly several tables per segment
+              var p = seg
+              while (p < segEnd) {
+                if (p + 17 > segEnd) throw JpegBail
+                val tcth = bytes(p) & 0xFF
+                val tc = tcth >> 4; val th = tcth & 15
+                if (tc > 1 || th > 3) throw JpegBail
+                val counts = new Array[Int](16)
+                var n = 0; var i = 0
+                while (i < 16) {
+                  counts(i) = bytes(p + 1 + i) & 0xFF; n += counts(i); i += 1
+                }
+                if (n > 256 || p + 17 + n > segEnd) throw JpegBail
+                val vals = new Array[Int](n)
+                i = 0
+                while (i < n) { vals(i) = bytes(p + 17 + i) & 0xFF; i += 1 }
+                val tab = new JpegHuff(counts, vals)
+                if (tc == 0) huffDc(th) = tab else huffAc(th) = tab
+                p += 17 + n
+              }
+            case 0xDB => // DQT, 8- or 16-bit precision, several per seg
+              var p = seg
+              while (p < segEnd) {
+                val pqtq = bytes(p) & 0xFF
+                val pq = pqtq >> 4; val tq = pqtq & 15
+                if (pq > 1 || tq > 3) throw JpegBail
+                val step = if (pq == 0) 1 else 2
+                if (p + 1 + 64 * step > segEnd) throw JpegBail
+                var i = 0
+                while (i < 64) {
+                  qt(tq)(i) =
+                    if (pq == 0) bytes(p + 1 + i) & 0xFF
+                    else ((bytes(p + 1 + 2 * i) & 0xFF) << 8) |
+                      (bytes(p + 2 + 2 * i) & 0xFF)
+                  i += 1
+                }
+                p += 1 + 64 * step
+              }
+            case 0xDD =>
+              if (segEnd - seg < 2) throw JpegBail
+              restart = ((bytes(seg) & 0xFF) << 8) | (bytes(seg + 1) & 0xFF)
+            case 0xDA => // SOS — decode the single sequential scan
+              if (cId == null) throw JpegBail
+              val ns = bytes(seg) & 0xFF
+              if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3)
+                return None // multi-scan sequential → stub path
+              // scan component order must map onto SOF components
+              val scanIdx = new Array[Int](ns)
+              val dcTab = new Array[JpegHuff](ns)
+              val acTab = new Array[JpegHuff](ns)
+              var s = 0
+              while (s < ns) {
+                val cs = bytes(seg + 1 + 2 * s) & 0xFF
+                val tdta = bytes(seg + 2 + 2 * s) & 0xFF
+                val idx = cId.indexOf(cs)
+                if (idx < 0) throw JpegBail
+                scanIdx(s) = idx
+                dcTab(s) = huffDc(tdta >> 4)
+                acTab(s) = huffAc(tdta & 15)
+                if (dcTab(s) == null || acTab(s) == null) throw JpegBail
+                s += 1
+              }
+              return jpegDecodeScan(bytes, segEnd, w, h, scanIdx, cH, cV,
+                cQ, qt, dcTab, acTab, restart)
+            case _ => () // APPn / COM / unknown: skip by length
+          }
+          o = segEnd
+        }
+      }
+      None // ran off the end without a scan
+    } catch { case JpegBail => None }
+  }
+
+  /** The entropy-coded scan of [[jpegLuma]]: interleaved MCU walk
+    * (T.81 §A.2.3), Huffman DC-diff + AC run-length block decode
+    * (§F.2.2), dequant + reference IDCT for the FIRST (luma) component
+    * only. Throws [[JpegBail]] on any malformation ([[jpegLuma]]
+    * catches).
+    */
+  private def jpegDecodeScan(
+      bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
+      scanIdx: Array[Int], cH: Array[Int], cV: Array[Int], cQ: Array[Int],
+      qt: Array[Array[Int]], dcTab: Array[JpegHuff], acTab: Array[JpegHuff],
+      restart: Int): Option[(Int, Int, Array[Byte])] = {
+    val ns = scanIdx.length
+    var hMax = 1; var vMax = 1
+    var s = 0
+    while (s < ns) {
+      val c = scanIdx(s)
+      hMax = math.max(hMax, cH(c)); vMax = math.max(vMax, cV(c))
+      s += 1
+    }
+    var blocksPerMcu = 0
+    s = 0
+    while (s < ns) {
+      blocksPerMcu += cH(scanIdx(s)) * cV(scanIdx(s)); s += 1
+    }
+    if (blocksPerMcu > 10) throw JpegBail // T.81 B.2.3 bound
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // luma = the first scan component; its plane at its OWN resolution
+    val lc = scanIdx(0)
+    val lumaW = (w * cH(lc) + hMax - 1) / hMax
+    val lumaH = (h * cV(lc) + vMax - 1) / vMax
+    val padW = mcusX * cH(lc) * 8
+    val padH = mcusY * cV(lc) * 8
+    if (padW.toLong * padH > 128L * 1024 * 1024) throw JpegBail
+    val plane = new Array[Byte](padW * padH)
+    val br = new JpegBits(bytes, scanStart)
+    val dcPred = new Array[Int](ns)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restart > 0 && mcu > 0 && mcu % restart == 0) {
+        br.syncRst((mcu / restart - 1) % 8)
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      s = 0
+      while (s < ns) {
+        val c = scanIdx(s)
+        val qtab = qt(cQ(c))
+        var by = 0
+        while (by < cV(c)) {
+          var bx = 0
+          while (bx < cH(c)) {
+            // ---- one 8×8 block (T.81 F.2.2) ----
+            java.util.Arrays.fill(coef, 0)
+            val t = dcTab(s).decode(br)
+            if (t > 15) throw JpegBail
+            dcPred(s) += jpegExtend(br.receive(t), t)
+            coef(0) = dcPred(s) * qtab(0)
+            var k = 1
+            while (k < 64) {
+              val rs = acTab(s).decode(br)
+              val r = rs >> 4; val size = rs & 15
+              if (size == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64          // EOB
+              } else {
+                k += r
+                if (k > 63) throw JpegBail
+                coef(jpegZigzag(k)) = jpegExtend(br.receive(size), size) *
+                  qtab(k)
+                k += 1
+              }
+            }
+            if (s == 0) {
+              // dequantized luma block → reference IDCT → plane
+              val x0 = ((mcu % mcusX) * cH(c) + bx) * 8
+              val y0 = ((mcu / mcusX) * cV(c) + by) * 8
+              // rows then columns (separable)
+              var i = 0
+              while (i < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var u = 0
+                  while (u < 8) {
+                    acc += jpegCos(x)(u) * coef(i * 8 + u); u += 1
+                  }
+                  tmp(i * 8 + x) = acc / 2.0
+                  x += 1
+                }
+                i += 1
+              }
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var acc = 0.0
+                  var v = 0
+                  while (v < 8) { acc += jpegCos(y)(v) * tmp(v * 8 + x); v += 1 }
+                  val px = (math.round(acc / 2.0) + 128).toInt
+                  plane((y0 + y) * padW + x0 + x) =
+                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                  x += 1
+                }
+                y += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        s += 1
+      }
+      mcu += 1
+    }
+    // crop the MCU padding off
+    val out = new Array[Byte](lumaW * lumaH)
+    var y = 0
+    while (y < lumaH) {
+      System.arraycopy(plane, y * padW, out, y * lumaW, lumaW)
+      y += 1
+    }
+    Some((lumaW, lumaH, out))
+  }
+
+  /** [[bmpPHash]] for baseline JPEG payloads — the block-mean kernel
+    * directly over the decoded Y plane (Y IS the BT.601 luma the RGB
+    * paths compute), closing the cross-format family: a JPEG re-encode
+    * of a BMP/PNG/GIF pairs at low Hamming in [[mediaNearDup]].
+    */
+  private[ext] def jpegPHash(bytes: Array[Byte]): Option[Long] =
+    jpegLuma(bytes).map { case (w, h, yPlane) =>
+      rasterPHash(w, h, (x, y) => yPlane(y * w + x) & 0xFF)
+    }
+
   /** [[bmpFeatures]] for PNG payloads — the same channel-mean + luma-
     * histogram features over the decoded pixels.
     */
@@ -1105,7 +1497,7 @@ object Multimodal {
     * content) frame — the kernel, also driven directly by the
     * planted-duplicate recall spec.
     */
-  private[ext] def mediaSignaturesOf(media: DataFrame): DataFrame = {
+  private[graft] def mediaSignaturesOf(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType),
       StructField("media_type", StringType),
@@ -1119,6 +1511,7 @@ object Multimodal {
           val ph = r.getString(1) match {
             case "image" =>
               bmpPHash(bytes).orElse(pngPHash(bytes)).orElse(gifPHash(bytes))
+                .orElse(jpegPHash(bytes))
             case "audio" => pcmPHash(bytes)
             case _       => None
           }

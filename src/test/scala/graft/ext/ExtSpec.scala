@@ -1738,6 +1738,83 @@ class MultimodalSpec extends SparkSpec {
       (2L, 3L, 0, true)), s"got $pairs")
   }
 
+  /** A real JPEG encoded by javax.imageio from the pattern — a PRODUCTION
+    * baseline encoder (DQT/DHT/SOF0/SOS, 4:2:0 for RGB, single-component
+    * for grayscale) against our T.81 decoder.
+    */
+  private def jpegPattern(
+      w: Int, h: Int, gray: (Int, Int) => Int,
+      grayscale: Boolean = false): Array[Byte] = {
+    val typ =
+      if (grayscale) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y) & 0xFF
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  test("jpegLuma decodes baseline ImageIO JPEGs; pHash pairs cross-format") {
+    // sample-level conformance: our Y plane vs a production decoder's
+    // luma of the SAME grayscale JPEG (two conforming IDCTs may differ
+    // by a couple of levels per sample, never more)
+    def grad(x: Int, y: Int): Int = math.min(255, x * 3 + y * 2)
+    val gjpg = jpegPattern(40, 24, grad, grayscale = true)
+    val (w, h, yPlane) = Multimodal.jpegLuma(gjpg).get
+    assert(w === 40 && h === 24)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gjpg))
+    var maxDiff = 0; var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val ours = yPlane(y * w + x) & 0xFF
+      // raster sample, NOT getRGB: getRGB would run the linear-gray →
+      // sRGB color transform and skew every level
+      val theirs = ref.getRaster.getSample(x, y, 0)
+      val d = math.abs(ours - theirs)
+      maxDiff = math.max(maxDiff, d); sumDiff += d
+    }
+    assert(maxDiff <= 4, s"max per-sample decoder divergence $maxDiff")
+    assert(sumDiff.toDouble / (w * h) <= 1.0,
+      s"mean decoder divergence ${sumDiff.toDouble / (w * h)}")
+    // non-square dims at 4:2:0 (41×27 forces MCU edge padding + crop)
+    val odd = jpegPattern(41, 27, grad)
+    val (ow, oh, _) = Multimodal.jpegLuma(odd).get
+    assert(ow === 41 && oh === 27)
+    // cross-format perceptual identity on asymmetric content: the JPEG
+    // re-encode (lossy, 4:2:0 COLOR path — interleaved 6-block MCUs)
+    // must land within a few bits of the lossless formats
+    def topBottom(x: Int, y: Int): Int = if (y < 20) 0 else 255
+    val viaJpeg = Multimodal.jpegPHash(jpegPattern(64, 64, topBottom)).get
+    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, topBottom)).get
+    assert(hamming(viaJpeg, viaBmp) <= 4,
+      s"JPEG re-encode drifted ${hamming(viaJpeg, viaBmp)} bits from BMP")
+    // a BMP and its JPEG re-encode pair as perceptual near-dups through
+    // the registered machinery (the round-9 'What's missing' closure)
+    import spark.implicits._
+    def checker(x: Int, y: Int): Int =
+      if (((x / 8) + (y / 8)) % 2 == 0) 30 else 225
+    val media = Seq(
+      (1L, "image", bmpPattern(64, 64, checker)),
+      (2L, "image", jpegPattern(64, 64, checker)))
+      .toDF("media_id", "media_type", "content")
+    val pairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(pairs.toSeq === Seq((1L, 2L, true)),
+      s"BMP and its JPEG re-encode must pair perceptually, got ${pairs.toSeq}")
+    // hostile/unsupported payloads refuse — the documented stub path:
+    // progressive frame, scan with no entropy data, truncation mid-scan,
+    // plain text with a JPEG-y prefix
+    assert(Multimodal.jpegLuma(jpegBytes(19, 7, sofMarker = 0xC2)).isEmpty)
+    assert(Multimodal.jpegLuma(jpegBytes(16, 16)).isEmpty) // no DHT/data
+    assert(Multimodal.jpegLuma(gjpg.dropRight(30)).isEmpty)
+    assert(Multimodal.jpegLuma(Array(0xFF, 0xD8).map(_.toByte) ++
+      "not a jpeg".getBytes("UTF-8")).isEmpty)
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =
