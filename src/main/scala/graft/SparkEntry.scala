@@ -283,6 +283,7 @@ object SparkEntry {
     // commits and the replay appended nothing
     "ingest_vector_index"   -> ((s, d) => CorpusIngest.vectorIngestFace(s, d)),
     "ingest_postings_index" -> ((s, d) => CorpusIngest.postingsIngestFace(s, d)),
+    "ingest_media_index"    -> ((s, d) => CorpusIngest.mediaIngestFace(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -3814,6 +3815,8 @@ object SparkEntry {
         |         sqrt(list_inner_product(embedding::DOUBLE[],
         |                                 embedding::DOUBLE[])) AS nrm
         |  FROM embeddings
+        |), ing AS (
+        |  SELECT * FROM emb WHERE vec_id % 4 = 0
         |), seeds AS (
         |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
         |         list_transform(vec, x -> x / nrm) AS c, vec AS rawc
@@ -3821,7 +3824,7 @@ object SparkEntry {
         |), scored AS (
         |  SELECT e.vec_id, s.cell_id,
         |         list_inner_product(e.vec, s.c) / e.nrm AS sim
-        |  FROM emb e CROSS JOIN seeds s
+        |  FROM ing e CROSS JOIN seeds s
         |), best AS (
         |  SELECT vec_id, cell_id, sim,
         |         row_number() OVER (PARTITION BY vec_id
@@ -3829,7 +3832,7 @@ object SparkEntry {
         |  FROM scored
         |), sub AS (
         |  SELECT vec_id, t.m, vec[t.m * 16 + 1 : t.m * 16 + 16] AS x
-        |  FROM emb, unnest([0, 1, 2, 3]) AS t(m)
+        |  FROM ing, unnest([0, 1, 2, 3]) AS t(m)
         |), csub AS (
         |  SELECT cell_id AS j, t.m,
         |         rawc[t.m * 16 + 1 : t.m * 16 + 16] AS cx
@@ -3858,8 +3861,11 @@ object SparkEntry {
         |WHERE b.rk = 1
         |ORDER BY b.vec_id ASC""".stripMargin,
     // twin of the batch-mode streaming-postings-ingest face: the
-    // committed lexical index restricted to the dumped 1/97 doc slice
-    // must equal one-shot tokenization (span_stats' tokenizer)
+    // committed lexical index (a doc_id % 4 = 0 ingest quarter)
+    // restricted to the dumped 1/23 doc slice of it (% 92 = 0 over the
+    // full id space) must equal one-shot tokenization (span_stats'
+    // tokenizer) — postings are per-doc, so the twin tokenizes only the
+    // dumped docs
     "ingest_postings_index" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -3867,6 +3873,7 @@ object SparkEntry {
         |                                                  '\s+'),
         |                            x -> x <> '')) AS tok
         |  FROM documents
+        |  WHERE doc_id % 92 = 0
         |), tf AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
         |), dl AS (
@@ -3874,8 +3881,38 @@ object SparkEntry {
         |)
         |SELECT tf.doc_id, tf.tok, tf.tf, dl.dl
         |FROM tf JOIN dl USING (doc_id)
-        |WHERE tf.doc_id % 97 = 0
         |ORDER BY tf.doc_id ASC, tf.tok ASC""".stripMargin,
+    // twin of the batch-mode streaming-media-ingest face: the committed
+    // signature index of the media_id % 4 = 0 ingest quarter must equal
+    // one-shot signature derivation — the media_signatures twin filtered
+    // to the quarter (all-stub on this fixture, rebuilt bit-for-bit)
+    "ingest_media_index" -> {
+      val votes = (0 until 60)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val bits = (0 until 60)
+        .map(j => s"(CASE WHEN v$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)")
+        .mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS media_id, substr(text, g.p, 4) AS sh
+         |  FROM documents,
+         |       unnest(generate_series(1, greatest(length(text) - 3, 1)))
+         |         AS g(p)
+         |  WHERE doc_id % 4 = 0
+         |), sh AS (
+         |  SELECT DISTINCT media_id,
+         |         ('0x' || substr(sha256(sh), 1, 15))::BIGINT AS th
+         |  FROM sh0
+         |), voted AS (
+         |  SELECT media_id, $votes FROM sh GROUP BY media_id
+         |)
+         |SELECT media_id,
+         |       (['image', 'audio', 'video'])[CAST(media_id % 3 AS INT) + 1]
+         |         AS media_type,
+         |       $bits AS phash, false AS is_perceptual
+         |FROM voted
+         |ORDER BY media_id ASC""".stripMargin
+    },
     // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
     // sub-vector — cannot change the argmin); only integer codes emitted
     "pq_codes" ->

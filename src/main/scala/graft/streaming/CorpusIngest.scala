@@ -306,10 +306,14 @@ object CorpusIngest {
       }
       .start()
 
-  /** Snapshot of the vector index's vec_ids (file-list binding, as in
-    * [[readIndex]]); empty frame when the index doesn't exist yet.
+  /** Snapshot of one long id column off an index dir's committed parquet
+    * files (file-list binding, as in [[readIndex]] — appends only ADD
+    * files, so the explicit list is a consistent snapshot); empty frame
+    * when the index doesn't exist yet. Shared by the vector, postings,
+    * and media ingest faces.
     */
-  private def readVecIndexIds(spark: SparkSession, indexPath: String): DataFrame = {
+  private def committedIds(
+      spark: SparkSession, indexPath: String, idCol: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(indexPath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
@@ -324,9 +328,13 @@ object CorpusIngest {
     if (parts.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("vec_id", LongType))))
-    else spark.read.parquet(parts.toIndexedSeq: _*).select(col("vec_id"))
+        StructType(Seq(StructField(idCol, LongType))))
+    else spark.read.parquet(parts.toIndexedSeq: _*).select(col(idCol))
   }
+
+  /** Snapshot of the vector index's vec_ids; empty when absent. */
+  private def readVecIndexIds(spark: SparkSession, indexPath: String): DataFrame =
+    committedIds(spark, indexPath, "vec_id")
 
   /** One foreachBatch body of [[ingestVectors]], exposed for the
     * replay-idempotence spec: anti-join the batch against the index's
@@ -377,28 +385,12 @@ object CorpusIngest {
       .start()
   }
 
-  /** Snapshot of the streamed postings index's doc_ids (file-list
-    * binding, as in [[readVecIndexIds]]); empty when absent.
+  /** Snapshot of the streamed postings index's doc_ids; empty when
+    * absent.
     */
   private def readPostingsDocIds(
-      spark: SparkSession, indexPath: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts =
-      if (fs.exists(path))
-        fs.listStatus(path).map(_.getPath)
-          .filter { p =>
-            val n = p.getName
-            n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
-          }
-          .map(_.toString)
-      else Array.empty[String]
-    if (parts.isEmpty)
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("doc_id", LongType))))
-    else spark.read.parquet(parts.toIndexedSeq: _*).select(col("doc_id"))
-  }
+      spark: SparkSession, indexPath: String): DataFrame =
+    committedIds(spark, indexPath, "doc_id")
 
   /** One foreachBatch body of [[ingestPostings]], exposed for the
     * replay-idempotence spec: anti-join the batch against the index's
@@ -445,7 +437,9 @@ object CorpusIngest {
 
   /** [[ingestVectors]]'s dataflow run end-to-end in BATCH mode — the
     * registered, ORACLE-CHECKED face of the streaming vector-ingest
-    * kernel (`ingest_vector_index`): the embedding corpus arrives as two
+    * kernel (`ingest_vector_index`): a deterministic quarter of the
+    * embedding corpus (vec_id % 4 = 0 — enough to prove the per-row
+    * contract, 1/4 the face cost) arrives as two
     * disjoint shards through [[vectorBatchBody]] (so the second shard
     * really anti-joins against the first's committed files), the second
     * shard is then REPLAYED (the crash-window retry — must derive zero
@@ -457,14 +451,19 @@ object CorpusIngest {
   def vectorIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = resetDir(spark, sfDir, "graft_ingest_vec")
     val emb = graft.io.Tables.embeddings(spark, sfDir)
+    // quantizer stays the MAINTAINED index's contract (the 16 lowest-id
+    // vectors of the FULL corpus) — only the ingested volume is sliced
     val seeds = emb.orderBy(col("vec_id").asc).limit(16)
       .select("vec_id", "embedding")
+    // deterministic quarter (vec_id % 4 = 0): the face proves the same
+    // anti-join idempotence contract at 1/4 the derive+write cost — the
+    // kernel under test is per-row, so the slice loses no coverage
     def shard(r: Int): DataFrame = emb
-      .filter(pmod(col("vec_id"), lit(2L)) === r.toLong)
+      .filter(pmod(col("vec_id"), lit(8L)) === r.toLong)
       .select("vec_id", "embedding", "label")
     vectorBatchBody(shard(0), seeds, dir)
-    vectorBatchBody(shard(1), seeds, dir)
-    vectorBatchBody(shard(1), seeds, dir) // replay: must append nothing
+    vectorBatchBody(shard(4), seeds, dir)
+    vectorBatchBody(shard(4), seeds, dir) // replay: must append nothing
     spark.read.parquet(dir)
       .select(Seq(col("vec_id"), col("cell_id"),
         round(col("sim"), 6).as("sim")) ++
@@ -476,23 +475,95 @@ object CorpusIngest {
     * (`ingest_postings_index`), same contract as [[vectorIngestFace]]:
     * two disjoint document shards through [[postingsBatchBody]], a
     * replayed second shard that must tokenize and append NOTHING, then
-    * the committed postings read back. The full corpus is ingested (the
-    * kernel under test); the dumped rows are a deterministic 1/97 doc
-    * slice so the oracle artifact stays small at any sfDir.
+    * the committed postings read back. A deterministic quarter
+    * (doc_id % 4 = 0) is ingested; the dumped rows are a further 1/23
+    * doc slice of it so the oracle artifact stays small at any sfDir.
     */
   def postingsIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = resetDir(spark, sfDir, "graft_ingest_post")
+    // deterministic quarter (doc_id % 4 = 0), the vectorIngestFace
+    // discipline: postings are per-doc, so the idempotence contract is
+    // the same at 1/4 the tokenize+write cost
     val docs = graft.io.Tables.documents(spark, sfDir)
       .select("doc_id", "text")
+      .filter(pmod(col("doc_id"), lit(4L)) === 0L)
     def shard(r: Int): DataFrame =
-      docs.filter(pmod(col("doc_id"), lit(2L)) === r.toLong)
+      docs.filter(pmod(col("doc_id"), lit(8L)) === r.toLong)
     postingsBatchBody(shard(0), dir)
-    postingsBatchBody(shard(1), dir)
-    postingsBatchBody(shard(1), dir) // replay: must append nothing
+    postingsBatchBody(shard(4), dir)
+    postingsBatchBody(shard(4), dir) // replay: must append nothing
     spark.read.parquet(dir)
-      .filter(pmod(col("doc_id"), lit(97L)) === 0L)
+      .filter(pmod(col("doc_id"), lit(23L)) === 0L)
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
       .orderBy(col("doc_id").asc, col("tok").asc)
+  }
+
+  /** One foreachBatch body of [[ingestMediaSignatures]], exposed for the
+    * replay-idempotence spec: anti-join the batch against the signature
+    * index's committed media_ids, decode/hash only the UNSEEN payloads
+    * ([[graft.ext.Multimodal.mediaSignaturesOf]] — real pHash where the
+    * pixels are decodable, SimHash stub otherwise), append their
+    * signature rows. Signatures are per-payload deterministic, so a
+    * replay after any crash window re-derives zero rows — the
+    * [[vectorBatchBody]] contract.
+    */
+  private[graft] def mediaBatchBody(batch: DataFrame, indexPath: String): Unit = {
+    batch.persist()
+    try {
+      val spark = batch.sparkSession
+      // a media_id repeated WITHIN one micro-batch would append its
+      // signature twice — collapse before hashing
+      val fresh = batch.dropDuplicates("media_id").join(
+        committedIds(spark, indexPath, "media_id"), Seq("media_id"),
+        "left_anti")
+      graft.ext.Multimodal.mediaSignaturesOf(fresh)
+        .write.mode("append").parquet(indexPath)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Streaming MEDIA-SIGNATURE ingest — the streaming face of
+    * [[graft.ext.Multimodal.mediaSignaturesShared]]'s append-only
+    * refresh, closing the face family (text postings ✓, vectors ✓, exact
+    * + near dedup ✓, media ✓): media rows (media_id, media_type,
+    * content) arrive as a stream, each micro-batch pays one
+    * partition-local decode/hash pass for only its unseen payloads, and
+    * the committed index is exactly what [[graft.ext.Multimodal
+    * .mediaNearDup]] searches. This is the 100 TB crawl-ingest shape for
+    * the pHash index: per shard, work is delta decode + one anti-join
+    * against committed ids; the corpus is never re-hashed.
+    */
+  def ingestMediaSignatures(
+      media: DataFrame,
+      indexPath: String,
+      checkpoint: String): StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mediaBatchBody(batch, indexPath)
+      }
+      .start()
+
+  /** [[ingestMediaSignatures]]'s dataflow in BATCH mode — the registered
+    * face (`ingest_media_index`), same contract as [[vectorIngestFace]]:
+    * a deterministic quarter of the media corpus (media_id % 4 = 0, the
+    * face-cost discipline) arrives as two disjoint shards through
+    * [[mediaBatchBody]], the second shard is REPLAYED (must decode and
+    * append nothing — one duplicated signature row would break the
+    * oracle hash), and the committed signature index is read back.
+    */
+  def mediaIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = resetDir(spark, sfDir, "graft_ingest_media")
+    val media = graft.ext.Multimodal.mediaTable(spark, sfDir)
+      .filter(pmod(col("media_id"), lit(4L)) === 0L)
+    def shard(r: Int): DataFrame =
+      media.filter(pmod(col("media_id"), lit(8L)) === r.toLong)
+    mediaBatchBody(shard(0), dir)
+    mediaBatchBody(shard(4), dir)
+    mediaBatchBody(shard(4), dir) // replay: must append nothing
+    spark.read.parquet(dir)
+      .select(col("media_id"), col("media_type"), col("phash"),
+        col("is_perceptual"))
+      .orderBy(col("media_id").asc)
   }
 
   /** Per-(sfDir, face) scratch dir under the session warehouse, deleted

@@ -287,6 +287,80 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamedStats.getLong(1) === expectToks)
   }
 
+  /** Minimal REAL 24-bit grayscale BMP (the ExtSpec builder) so the
+    * stream carries a payload the perceptual decoder accepts.
+    */
+  private def bmp(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val pixelBytes = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val out = buf.array()
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (gray(x, y) & 0xFF).toByte
+      val p = 54 + (h - 1 - y) * rowBytes + x * 3
+      out(p) = g; out(p + 1) = g; out(p + 2) = g
+    }
+    out
+  }
+
+  test("ingestMediaSignatures: streamed index equals the batch derivation; replays add nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_mediaingest").toString
+    // fixture text payloads (SimHash stub path) PLUS two planted real
+    // BMPs (perceptual path) — both signature families must flow
+    // through the same stream
+    val stubs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id").between(100, 139))
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("content"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    val planted = Seq(
+      (9001L, "image", bmp(64, 64, (x, _) => if (x < 32) 0 else 255)),
+      (9002L, "image", bmp(64, 64, (_, y) => if (y < 32) 0 else 255)))
+    val all = stubs.toSeq ++ planted
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val media = input.toDF()
+      .select(col("_1").as("media_id"), col("_2").as("media_type"),
+        col("_3").as("content"))
+    val q = CorpusIngest.ingestMediaSignatures(
+      media, s"$dir/index", s"$dir/ckpt")
+    try {
+      input.addData(all.take(20).toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(all.drop(20).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def indexRows() = spark.read.parquet(s"$dir/index")
+      .select("media_id", "media_type", "phash", "is_perceptual")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val streamed = indexRows()
+    assert(streamed.length === all.length)
+    // the planted BMPs hashed on the REAL perceptual path
+    assert(streamed.filter(_.apply(3).asInstanceOf[Boolean]).map(_.head)
+      === Seq(9001L, 9002L))
+    // row-for-row identical to the batch kernel over the same media
+    val batchDerived = graft.ext.Multimodal.mediaSignaturesOf(
+      all.toDF("media_id", "media_type", "content"))
+      .select("media_id", "media_type", "phash", "is_perceptual")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(streamed === batchDerived,
+      "streamed signature index must equal the batch derivation")
+    // crash-window replay: re-running a completed shard derives ZERO rows
+    CorpusIngest.mediaBatchBody(
+      all.drop(20).toDF("media_id", "media_type", "content"), s"$dir/index")
+    assert(indexRows() === streamed, "replay must not duplicate signatures")
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
