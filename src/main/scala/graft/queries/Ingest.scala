@@ -46,7 +46,14 @@ object Ingest {
     * '1e3'), so the gate is the portable definition of "integer-valued".
     */
   def propsSchema(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    propsSchemaOf(Tables.events(spark, sfDir))
+
+  /** Frame-parameterized core of [[propsSchema]] so the numeric-gate edge
+    * cases ('12.5', '1e3', '007', "42\n") can be pinned against literal
+    * frames the fixture happens not to contain.
+    */
+  def propsSchemaOf(events: DataFrame): DataFrame =
+    events
       .select(col("event_id"), col("props"),
         explode(json_object_keys(col("props"))).as("key"))
       // the Scala get_json_object wrapper demands a literal path; the SQL
