@@ -59,7 +59,7 @@ import graft.ext.{Curation, Dedup}
   *   ENVELOPE — pair producers only, default caps, bounded (zero) pair
   *   emission with the drop visible in the span census (see [[tierI]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|all]"
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|j|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -647,17 +647,31 @@ object StressTier {
     */
   private def replicateAll(
       spark: SparkSession, baseDir: String, outDir: String, reps: Int): Unit =
-    graft.io.Tables.all.foreach { t =>
+    replicateTables(spark, baseDir, outDir, graft.io.Tables.all, reps,
+      0 until reps)
+
+  /** The key-remap replication kernel behind [[replicateAll]], with the
+    * key MULTIPLIER decoupled from the shard-id range so tier J can
+    * reserve shard ids for its refresh delta: each `*key`/`*_id` column
+    * becomes `v·mult + rep` for every rep in `shards` — FK-consistent
+    * disjoint shards whenever all tables use the same (mult, shards).
+    */
+  private def replicateTables(
+      spark: SparkSession, baseDir: String, outDir: String,
+      tables: Seq[String], mult: Int, shards: Range,
+      mode: String = "overwrite"): Unit =
+    tables.foreach { t =>
       val df = spark.read.parquet(s"$baseDir/$t.parquet")
       val cols = df.schema.fields.map { f =>
         if (f.name.endsWith("key") || f.name.endsWith("_id"))
-          (col(f.name) * reps + col("__rep")).cast(f.dataType).as(f.name)
+          (col(f.name) * mult + col("__rep")).cast(f.dataType).as(f.name)
         else col(f.name)
       }
-      df.withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      df.withColumn("__rep",
+          explode(sequence(lit(shards.head), lit(shards.last))))
         .select(cols.toSeq: _*)
         .repartition(32)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+        .write.mode(mode).parquet(s"$outDir/$t.parquet")
     }
 
   /** Tier G — the REGISTRY-WIDE scale readout: every registered query
@@ -784,6 +798,126 @@ object StressTier {
       "maxDocsPerFp must drop every 1000-twin fingerprint group")
   }
 
+  private val warehouseTables = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** The TPC-H / co-bucketed / graph family tier J drives — every
+    * registered query that reads ONLY the seven warehouse tables and
+    * exercises a fact-scale join, aggregation, or iteration.
+    */
+  private val tierJQueries = Seq(
+    "pricing_summary", "min_cost_supplier", "shipping_priority",
+    "priority_pipeline", "local_supplier_volume", "large_volume_customers",
+    "supplier_scorecard", "excess_suppliers", "returned_item_loss",
+    "dormant_customers", "part_affinity", "part_pagerank", "part_triangles",
+    "copurchase_kcore", "copurchase_communities")
+
+  /** Tier J — the WAREHOUSE FACTS at 100× the bench SF (~60M lineitem /
+    * 15M orders): the last unproven scale decade (tier H replicated
+    * everything 10×; documents got their ×1000 in tier I). The seven
+    * relational tables replicate FK-consistently into `reps` disjoint
+    * shards with key = v·(reps+1)+rep — the (reps+1) multiplier leaves
+    * shard id `reps` FREE for the refresh delta; documents/embeddings/
+    * events are untouched (no driven query reads them). Three phases:
+    *
+    *   j.artifact — the maintained fact artifacts BUILT at 100× (the
+    *     co-bucketed orders_okey/lineitem_okey layout, the collapsed
+    *     co-purchase edge list), each timed: the one-off cost a cluster
+    *     pays per ingest epoch, separated from steady-state query cost.
+    *   j.query — [[tierJQueries]] timed base vs 100× (interleaved
+    *     min-of-2, the registryTier methodology). ERROR at 100× is a
+    *     hard failure; ratio > 2.5·reps flags as super-linear.
+    *   j.refresh — ONE more FK-consistent shard appended to orders +
+    *     lineitem as a parquet delta, then every fact artifact
+    *     re-consumed: each must take its APPEND-ONLY refresh path, and
+    *     the refreshed contents must satisfy the exact shard-
+    *     disjointness invariants — row counts scale to reps+1, and the
+    *     edge list is exactly (reps+1)× the base dir's (disjoint shards
+    *     can never cross-pair, so one extra shard adds exactly one
+    *     base-pattern of edges).
+    *
+    * Run explicitly (`stress j`) for the round readout; the 100×
+    * replicate+query volume is tens of minutes on this host.
+    */
+  private def tierJ(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val mult = reps + 1
+    val (_, tRep) = timed("j.replicate")(
+      replicateTables(spark, baseDir, dir, warehouseTables, mult, 0 until reps))
+    val nBaseLi = spark.read.parquet(s"$baseDir/lineitem.parquet").count()
+    val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    val nBaseOrd = spark.read.parquet(s"$baseDir/orders.parquet").count()
+    println(f"STRESS j.replicate seconds=$tRep%.1f lineitem=$nLi orders=${nBaseOrd * reps}")
+    check(nLi == nBaseLi * reps, s"tier J lineitem count $nLi != $nBaseLi*$reps")
+
+    // fact-artifact builds at 100× — the per-ingest-epoch cost
+    val (nOkey, tOkey) = timed("j.artifact_okey") {
+      graft.ops.Layout.ordersByOrderkey(spark, dir).count() +
+        graft.ops.Layout.lineitemByOrderkey(spark, dir).count()
+    }
+    println(f"STRESS j.artifact_okey seconds=$tOkey%.1f rows=$nOkey")
+    check(nOkey == (nBaseOrd + nBaseLi) * reps,
+      "co-bucketed fact layout must carry every replicated row")
+    val (nEdges, tEdges) = timed("j.artifact_edges")(
+      graft.ext.Graph.coPurchaseEdges(spark, dir).count())
+    val nEdgesBase = graft.ext.Graph.coPurchaseEdges(spark, baseDir).count()
+    println(f"STRESS j.artifact_edges seconds=$tEdges%.1f edges=$nEdges base=$nEdgesBase")
+    check(nEdges == nEdgesBase * reps,
+      "disjoint shards must contribute exactly reps base edge patterns")
+
+    // the warehouse family, base vs 100×
+    val names = tierJQueries.map(q => q -> graft.SparkEntry.queries(q))
+    val base = scala.collection.mutable.Map.empty[String, Double]
+    val rep = scala.collection.mutable.Map.empty[String, Double]
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    for (round <- 1 to 2; (name, fn) <- names; (d, acc) <- Seq(
+      (baseDir, base), (dir, rep))) {
+      val t0 = System.nanoTime()
+      try fn(spark, d).count() catch {
+        case e: Throwable =>
+          errs(name) = s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(160)}"
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      acc.updateWith(name) {
+        case Some(p) => Some(math.min(p, t)); case None => Some(t)
+      }
+    }
+    errs.toSeq.sortBy(_._1).foreach { case (q, m) =>
+      check(false, s"tier J: $q failed at ${reps}x: $m")
+    }
+    val floor = 0.15
+    val flagged = tierJQueries.filterNot(errs.contains).flatMap { q =>
+      val r = rep(q) / math.max(base(q), floor)
+      println(f"STRESS j.query name=$q base=${base(q)}%.3f rep=${rep(q)}%.3f ratio=$r%.1f")
+      if (r > 2.5 * reps) Some(q -> r) else None
+    }
+    flagged.foreach { case (q, r) =>
+      println(f"STRESS j.flag name=$q ratio=$r%.1f (super-linear at ${reps}x — fix or document)")
+    }
+
+    // refresh: the 101st shard arrives as an append-only parquet delta
+    val (_, tDelta) = timed("j.refresh_append")(
+      replicateTables(spark, baseDir, dir, Seq("orders", "lineitem"), mult,
+        reps to reps, mode = "append"))
+    val (nOkey2, tRefOkey) = timed("j.refresh_okey") {
+      graft.ops.Layout.ordersByOrderkey(spark, dir).count() +
+        graft.ops.Layout.lineitemByOrderkey(spark, dir).count()
+    }
+    println(f"STRESS j.refresh_okey seconds=$tRefOkey%.1f append=$tDelta%.1f rows=$nOkey2")
+    check(nOkey2 == (nBaseOrd + nBaseLi) * (reps + 1),
+      "okey refresh must append exactly the delta shard's rows")
+    val (nEdges2, tRefEdges) = timed("j.refresh_edges")(
+      graft.ext.Graph.coPurchaseEdges(spark, dir).count())
+    println(f"STRESS j.refresh_edges seconds=$tRefEdges%.1f edges=$nEdges2")
+    check(nEdges2 == nEdgesBase * (reps + 1),
+      "edge refresh must add exactly one base edge pattern (delta-only merge)")
+    check(tRefEdges < math.max(tEdges, 10.0),
+      "edge refresh must not cost a full rebuild")
+    println(f"STRESS j.summary queries=${tierJQueries.size} errors=${errs.size} flagged=${flagged.size}")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -812,6 +946,8 @@ object StressTier {
         tierH(spark, "/root/testdata/sf0.1", s"$root/sf0.1x10all")
       if (tier == "i")
         tierI(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc1000")
+      if (tier == "j")
+        tierJ(spark, "/root/testdata/sf0.1", s"$root/sf0.1wh100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
