@@ -4902,7 +4902,8 @@ object SparkEntry {
         |       JOIN cont USING (r) CROSS JOIN ty
         |)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |       round(sum(lp)::DOUBLE / count(*)::DOUBLE, 6) AS kn_avg_logprob
+        |       round((sum(lp) * 1000000)::BIGINT::DOUBLE
+        |             / count(*)::DOUBLE) / 1000000.0 AS kn_avg_logprob
         |FROM lp GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
     "kn_counts" ->

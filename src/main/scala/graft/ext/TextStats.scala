@@ -1204,7 +1204,12 @@ object TextStats {
     * a composition of exactly-rounded IEEE ops written in the SAME shape
     * in the twin; only ln crosses engines and rounds to 6dp per bigram,
     * then per-doc sums run over DECIMAL(18,6)-quantized terms (the
-    * entropy convention) and the final mean divides once.
+    * entropy convention). The final mean rounds in INTEGER MICRO-UNITS:
+    * sum·10⁶ is an exact BIGINT, and when sum_micro/n lands exactly on
+    * .5 that value IS representable in a double (integers±.5 are exact
+    * below 2⁵²), so Spark's HALF_UP and DuckDB's half-away agree — the
+    * direct round(sum/n, 6) form diverged at sf0.1 on doc 3611, whose
+    * mean is exactly −3.4163865 but whose double is a hair BELOW it.
     *
     * Scale shape: one tokenize pass feeds both the model aggs and the
     * per-doc bigram stream; the stream joins the bigram table on (l,r)
@@ -1250,7 +1255,8 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__s"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6)
+        (round((col("__s") * 1000000).cast("long").cast("double") /
+            col("n_bigrams").cast("double")) / lit(1000000.0))
           .as("kn_avg_logprob"))
       .orderBy(col("doc_id").asc)
   }
