@@ -475,6 +475,7 @@ object Multimodal {
           case "image" =>
             bmpFeatures(bytes, dim).orElse(pngFeatures(bytes, dim))
               .orElse(gifFeatures(bytes, dim))
+              .orElse(jpegFeatures(bytes, dim))
           case "audio" => pcmFeatures(bytes, dim)
           case _ => None
         }).getOrElse(hashedFeatures(bytes, dim))
@@ -1125,6 +1126,14 @@ object Multimodal {
     c * math.cos((2 * i + 1) * j * math.Pi / 16.0)
   }
 
+  /** Decoded scan state: per-component sample planes at their padded
+    * MCU-grid strides, plus the sampling geometry needed to assemble
+    * either the luma plane or full-resolution RGB.
+    */
+  private final case class JpegPlanes(
+      w: Int, h: Int, planes: Array[Array[Byte]], padW: Array[Int],
+      cH: Array[Int], cV: Array[Int], hMax: Int, vMax: Int)
+
   /** Decode the LUMA (Y) plane of a BASELINE sequential JPEG — pure
     * public ITU-T T.81 math in the JVM (marker walk per §B, canonical
     * Huffman per §F.2.2, byte unstuffing, restart-interval resync, the
@@ -1144,7 +1153,77 @@ object Multimodal {
     * resolution-invariant, so subsampled luma hashes identically).
     */
   private[ext] def jpegLuma(
-      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    jpegParse(bytes, lumaOnly = true).map { d =>
+      val lumaW = (d.w * d.cH(0) + d.hMax - 1) / d.hMax
+      val lumaH = (d.h * d.cV(0) + d.vMax - 1) / d.vMax
+      val out = new Array[Byte](lumaW * lumaH)
+      var y = 0
+      while (y < lumaH) {
+        System.arraycopy(d.planes(0), y * d.padW(0), out, y * lumaW, lumaW)
+        y += 1
+      }
+      (lumaW, lumaH, out)
+    }
+
+  /** FULL-pixel decode of a baseline JPEG — every component
+    * inverse-transformed, chroma nearest-neighbor-upsampled to the frame
+    * grid, JFIF YCbCr→RGB (the public BT.601 full-range matrix) for
+    * 3-component scans and grayscale replication for 1-component; 2/4-
+    * component (CMYK etc.) return None. Returns (width, height, RGB
+    * triplets row-major) — the same contract as [[pngPixels]]/
+    * [[gifPixels]], so [[rgbFeatures]] works unchanged.
+    */
+  private[ext] def jpegPixels(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    jpegParse(bytes, lumaOnly = false).flatMap { d =>
+      if (d.planes.length != 1 && d.planes.length != 3) return None
+      val rgb = new Array[Byte](d.w * d.h * 3)
+      def sample(c: Int, x: Int, y: Int): Int = {
+        val sx = x * d.cH(c) / d.hMax
+        val sy = y * d.cV(c) / d.vMax
+        d.planes(c)(sy * d.padW(c) + sx) & 0xFF
+      }
+      def clamp(v: Double): Byte = {
+        val r = math.round(v).toInt
+        (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+      }
+      var y = 0
+      while (y < d.h) {
+        var x = 0
+        while (x < d.w) {
+          val p = (y * d.w + x) * 3
+          if (d.planes.length == 1) {
+            val g = sample(0, x, y).toByte
+            rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+          } else {
+            val yy = sample(0, x, y)
+            val cb = sample(1, x, y) - 128
+            val cr = sample(2, x, y) - 128
+            rgb(p) = clamp(yy + 1.402 * cr)
+            rgb(p + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+            rgb(p + 2) = clamp(yy + 1.772 * cb)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some((d.w, d.h, rgb))
+    }
+
+  /** [[bmpFeatures]] for baseline JPEG payloads — channel means + luma
+    * histogram over the fully decoded pixels.
+    */
+  private[ext] def jpegFeatures(
+      bytes: Array[Byte], dim: Int): Option[Array[Double]] =
+    if (dim < 5) None
+    else jpegPixels(bytes).map { case (w, h, rgb) => rgbFeatures(w, h, rgb, dim) }
+
+  /** The shared T.81 marker walk behind [[jpegLuma]]/[[jpegPixels]]
+    * (scaladoc above).
+    */
+  private def jpegParse(
+      bytes: Array[Byte], lumaOnly: Boolean): Option[JpegPlanes] = {
     if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF ||
       (bytes(1) & 0xFF) != 0xD8) return None
     try {
@@ -1261,7 +1340,7 @@ object Multimodal {
                 s += 1
               }
               return jpegDecodeScan(bytes, segEnd, w, h, scanIdx, cH, cV,
-                cQ, qt, dcTab, acTab, restart)
+                cQ, qt, dcTab, acTab, restart, lumaOnly)
             case _ => () // APPn / COM / unknown: skip by length
           }
           o = segEnd
@@ -1271,41 +1350,48 @@ object Multimodal {
     } catch { case JpegBail => None }
   }
 
-  /** The entropy-coded scan of [[jpegLuma]]: interleaved MCU walk
+  /** The entropy-coded scan of [[jpegParse]]: interleaved MCU walk
     * (T.81 §A.2.3), Huffman DC-diff + AC run-length block decode
-    * (§F.2.2), dequant + reference IDCT for the FIRST (luma) component
-    * only. Throws [[JpegBail]] on any malformation ([[jpegLuma]]
-    * catches).
+    * (§F.2.2), dequant + reference IDCT into per-component planes — for
+    * the FIRST (luma) component only when `lumaOnly` (chroma still
+    * entropy-decoded to keep the bitstream in sync), for every
+    * component otherwise. Throws [[JpegBail]] on any malformation
+    * ([[jpegParse]] catches).
     */
   private def jpegDecodeScan(
       bytes: Array[Byte], scanStart: Int, w: Int, h: Int,
-      scanIdx: Array[Int], cH: Array[Int], cV: Array[Int], cQ: Array[Int],
+      scanIdx: Array[Int], cHs: Array[Int], cVs: Array[Int], cQ: Array[Int],
       qt: Array[Array[Int]], dcTab: Array[JpegHuff], acTab: Array[JpegHuff],
-      restart: Int): Option[(Int, Int, Array[Byte])] = {
+      restart: Int, lumaOnly: Boolean): Option[JpegPlanes] = {
     val ns = scanIdx.length
+    // per-scan-component sampling, in scan order
+    val cH = scanIdx.map(cHs)
+    val cV = scanIdx.map(cVs)
     var hMax = 1; var vMax = 1
     var s = 0
     while (s < ns) {
-      val c = scanIdx(s)
-      hMax = math.max(hMax, cH(c)); vMax = math.max(vMax, cV(c))
+      hMax = math.max(hMax, cH(s)); vMax = math.max(vMax, cV(s))
       s += 1
     }
     var blocksPerMcu = 0
     s = 0
-    while (s < ns) {
-      blocksPerMcu += cH(scanIdx(s)) * cV(scanIdx(s)); s += 1
-    }
+    while (s < ns) { blocksPerMcu += cH(s) * cV(s); s += 1 }
     if (blocksPerMcu > 10) throw JpegBail // T.81 B.2.3 bound
     val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
-    // luma = the first scan component; its plane at its OWN resolution
-    val lc = scanIdx(0)
-    val lumaW = (w * cH(lc) + hMax - 1) / hMax
-    val lumaH = (h * cV(lc) + vMax - 1) / vMax
-    val padW = mcusX * cH(lc) * 8
-    val padH = mcusY * cV(lc) * 8
-    if (padW.toLong * padH > 128L * 1024 * 1024) throw JpegBail
-    val plane = new Array[Byte](padW * padH)
+    val decodeComps = if (lumaOnly) 1 else ns
+    val padW = new Array[Int](ns)
+    val planes = new Array[Array[Byte]](ns)
+    var totalBytes = 0L
+    s = 0
+    while (s < ns) {
+      padW(s) = mcusX * cH(s) * 8
+      val padH = mcusY * cV(s) * 8
+      totalBytes += padW(s).toLong * padH
+      if (totalBytes > 256L * 1024 * 1024) throw JpegBail
+      if (s < decodeComps) planes(s) = new Array[Byte](padW(s) * padH)
+      s += 1
+    }
     val br = new JpegBits(bytes, scanStart)
     val dcPred = new Array[Int](ns)
     val coef = new Array[Int](64)
@@ -1319,12 +1405,11 @@ object Multimodal {
       }
       s = 0
       while (s < ns) {
-        val c = scanIdx(s)
-        val qtab = qt(cQ(c))
+        val qtab = qt(cQ(scanIdx(s)))
         var by = 0
-        while (by < cV(c)) {
+        while (by < cV(s)) {
           var bx = 0
-          while (bx < cH(c)) {
+          while (bx < cH(s)) {
             // ---- one 8×8 block (T.81 F.2.2) ----
             java.util.Arrays.fill(coef, 0)
             val t = dcTab(s).decode(br)
@@ -1346,10 +1431,12 @@ object Multimodal {
                 k += 1
               }
             }
-            if (s == 0) {
-              // dequantized luma block → reference IDCT → plane
-              val x0 = ((mcu % mcusX) * cH(c) + bx) * 8
-              val y0 = ((mcu / mcusX) * cV(c) + by) * 8
+            if (s < decodeComps) {
+              // dequantized block → reference IDCT → component plane
+              val pw = padW(s)
+              val plane = planes(s)
+              val x0 = ((mcu % mcusX) * cH(s) + bx) * 8
+              val y0 = ((mcu / mcusX) * cV(s) + by) * 8
               // rows then columns (separable)
               var i = 0
               while (i < 8) {
@@ -1373,7 +1460,7 @@ object Multimodal {
                   var v = 0
                   while (v < 8) { acc += jpegCos(y)(v) * tmp(v * 8 + x); v += 1 }
                   val px = (math.round(acc / 2.0) + 128).toInt
-                  plane((y0 + y) * padW + x0 + x) =
+                  plane((y0 + y) * pw + x0 + x) =
                     (if (px < 0) 0 else if (px > 255) 255 else px).toByte
                   x += 1
                 }
@@ -1388,14 +1475,7 @@ object Multimodal {
       }
       mcu += 1
     }
-    // crop the MCU padding off
-    val out = new Array[Byte](lumaW * lumaH)
-    var y = 0
-    while (y < lumaH) {
-      System.arraycopy(plane, y * padW, out, y * lumaW, lumaW)
-      y += 1
-    }
-    Some((lumaW, lumaH, out))
+    Some(JpegPlanes(w, h, planes.take(decodeComps), padW, cH, cV, hMax, vMax))
   }
 
   /** [[bmpPHash]] for baseline JPEG payloads — the block-mean kernel

@@ -1815,6 +1815,76 @@ class MultimodalSpec extends SparkSpec {
       "not a jpeg".getBytes("UTF-8")).isEmpty)
   }
 
+  test("jpegPixels full-RGB decode; hand-built DRI stream exercises restart resync") {
+    // COLOR fidelity: a smooth color gradient through ImageIO's 4:2:0
+    // encoder — our nearest-neighbor chroma upsample vs libjpeg's
+    // triangle filter differ most at chroma edges, so smooth content
+    // bounds the decoder itself
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 4) << 16) | ((y * 6) << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpg = out.toByteArray
+    val (dw, dh, rgb) = Multimodal.jpegPixels(jpg).get
+    assert(dw === w && dh === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var sum = 0L; var maxD = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ours = rgb((y * w + x) * 3 + c) & 0xFF
+      val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+      val d = math.abs(ours - theirs)
+      sum += d; maxD = math.max(maxD, d)
+    }
+    assert(maxD <= 24, s"max channel divergence $maxD (upsample filters differ)")
+    assert(sum.toDouble / (w * h * 3) <= 3.0,
+      s"mean channel divergence ${sum.toDouble / (w * h * 3)}")
+    // features: channel means off the full decode match ImageIO's means
+    val fs = Multimodal.jpegFeatures(jpg, 16).get
+    var mr = 0L; var mg = 0L; var mb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      mr += (p >> 16) & 0xFF; mg += (p >> 8) & 0xFF; mb += p & 0xFF
+    }
+    val n = (w * h).toDouble
+    assert(math.abs(fs(0) - mr / n / 256.0) < 0.02, "mean R")
+    assert(math.abs(fs(1) - mg / n / 256.0) < 0.02, "mean G")
+    assert(math.abs(fs(2) - mb / n / 256.0) < 0.02, "mean B")
+
+    // HAND-BUILT baseline stream: 16×8 single-component, DC-only blocks,
+    // 16-bit DQT, DRI=1 with an RST0 between the two MCUs — the restart
+    // resync AND the DC-predictor reset are both load-bearing (without
+    // the reset MCU1 decodes 136, not 132)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val dqt16 = seg(0xDB,
+      Array(0x10.toByte) ++ Array.fill(64)(Array(0x00, 0x01)).flatten
+        .map(_.toByte))
+    val sof = seg(0xC0, Array[Byte](8, 0, 8, 0, 16, 1, 1, 0x11, 0))
+    val dhtDc = seg(0xC4, Array[Byte](0x00, 1) ++ Array.fill[Byte](15)(0)
+      ++ Array[Byte](6))
+    val dhtAc = seg(0xC4, Array[Byte](0x10, 1) ++ Array.fill[Byte](15)(0)
+      ++ Array[Byte](0))
+    val dri = seg(0xDD, Array[Byte](0, 1))
+    val sos = seg(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val stream = Array(0xFF, 0xD8).map(_.toByte) ++ dqt16 ++ sof ++
+      dhtDc ++ dhtAc ++ dri ++ sos ++
+      Array(0x40, 0xFF, 0xD0, 0x40, 0xFF, 0xD9).map(_.toByte)
+    val (lw, lh, plane) = Multimodal.jpegLuma(stream).get
+    assert(lw === 16 && lh === 8)
+    assert(plane.forall(b => (b & 0xFF) === 132),
+      s"DC-only blocks must decode flat 132 on BOTH sides of the RST " +
+        s"(got ${plane.map(_ & 0xFF).distinct.mkString(",")})")
+    // a wrong restart-marker number must bail to the stub path
+    val broken = stream.clone()
+    broken(stream.length - 4) = 0xD3.toByte // RST3 where RST0 expected
+    assert(Multimodal.jpegLuma(broken).isEmpty)
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =
