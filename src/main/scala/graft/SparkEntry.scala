@@ -192,6 +192,8 @@ object SparkEntry {
     // same gate for the IVF and IVF-PQ production legs (one brute truth)
     "ann_recall_ivf"     -> ((s, d) => Similarity.annRecallIvf(s, d)),
     "ann_recall_ivfpq"   -> ((s, d) => Similarity.annRecallIvfPq(s, d)),
+    "ann_recall_ivf_trained" -> ((s, d) =>
+      Similarity.annRecallIvfTrained(s, d)),
     // rank-quality eval of the LSH retrieval: MRR + average precision
     // (log-free rationals; exact top-k as the binary relevance set)
     "retrieval_metrics"  -> ((s, d) => Similarity.retrievalMetrics(s, d)),
@@ -1134,7 +1136,45 @@ object SparkEntry {
 
   private def knnIvfTrainedOracle(
       iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
-      cellProbes: Int = 4): String = {
+      cellProbes: Int = 4): String =
+    s"""${ivfTrainedSearchPrefix(iters, nCells, nProbes, k, cellProbes)}
+       |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+       |FROM ranked WHERE nn_rank <= $k
+       |ORDER BY q_id ASC, nn_rank ASC""".stripMargin
+
+  /** Recall tail over [[ivfTrainedSearchPrefix]]'s `ranked` list — the
+    * trained-quantizer leg of the ann_recall family (same brute truth).
+    */
+  private def annRecallIvfTrainedOracle(
+      iters: Int = 5, nCells: Int = 16, nProbes: Int = 5, k: Int = 5,
+      cellProbes: Int = 4): String =
+    s"""${ivfTrainedSearchPrefix(iters, nCells, nProbes, k, cellProbes)},
+       |trained AS (
+       |  SELECT q_id, c_id FROM ranked WHERE nn_rank <= $k
+       |), branked AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |                            ORDER BY list_inner_product(q.vec, c.vec)
+       |                                       / (q.nrm * c.nrm) DESC,
+       |                                     c.vec_id ASC) AS nn_rank
+       |  FROM emb q, emb c
+       |  WHERE q.vec_id < $nProbes AND q.vec_id <> c.vec_id
+       |), brute AS (
+       |  SELECT q_id, c_id FROM branked WHERE nn_rank <= $k
+       |)
+       |SELECT b.q_id, count(l.c_id) AS n_hits,
+       |       round(count(l.c_id)::DOUBLE / $k.0, 6) AS recall_at_k
+       |FROM brute b LEFT JOIN trained l ON b.q_id = l.q_id AND b.c_id = l.c_id
+       |GROUP BY b.q_id
+       |ORDER BY b.q_id ASC""".stripMargin
+
+  /** The trained-quantizer IVF search chain through `ranked` (Lloyd
+    * replay → trained centroids → assignment/probing → exact re-rank),
+    * shared by the knn row and its recall audit.
+    */
+  private def ivfTrainedSearchPrefix(
+      iters: Int, nCells: Int, nProbes: Int, k: Int,
+      cellProbes: Int): String = {
     s"""${lloydTrainedPrefix(iters, nCells)}, cent AS MATERIALIZED (
        |  SELECT c.cell,
        |         list(c.xi::DOUBLE / sqrt(cc.cc::DOUBLE)
@@ -1172,14 +1212,12 @@ object SparkEntry {
        |  FROM cand
        |  JOIN emb q ON q.vec_id = cand.q_id
        |  JOIN emb t ON t.vec_id = cand.c_id
-       |)
-       |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
-       |FROM ranked WHERE nn_rank <= $k
-       |ORDER BY q_id ASC, nn_rank ASC""".stripMargin
+       |)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "knn_ivf_trained" -> knnIvfTrainedOracle(),
+    "ann_recall_ivf_trained" -> annRecallIvfTrainedOracle(),
     "kmeans_cells_trained" -> kmeansCellsTrainedOracle(),
     "length_quantiles" -> lengthQuantilesOracle(),
     "robust_stats" -> robustStatsOracle(),

@@ -1155,6 +1155,17 @@ object Similarity {
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
     recallVsBrute(spark, sfDir, ivfPqTopK(spark, sfDir, nProbes, k), nProbes, k)
 
+  /** Recall@k of the TRAINED-quantizer IVF retrieval ([[ivfTopKTrained]])
+    * against the brute truth — completes the recall audit across all
+    * four retrieval paths (LSH, seeded IVF, trained IVF, IVF-PQ): a
+    * Lloyd-trainer regression now shows up as a recall hash change, not
+    * just a neighbor-list change.
+    */
+  def annRecallIvfTrained(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    recallVsBrute(spark, sfDir, ivfTopKTrained(spark, sfDir, nProbes, k),
+      nProbes, k)
+
   /** Shared recall kernel: left-join the approximate list onto the exact
     * cosine top-k ([[bruteForceTopK]]) and count hits per probe. Both
     * sides are bounded (nProbes × k rows); the expensive parts are the
