@@ -512,12 +512,14 @@ object Dedup {
       // maintaining a signature index at 100 TB. Docs are identified by
       // doc_id; if an appended file ever repeats an indexed id the OLD
       // signature wins (anti-join), matching the ingest keeper convention.
-      refresh = Some { ctx =>
-        val newSigs = minHashSignaturesOf(
+      // partition-level append (tier-J finding): new signatures land as
+      // additional bucket files, the committed rows are hardlinked, never
+      // rewritten — refresh cost is delta-proportional
+      refreshDelta = Some { ctx =>
+        minHashSignaturesOf(
           spark.read.parquet(ctx.addedFiles: _*), twinnable = true)
           .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(newSigs)
       }) {
       minHashPerDoc(spark, sfDir, twinnable = true)
     }
@@ -636,12 +638,11 @@ object Dedup {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "simhash_sig",
       Seq("documents.parquet"), "doc_id",
-      refresh = Some { ctx =>
-        val fresh = simHashSignaturesOf(
+      refreshDelta = Some { ctx =>
+        simHashSignaturesOf(
           spark.read.parquet(ctx.addedFiles: _*), twinnable = true)
           .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(fresh)
       }) {
       simHashSignaturesOf(Tables.documents(spark, sfDir), twinnable = true)
     }

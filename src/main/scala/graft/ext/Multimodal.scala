@@ -1563,12 +1563,11 @@ object Multimodal {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "media_sig",
       Seq("documents.parquet"), "media_id", version = 2,
-      refresh = Some { ctx =>
-        val fresh = mediaSignaturesOf(
+      refreshDelta = Some { ctx =>
+        mediaSignaturesOf(
           mediaTableOf(spark.read.parquet(ctx.addedFiles: _*)))
           .join(ctx.oldArtifact.select(col("media_id")), Seq("media_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(fresh)
       }) {
       mediaSignaturesOf(mediaTable(spark, sfDir))
     }

@@ -51,11 +51,10 @@ object Search {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "postings",
       Seq("documents.parquet"), "tok",
-      refresh = Some { ctx =>
-        val fresh = postingsOf(spark.read.parquet(ctx.addedFiles: _*))
+      refreshDelta = Some { ctx =>
+        postingsOf(spark.read.parquet(ctx.addedFiles: _*))
           .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(fresh)
       }) {
       postingsOf(Tables.documents(spark, sfDir))
     }

@@ -124,10 +124,28 @@ object Layout {
     * takes the full rebuild — correct by construction, and the case is
     * rare next to shards landing.
     */
+  /** `refreshDelta` is the stronger, PARTITION-LEVEL append refresh for
+    * per-row artifacts (signatures, postings, projected fact copies):
+    * the kernel returns ONLY the new rows, and the commit materializes
+    * the next generation as the predecessor's data files HARDLINKED
+    * (local fs; copied elsewhere) plus the delta written as additional
+    * bucket files — O(delta + #files), never a rewrite of the committed
+    * rows. Tier J (STRESS_r10.md) measured why this exists: the
+    * `refresh` path's full bucketed rewrite bounds refresh cost at
+    * build cost once the artifact rivals its source in size. Only
+    * correct when appended source rows NEVER change existing artifact
+    * rows (no cross-row merge — copurch_edges' weight merge must keep
+    * using `refresh`). Bucket ids live in file names, so exchange-free
+    * bucketed reads hold across generations; per-bucket SORT metadata is
+    * conservatively unused by Spark once a bucket has >1 file (planner
+    * re-sorts — joins stay shuffle-free). Takes precedence over
+    * `refresh` when both are present and a committed predecessor exists.
+    */
   def ensureDerived(
       spark: SparkSession, sfDir: String, family: String,
       sources: Seq[String], key: String, buckets: Int = 32,
-      version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None)
+      version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None,
+      refreshDelta: Option[RefreshCtx => DataFrame] = None)
       (build: => DataFrame): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = censusEntries(spark, sfDir, sources)
@@ -159,25 +177,40 @@ object Layout {
           if (fs.exists(wh)) fs.delete(wh, true)
           // append-only source delta + a committed predecessor + a
           // refresh kernel → incremental refresh; anything else → build
-          val predecessor = refresh.flatMap(_ =>
-            findRefreshPredecessor(fs, whRoot, family, dirTag, wh.getName,
-              version, entries))
+          val predecessor =
+            if (refresh.isDefined || refreshDelta.isDefined)
+              findRefreshPredecessor(fs, whRoot, family, dirTag, wh.getName,
+                version, entries)
+            else None
           val t0 = System.nanoTime()
-          val content: DataFrame = predecessor match {
+          val schemaDDL: String = predecessor match {
             case Some((oldDir, priorEntries)) =>
               refreshCount.incrementAndGet()
               val pathOf = (e: String) => e.split("\\|", 3)(2)
               val prior = priorEntries.map(pathOf)
               val added = entries.filterNot(priorEntries.toSet).map(pathOf)
-              refresh.get(RefreshCtx(
-                spark.read.parquet(oldDir.toString), added, prior))
+              val ctx = RefreshCtx(
+                spark.read.parquet(oldDir.toString), added, prior)
+              if (refreshDelta.isDefined) {
+                // partition-level append: link old files + write delta
+                commitAppend(spark, fs, table, wh, key, buckets, censusStr,
+                  oldDir, ctx.oldArtifact.schema, refreshDelta.get(ctx))
+                ctx.oldArtifact.schema.toDDL
+              } else {
+                val content = refresh.get(ctx)
+                commitBuild(spark, fs, table, wh, key, buckets, censusStr,
+                  content)
+                content.schema.toDDL
+              }
             case None =>
               buildCount.incrementAndGet()
-              build
+              val content = build
+              commitBuild(spark, fs, table, wh, key, buckets, censusStr,
+                content)
+              content.schema.toDDL
           }
-          commitBuild(spark, fs, table, wh, key, buckets, censusStr, content)
           buildNanos.addAndGet(System.nanoTime() - t0)
-          registerExternal(spark, table, wh, content.schema.toDDL, key, buckets)
+          registerExternal(spark, table, wh, schemaDDL, key, buckets)
         }
       }
       // GC LAST: a stale sibling may have just served as the refresh
@@ -294,6 +327,82 @@ object Layout {
       .option("path", tmpDir.toString)
       .saveAsTable(tmpTable)
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files survive
+    publishTmp(fs, table, wh, tmpDir, censusStr)
+  }
+
+  /** Commit the NEXT GENERATION of an append-only artifact at `wh`
+    * without rewriting the committed rows: the predecessor's parquet
+    * data files are HARDLINKED into a tmp dir (O(#files) on a local fs;
+    * byte-copied where links are unavailable — still shuffle/encode-free),
+    * the delta lands as additional bucket files through a real bucketed
+    * INSERT (bucket ids in the file names, so exchange-free reads hold),
+    * then the same census-marker + atomic-rename publish as
+    * [[commitBuild]]. The predecessor dir is untouched until the stale
+    * GC sweeps it — and hardlinked data outlives that delete through the
+    * new generation's links.
+    */
+  private def commitAppend(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      table: String, wh: org.apache.hadoop.fs.Path,
+      key: String, buckets: Int, censusStr: String,
+      oldDir: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType,
+      delta: DataFrame): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val tmpTable = s"${table}__a$suffix"
+    val tmpDir = new org.apache.hadoop.fs.Path(wh.getParent, tmpTable.toLowerCase)
+    fs.mkdirs(tmpDir)
+    fs.listStatus(oldDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach { s =>
+        linkOrCopy(fs, s.getPath,
+          new org.apache.hadoop.fs.Path(tmpDir, s.getPath.getName))
+      }
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    spark.sql(
+      s"CREATE TABLE `$tmpTable` (${schema.toDDL}) USING PARQUET " +
+        s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+        s"LOCATION '$tmpDir'")
+    // positional INSERT: align the delta to the table's column order
+    val view = s"${tmpTable}__delta"
+    delta.select(schema.fieldNames.map(col).toSeq: _*)
+      .createOrReplaceTempView(view)
+    try spark.sql(s"INSERT INTO `$tmpTable` SELECT * FROM `$view`")
+    finally {
+      spark.catalog.dropTempView(view)
+      spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files survive
+    }
+    publishTmp(fs, table, wh, tmpDir, censusStr)
+  }
+
+  /** Hardlink `src` to `dst` when both live on a local fs; fall back to
+    * a byte copy (object stores, HDFS without links).
+    */
+  private def linkOrCopy(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath))
+        return
+      } catch { case _: Exception => () } // cross-device etc. → copy
+    }
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, fs.getConf)
+    ()
+  }
+
+  /** The shared commit point: census marker into the tmp copy, then ONE
+    * atomic rename onto the final name; a rename loser re-checks the
+    * destination and adopts a concurrent winner's identical-census copy.
+    */
+  private def publishTmp(
+      fs: org.apache.hadoop.fs.FileSystem, table: String,
+      wh: org.apache.hadoop.fs.Path, tmpDir: org.apache.hadoop.fs.Path,
+      censusStr: String): Unit = {
     writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, CensusFile), censusStr)
     def adoptWinner(): Boolean =
       if (isCommitted(fs, wh, censusStr)) { fs.delete(tmpDir, true); true }
@@ -356,10 +465,13 @@ object Layout {
     * added files and union onto the committed copy — an appended shard
     * never rewrites the old rows' derivation.
     */
-  private def projectAppend(
+  /** Append-refresh DELTA for a pure projection artifact: only the added
+    * files' rows, projected — the [[ensureDerived]] `refreshDelta` form
+    * (committed rows are hardlinked, never rewritten).
+    */
+  private def projectDelta(
       spark: SparkSession, cols: Seq[String]): RefreshCtx => DataFrame =
-    ctx => ctx.oldArtifact.unionByName(
-      spark.read.parquet(ctx.addedFiles: _*).select(cols.map(col): _*))
+    ctx => spark.read.parquet(ctx.addedFiles: _*).select(cols.map(col): _*)
 
   /** The warehouse's CO-BUCKETED FACT LAYOUT on the order key — orders
     * and lineitem written once per sfDir as order-key-bucketed derived
@@ -379,7 +491,7 @@ object Layout {
       "o_orderpriority", "o_totalprice")
     ensureDerived(spark, sfDir, "orders_okey", Seq("orders.parquet"),
       "o_orderkey", version = 2,
-      refresh = Some(projectAppend(spark, cols))) {
+      refreshDelta = Some(projectDelta(spark, cols))) {
       graft.io.Tables.orders(spark, sfDir).select(cols.map(col): _*)
     }
   }
@@ -394,25 +506,23 @@ object Layout {
       "l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
     ensureDerived(spark, sfDir, "lineitem_okey", Seq("lineitem.parquet"),
       "l_orderkey", version = 2,
-      refresh = Some(projectAppend(spark, cols))) {
+      refreshDelta = Some(projectDelta(spark, cols))) {
       graft.io.Tables.lineitem(spark, sfDir).select(cols.map(col): _*)
     }
   }
 
   def bucketedOrderItems(spark: SparkSession, sfDir: String, buckets: Int = 32): DataFrame = {
-    def projectAppend(cols: Seq[String]): RefreshCtx => DataFrame = ctx =>
-      ctx.oldArtifact.unionByName(
-        spark.read.parquet(ctx.addedFiles: _*)
-          .select(cols.map(col): _*))
     val ordersBkt = ensureDerived(spark, sfDir, "orders_bkt",
       Seq("orders.parquet"), "o_orderkey", buckets,
-      refresh = Some(projectAppend(Seq("o_orderkey", "o_orderstatus")))) {
+      refreshDelta =
+        Some(projectDelta(spark, Seq("o_orderkey", "o_orderstatus")))) {
       graft.io.Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_orderstatus")
     }
     val itemsBkt = ensureDerived(spark, sfDir, "lineitem_bkt",
       Seq("lineitem.parquet"), "l_orderkey", buckets,
-      refresh = Some(projectAppend(Seq("l_orderkey", "l_extendedprice")))) {
+      refreshDelta =
+        Some(projectDelta(spark, Seq("l_orderkey", "l_extendedprice")))) {
       graft.io.Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_extendedprice")
     }

