@@ -1249,7 +1249,7 @@ class MultimodalSpec extends SparkSpec {
       le16b(1) ++ le16b(channels) ++ le32b(sampleRate) ++ le32b(byteRate) ++
       le16b(channels * 2) ++ le16b(16)
     val list = "LIST".getBytes("US-ASCII") ++ le32b(5) ++
-      "INFOx ".getBytes("US-ASCII") // 5 data bytes + 1 pad byte
+      "INFOx\u0000".getBytes("US-ASCII") // 5 data bytes + 1 pad byte
     val data = "data".getBytes("US-ASCII") ++ le32b(dataBytes) ++
       Array.fill[Byte](dataBytes)(0)
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ list ++ data

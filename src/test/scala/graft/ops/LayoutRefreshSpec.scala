@@ -542,6 +542,17 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(viaRefresh == viaRebuild)
     assert(viaRefresh.exists(_.getLong(0) > maxId),
       "bm25 over the refreshed index must rank the appended docs")
+    // PLAN guard across generations: the append-committed artifact has
+    // >1 file per bucket (gen0's linked files + the delta's), and the
+    // tok-bucketed distribution must STILL serve the tok aggregation
+    // exchange-free — otherwise the append commit silently costs every
+    // consumer a shuffle
+    val aggPlan = refreshed.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("df"))
+      .queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"tok aggregation over the refreshed artifact must ride the " +
+        s"bucketing, got:\n${aggPlan.take(2000)}")
   }
 
   test("copurch_edges refreshes via base⊕delta merge and matches a full rebuild") {
