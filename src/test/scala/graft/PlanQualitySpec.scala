@@ -199,6 +199,17 @@ class PlanQualitySpec extends SparkSpec {
     // the drift occupancy read is a pure column scan: ZERO dots per call
     assert(!plan("embedding_drift").toLowerCase.contains("dotproduct"),
       "embedding_drift recomputes cell assignments per call")
+    // the recall audits keep their approximate leg on the bucket-pruned
+    // artifact scan (the brute TRUTH leg legitimately reads the raw
+    // corpus — it IS the exact baseline, so no raw-scan assertion here)
+    for (q <- Seq("ann_recall_ivf", "ann_recall_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("graft_ivf_cells"),
+        s"$q's approximate leg must read the ivf_cells artifact")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"$q: approximate leg lost the bucket prune")
+    }
   }
 
   test("winsorized_stats caps via a broadcast of the |types|-row thresholds") {
