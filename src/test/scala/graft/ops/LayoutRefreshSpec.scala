@@ -367,6 +367,17 @@ class LayoutRefreshSpec extends SparkSpec {
     // (bucket ids live in file names; >1 file per bucket is fine)
     val itemsB = Layout.lineitemByOrderkey(spark, "/root/testdata/sf0.001")
     assert(itemsB.count() > 0)
+    // a LATER SESSION must re-register the append-committed dir (its
+    // _SUCCESS comes from the INSERT job, its data is partly hardlinks):
+    // simulate by dropping the catalog entry and re-ensuring
+    val tableName = gen1.getName
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val b1 = Layout.buildCount.get
+    val r1 = Layout.refreshCount.get
+    assert(Layout.ordersByOrderkey(spark, base).count() === n1,
+      "fresh-session re-registration of an append-committed dir")
+    assert(Layout.buildCount.get === b1 && Layout.refreshCount.get === r1,
+      "re-registration must neither rebuild nor re-refresh")
   }
 
   test("minhash_pairs consumer stays exact after an append-only sig refresh") {
