@@ -197,6 +197,9 @@ object SparkEntry {
     // rank-quality eval of the LSH retrieval: MRR + average precision
     // (log-free rationals; exact top-k as the binary relevance set)
     "retrieval_metrics"  -> ((s, d) => Similarity.retrievalMetrics(s, d)),
+    // same rank-quality eval for the production IVF leg
+    "retrieval_metrics_ivf" -> ((s, d) =>
+      Similarity.retrievalMetricsIvf(s, d)),
     // product-quantization codes (the IVF-PQ compression half)
     "pq_codes"           -> ((s, d) => Similarity.pqCodes(s, d)),
     // cohort retention matrix (first-seen day × day offset)
@@ -3841,6 +3844,88 @@ object SparkEntry {
         |         AS avg_precision
         |FROM probes p LEFT JOIN agg a USING (q_id)
         |ORDER BY p.q_id ASC""".stripMargin),
+    // MRR/AP of the IVF list against the same brute relevance set — the
+    // knn_ivf retrieval chain with retrieval_metrics' scoring tail
+    "retrieval_metrics_ivf" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+        |         sqrt(list_inner_product(embedding::DOUBLE[],
+        |                                 embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |), scores AS (
+        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+        |  FROM emb e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores) WHERE rk = 1
+        |), probecells AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id
+        |                              ORDER BY s DESC, cell ASC) AS rk
+        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+        |  WHERE p.q_id <> a.vec_id
+        |), iranked AS (
+        |  SELECT cand.q_id, cand.c_id,
+        |         row_number() OVER (PARTITION BY cand.q_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     cand.c_id ASC) AS nn_rank
+        |  FROM cand JOIN emb q ON cand.q_id = q.vec_id
+        |            JOIN emb c ON cand.c_id = c.vec_id
+        |), ivfl AS (
+        |  SELECT q_id, c_id, nn_rank FROM iranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM emb q, emb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |), marked AS (
+        |  SELECT l.q_id, l.nn_rank,
+        |         CASE WHEN b.c_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM ivfl l LEFT JOIN brute b
+        |    ON l.q_id = b.q_id AND l.c_id = b.c_id
+        |), run AS (
+        |  SELECT q_id, nn_rank, rel,
+        |         sum(rel) OVER (PARTITION BY q_id ORDER BY nn_rank ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS hits_at
+        |  FROM marked
+        |), term AS (
+        |  SELECT q_id, rel, nn_rank,
+        |         CASE WHEN rel = 1
+        |              THEN round(hits_at::DOUBLE / nn_rank::DOUBLE, 6)
+        |                     ::DECIMAL(18,6)
+        |              ELSE 0::DECIMAL(18,6) END AS prec
+        |  FROM run
+        |), agg AS (
+        |  SELECT q_id, sum(rel)::BIGINT AS n_hits,
+        |         min(CASE WHEN rel = 1 THEN nn_rank END) AS first_rel,
+        |         sum(prec) AS ap_sum
+        |  FROM term GROUP BY q_id
+        |), probes AS (
+        |  SELECT DISTINCT q_id FROM brute
+        |)
+        |SELECT p.q_id,
+        |       coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(1.0::DOUBLE / a.first_rel, 0.0), 6) AS mrr,
+        |       round(coalesce(a.ap_sum, 0::DECIMAL(18,6))::DOUBLE / 5.0, 6)
+        |         AS avg_precision
+        |FROM probes p LEFT JOIN agg a USING (q_id)
+        |ORDER BY p.q_id ASC""".stripMargin,
     // twin of the batch-mode streaming-vector-ingest face: the committed
     // index must equal one-shot derivation under the frozen 16-seed
     // quantizer — cosine cell assignment (kmeans_assign_seed's chain)

@@ -1208,10 +1208,26 @@ object Similarity {
     * each); everything after is arithmetic on their join.
     */
   def retrievalMetrics(
-      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    retrievalMetricsVsBrute(spark, sfDir,
+      lshTopK(spark, sfDir, nProbes, k), nProbes, k)
+
+  /** [[retrievalMetrics]] for the production IVF leg — MRR/AP of
+    * [[ivfTopK]]'s list against the same brute relevance set, so the
+    * bucket-pruned index path carries the full rank-quality audit, not
+    * just set recall ([[annRecallIvf]]).
+    */
+  def retrievalMetricsIvf(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    retrievalMetricsVsBrute(spark, sfDir,
+      ivfTopK(spark, sfDir, nProbes, k), nProbes, k)
+
+  private def retrievalMetricsVsBrute(
+      spark: SparkSession, sfDir: String, approxList: DataFrame,
+      nProbes: Int, k: Int): DataFrame = {
     val exact = bruteForceTopK(spark, sfDir, nProbes, k)
       .select(col("q_id"), col("neighbor_id"), lit(1L).as("__rel"))
-    val approx = lshTopK(spark, sfDir, nProbes, k)
+    val approx = approxList
       .select(col("q_id"), col("nn_rank"), col("neighbor_id"))
     val marked = approx.join(exact, Seq("q_id", "neighbor_id"), "left")
       .withColumn("rel", coalesce(col("__rel"), lit(0L)))
