@@ -1231,6 +1231,7 @@ object Multimodal {
       val huffDc = new Array[JpegHuff](4)
       val huffAc = new Array[JpegHuff](4)
       var restart = 0
+      var adobeTransform = -1 // APP14 color-transform flag, -1 = absent
       var w = 0; var h = 0; var nComp = 0
       // per SOF component: id, hSamp, vSamp, quant-table id
       var cId: Array[Int] = null; var cH: Array[Int] = null
@@ -1318,8 +1319,23 @@ object Multimodal {
             case 0xDD =>
               if (segEnd - seg < 2) throw JpegBail
               restart = ((bytes(seg) & 0xFF) << 8) | (bytes(seg + 1) & 0xFF)
+            case 0xEE => // Adobe APP14: last byte is the color transform
+              if (segEnd - seg >= 12 && bytes(seg) == 'A' &&
+                bytes(seg + 1) == 'd' && bytes(seg + 2) == 'o' &&
+                bytes(seg + 3) == 'b' && bytes(seg + 4) == 'e')
+                adobeTransform = bytes(segEnd - 1) & 0xFF
             case 0xDA => // SOS — decode the single sequential scan
               if (cId == null) throw JpegBail
+              // a len==2 SOS leaves seg == segEnd: bound BEFORE the ns
+              // read, matching the DHT/DQT/DRI/SOF discipline (the
+              // malformed-bytes contract is None, never an executor throw)
+              if (segEnd - seg < 1) throw JpegBail
+              // RGB-coded 3-component scans (Adobe APP14 transform=0, or
+              // component ids 'R','G','B') would take the JFIF YCbCr→RGB
+              // matrix wrongly — detect and take the stub path instead
+              if (nComp == 3 && (adobeTransform == 0 ||
+                (cId(0) == 'R' && cId(1) == 'G' && cId(2) == 'B')))
+                return None
               val ns = bytes(seg) & 0xFF
               if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3)
                 return None // multi-scan sequential → stub path

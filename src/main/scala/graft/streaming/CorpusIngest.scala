@@ -570,7 +570,7 @@ object CorpusIngest {
     * on entry — each face call re-ingests from scratch (determinism over
     * cleverness: a stale index from an earlier corpus can never leak in).
     */
-  private def resetDir(
+  private[streaming] def resetDir(
       spark: SparkSession, sfDir: String, tag: String): String = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     // collision-resistant dir tag: a 32-bit hashCode can collide across
@@ -583,6 +583,17 @@ object CorpusIngest {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    // Sweep pre-SHA-tag orphans: earlier trees named these dirs with an
+    // 8-hex-char 32-bit hashCode suffix; the SHA rename left those dirs
+    // unreachable in warm warehouses, accumulating as dead disk usage.
+    val legacy = new org.apache.hadoop.fs.Path(wh)
+    if (fs.exists(legacy)) {
+      val pat = s"\\Q${tag}_\\E[0-9a-f]{8}".r
+      fs.listStatus(legacy).foreach { st =>
+        if (pat.pattern.matcher(st.getPath.getName).matches())
+          fs.delete(st.getPath, true)
+      }
+    }
     dir
   }
 

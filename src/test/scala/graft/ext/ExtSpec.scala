@@ -1885,6 +1885,48 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegLuma(broken).isEmpty)
   }
 
+  test("jpeg hostile-byte guards: len-2 SOS bounds, Adobe APP14 RGB, RGB component ids") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        (((payload.length + 2) >> 8) & 0xFF).toByte,
+        ((payload.length + 2) & 0xFF).toByte) ++ payload
+    // 1) a len==2 SOS (empty payload) as the LAST segment after a valid
+    //    SOF: seg == segEnd == bytes.length — must take the stub path,
+    //    never an ArrayIndexOutOfBounds escaping to the executor
+    val dqt = seg(0xDB, Array.fill[Byte](65)(1))
+    val sof1 = seg(0xC0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    val emptySos = Array(0xFF.toByte, 0xDA.toByte, 0x00.toByte, 0x02.toByte)
+    assert(Multimodal.jpegLuma(
+      Array(0xFF, 0xD8).map(_.toByte) ++ dqt ++ sof1 ++ emptySos).isEmpty)
+    // 2) Adobe APP14 transform=0 (RGB-coded 3-component): the JFIF
+    //    YCbCr→RGB matrix would be wrong — splice APP14 into a real
+    //    ImageIO color JPEG and require the stub path, while the
+    //    unspliced original still decodes
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x6090C0)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val jpg = out.toByteArray
+    assert(Multimodal.jpegPixels(jpg).nonEmpty)
+    val app14 = seg(0xEE, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, 0)) // version+flags, transform=0
+    val spliced = jpg.take(2) ++ app14 ++ jpg.drop(2)
+    assert(Multimodal.jpegPixels(spliced).isEmpty,
+      "APP14 transform=0 (RGB-coded) must refuse, not decode wrong colors")
+    // transform=1 (YCbCr, the common Adobe case) must still decode
+    val app14Ycc = seg(0xEE, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, 1))
+    assert(Multimodal.jpegPixels(jpg.take(2) ++ app14Ycc ++ jpg.drop(2))
+      .nonEmpty)
+    // 3) SOF component ids 'R','G','B' without APP14 — same refusal
+    val sofRgb = seg(0xC0, Array[Byte](8, 0, 8, 0, 8, 3,
+      'R', 0x11, 0, 'G', 0x11, 0, 'B', 0x11, 0))
+    val sosRgb = seg(0xDA, Array[Byte](3, 'R', 0, 'G', 0, 'B', 0, 0, 63, 0))
+    assert(Multimodal.jpegPixels(
+      Array(0xFF, 0xD8).map(_.toByte) ++ dqt ++ sofRgb ++ sosRgb).isEmpty)
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =

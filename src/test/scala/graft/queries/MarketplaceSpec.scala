@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSpec
@@ -119,5 +120,45 @@ class MarketplaceSpec extends SparkSpec {
       assert(n === expect(b)._2, s"brand $b item count")
       assert(math.abs(rev - expect(b)._1) < 1e-6, s"brand $b revenue")
     }
+  }
+
+  test("excessSuppliers: fractional quantity sums round half-up before the long cast") {
+    // The sf fixtures carry integral quantities, so the green oracle row
+    // never exercises a fractional sum — this literal frame does (the
+    // props_schema discipline): sums landing ON a .5 boundary (7.5, 20.5)
+    // and OFF it (19.6), asserting the rounded long BOTH engines produce.
+    // A truncating cast (the pre-r10 bug) would yield 19/7/20 instead.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_excess_fix")
+      .toString
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    Seq(
+      // s1: window 10.25+10.25=20.5 → 21 (half-up); all-time 20.5 → 21
+      (1L, 10L, 10.25, ts("1996-03-01 00:00:00")),
+      (1L, 10L, 10.25, ts("1996-06-01 00:00:00")),
+      // s2: window 9.8+9.8=19.6 → 20 (truncation would give 19)
+      (2L, 10L, 9.8, ts("1996-03-01 00:00:00")),
+      (2L, 10L, 9.8, ts("1996-06-01 00:00:00")),
+      // s3: window 2.5*3=7.5 → 8; out-of-window 2.5 → total 10.0 → 10
+      (3L, 10L, 2.5, ts("1996-02-01 00:00:00")),
+      (3L, 10L, 2.5, ts("1996-05-01 00:00:00")),
+      (3L, 10L, 2.5, ts("1996-08-01 00:00:00")),
+      (3L, 10L, 2.5, ts("1993-01-01 00:00:00")),
+      // s4: fails the concentration bar (window 5.5, total 99.5)
+      (4L, 10L, 5.5, ts("1996-03-01 00:00:00")),
+      (4L, 10L, 94.0, ts("1993-01-01 00:00:00")),
+      // noise on a non-matching part: must not contribute
+      (1L, 99L, 1000.5, ts("1996-03-01 00:00:00")))
+      .toDF("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+      .withColumn("l_orderkey", col("l_suppkey"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "red part"), (99L, "blue part"))
+      .toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name").write.parquet(s"$dir/supplier.parquet")
+    val got = Marketplace.excessSuppliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 21L, 21L), (2L, 20L, 20L), (3L, 8L, 10L)),
+      s"half-up rounding on/off the .5 boundary, got ${got.toSeq}")
   }
 }

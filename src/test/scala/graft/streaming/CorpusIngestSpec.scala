@@ -361,6 +361,22 @@ class CorpusIngestSpec extends SparkSpec {
     assert(indexRows() === streamed, "replay must not duplicate signatures")
   }
 
+  test("resetDir sweeps legacy 32-bit-hashCode scratch dirs from warm warehouses") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a pre-SHA-tag orphan (8 hex chars) and a non-matching neighbor
+    val legacy = new org.apache.hadoop.fs.Path(s"$wh/graft_ingest_x_deadbeef")
+    val keeper = new org.apache.hadoop.fs.Path(s"$wh/graft_ingest_x_keepme")
+    fs.mkdirs(legacy); fs.mkdirs(keeper)
+    val dir = CorpusIngest.resetDir(spark, "/tmp/some_sf_dir", "graft_ingest_x")
+    assert(!fs.exists(legacy), "8-hex legacy orphan must be swept")
+    assert(fs.exists(keeper), "non-hex-suffixed dirs must survive")
+    // the SHA-tagged dir name is what the face will write into
+    assert(dir.matches(".*graft_ingest_x_[0-9a-f]{24}"))
+    fs.delete(keeper, true)
+  }
+
   test("qualityMonitor windows doc/token/low-quality counts per lang") {
     import java.sql.Timestamp
     import spark.implicits._
