@@ -194,6 +194,10 @@ object SparkEntry {
     "ann_recall_ivfpq"   -> ((s, d) => Similarity.annRecallIvfPq(s, d)),
     "ann_recall_ivf_trained" -> ((s, d) =>
       Similarity.annRecallIvfTrained(s, d)),
+    // recall of the ADC-shortlist→exact-re-rank tier: should recover the
+    // IVF candidate-set recall the raw 4-byte ADC row gives up
+    "ann_recall_ivfpq_rerank" -> ((s, d) =>
+      Similarity.annRecallIvfPqRerank(s, d)),
     // rank-quality eval of the LSH retrieval: MRR + average precision
     // (log-free rationals; exact top-k as the binary relevance set)
     "retrieval_metrics"  -> ((s, d) => Similarity.retrievalMetrics(s, d)),
@@ -368,6 +372,9 @@ object SparkEntry {
     "kn_score"           -> ((s, d) => TextStats.knScore(s, d)),
     // IVF cells + PQ asymmetric distance: the compressed-domain ANN path
     "knn_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // ADC shortlist (4×k) → exact-cosine re-rank of shortlist ids only:
+    // the deployable compressed-domain retrieval shape
+    "knn_ivfpq_rerank"   -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
     // PSI over IVF-cell occupancy: drift monitoring for embedding space
     "embedding_drift"    -> ((s, d) => Similarity.embeddingDrift(s, d)),
     // ≥1‰ token census, integer threshold (Misra–Gries scale note inline)
@@ -896,6 +903,83 @@ object SparkEntry {
        |  $bandSelects
        |)""".stripMargin
   }
+
+  /** Shared WITH-prefix for the IVF-PQ ADC chain (the `knn_ivfpq` /
+    * `ann_recall_ivfpq` CTEs, factored for the re-rank twins): seeds,
+    * codebooks, cell assignment, per-subspace codes, probe routing,
+    * candidate ADC distances, ending in `pqranked` (q_id, c_id, nn_rank
+    * by estimated L2², ties c_id asc). `nemb` carries raw vectors +
+    * norms for exact-cosine tails.
+    */
+  private val pqAdcOracleCtes: String =
+    """WITH emb AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec
+      |  FROM embeddings
+      |), nemb AS (
+      |  SELECT vec_id, vec,
+      |         sqrt(list_inner_product(vec, vec)) AS nrm
+      |  FROM emb
+      |), cent AS (
+      |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
+      |  FROM nemb ORDER BY vec_id ASC LIMIT 16
+      |), cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec
+      |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id ASC LIMIT 16)
+      |), cbs AS (
+      |  SELECT j, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+      |  FROM cb, UNNEST(generate_series(0, 3)) AS w(m)
+      |), subs AS (
+      |  SELECT vec_id, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
+      |  FROM emb, UNNEST(generate_series(0, 3)) AS u(m)
+      |), scores AS (
+      |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
+      |  FROM emb e CROSS JOIN cent c
+      |), assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY s DESC, cell ASC) AS rk
+      |    FROM scores) WHERE rk = 1
+      |), codes AS (
+      |  SELECT vec_id, m, j AS code FROM (
+      |    SELECT s.vec_id, s.m, c.j,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.m
+      |             ORDER BY list_inner_product(c.sub, c.sub)
+      |                        - 2 * list_inner_product(s.sub, c.sub) ASC,
+      |                      c.j ASC) AS rk
+      |    FROM subs s JOIN cbs c ON c.m = s.m) WHERE rk = 1
+      |), probecells AS (
+      |  SELECT vec_id AS q_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY s DESC, cell ASC) AS rk
+      |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
+      |), cand AS (
+      |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+      |  FROM probecells p JOIN assigned a ON p.cell = a.cell
+      |  WHERE p.q_id <> a.vec_id
+      |), dists AS (
+      |  SELECT cand.q_id, cand.c_id, co.m,
+      |         list_inner_product(qs.sub, qs.sub)
+      |           - 2 * list_inner_product(qs.sub, c.sub)
+      |           + list_inner_product(c.sub, c.sub) AS d
+      |  FROM cand
+      |  JOIN codes co ON co.vec_id = cand.c_id
+      |  JOIN subs qs ON qs.vec_id = cand.q_id AND qs.m = co.m
+      |  JOIN cbs c ON c.m = co.m AND c.j = co.code
+      |), est AS (
+      |  SELECT q_id, c_id,
+      |         max(CASE WHEN m = 0 THEN d END)
+      |           + max(CASE WHEN m = 1 THEN d END)
+      |           + max(CASE WHEN m = 2 THEN d END)
+      |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
+      |  FROM dists GROUP BY 1, 2
+      |), pqranked AS (
+      |  SELECT q_id, c_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
+      |  FROM est
+      |)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2041,6 +2125,25 @@ object SparkEntry {
         |SELECT q_id, nn_rank, c_id AS neighbor_id, round(l2sq, 6) AS l2sq_est
         |FROM ranked WHERE nn_rank <= 5
         |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
+    // ADC shortlist (24×k=120 by estimated L2², the saturating depth for 16-bit codes) → exact-cosine re-rank of
+    // the shortlist ids only — the deployable compressed-domain pattern
+    "knn_ivfpq_rerank" -> (pqAdcOracleCtes +
+      """, shortlist AS (
+        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
+        |), rr AS (
+        |  SELECT s.q_id, s.c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
+        |                   JOIN nemb c ON s.c_id = c.vec_id
+        |), rranked AS (
+        |  SELECT q_id, c_id, sim,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
+        |  FROM rr
+        |)
+        |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
+        |FROM rranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin),
     "knn_ivf" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
@@ -3784,6 +3887,40 @@ object SparkEntry {
         |FROM brute b LEFT JOIN ivfpq l ON b.q_id = l.q_id AND b.c_id = l.c_id
         |GROUP BY b.q_id
         |ORDER BY b.q_id ASC""".stripMargin,
+    // recall of the shortlist→re-rank tier against the same brute truth:
+    // should sit at/near the IVF leg (cell pruning is the shared bound),
+    // far above the raw ADC row
+    "ann_recall_ivfpq_rerank" -> (pqAdcOracleCtes +
+      """, shortlist AS (
+        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
+        |), rr AS (
+        |  SELECT s.q_id, s.c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
+        |                   JOIN nemb c ON s.c_id = c.vec_id
+        |), rranked AS (
+        |  SELECT q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
+        |  FROM rr
+        |), rrtop AS (
+        |  SELECT q_id, c_id FROM rranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM nemb q, nemb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |)
+        |SELECT b.q_id, count(l.c_id) AS n_hits,
+        |       round(count(l.c_id)::DOUBLE / 5.0, 6) AS recall_at_k
+        |FROM brute b LEFT JOIN rrtop l ON b.q_id = l.q_id AND b.c_id = l.c_id
+        |GROUP BY b.q_id
+        |ORDER BY b.q_id ASC""".stripMargin),
     // MRR + AP of the LSH list against the exact top-k relevance set;
     // precision terms rounded to 6 dp BEFORE the DECIMAL sum (exact,
     // order-independent), MRR one exact divide — no log2 anywhere

