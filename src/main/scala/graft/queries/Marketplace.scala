@@ -610,19 +610,20 @@ object Marketplace {
     * whole analysis (pairs AND denominators — a mega-basket co-occurs
     * with everything, pure noise for association rules, and C(basket,2)
     * pair rows from one hot order is the unbounded-marketplace failure
-    * mode). Per-part counts are one hash-agg over the bounded basket
-    * universe, the 1-row basket total a broadcast scalar attach; top-k
-    * by support is a TakeOrdered.
+    * mode). The denominators — per-part basket counts and the basket
+    * total — come off the maintained [[graft.ext.Graph.basketCensus]]
+    * artifact (|parts|+1 rows, same MaxBasket universe and refresh
+    * contract as the edges), NOT a per-call distinct+groupBy over the
+    * raw fact table: at tier-J scale the raw-fact denominators were 95%
+    * of this query's cost. Top-k by support is a TakeOrdered.
     */
   def partAffinity(
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val baskets = graft.ext.Graph.boundedBaskets(op)
-    val nBaskets = baskets.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val partCounts = baskets.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("__pc"))
+    val census = graft.ext.Graph.basketCensus(spark, sfDir)
+    val nBaskets = census.filter(col("l_partkey") === -1L)
+      .select(col("pc").as("__n"))
+    val partCounts = census.filter(col("l_partkey") =!= -1L)
+      .select(col("l_partkey"), col("pc").as("__pc"))
     val pairs = graft.ext.Graph.coPurchaseEdges(spark, sfDir)
       .filter(col("src") < col("dst"))
       .select(col("src").as("pa"), col("dst").as("pb"),

@@ -598,6 +598,53 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("copurch_census refreshes append-only and matches a full rebuild") {
+    val base = Files.createTempDirectory("graft_census_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_census_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val maxOrder = li.agg(max(col("l_orderkey"))).first().getLong(0)
+    // the shard: new memberships on EXISTING orders (pc grows, basket
+    // total must NOT), duplicate rows (contribute nothing), and
+    // BRAND-NEW orders (pc AND the sentinel basket total grow)
+    val extra = li.orderBy(col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(200)
+      .withColumn("l_partkey", (col("l_partkey") + lit(7L)))
+      .unionByName(li.orderBy(col("l_orderkey").asc,
+        col("l_linenumber").asc).limit(50))
+      .unionByName(li.orderBy(col("l_orderkey").asc,
+        col("l_linenumber").asc).limit(30)
+        .withColumn("l_orderkey", col("l_orderkey") + lit(maxOrder + 100L)))
+    graft.ext.Graph.basketCensus(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/lineitem.parquet", extra)
+    val refreshed = graft.ext.Graph.basketCensus(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1,
+      "census must take the refresh path on an append")
+    assert(Layout.buildCount.get === b0,
+      "the raw-fact distinct+groupBy must NOT re-run on an append")
+    copyDir(s"$base/lineitem.parquet", s"$pristine/lineitem.parquet")
+    val rebuilt = graft.ext.Graph.basketCensus(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed census diverged from the full rebuild")
+    // the sentinel grew by exactly the brand-new order count
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.filter(col("l_partkey") === -1L).first().getLong(1)
+    val newOrders = spark.read.parquet(s"$pristine/lineitem.parquet")
+      .filter(col("l_orderkey") > maxOrder)
+      .select("l_orderkey").distinct().count()
+    assert(newOrders > 0 && total(refreshed) === total(rebuilt))
+    // consumer-level: part_affinity over refresh == over rebuild
+    assert(graft.queries.Marketplace.partAffinity(spark, base)
+      .collect().toSeq ===
+      graft.queries.Marketplace.partAffinity(spark, pristine)
+        .collect().toSeq,
+      "part_affinity must be generation-invariant")
+  }
+
   test("MaxBasket guard: a hot basket emits no pairs; cap-crossing append rebuilds") {
     val cap = graft.ext.Graph.MaxBasket
     val base = Files.createTempDirectory("graft_hot_base").toString + "/d"
