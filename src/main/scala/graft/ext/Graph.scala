@@ -66,59 +66,66 @@ object Graph {
       pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
       Seq("lineitem.parquet"), "src", version = 2,
-      // APPEND-ONLY REFRESH — the base⊕delta merge: an appended lineitem
-      // shard contributes exactly the pairs with ≥1 end among its NEW
+      // GENERATIONAL APPEND REFRESH — an appended lineitem shard
+      // contributes exactly the pairs with ≥1 end among its NEW
       // (l_orderkey, l_partkey) rows — new×all ∪ old×new, both computed
       // with the new side as one join input, so the quadratic old×old
       // self-join (the build's cost) never re-runs; the old files are
-      // only re-SCANNED (linear) for orders the delta touches. Weights
-      // then merge by (src, dst) sum over the committed edge list —
+      // only re-SCANNED (linear) for orders the delta touches. The
+      // delta's (src, dst, w) rows — which may REPEAT keys already
+      // committed — land as ADDITIONAL bucket files next to the
+      // hardlinked base (tier J r10 measured why: the refresh-path full
+      // rewrite of 241M edges cost a build; the delta itself is tiny),
+      // and consumers sum weights per (src, dst) at read through the
+      // GenRefresh merge — exchange-free over the src-bucketed scan, and
       // bit-identical to a full rebuild because pair instances partition
-      // disjointly by whether they touch a new row.
-      refresh = Some { ctx =>
-        val newRaw = spark.read.parquet(ctx.addedFiles: _*)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        // rows already present before the append contribute nothing new
-        val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
-          "left_anti")
-        // MaxBasket under append: a touched order that CROSSES the cap
-        // (old size ≤ cap, merged size > cap) has pairs in the old
-        // artifact that a from-scratch build would drop — the one case
-        // the base⊕delta merge cannot express, so it falls back to a
-        // full rebuild (rare: it needs one order to grow past MaxBasket
-        // in a single append). Orders already over the cap contribute
-        // nothing on either path; merged-under-cap orders take the
-        // normal delta.
-        val touched = newOnly.select("l_orderkey").distinct()
-        val mergedSz = oldRaw.unionByName(newOnly)
-          .join(touched, Seq("l_orderkey"), "left_semi")
-          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
-        val oldSz = oldRaw
-          .join(touched, Seq("l_orderkey"), "left_semi")
-          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
-        // old size in [2, cap]: the old artifact holds pairs for the
-        // order (a 0/1-part history has none — pure exclusion suffices)
-        val crossed = mergedSz.filter(col("__m") > MaxBasket)
-          .join(oldSz, Seq("l_orderkey"), "left")
-          .filter(coalesce(col("__o"), lit(0L)).between(2L, MaxBasket))
-        if (!crossed.isEmpty) {
-          val all = Tables.lineitem(spark, sfDir)
+      // disjointly by whether they touch a new row. Version stays 2: the
+      // on-disk row format is unchanged (a pre-generational committed
+      // artifact is a valid single generation).
+      refreshGen = Some(graft.ops.Layout.GenRefresh(
+        delta = { ctx =>
+          val newRaw = spark.read.parquet(ctx.addedFiles: _*)
             .select(col("l_orderkey"), col("l_partkey")).distinct()
-          aggW(pairsOf(bounded(all), bounded(all)))
-        } else {
+          // old rows matter ONLY within delta-touched orders — restrict
+          // BEFORE the distinct so the dedup shuffle is sized by the
+          // orders the shard touches, not the whole committed corpus
+          val touchedAny = newRaw.select("l_orderkey").distinct()
+          val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
+            .select(col("l_orderkey"), col("l_partkey"))
+            .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
+          // rows already present before the append contribute nothing new
+          val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
+            "left_anti")
+          // MaxBasket under append: a touched order that CROSSES the cap
+          // (old size ≤ cap, merged size > cap) has pairs in the old
+          // artifact that a from-scratch build would drop — the one case
+          // a delta generation cannot express, so it signals FullRebuild
+          // (rare: it needs one order to grow past MaxBasket in a single
+          // append). Orders already over the cap contribute nothing on
+          // either path; merged-under-cap orders take the normal delta.
+          val touched = newOnly.select("l_orderkey").distinct()
+          val mergedSz = oldRaw.unionByName(newOnly)
+            .join(touched, Seq("l_orderkey"), "left_semi")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
+          val oldSz = oldRaw
+            .join(touched, Seq("l_orderkey"), "left_semi")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
+          // old size in [2, cap]: the old artifact holds pairs for the
+          // order (a 0/1-part history has none — pure exclusion suffices)
+          val crossed = mergedSz.filter(col("__m") > MaxBasket)
+            .join(oldSz, Seq("l_orderkey"), "left")
+            .filter(coalesce(col("__o"), lit(0L)).between(2L, MaxBasket))
+          if (!crossed.isEmpty) throw new graft.ops.Layout.FullRebuild
           val okTouched = mergedSz.filter(col("__m") <= MaxBasket)
             .select("l_orderkey")
           def ok(df: DataFrame): DataFrame =
             df.join(okTouched, Seq("l_orderkey"), "left_semi")
-          val delta = aggW(
+          aggW(
             pairsOf(ok(newOnly), ok(oldRaw.unionByName(newOnly)))
               .unionByName(pairsOf(ok(oldRaw), ok(newOnly))))
-          ctx.oldArtifact.unionByName(delta)
-            .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-        }
-      }) {
+        },
+        merge = _.groupBy(col("src"), col("dst"))
+          .agg(sum(col("w")).as("w"))))) {
       val op = bounded(Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey")).distinct())
       aggW(pairsOf(op, op))
@@ -162,8 +169,12 @@ object Graph {
       refresh = Some { ctx =>
         val newRaw = spark.read.parquet(ctx.addedFiles: _*)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // same touched-order restriction as the edge artifact's delta:
+        // old rows only matter within orders the shard touches
+        val touchedAny = newRaw.select("l_orderkey").distinct()
         val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .select(col("l_orderkey"), col("l_partkey"))
+          .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
         val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
           "left_anti")
         val touched = newOnly.select("l_orderkey").distinct()

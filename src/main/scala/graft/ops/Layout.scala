@@ -31,6 +31,48 @@ object Layout {
       addedFiles: Seq[String],
       priorFiles: Seq[String])
 
+  /** GENERATIONAL append refresh — the form for MERGEABLE artifacts
+    * (`copurch_edges`-style weight sums) whose per-key state an append
+    * CAN change, which disqualifies [[ensureDerived]]'s `refreshDelta`
+    * (strictly new rows) but whose full-rewrite `refresh` path costs a
+    * build once the artifact rivals its source (tier J, STRESS_r10.md
+    * phase 3: 241M-edge refresh 80.9 s ≈ build 77.4 s — the rewrite, not
+    * the delta derivation, was the bound). Instead: the committed rows
+    * stay IMMUTABLE (hardlinked forward, exactly like `refreshDelta`),
+    * `delta` returns only the epoch's contribution — rows that may REPEAT
+    * keys already committed — and `merge` collapses the generations at
+    * read (for a weight artifact: groupBy key-tuple + sum, which over a
+    * bucket-keyed scan is exchange-free, so consumers pay one extra
+    * streaming hash-agg and no shuffle). Each append advances a
+    * generation counter; once it exceeds `maxGenerations` the next
+    * refresh COMPACTS — one merged rewrite of base⊕delta, resetting the
+    * counter — so read-side row inflation is bounded at
+    * `maxGenerations×` worst-case and the rewrite cost is amortized
+    * 1-in-`maxGenerations` epochs instead of paid every epoch.
+    *
+    * `delta` may throw [[FullRebuild]] when the append is inexpressible
+    * as a generation (the MaxBasket cap-crossing case): ensureDerived
+    * then runs the full `build` — correct by construction, same as any
+    * non-append census delta.
+    */
+  final case class GenRefresh(
+      delta: RefreshCtx => DataFrame,
+      merge: DataFrame => DataFrame,
+      maxGenerations: Int = 8)
+
+  /** Control signal a [[GenRefresh]] delta kernel throws when the append
+    * cannot be expressed as a delta generation — [[ensureDerived]] falls
+    * back to the full `build` for that epoch.
+    */
+  final class FullRebuild extends RuntimeException(
+    "generational delta inexpressible; full rebuild requested")
+
+  /** Marker file carrying a generational artifact's generation count;
+    * absent ⇒ 1 (a fresh build or a compaction). Written into the tmp
+    * dir before the atomic publish, like [[CensusFile]].
+    */
+  private val GenFile = "_graft_gen"
+
   /** Name of the census marker a committed artifact dir carries. Written
     * LAST (into the tmp dir, before the atomic publish rename), so its
     * presence + content is the commit point a later session trusts.
@@ -134,8 +176,8 @@ object Layout {
     * `refresh` path's full bucketed rewrite bounds refresh cost at
     * build cost once the artifact rivals its source in size. Only
     * correct when appended source rows NEVER change existing artifact
-    * rows (no cross-row merge — copurch_edges' weight merge must keep
-    * using `refresh`). Bucket ids live in file names, so exchange-free
+    * rows (no cross-row merge — copurch_edges' weight merge rides
+    * [[GenRefresh]] instead). Bucket ids live in file names, so exchange-free
     * bucketed reads hold across generations; per-bucket SORT metadata is
     * conservatively unused by Spark once a bucket has >1 file (planner
     * re-sorts — joins stay shuffle-free). Takes precedence over
@@ -145,7 +187,8 @@ object Layout {
       spark: SparkSession, sfDir: String, family: String,
       sources: Seq[String], key: String, buckets: Int = 32,
       version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None,
-      refreshDelta: Option[RefreshCtx => DataFrame] = None)
+      refreshDelta: Option[RefreshCtx => DataFrame] = None,
+      refreshGen: Option[GenRefresh] = None)
       (build: => DataFrame): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = censusEntries(spark, sfDir, sources)
@@ -178,7 +221,8 @@ object Layout {
           // append-only source delta + a committed predecessor + a
           // refresh kernel → incremental refresh; anything else → build
           val predecessor =
-            if (refresh.isDefined || refreshDelta.isDefined)
+            if (refresh.isDefined || refreshDelta.isDefined ||
+              refreshGen.isDefined)
               findRefreshPredecessor(fs, whRoot, family, dirTag, wh.getName,
                 version, entries)
             else None
@@ -191,7 +235,40 @@ object Layout {
               val added = entries.filterNot(priorEntries.toSet).map(pathOf)
               val ctx = RefreshCtx(
                 spark.read.parquet(oldDir.toString), added, prior)
-              if (refreshDelta.isDefined) {
+              if (refreshGen.isDefined) {
+                val g = refreshGen.get
+                val gen = readText(fs,
+                  new org.apache.hadoop.fs.Path(oldDir, GenFile))
+                  .flatMap(_.trim.toIntOption).getOrElse(1)
+                // the delta kernel runs (and performs its eager
+                // expressibility checks) BEFORE any write is chosen
+                val deltaOpt =
+                  try Some(g.delta(ctx))
+                  catch { case _: FullRebuild => None }
+                deltaOpt match {
+                  case Some(delta) if gen < g.maxGenerations =>
+                    // append generation gen+1: link committed files
+                    // forward, write only the delta bucket files
+                    commitAppend(spark, fs, table, wh, key, buckets,
+                      censusStr, oldDir, ctx.oldArtifact.schema, delta,
+                      genMarker = Some(gen + 1))
+                    ctx.oldArtifact.schema.toDDL
+                  case Some(delta) =>
+                    // COMPACTION epoch: one merged rewrite of
+                    // base⊕delta; generation counter resets (no marker)
+                    val content = g.merge(
+                      ctx.oldArtifact.unionByName(delta))
+                    commitBuild(spark, fs, table, wh, key, buckets,
+                      censusStr, content)
+                    content.schema.toDDL
+                  case None =>
+                    // inexpressible delta (FullRebuild) → full build
+                    val content = build
+                    commitBuild(spark, fs, table, wh, key, buckets,
+                      censusStr, content)
+                    content.schema.toDDL
+                }
+              } else if (refreshDelta.isDefined) {
                 // partition-level append: link old files + write delta
                 commitAppend(spark, fs, table, wh, key, buckets, censusStr,
                   oldDir, ctx.oldArtifact.schema, refreshDelta.get(ctx))
@@ -216,7 +293,13 @@ object Layout {
       // GC LAST: a stale sibling may have just served as the refresh
       // predecessor — it must survive until the new copy is committed
       dropStaleDerived(spark, family, dirTag, table)
-      spark.table(table)
+      // a generational artifact is served through its merge — collapses
+      // multi-generation rows; identity over a single generation, and
+      // exchange-free when the merge groups on a bucket-key superset
+      refreshGen match {
+        case Some(g) => g.merge(spark.table(table))
+        case None => spark.table(table)
+      }
     }
   }
 
@@ -347,11 +430,14 @@ object Layout {
       key: String, buckets: Int, censusStr: String,
       oldDir: org.apache.hadoop.fs.Path,
       schema: org.apache.spark.sql.types.StructType,
-      delta: DataFrame): Unit = {
+      delta: DataFrame, genMarker: Option[Int] = None): Unit = {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val tmpTable = s"${table}__a$suffix"
     val tmpDir = new org.apache.hadoop.fs.Path(wh.getParent, tmpTable.toLowerCase)
     fs.mkdirs(tmpDir)
+    genMarker.foreach(g =>
+      writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, GenFile),
+        g.toString))
     fs.listStatus(oldDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .foreach { s =>

@@ -913,15 +913,13 @@ object StressTier {
     println(f"STRESS j.refresh_edges seconds=$tRefEdges%.1f edges=$nEdges2")
     check(nEdges2 == nEdgesBase * (reps + 1),
       "edge refresh must add exactly one base edge pattern (delta-only merge)")
-    // what the delta kernel saves is PAIR GENERATION (quadratic per
-    // basket); the bucketed artifact REWRITE (ensureDerived's atomic
-    // commit rewrites all ~240M edge rows) bounds both paths, so at an
-    // artifact-dominated shape refresh ≈ build is the correct outcome —
-    // the check guards against the refresh degrading to re-PAIRING the
-    // whole corpus (which would blow well past build time), not against
-    // the unavoidable rewrite
-    check(tRefEdges < tEdges * 1.5 + 10.0,
-      "edge refresh must not exceed the rewrite-bounded build cost band")
+    // the generational append must beat the build by construction: the
+    // committed ~240M edge rows HARDLINK forward and only the delta's
+    // pairs are derived (one linear scan of prior files, delta-sized
+    // shuffles) and written — the r10 rewrite bound (refresh 80.9 s ≈
+    // build 77.4 s) is exactly what this check now forbids
+    check(tRefEdges < tEdges * 0.6 + 5.0,
+      "generational edge refresh must cost well under a build")
     println(f"STRESS j.summary queries=${tierJQueries.size} errors=${errs.size} flagged=${flagged.size}")
   }
 

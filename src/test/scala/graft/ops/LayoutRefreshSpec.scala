@@ -598,6 +598,155 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("GenRefresh: generations append, compact past maxGenerations, FullRebuild falls back") {
+    val base = Files.createTempDirectory("graft_gen_toy").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(s"$base/facts.parquet"))
+    val sq = spark; import sq.implicits._
+    def shard(rows: (Long, Long)*): DataFrame =
+      rows.toSeq.toDF("k", "w").select(col("k"), col("w").cast("long"))
+    def ensure(): DataFrame =
+      Layout.ensureDerived(spark, base, "gen_toy", Seq("facts.parquet"),
+        "k", version = 1,
+        refreshGen = Some(Layout.GenRefresh(
+          delta = { ctx =>
+            val d = spark.read.parquet(ctx.addedFiles: _*)
+            // the inexpressible-delta hook under test: a sentinel weight
+            if (!d.filter(col("w") === 999L).isEmpty)
+              throw new Layout.FullRebuild
+            d.groupBy(col("k")).agg(sum(col("w")).as("w"))
+          },
+          merge = _.groupBy(col("k")).agg(sum(col("w")).as("w")),
+          maxGenerations = 3))) {
+        spark.read.parquet(s"$base/facts.parquet")
+          .groupBy(col("k")).agg(sum(col("w")).as("w"))
+      }
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def artifactDir(): Path = fs.listStatus(new Path(wh)).map(_.getPath)
+      .filter(_.getName.startsWith("graft_gen_toy_"))
+      .maxBy(p => fs.getFileStatus(p).getModificationTime)
+    def genMarker(): Option[String] = {
+      val p = new Path(artifactDir(), "_graft_gen")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      } else None
+    }
+    def rawRows(): Long = spark.read.parquet(artifactDir().toString).count()
+    def merged(): Map[Long, Long] = ensure().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one parquet file per "shard" append, like a corpus landing
+    val f0 = Files.createTempDirectory("gen_seed").toString
+    shard(1L -> 1L, 2L -> 1L).coalesce(1).write.mode("overwrite").parquet(f0)
+    val seed = fs.listStatus(new Path(f0)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(seed, new Path(s"$base/facts.parquet/part-0.parquet")))
+    // gen 1: fresh build — no marker, unique keys
+    assert(merged() === Map(1L -> 1L, 2L -> 1L))
+    assert(genMarker() === None)
+    val gen1Files = fs.listStatus(artifactDir()).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    // gen 2: append touches an existing key — committed files hardlink
+    // forward, the delta lands as extra bucket files, merge sums at read
+    val b0 = Layout.buildCount.get
+    appendFile(s"$base/facts.parquet", shard(1L -> 1L, 3L -> 1L))
+    assert(merged() === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    assert(Layout.buildCount.get === b0, "append must not rebuild")
+    assert(genMarker() === Some("2"))
+    val gen2Files = fs.listStatus(artifactDir()).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(gen1Files.subsetOf(gen2Files),
+      s"gen1 files must link forward: missing ${gen1Files -- gen2Files}")
+    assert(rawRows() === 4L,
+      "multi-generation rows must coexist on disk (2 base + 2 delta)")
+    // the read-side merge must ride the bucketing — no shuffle exchange
+    val mergePlan = ensure().queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Exchange"),
+      s"generational merge must be exchange-free:\n${mergePlan.take(2000)}")
+    // gen 3: one more epoch
+    appendFile(s"$base/facts.parquet", shard(1L -> 1L))
+    assert(merged() === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    assert(genMarker() === Some("3"))
+    // epoch 4 exceeds maxGenerations=3 → COMPACTION: merged rewrite,
+    // counter resets (marker absent), on-disk rows collapse to unique
+    appendFile(s"$base/facts.parquet", shard(2L -> 1L))
+    assert(merged() === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    assert(genMarker() === None, "compaction must reset the generation")
+    assert(rawRows() === 3L, "compaction must collapse generations")
+    // FullRebuild from the delta kernel → the full build runs (content
+    // right, generation reset), still counted as a refresh epoch
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/facts.parquet", shard(9L -> 999L))
+    assert(merged() ===
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 9L -> 999L))
+    assert(Layout.refreshCount.get === r0 + 1)
+    assert(genMarker() === None)
+    assert(rawRows() === 4L)
+  }
+
+  test("copurch_edges generational append: base linked forward, weights sum across generations") {
+    val base = Files.createTempDirectory("graft_edge_gen").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_edge_genf").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    graft.ext.Graph.coPurchaseEdges(spark, base).count()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def artifactDir(): Path = fs.listStatus(new Path(wh)).map(_.getPath)
+      .filter(_.getName.startsWith("graft_copurch_edges_"))
+      .maxBy(p => fs.getFileStatus(p).getModificationTime)
+    val gen0 = artifactDir()
+    val gen0Files = fs.listStatus(gen0).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    // the shard: a BRAND-NEW order whose basket repeats a part pair that
+    // already co-occurs — the delta generation must repeat a committed
+    // (src, dst) key, and the merge must SUM the two generations
+    val existingPair = graft.ext.Graph.coPurchaseEdges(spark, base)
+      .filter(col("src") < col("dst"))
+      .orderBy(col("src").asc, col("dst").asc).limit(1).head
+    val (pa, pb) = (existingPair.getLong(0), existingPair.getLong(1))
+    val wBefore = existingPair.getLong(2)
+    val maxOrder = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    val liCols = li.columns.toSeq
+    val extra = li.limit(1).drop("l_orderkey", "l_partkey")
+      .crossJoin(spark.range(2).withColumnRenamed("id", "__i"))
+      .withColumn("l_orderkey", lit(maxOrder + 77L))
+      .withColumn("l_partkey",
+        when(col("__i") === 0L, lit(pa)).otherwise(lit(pb)))
+      .select(liCols.map(col): _*)
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/lineitem.parquet", extra)
+    val refreshed = graft.ext.Graph.coPurchaseEdges(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1)
+    assert(Layout.buildCount.get === b0,
+      "edge append must take the generational path, not rebuild")
+    // committed edge rows were NOT rewritten: gen0's files link forward
+    val gen1 = artifactDir()
+    assert(gen1.getName !== gen0.getName)
+    val gen1Files = fs.listStatus(gen1).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    assert(gen0Files.subsetOf(gen1Files),
+      s"gen0 edge files must link forward: missing ${gen0Files -- gen1Files}")
+    assert((gen1Files -- gen0Files).nonEmpty, "delta bucket files expected")
+    assert(fs.exists(new Path(gen1, "_graft_gen")),
+      "edge artifact must carry its generation marker")
+    // the duplicated key exists TWICE raw, ONCE merged, with summed w
+    val raw = spark.read.parquet(gen1.toString)
+      .filter(col("src") === pa && col("dst") === pb)
+    assert(raw.count() === 2L, "delta must repeat the committed key")
+    val mergedW = refreshed
+      .filter(col("src") === pa && col("dst") === pb)
+      .head.getLong(2)
+    assert(mergedW === wBefore + 1L, "generations must weight-sum at read")
+    // and the merged view equals a from-scratch rebuild
+    copyDir(s"$base/lineitem.parquet", s"$pristine/lineitem.parquet")
+    val rebuilt = graft.ext.Graph.coPurchaseEdges(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "generational edge artifact diverged from the full rebuild")
+  }
+
   test("copurch_census refreshes append-only and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_census_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_census_full").toString + "/d"
