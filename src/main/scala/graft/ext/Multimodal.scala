@@ -1126,6 +1126,46 @@ object Multimodal {
     c * math.cos((2 * i + 1) * j * math.Pi / 16.0)
   }
 
+  /** The reference separable IDCT of T.81 §A.3.3 over one dequantized
+    * natural-order 8×8 block, level-shifted +128 and clamped into
+    * `plane` at (x0, y0) with row stride `pw`. `tmp` is caller-owned
+    * 64-slot scratch (hot loop — no per-block allocation). Shared by the
+    * sequential scan decoder and the progressive finish pass.
+    */
+  private def jpegIdct(
+      coef: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, x0: Int, y0: Int): Unit = {
+    // rows then columns (separable)
+    var i = 0
+    while (i < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          acc += jpegCos(x)(u) * coef(i * 8 + u); u += 1
+        }
+        tmp(i * 8 + x) = acc / 2.0
+        x += 1
+      }
+      i += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += jpegCos(y)(v) * tmp(v * 8 + x); v += 1 }
+        val px = (math.round(acc / 2.0) + 128).toInt
+        plane((y0 + y) * pw + x0 + x) =
+          (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+        x += 1
+      }
+      y += 1
+    }
+  }
+
   /** Decoded scan state: per-component sample planes at their padded
     * MCU-grid strides, plus the sampling geometry needed to assemble
     * either the luma plane or full-resolution RGB.
@@ -1134,23 +1174,28 @@ object Multimodal {
       w: Int, h: Int, planes: Array[Array[Byte]], padW: Array[Int],
       cH: Array[Int], cV: Array[Int], hMax: Int, vMax: Int)
 
-  /** Decode the LUMA (Y) plane of a BASELINE sequential JPEG — pure
-    * public ITU-T T.81 math in the JVM (marker walk per §B, canonical
-    * Huffman per §F.2.2, byte unstuffing, restart-interval resync, the
+  /** Decode the LUMA (Y) plane of a Huffman-coded JPEG — pure public
+    * ITU-T T.81 math in the JVM (marker walk per §B, canonical Huffman
+    * per §F.2.2, byte unstuffing, restart-interval resync, the
     * reference separable IDCT of §A.3.3), the zlib/LZW precedent
     * extended to the dominant web image format. Only the Y component is
     * dequantized + inverse-transformed: the block-mean hash needs luma
     * alone, and JPEG's Y IS BT.601 luma — the same 299/587/114 weights
     * [[rasterPHash]] computes from RGB — so a JPEG re-encode hashes
-    * within a few bits of its BMP/PNG source. Chroma blocks are still
-    * entropy-decoded (the bitstream interleaves them) and dropped.
+    * within a few bits of its BMP/PNG source. In a sequential frame the
+    * chroma blocks are still entropy-decoded (the bitstream interleaves
+    * them) and dropped; in a progressive frame chroma-only scans are
+    * byte-SKIPPED outright (scans are independent given the coefficient
+    * state — the luma path never pays for chroma refinement passes).
     *
-    * SOF0 and SOF1 (both Huffman sequential) are accepted; progressive
-    * (SOF2), arithmetic-coded, hierarchical, 12-bit, >4-component and
-    * malformed streams return None — the documented stub path, never a
-    * guess. Returns (width, height, row-major Y samples) at the Y
-    * component's own sampling resolution ([[rasterPHash]] is
-    * resolution-invariant, so subsampled luma hashes identically).
+    * SOF0/SOF1 (Huffman sequential) and SOF2 (Huffman progressive —
+    * spectral selection + successive approximation per §G, see
+    * [[jpegProgScan]]) are accepted; arithmetic-coded, hierarchical,
+    * lossless, 12-bit, >4-component and malformed streams return None —
+    * the documented stub path, never a guess. Returns (width, height,
+    * row-major Y samples) at the Y component's own sampling resolution
+    * ([[rasterPHash]] is resolution-invariant, so subsampled luma hashes
+    * identically).
     */
   private[ext] def jpegLuma(
       bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
@@ -1166,8 +1211,8 @@ object Multimodal {
       (lumaW, lumaH, out)
     }
 
-  /** FULL-pixel decode of a baseline JPEG — every component
-    * inverse-transformed, chroma nearest-neighbor-upsampled to the frame
+  /** FULL-pixel decode of a Huffman JPEG (sequential or progressive) —
+    * every component inverse-transformed, chroma nearest-neighbor-upsampled to the frame
     * grid, JFIF YCbCr→RGB (the public BT.601 full-range matrix) for
     * 3-component scans and grayscale replication for 1-component; 2/4-
     * component (CMYK etc.) return None. Returns (width, height, RGB
@@ -1211,7 +1256,7 @@ object Multimodal {
       Some((d.w, d.h, rgb))
     }
 
-  /** [[bmpFeatures]] for baseline JPEG payloads — channel means + luma
+  /** [[bmpFeatures]] for JPEG payloads — channel means + luma
     * histogram over the fully decoded pixels.
     */
   private[ext] def jpegFeatures(
@@ -1236,15 +1281,35 @@ object Multimodal {
       // per SOF component: id, hSamp, vSamp, quant-table id
       var cId: Array[Int] = null; var cH: Array[Int] = null
       var cV: Array[Int] = null; var cQ: Array[Int] = null
+      // progressive (SOF2) state: per-component quantized-coefficient
+      // grids in zigzag order, accumulated across the frame's scans
+      // (T.81 §G.1), IDCT'd only at EOI
+      var progressive = false
+      var progCoefs: Array[Array[Int]] = null
+      var progScans = 0
+      var hMax = 1; var vMax = 1
+      // position override after a progressive scan's entropy bytes (the
+      // walk otherwise advances by segment length)
+      var oProg = -1
       var o = 2
-      while (o + 4 <= bytes.length) {
+      // 2-byte bound: EOI can be the last two bytes of the stream (a
+      // progressive frame finishes exactly there); payload-bearing
+      // markers re-check their own length bytes below
+      while (o + 2 <= bytes.length) {
         if ((bytes(o) & 0xFF) != 0xFF) throw JpegBail
         var m = bytes(o + 1) & 0xFF
         o += 2
         while (m == 0xFF && o < bytes.length) { // fill bytes
           m = bytes(o) & 0xFF; o += 1
         }
-        if (m == 0xD9) return None // EOI before any scan
+        if (m == 0xD9) {
+          // EOI: a progressive frame finishes HERE — dequant + IDCT the
+          // accumulated coefficients (any earlier EOI means no scan data)
+          return if (progressive && progScans > 0)
+            Some(jpegProgFinish(w, h, nComp, cH, cV, cQ, qt, hMax, vMax,
+              progCoefs, lumaOnly))
+          else None
+        }
         if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) {
           // standalone marker, no payload
         } else {
@@ -1254,7 +1319,8 @@ object Multimodal {
           val seg = o + 2
           val segEnd = o + len
           m match {
-            case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+            case 0xC0 | 0xC1 | 0xC2 => // Huffman sequential / progressive
+              progressive = m == 0xC2
               if (segEnd - seg < 6) throw JpegBail
               if ((bytes(seg) & 0xFF) != 8) return None // 12-bit → stub
               h = ((bytes(seg + 1) & 0xFF) << 8) | (bytes(seg + 2) & 0xFF)
@@ -1275,9 +1341,31 @@ object Multimodal {
                   cQ(c) > 3) return None
                 c += 1
               }
-            case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+              hMax = 1; vMax = 1
+              c = 0
+              while (c < nComp) {
+                hMax = math.max(hMax, cH(c)); vMax = math.max(vMax, cV(c))
+                c += 1
+              }
+              if (progressive) {
+                // coefficient grids on the padded MCU block grid; Int
+                // per coefficient — cap the total like the plane cap
+                // (a 64 MP progressive luma alone would be 256 MB)
+                val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+                val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                var total = 0L
+                c = 0
+                while (c < nComp) {
+                  total += (mcusX * cH(c)).toLong * (mcusY * cV(c)) * 64 * 4
+                  c += 1
+                }
+                if (total > 256L * 1024 * 1024) return None
+                progCoefs = Array.tabulate(nComp)(c =>
+                  new Array[Int](mcusX * cH(c) * mcusY * cV(c) * 64))
+              }
+            case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                 0xCD | 0xCE | 0xCF =>
-              return None // progressive/lossless/arithmetic → stub path
+              return None // lossless/arithmetic/hierarchical → stub path
             case 0xC4 => // DHT, possibly several tables per segment
               var p = seg
               while (p < segEnd) {
@@ -1324,7 +1412,7 @@ object Multimodal {
                 bytes(seg + 1) == 'd' && bytes(seg + 2) == 'o' &&
                 bytes(seg + 3) == 'b' && bytes(seg + 4) == 'e')
                 adobeTransform = bytes(segEnd - 1) & 0xFF
-            case 0xDA => // SOS — decode the single sequential scan
+            case 0xDA => // SOS
               if (cId == null) throw JpegBail
               // a len==2 SOS leaves seg == segEnd: bound BEFORE the ns
               // read, matching the DHT/DQT/DRI/SOF discipline (the
@@ -1337,29 +1425,93 @@ object Multimodal {
                 (cId(0) == 'R' && cId(1) == 'G' && cId(2) == 'B')))
                 return None
               val ns = bytes(seg) & 0xFF
-              if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3)
-                return None // multi-scan sequential → stub path
-              // scan component order must map onto SOF components
-              val scanIdx = new Array[Int](ns)
-              val dcTab = new Array[JpegHuff](ns)
-              val acTab = new Array[JpegHuff](ns)
-              var s = 0
-              while (s < ns) {
-                val cs = bytes(seg + 1 + 2 * s) & 0xFF
-                val tdta = bytes(seg + 2 + 2 * s) & 0xFF
-                val idx = cId.indexOf(cs)
-                if (idx < 0) throw JpegBail
-                scanIdx(s) = idx
-                dcTab(s) = huffDc(tdta >> 4)
-                acTab(s) = huffAc(tdta & 15)
-                if (dcTab(s) == null || acTab(s) == null) throw JpegBail
-                s += 1
+              if (progressive) {
+                // one of the frame's MANY scans (T.81 §G): spectral
+                // selection [Ss, Se] at successive-approximation bit Al
+                if (ns < 1 || ns > nComp ||
+                  segEnd - seg < 1 + 2 * ns + 3) throw JpegBail
+                val scanIdx = new Array[Int](ns)
+                val dcTab = new Array[JpegHuff](ns)
+                val acTab = new Array[JpegHuff](ns)
+                var s = 0
+                while (s < ns) {
+                  val cs = bytes(seg + 1 + 2 * s) & 0xFF
+                  val tdta = bytes(seg + 2 + 2 * s) & 0xFF
+                  val idx = cId.indexOf(cs)
+                  if (idx < 0) throw JpegBail
+                  scanIdx(s) = idx
+                  dcTab(s) = huffDc(tdta >> 4)
+                  acTab(s) = huffAc(tdta & 15)
+                  s += 1
+                }
+                val ss = bytes(seg + 1 + 2 * ns) & 0xFF
+                val se = bytes(seg + 2 + 2 * ns) & 0xFF
+                val ahal = bytes(seg + 3 + 2 * ns) & 0xFF
+                val ah = ahal >> 4; val al = ahal & 15
+                // §G.1 scan constraints: DC scans cover exactly [0, 0]
+                // (and may interleave); AC scans cover [Ss≥1, Se≤63] of
+                // ONE component; Al ≤ 13 bounds the shifted magnitudes
+                if (ss == 0) { if (se != 0) throw JpegBail }
+                else if (ns != 1 || se < ss || se > 63) throw JpegBail
+                if (ah > 13 || al > 13) throw JpegBail
+                // tables are load-bearing only where the scan reads
+                // codes: DC-first needs its DC table, AC scans their AC
+                // table; refinement-DC reads raw bits only
+                s = 0
+                while (s < ns) {
+                  if (ss == 0 && ah == 0 && dcTab(s) == null) throw JpegBail
+                  if (ss > 0 && acTab(s) == null) throw JpegBail
+                  s += 1
+                }
+                progScans += 1
+                // a scan that cannot touch the luma coefficients is
+                // byte-skipped entirely under lumaOnly (no entropy
+                // decode — scans are independent given the coef state)
+                val afterScan =
+                  if (lumaOnly && !scanIdx.contains(0)) segEnd
+                  else jpegProgScan(bytes, segEnd, w, h, cH, cV, hMax,
+                    vMax, progCoefs, scanIdx, dcTab, acTab, ss, se, ah,
+                    al, restart)
+                // realign the marker walk to the next true marker after
+                // the scan's entropy bytes (stuffed FF00s and stray RSTn
+                // are data, not structure)
+                var p = afterScan
+                var found = -1
+                while (found < 0 && p + 1 < bytes.length) {
+                  if ((bytes(p) & 0xFF) != 0xFF) p += 1
+                  else {
+                    val m2 = bytes(p + 1) & 0xFF
+                    if (m2 == 0x00 || (m2 >= 0xD0 && m2 <= 0xD7)) p += 2
+                    else found = p
+                  }
+                }
+                if (found < 0) throw JpegBail
+                oProg = found
+              } else {
+                if (ns != nComp || segEnd - seg < 1 + 2 * ns + 3)
+                  return None // multi-scan sequential → stub path
+                // scan component order must map onto SOF components
+                val scanIdx = new Array[Int](ns)
+                val dcTab = new Array[JpegHuff](ns)
+                val acTab = new Array[JpegHuff](ns)
+                var s = 0
+                while (s < ns) {
+                  val cs = bytes(seg + 1 + 2 * s) & 0xFF
+                  val tdta = bytes(seg + 2 + 2 * s) & 0xFF
+                  val idx = cId.indexOf(cs)
+                  if (idx < 0) throw JpegBail
+                  scanIdx(s) = idx
+                  dcTab(s) = huffDc(tdta >> 4)
+                  acTab(s) = huffAc(tdta & 15)
+                  if (dcTab(s) == null || acTab(s) == null) throw JpegBail
+                  s += 1
+                }
+                return jpegDecodeScan(bytes, segEnd, w, h, scanIdx, cH, cV,
+                  cQ, qt, dcTab, acTab, restart, lumaOnly)
               }
-              return jpegDecodeScan(bytes, segEnd, w, h, scanIdx, cH, cV,
-                cQ, qt, dcTab, acTab, restart, lumaOnly)
             case _ => () // APPn / COM / unknown: skip by length
           }
-          o = segEnd
+          o = if (oProg >= 0) { val t = oProg; oProg = -1; t } else segEnd
         }
       }
       None // ran off the end without a scan
@@ -1449,39 +1601,9 @@ object Multimodal {
             }
             if (s < decodeComps) {
               // dequantized block → reference IDCT → component plane
-              val pw = padW(s)
-              val plane = planes(s)
-              val x0 = ((mcu % mcusX) * cH(s) + bx) * 8
-              val y0 = ((mcu / mcusX) * cV(s) + by) * 8
-              // rows then columns (separable)
-              var i = 0
-              while (i < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var u = 0
-                  while (u < 8) {
-                    acc += jpegCos(x)(u) * coef(i * 8 + u); u += 1
-                  }
-                  tmp(i * 8 + x) = acc / 2.0
-                  x += 1
-                }
-                i += 1
-              }
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var acc = 0.0
-                  var v = 0
-                  while (v < 8) { acc += jpegCos(y)(v) * tmp(v * 8 + x); v += 1 }
-                  val px = (math.round(acc / 2.0) + 128).toInt
-                  plane((y0 + y) * pw + x0 + x) =
-                    (if (px < 0) 0 else if (px > 255) 255 else px).toByte
-                  x += 1
-                }
-                y += 1
-              }
+              jpegIdct(coef, tmp, planes(s), padW(s),
+                ((mcu % mcusX) * cH(s) + bx) * 8,
+                ((mcu / mcusX) * cV(s) + by) * 8)
             }
             bx += 1
           }
@@ -1494,7 +1616,212 @@ object Multimodal {
     Some(JpegPlanes(w, h, planes.take(decodeComps), padW, cH, cV, hMax, vMax))
   }
 
-  /** [[bmpPHash]] for baseline JPEG payloads — the block-mean kernel
+  /** One PROGRESSIVE scan (T.81 §G.1.2): updates the per-component
+    * zigzag-order quantized-coefficient grids in place and returns the
+    * byte position after the scan's entropy-coded segment. Four scan
+    * kinds: DC first (Huffman diff, shifted left Al), DC refinement (one
+    * raw bit per block), AC first (EOB-run-coded spectral band §G.1.2.2),
+    * AC refinement (correction bits + ±1«Al insertions, §G.1.2.3).
+    * Interleaved scans (ns>1, DC only) walk MCUs; single-component scans
+    * walk the component's OWN block raster (§A.2.2, ceil(compW/8) wide —
+    * the padded MCU grid is only the storage stride). Restart intervals
+    * resync the bit reader and reset DC predictors and the EOB run.
+    * Throws [[JpegBail]] on any malformation ([[jpegParse]] catches).
+    */
+  private def jpegProgScan(
+      bytes: Array[Byte], start: Int, w: Int, h: Int,
+      cHs: Array[Int], cVs: Array[Int], hMax: Int, vMax: Int,
+      coefs: Array[Array[Int]], scanIdx: Array[Int],
+      dcTab: Array[JpegHuff], acTab: Array[JpegHuff],
+      ss: Int, se: Int, ah: Int, al: Int, restart: Int): Int = {
+    val br = new JpegBits(bytes, start)
+    val ns = scanIdx.length
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val dcPred = new Array[Int](ns)
+    var eobrun = 0
+    var rst = 0
+    def resync(): Unit = {
+      br.syncRst(rst % 8); rst += 1
+      java.util.Arrays.fill(dcPred, 0); eobrun = 0
+    }
+    // ---- per-block kernels over one zigzag-order 64-coef window ----
+    def dcBlock(s: Int, cf: Array[Int], base: Int): Unit =
+      if (ah == 0) {
+        val t = dcTab(s).decode(br)
+        if (t > 15) throw JpegBail
+        dcPred(s) += jpegExtend(br.receive(t), t)
+        cf(base) = dcPred(s) << al
+      } else if (br.bit() == 1) cf(base) |= (1 << al)
+    def acFirst(s: Int, cf: Array[Int], base: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = acTab(s).decode(br)
+        val r = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16 // ZRL: 16 zero coefficients
+          else {
+            eobrun = (1 << r) - 1 // EOBn: this block + 2^r-1+ext more
+            if (r > 0) eobrun += br.receive(r)
+            k = 64
+          }
+        } else {
+          k += r
+          if (k > se) throw JpegBail
+          cf(base + k) = jpegExtend(br.receive(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+    def acRefine(s: Int, cf: Array[Int], base: Int): Unit = {
+      val p1 = 1 << al; val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (br.bit() == 1 && (cf(z) & p1) == 0)
+          cf(z) += (if (cf(z) >= 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        var done = false
+        while (!done && k <= se) {
+          val rs = acTab(s).decode(br)
+          var r = rs >> 4; val sz = rs & 15
+          var insert = 0
+          if (sz == 0) {
+            if (r < 15) { // EOBn begins; the tail below corrects to Se
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.receive(r)
+              done = true
+            }
+            // r == 15: a run of 16 zero-HISTORY coefficients
+          } else {
+            if (sz != 1) throw JpegBail // §G.1.2.3: refinement codes ±1
+            insert = if (br.bit() == 1) p1 else m1
+          }
+          if (!done) {
+            // advance over r zero-history slots, emitting correction
+            // bits for every nonzero-history coefficient passed over
+            var placed = false
+            while (!placed && k <= se) {
+              val z = base + k
+              if (cf(z) != 0) correct(z)
+              else if (r == 0) {
+                if (insert != 0) cf(z) = insert
+                placed = true
+              } else r -= 1
+              k += 1
+            }
+            if (!placed && insert != 0) throw JpegBail // ran off the band
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = base + k
+          if (cf(z) != 0) correct(z)
+          k += 1
+        }
+        eobrun -= 1
+      }
+    }
+    if (ns > 1) {
+      // interleaved DC scan: MCU walk (ss==0 enforced by the caller)
+      var blocksPerMcu = 0
+      var s = 0
+      while (s < ns) {
+        blocksPerMcu += cHs(scanIdx(s)) * cVs(scanIdx(s)); s += 1
+      }
+      if (blocksPerMcu > 10) throw JpegBail // T.81 B.2.3 bound
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restart > 0 && mcu > 0 && mcu % restart == 0) resync()
+        s = 0
+        while (s < ns) {
+          val c = scanIdx(s)
+          val cf = coefs(c)
+          val bw = mcusX * cHs(c)
+          var by = 0
+          while (by < cVs(c)) {
+            var bx = 0
+            while (bx < cHs(c)) {
+              val row = (mcu / mcusX) * cVs(c) + by
+              val colI = (mcu % mcusX) * cHs(c) + bx
+              dcBlock(s, cf, (row * bw + colI) * 64)
+              bx += 1
+            }
+            by += 1
+          }
+          s += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan over the component's real block raster
+      val c = scanIdx(0)
+      val cf = coefs(c)
+      val bw = mcusX * cHs(c) // storage stride in blocks
+      val compW = (w * cHs(c) + hMax - 1) / hMax
+      val compH = (h * cVs(c) + vMax - 1) / vMax
+      val nbx = (compW + 7) / 8
+      val nby = (compH + 7) / 8
+      var i = 0
+      val total = nbx * nby
+      while (i < total) {
+        if (restart > 0 && i > 0 && i % restart == 0) resync()
+        val base = ((i / nbx) * bw + (i % nbx)) * 64
+        if (ss == 0) dcBlock(0, cf, base)
+        else if (ah == 0) acFirst(0, cf, base)
+        else acRefine(0, cf, base)
+        i += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Progressive finish (at EOI): dequantize the accumulated zigzag
+    * coefficient grids and IDCT every stored block into per-component
+    * sample planes — the same [[JpegPlanes]] contract as
+    * [[jpegDecodeScan]], so [[jpegLuma]]/[[jpegPixels]] serve both
+    * coding processes identically. Components are in SOF order (a
+    * progressive frame's scans may order components freely; the frame
+    * header order is the stable one).
+    */
+  private def jpegProgFinish(
+      w: Int, h: Int, nComp: Int, cH: Array[Int], cV: Array[Int],
+      cQ: Array[Int], qt: Array[Array[Int]], hMax: Int, vMax: Int,
+      coefs: Array[Array[Int]], lumaOnly: Boolean): JpegPlanes = {
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val decodeComps = if (lumaOnly) 1 else nComp
+    val padW = Array.tabulate(nComp)(c => mcusX * cH(c) * 8)
+    val planes = new Array[Array[Byte]](decodeComps)
+    val nat = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var c = 0
+    while (c < decodeComps) {
+      val bw = mcusX * cH(c)
+      val bh = mcusY * cV(c)
+      val plane = new Array[Byte](padW(c) * bh * 8)
+      val qtab = qt(cQ(c))
+      val cf = coefs(c)
+      var b = 0
+      val total = bw * bh
+      while (b < total) {
+        val base = b * 64
+        var k = 0
+        while (k < 64) {
+          nat(jpegZigzag(k)) = cf(base + k) * qtab(k); k += 1
+        }
+        jpegIdct(nat, tmp, plane, padW(c), (b % bw) * 8, (b / bw) * 8)
+        b += 1
+      }
+      planes(c) = plane
+      c += 1
+    }
+    JpegPlanes(w, h, planes, padW, cH, cV, hMax, vMax)
+  }
+
+  /** [[bmpPHash]] for JPEG payloads — the block-mean kernel
     * directly over the decoded Y plane (Y IS the BT.601 luma the RGB
     * paths compute), closing the cross-format family: a JPEG re-encode
     * of a BMP/PNG/GIF pairs at low Hamming in [[mediaNearDup]].

@@ -1927,6 +1927,102 @@ class MultimodalSpec extends SparkSpec {
       Array(0xFF, 0xD8).map(_.toByte) ++ dqt ++ sofRgb ++ sosRgb).isEmpty)
   }
 
+  /** A PROGRESSIVE JPEG encoded by javax.imageio — the JDK writer emits
+    * a real SOF2 multi-scan script (interleaved DC first, per-component
+    * spectral-selection AC scans, successive-approximation refinements)
+    * when progressive mode is requested: a production progressive
+    * encoder against our T.81 §G decoder.
+    */
+  private def jpegProgressive(
+      w: Int, h: Int, rgb: (Int, Int) => Int,
+      grayscale: Boolean = false): Array[Byte] = {
+    val typ =
+      if (grayscale) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, typ)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  /** True iff the stream's FRAME HEADER is SOF2 (checked by segment
+    * walk up to the first scan — raw byte search could hit entropy data).
+    */
+  private def isSof2(jpg: Array[Byte]): Boolean = {
+    var o = 2
+    while (o + 4 <= jpg.length) {
+      val m = jpg(o + 1) & 0xFF
+      if (m == 0xC2) return true
+      if (m == 0xDA || (m >= 0xC0 && m <= 0xC1)) return false
+      o += 2 + (((jpg(o + 2) & 0xFF) << 8) | (jpg(o + 3) & 0xFF))
+    }
+    false
+  }
+
+  test("progressive JPEG (SOF2): full §G decode matches ImageIO; pairs cross-format") {
+    // the JDK writer must actually emit a progressive frame, or this
+    // test is vacuous
+    val w = 48; val h = 32
+    val jpg = jpegProgressive(w, h,
+      (x, y) => ((x * 4) << 16) | ((y * 6) << 8) | 128)
+    assert(isSof2(jpg), "ImageIO progressive mode must emit SOF2")
+    // color conformance: same divergence bounds as the baseline test
+    // (nearest-neighbor vs triangle chroma upsample differences only)
+    val (dw, dh, rgb) = Multimodal.jpegPixels(jpg).get
+    assert(dw === w && dh === h)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var sum = 0L; var maxD = 0
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val ours = rgb((y * w + x) * 3 + c) & 0xFF
+      val theirs = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xFF
+      val d = math.abs(ours - theirs)
+      sum += d; maxD = math.max(maxD, d)
+    }
+    assert(maxD <= 24, s"max channel divergence $maxD")
+    assert(sum.toDouble / (w * h * 3) <= 3.0,
+      s"mean channel divergence ${sum.toDouble / (w * h * 3)}")
+    // grayscale progressive (single component, AC scans non-interleaved)
+    val grad = (x: Int, y: Int) => { val g = (x * 5 + y * 3) & 0xFF
+      (g << 16) | (g << 8) | g }
+    val gjpg = jpegProgressive(40, 24, grad, grayscale = true)
+    assert(isSof2(gjpg))
+    val (gw, gh, yPlane) = Multimodal.jpegLuma(gjpg).get
+    val gref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gjpg))
+    var gmax = 0
+    for (y <- 0 until gh; x <- 0 until gw) {
+      // raster sample, NOT getRGB (linear-gray → sRGB would skew levels)
+      val d = math.abs((yPlane(y * gw + x) & 0xFF) -
+        gref.getRaster.getSample(x, y, 0))
+      gmax = math.max(gmax, d)
+    }
+    assert(gmax <= 4,
+      s"grayscale progressive luma diverged $gmax from ImageIO")
+    // cross-format perceptual identity: a progressive re-encode pairs
+    // with the BMP source at low Hamming, like the baseline path
+    val topBottom = (x: Int, y: Int) => if (y < 32) 230 else 25
+    val pj = jpegProgressive(64, 64,
+      (x, y) => { val g = topBottom(x, y); (g << 16) | (g << 8) | g })
+    val viaProg = Multimodal.jpegPHash(pj).get
+    val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, topBottom)).get
+    assert(hamming(viaProg, viaBmp) <= 4,
+      s"progressive re-encode drifted ${hamming(viaProg, viaBmp)} bits")
+    // malformed: truncation mid-scan and EOI-less streams take the
+    // stub path (None), never a throw
+    assert(Multimodal.jpegPixels(jpg.dropRight(20)).isEmpty)
+    assert(Multimodal.jpegPixels(jpg.dropRight(2)).isEmpty,
+      "a progressive stream without EOI must not decode")
+    assert(Multimodal.jpegLuma(gjpg.take(gjpg.length / 2)).isEmpty)
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =
