@@ -293,12 +293,19 @@ object Layout {
       // GC LAST: a stale sibling may have just served as the refresh
       // predecessor — it must survive until the new copy is committed
       dropStaleDerived(spark, family, dirTag, table)
-      // a generational artifact is served through its merge — collapses
-      // multi-generation rows; identity over a single generation, and
-      // exchange-free when the merge groups on a bucket-key superset
+      // a MULTI-generation artifact is served through its merge (the
+      // generation marker is written by every append commit); a single
+      // generation — fresh build, compaction, or a pre-generational
+      // committed dir — has unique keys already, and skipping the
+      // identity merge keeps a 100 TB consumer scan free of a
+      // full-artifact hash-agg it doesn't need (tier J measured the
+      // always-merge form costing every edge consumer 2-3× at 240M rows)
       refreshGen match {
-        case Some(g) => g.merge(spark.table(table))
-        case None => spark.table(table)
+        case Some(g)
+            if readText(fs, new org.apache.hadoop.fs.Path(wh, GenFile))
+              .isDefined =>
+          g.merge(spark.table(table))
+        case _ => spark.table(table)
       }
     }
   }

@@ -615,7 +615,10 @@ object Marketplace {
     * artifact (|parts|+1 rows, same MaxBasket universe and refresh
     * contract as the edges), NOT a per-call distinct+groupBy over the
     * raw fact table: at tier-J scale the raw-fact denominators were 95%
-    * of this query's cost. Top-k by support is a TakeOrdered.
+    * of this query's cost. The k winners are selected BEFORE the
+    * denominator joins (TakeOrdered over the bucketed edge scan — the
+    * ranking key is edge-local and the census joins are 1:1), so the
+    * census attaches to k rows by broadcast, never to the pair frame.
     */
   def partAffinity(
       spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
@@ -628,11 +631,21 @@ object Marketplace {
       .filter(col("src") < col("dst"))
       .select(col("src").as("pa"), col("dst").as("pb"),
         col("w").cast("long").as("n_both"))
-    pairs
-      .join(partCounts.select(col("l_partkey").as("pa"),
-        col("__pc").as("__ca")), Seq("pa"))
-      .join(partCounts.select(col("l_partkey").as("pb"),
-        col("__pc").as("__cb")), Seq("pb"))
+    // top-k FIRST: the ranking key (n_both, pa, pb) is fully determined
+    // by the edge row, and the census joins below are 1:1 and
+    // non-filtering (every part in a bounded-basket pair has a census
+    // row), so selecting the k winners before attaching denominators is
+    // row-identical — and turns two full-pair-frame shuffle joins (the
+    // tier-J 100× cost: 120M pairs × 20M parts, twice) into one
+    // TakeOrdered over the bucketed edge scan plus two broadcast probes
+    // of the k-row frame against the bucketed census scan
+    val top = pairs
+      .orderBy(col("n_both").desc, col("pa").asc, col("pb").asc)
+      .limit(topK)
+    partCounts.select(col("l_partkey").as("pb"), col("__pc").as("__cb"))
+      .join(broadcast(
+        partCounts.select(col("l_partkey").as("pa"), col("__pc").as("__ca"))
+          .join(broadcast(top), Seq("pa"))), Seq("pb"))
       .join(broadcast(nBaskets))
       .select(col("pa").as("part_a"), col("pb").as("part_b"),
         col("n_both"),
