@@ -747,6 +747,77 @@ class LayoutRefreshSpec extends SparkSpec {
       "generational edge artifact diverged from the full rebuild")
   }
 
+  test("copurch_edges across MANY epochs: generations accumulate, compaction fires, always rebuild-exact") {
+    // eight appended shards walk the edge artifact through generations
+    // 2..8 and across the maxGenerations=8 compaction boundary — every
+    // epoch must stay row-identical to a from-scratch rebuild, and the
+    // 9th-epoch artifact must be back to a single compacted generation
+    val base = Files.createTempDirectory("graft_edge_epochs").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_edge_epochsf").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/lineitem.parquet", s"$base/lineitem.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val liCols = li.columns.toSeq
+    val maxOrder = li.agg(max(col("l_orderkey"))).head.getLong(0)
+    graft.ext.Graph.coPurchaseEdges(spark, base).count()
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def genMarker(): Option[String] = {
+      val dir = fs.listStatus(new Path(wh)).map(_.getPath)
+        .filter(_.getName.startsWith("graft_copurch_edges_"))
+        .maxBy(p => fs.getFileStatus(p).getModificationTime)
+      val p = new Path(dir, "_graft_gen")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      } else None
+    }
+    assert(genMarker() === None)
+    val b0 = Layout.buildCount.get
+    // each epoch: a fresh 2-part order repeating one existing pair, plus
+    // one brand-new pair — generations repeat committed keys every time
+    val seedPair = graft.ext.Graph.coPurchaseEdges(spark, base)
+      .filter(col("src") < col("dst"))
+      .orderBy(col("src").asc, col("dst").asc).limit(1).head
+    val (pa, pb) = (seedPair.getLong(0), seedPair.getLong(1))
+    for (epoch <- 1 to 8) {
+      val extra = li.limit(1).drop("l_orderkey", "l_partkey")
+        .crossJoin(spark.range(4).withColumnRenamed("id", "__i"))
+        .withColumn("l_orderkey",
+          lit(maxOrder + 10L * epoch) + (col("__i") / 2).cast("long"))
+        .withColumn("l_partkey",
+          when(col("__i") % 2 === 0L,
+            when(col("__i") < 2L, lit(pa)).otherwise(lit(900000L + epoch)))
+            .otherwise(
+              when(col("__i") < 2L, lit(pb)).otherwise(lit(910000L + epoch))))
+        .select(liCols.map(col): _*)
+      appendFile(s"$base/lineitem.parquet", extra)
+      val refreshed = graft.ext.Graph.coPurchaseEdges(spark, base)
+      val expectGen = if (epoch < 8) Some((epoch + 1).toString) else None
+      assert(genMarker() === expectGen,
+        s"epoch $epoch: expected generation $expectGen, got ${genMarker()}")
+      // the repeated pair's weight must grow by exactly 1 per epoch
+      assert(refreshed.filter(col("src") === pa && col("dst") === pb)
+        .head.getLong(2) === seedPair.getLong(2) + epoch)
+    }
+    assert(Layout.buildCount.get === b0,
+      "no epoch may fall back to the quadratic build")
+    // epoch 8 crossed maxGenerations → compacted: unique keys on disk
+    val finalDir = fs.listStatus(new Path(wh)).map(_.getPath)
+      .filter(_.getName.startsWith("graft_copurch_edges_"))
+      .maxBy(p => fs.getFileStatus(p).getModificationTime)
+    val raw = spark.read.parquet(finalDir.toString)
+    assert(raw.count() === raw.select("src", "dst").distinct().count(),
+      "compaction must collapse to unique keys")
+    // and the final artifact equals a from-scratch rebuild
+    copyDir(s"$base/lineitem.parquet", s"$pristine/lineitem.parquet")
+    val rebuilt = graft.ext.Graph.coPurchaseEdges(spark, pristine)
+    val refreshed = graft.ext.Graph.coPurchaseEdges(spark, base)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "8-epoch generational artifact diverged from the full rebuild")
+  }
+
   test("copurch_census refreshes append-only and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_census_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_census_full").toString + "/d"
