@@ -290,6 +290,14 @@ class PlanQualitySpec extends SparkSpec {
     val jp = plan("jaccard_prefix")
     assert(!jp.contains("CartesianProduct") &&
       !jp.contains("BroadcastNestedLoopJoin"), jp.take(2000))
+    // part_affinity: the k winners come off the edge scan as a
+    // TakeOrdered, and the census denominators attach to those k rows by
+    // BROADCAST — a SortMergeJoin here means the 100 TB pair frame is
+    // being shuffled against the census again (the tier-J 58.9× shape)
+    val pf = plan("part_affinity")
+    assert(pf.contains("TakeOrderedAndProject"), pf.take(2000))
+    assert(!pf.contains("SortMergeJoin"),
+      s"part_affinity must not shuffle-join the pair frame:\n${pf.take(2000)}")
   }
 
   test("rank-based plans carry no single-reducer window sort (r6 two-level rank)") {
