@@ -149,10 +149,13 @@ object Graph {
     * the merged order stays under the cap; a brand-new order adds 1 to
     * the sentinel; a cap-CROSSING order (old ≤ cap, merged > cap) has
     * memberships counted in the old census that a rebuild would drop —
-    * exactly the edge artifact's inexpressible case, same full-rebuild
-    * fallback. Weight-sum merges across generations keep this on the
-    * `refresh` (rewrite) path — cheap here: the artifact is |parts|+1
-    * rows at any fact scale.
+    * exactly the edge artifact's inexpressible case, same FullRebuild
+    * fallback. Rides the same [[graft.ops.Layout.GenRefresh]] contract
+    * as the edges — the per-epoch delta (touched parts + one sentinel
+    * row) lands as extra bucket files next to the hardlinked base, and
+    * counts sum per part at read while multi-generation: at 100 TB the
+    * part dimension itself can be large enough that even the
+    * |parts|+1-row rewrite should not be paid every ingest epoch.
     */
   private[graft] def basketCensus(
       spark: SparkSession, sfDir: String): DataFrame = {
@@ -166,35 +169,33 @@ object Graph {
     }
     graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_census",
       Seq("lineitem.parquet"), "l_partkey", version = 1,
-      refresh = Some { ctx =>
-        val newRaw = spark.read.parquet(ctx.addedFiles: _*)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        // same touched-order restriction as the edge artifact's delta:
-        // old rows only matter within orders the shard touches
-        val touchedAny = newRaw.select("l_orderkey").distinct()
-        val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
-        val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
-          "left_anti")
-        val touched = newOnly.select("l_orderkey").distinct()
-        val mergedSz = oldRaw.unionByName(newOnly)
-          .join(touched, Seq("l_orderkey"), "left_semi")
-          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
-        val oldSz = oldRaw
-          .join(touched, Seq("l_orderkey"), "left_semi")
-          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
-        // old size in [1, cap]: the old census counted this order (a
-        // 1-part order counts toward pc and the basket total, unlike the
-        // edge artifact's ≥2 bound); old size > cap was already excluded
-        // on both generations, so it cannot cross
-        val crossed = mergedSz.filter(col("__m") > MaxBasket)
-          .join(oldSz, Seq("l_orderkey"), "left")
-          .filter(coalesce(col("__o"), lit(0L)).between(1L, MaxBasket))
-        if (!crossed.isEmpty) {
-          censusOf(Tables.lineitem(spark, sfDir)
-            .select(col("l_orderkey"), col("l_partkey")).distinct())
-        } else {
+      refreshGen = Some(graft.ops.Layout.GenRefresh(
+        delta = { ctx =>
+          val newRaw = spark.read.parquet(ctx.addedFiles: _*)
+            .select(col("l_orderkey"), col("l_partkey")).distinct()
+          // same touched-order restriction as the edge artifact's delta:
+          // old rows only matter within orders the shard touches
+          val touchedAny = newRaw.select("l_orderkey").distinct()
+          val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
+            .select(col("l_orderkey"), col("l_partkey"))
+            .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
+          val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
+            "left_anti")
+          val touched = newOnly.select("l_orderkey").distinct()
+          val mergedSz = oldRaw.unionByName(newOnly)
+            .join(touched, Seq("l_orderkey"), "left_semi")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
+          val oldSz = oldRaw
+            .join(touched, Seq("l_orderkey"), "left_semi")
+            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
+          // old size in [1, cap]: the old census counted this order (a
+          // 1-part order counts toward pc and the basket total, unlike the
+          // edge artifact's ≥2 bound); old size > cap was already excluded
+          // on both generations, so it cannot cross
+          val crossed = mergedSz.filter(col("__m") > MaxBasket)
+            .join(oldSz, Seq("l_orderkey"), "left")
+            .filter(coalesce(col("__o"), lit(0L)).between(1L, MaxBasket))
+          if (!crossed.isEmpty) throw new graft.ops.Layout.FullRebuild
           val okTouched = mergedSz.filter(col("__m") <= MaxBasket)
           val okNew = newOnly
             .join(okTouched.select("l_orderkey"), Seq("l_orderkey"),
@@ -207,10 +208,10 @@ object Graph {
             .filter(coalesce(col("__o"), lit(0L)) === 0L)
             .agg(count(lit(1)).as("pc"))
             .select(lit(-1L).as("l_partkey"), col("pc"))
-          ctx.oldArtifact.unionByName(pcDelta).unionByName(nbDelta)
-            .groupBy(col("l_partkey")).agg(sum(col("pc")).as("pc"))
-        }
-      }) {
+          pcDelta.unionByName(nbDelta)
+        },
+        merge = _.groupBy(col("l_partkey"))
+          .agg(sum(col("pc")).as("pc"))))) {
       censusOf(Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey")).distinct())
     }

@@ -1806,8 +1806,9 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, true)),
       s"BMP and its JPEG re-encode must pair perceptually, got ${pairs.toSeq}")
     // hostile/unsupported payloads refuse — the documented stub path:
-    // progressive frame, scan with no entropy data, truncation mid-scan,
-    // plain text with a JPEG-y prefix
+    // a headers-only SOF2 stream (progressive is now decoded for real,
+    // but this one carries no DHT/scan data), scan with no entropy data,
+    // truncation mid-scan, plain text with a JPEG-y prefix
     assert(Multimodal.jpegLuma(jpegBytes(19, 7, sofMarker = 0xC2)).isEmpty)
     assert(Multimodal.jpegLuma(jpegBytes(16, 16)).isEmpty) // no DHT/data
     assert(Multimodal.jpegLuma(gjpg.dropRight(30)).isEmpty)
@@ -2015,6 +2016,20 @@ class MultimodalSpec extends SparkSpec {
     val viaBmp = Multimodal.bmpPHash(bmpPattern(64, 64, topBottom)).get
     assert(hamming(viaProg, viaBmp) <= 4,
       s"progressive re-encode drifted ${hamming(viaProg, viaBmp)} bits")
+    // ...and through the registered dedup machinery, like the baseline
+    // closure: a BMP and its PROGRESSIVE re-encode pair perceptually
+    import spark.implicits._
+    def checker(x: Int, y: Int): Int =
+      if (((x / 8) + (y / 8)) % 2 == 0) 30 else 225
+    val media = Seq(
+      (1L, "image", bmpPattern(64, 64, checker)),
+      (2L, "image", jpegProgressive(64, 64,
+        (x, y) => { val g = checker(x, y); (g << 16) | (g << 8) | g })))
+      .toDF("media_id", "media_type", "content")
+    val mPairs = Multimodal.mediaNearDupOf(media, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(mPairs.toSeq === Seq((1L, 2L, true)),
+      s"BMP and its progressive re-encode must pair, got ${mPairs.toSeq}")
     // malformed: truncation mid-scan and EOI-less streams take the
     // stub path (None), never a throw
     assert(Multimodal.jpegPixels(jpg.dropRight(20)).isEmpty)
