@@ -1388,12 +1388,15 @@ object Dedup {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "span_rows",
       Seq("documents.parquet"), "span_h",
-      refresh = Some { ctx =>
-        val fresh = docSpansOf(
+      // partition-level append: a landed shard's spans are NEW rows only
+      // (old rows win on a repeated id), so the committed relation
+      // hardlinks forward and only the delta is written — never a
+      // corpus-sized rewrite per ingest epoch
+      refreshDelta = Some { ctx =>
+        docSpansOf(
           spark.read.parquet(ctx.addedFiles: _*), SpanTokensDefault)
           .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(fresh)
       }) {
       docSpansOf(Tables.documents(spark, sfDir), SpanTokensDefault)
     }
@@ -1556,12 +1559,13 @@ object Dedup {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "winnow_sel",
       Seq("documents.parquet"), "fp",
-      refresh = Some { ctx =>
-        val fresh = winnowSelectedOf(
+      // partition-level append, same contract as span_rows: delta rows
+      // only, committed files hardlink forward
+      refreshDelta = Some { ctx =>
+        winnowSelectedOf(
           spark.read.parquet(ctx.addedFiles: _*), WinnowK, WinnowW)
           .join(ctx.oldArtifact.select(col("doc_id")), Seq("doc_id"),
             "left_anti")
-        ctx.oldArtifact.unionByName(fresh)
       }) {
       winnowSelectedOf(Tables.documents(spark, sfDir), WinnowK, WinnowW)
     }

@@ -308,7 +308,13 @@ object Similarity {
     graft.ops.Layout.ensureDerived(
       spark, sfDir, "ivf_cells", Seq("embeddings.parquet"),
       key = "cell", buckets = 32, version = 1,
-      refresh = Some { ctx =>
+      // partition-level append: new vectors assign/encode against the
+      // FROZEN quantizer and land as delta bucket files next to the
+      // hardlinked committed rows — the corpus-sized index is never
+      // rewritten by a shard. An append that invalidates the frozen
+      // seeds (id under the seed ceiling, or a corpus still smaller than
+      // the seed count) signals FullRebuild → the full build re-derives.
+      refreshDelta = Some { ctx =>
         val old = ctx.oldArtifact
         val oldSeeds = collectSeeds(
           old.select(col("vec_id"), col("embedding"), col("norm")), IvfNCells)
@@ -320,12 +326,10 @@ object Similarity {
           case r                  => r.getLong(0)
         }
         if (oldSeeds.size < IvfNCells || minAdded <= oldSeeds.ids.max)
-          full(spark.read.parquet((ctx.priorFiles ++ ctx.addedFiles): _*))
-        else {
-          val addedN = withNorm(spark, added)
-            .select(col("vec_id"), col("embedding"), col("label"), col("__norm"))
-          old.unionByName(derive(addedN, oldSeeds))
-        }
+          throw new graft.ops.Layout.FullRebuild
+        val addedN = withNorm(spark, added)
+          .select(col("vec_id"), col("embedding"), col("label"), col("__norm"))
+        derive(addedN, oldSeeds)
       }) {
       full(Tables.embeddings(spark, sfDir))
     }

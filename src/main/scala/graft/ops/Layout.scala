@@ -269,10 +269,23 @@ object Layout {
                     content.schema.toDDL
                 }
               } else if (refreshDelta.isDefined) {
-                // partition-level append: link old files + write delta
-                commitAppend(spark, fs, table, wh, key, buckets, censusStr,
-                  oldDir, ctx.oldArtifact.schema, refreshDelta.get(ctx))
-                ctx.oldArtifact.schema.toDDL
+                // partition-level append: link old files + write delta;
+                // a kernel whose append invalidates a frozen model
+                // (ivf_cells' seed ceiling) signals FullRebuild
+                val deltaOpt =
+                  try Some(refreshDelta.get(ctx))
+                  catch { case _: FullRebuild => None }
+                deltaOpt match {
+                  case Some(delta) =>
+                    commitAppend(spark, fs, table, wh, key, buckets,
+                      censusStr, oldDir, ctx.oldArtifact.schema, delta)
+                    ctx.oldArtifact.schema.toDDL
+                  case None =>
+                    val content = build
+                    commitBuild(spark, fs, table, wh, key, buckets,
+                      censusStr, content)
+                    content.schema.toDDL
+                }
               } else {
                 val content = refresh.get(ctx)
                 commitBuild(spark, fs, table, wh, key, buckets, censusStr,
