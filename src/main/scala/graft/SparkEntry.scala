@@ -372,7 +372,7 @@ object SparkEntry {
     "kn_score"           -> ((s, d) => TextStats.knScore(s, d)),
     // IVF cells + PQ asymmetric distance: the compressed-domain ANN path
     "knn_ivfpq"          -> ((s, d) => Similarity.ivfPqTopK(s, d)),
-    // ADC shortlist (4×k) → exact-cosine re-rank of shortlist ids only:
+    // ADC shortlist (24×k) → exact-cosine re-rank of shortlist ids only:
     // the deployable compressed-domain retrieval shape
     "knn_ivfpq_rerank"   -> ((s, d) => Similarity.ivfPqRerankTopK(s, d)),
     // PSI over IVF-cell occupancy: drift monitoring for embedding space
@@ -904,12 +904,13 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** Shared WITH-prefix for the IVF-PQ ADC chain (the `knn_ivfpq` /
-    * `ann_recall_ivfpq` CTEs, factored for the re-rank twins): seeds,
-    * codebooks, cell assignment, per-subspace codes, probe routing,
-    * candidate ADC distances, ending in `pqranked` (q_id, c_id, nn_rank
-    * by estimated L2², ties c_id asc). `nemb` carries raw vectors +
-    * norms for exact-cosine tails.
+  /** Shared WITH-prefix for the IVF-PQ ADC chain — the ONE copy all four
+    * compressed-domain twins (`knn_ivfpq`, `ann_recall_ivfpq`,
+    * `knn_ivfpq_rerank`, `ann_recall_ivfpq_rerank`) append their tails
+    * to: seeds, codebooks, cell assignment, per-subspace codes, probe
+    * routing, candidate ADC distances, ending in `pqranked` (q_id, c_id,
+    * l2sq, nn_rank by estimated L2², ties c_id asc). `nemb` carries raw
+    * vectors + norms for exact-cosine tails.
     */
   private val pqAdcOracleCtes: String =
     """WITH emb AS (
@@ -975,7 +976,7 @@ object SparkEntry {
       |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
       |  FROM dists GROUP BY 1, 2
       |), pqranked AS (
-      |  SELECT q_id, c_id,
+      |  SELECT q_id, c_id, l2sq,
       |         row_number() OVER (PARTITION BY q_id
       |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
       |  FROM est
@@ -2053,78 +2054,11 @@ object SparkEntry {
         |       round((p - q) * round(ln(p / q), 6), 6) AS psi_term
         |FROM j
         |ORDER BY cell ASC""".stripMargin,
-    "knn_ivfpq" ->
-      """WITH emb AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS vec
-        |  FROM embeddings
-        |), nemb AS (
-        |  SELECT vec_id, vec,
-        |         sqrt(list_inner_product(vec, vec)) AS nrm
-        |  FROM emb
-        |), cent AS (
-        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
-        |  FROM nemb ORDER BY vec_id ASC LIMIT 16
-        |), cb AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec
-        |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id ASC LIMIT 16)
-        |), cbs AS (
-        |  SELECT j, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
-        |  FROM cb, UNNEST(generate_series(0, 3)) AS w(m)
-        |), subs AS (
-        |  SELECT vec_id, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
-        |  FROM emb, UNNEST(generate_series(0, 3)) AS u(m)
-        |), scores AS (
-        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
-        |  FROM emb e CROSS JOIN cent c
-        |), assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY s DESC, cell ASC) AS rk
-        |    FROM scores) WHERE rk = 1
-        |), codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT s.vec_id, s.m, c.j,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.m
-        |             ORDER BY list_inner_product(c.sub, c.sub)
-        |                        - 2 * list_inner_product(s.sub, c.sub) ASC,
-        |                      c.j ASC) AS rk
-        |    FROM subs s JOIN cbs c ON c.m = s.m) WHERE rk = 1
-        |), probecells AS (
-        |  SELECT vec_id AS q_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY s DESC, cell ASC) AS rk
-        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
-        |), cand AS (
-        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
-        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
-        |  WHERE p.q_id <> a.vec_id
-        |), dists AS (
-        |  SELECT cand.q_id, cand.c_id, co.m,
-        |         list_inner_product(qs.sub, qs.sub)
-        |           - 2 * list_inner_product(qs.sub, c.sub)
-        |           + list_inner_product(c.sub, c.sub) AS d
-        |  FROM cand
-        |  JOIN codes co ON co.vec_id = cand.c_id
-        |  JOIN subs qs ON qs.vec_id = cand.q_id AND qs.m = co.m
-        |  JOIN cbs c ON c.m = co.m AND c.j = co.code
-        |), est AS (
-        |  SELECT q_id, c_id,
-        |         max(CASE WHEN m = 0 THEN d END)
-        |           + max(CASE WHEN m = 1 THEN d END)
-        |           + max(CASE WHEN m = 2 THEN d END)
-        |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
-        |  FROM dists GROUP BY 1, 2
-        |), ranked AS (
-        |  SELECT q_id, c_id, l2sq,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
-        |  FROM est
-        |)
+    "knn_ivfpq" -> (pqAdcOracleCtes +
+      """
         |SELECT q_id, nn_rank, c_id AS neighbor_id, round(l2sq, 6) AS l2sq_est
-        |FROM ranked WHERE nn_rank <= 5
-        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin,
+        |FROM pqranked WHERE nn_rank <= 5
+        |ORDER BY q_id ASC, nn_rank ASC""".stripMargin),
     // ADC shortlist (24×k=120 by estimated L2², the saturating depth for 16-bit codes) → exact-cosine re-rank of
     // the shortlist ids only — the deployable compressed-domain pattern
     "knn_ivfpq_rerank" -> (pqAdcOracleCtes +
@@ -3801,75 +3735,8 @@ object SparkEntry {
     // recall@k of the compressed-domain IVF-PQ retrieval (knn_ivfpq's
     // exact CTE chain) against the brute truth — measures cell pruning
     // AND PQ distortion together
-    "ann_recall_ivfpq" ->
-      """WITH emb AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS vec
-        |  FROM embeddings
-        |), nemb AS (
-        |  SELECT vec_id, vec,
-        |         sqrt(list_inner_product(vec, vec)) AS nrm
-        |  FROM emb
-        |), cent AS (
-        |  SELECT vec_id AS cell, list_transform(vec, x -> x / nrm) AS cvec
-        |  FROM nemb ORDER BY vec_id ASC LIMIT 16
-        |), cb AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j, vec
-        |  FROM (SELECT vec_id, vec FROM emb ORDER BY vec_id ASC LIMIT 16)
-        |), cbs AS (
-        |  SELECT j, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
-        |  FROM cb, UNNEST(generate_series(0, 3)) AS w(m)
-        |), subs AS (
-        |  SELECT vec_id, m, vec[m * 16 + 1 : m * 16 + 16] AS sub
-        |  FROM emb, UNNEST(generate_series(0, 3)) AS u(m)
-        |), scores AS (
-        |  SELECT e.vec_id, c.cell, list_inner_product(e.vec, c.cvec) AS s
-        |  FROM emb e CROSS JOIN cent c
-        |), assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY s DESC, cell ASC) AS rk
-        |    FROM scores) WHERE rk = 1
-        |), codes AS (
-        |  SELECT vec_id, m, j AS code FROM (
-        |    SELECT s.vec_id, s.m, c.j,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.m
-        |             ORDER BY list_inner_product(c.sub, c.sub)
-        |                        - 2 * list_inner_product(s.sub, c.sub) ASC,
-        |                      c.j ASC) AS rk
-        |    FROM subs s JOIN cbs c ON c.m = s.m) WHERE rk = 1
-        |), probecells AS (
-        |  SELECT vec_id AS q_id, cell FROM (
-        |    SELECT vec_id, cell,
-        |           row_number() OVER (PARTITION BY vec_id
-        |                              ORDER BY s DESC, cell ASC) AS rk
-        |    FROM scores WHERE vec_id < 5) WHERE rk <= 4
-        |), cand AS (
-        |  SELECT DISTINCT p.q_id, a.vec_id AS c_id
-        |  FROM probecells p JOIN assigned a ON p.cell = a.cell
-        |  WHERE p.q_id <> a.vec_id
-        |), dists AS (
-        |  SELECT cand.q_id, cand.c_id, co.m,
-        |         list_inner_product(qs.sub, qs.sub)
-        |           - 2 * list_inner_product(qs.sub, c.sub)
-        |           + list_inner_product(c.sub, c.sub) AS d
-        |  FROM cand
-        |  JOIN codes co ON co.vec_id = cand.c_id
-        |  JOIN subs qs ON qs.vec_id = cand.q_id AND qs.m = co.m
-        |  JOIN cbs c ON c.m = co.m AND c.j = co.code
-        |), est AS (
-        |  SELECT q_id, c_id,
-        |         max(CASE WHEN m = 0 THEN d END)
-        |           + max(CASE WHEN m = 1 THEN d END)
-        |           + max(CASE WHEN m = 2 THEN d END)
-        |           + max(CASE WHEN m = 3 THEN d END) AS l2sq
-        |  FROM dists GROUP BY 1, 2
-        |), pqranked AS (
-        |  SELECT q_id, c_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY l2sq ASC, c_id ASC) AS nn_rank
-        |  FROM est
-        |), ivfpq AS (
+    "ann_recall_ivfpq" -> (pqAdcOracleCtes +
+      """, ivfpq AS (
         |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 5
         |), branked AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -3886,7 +3753,7 @@ object SparkEntry {
         |       round(count(l.c_id)::DOUBLE / 5.0, 6) AS recall_at_k
         |FROM brute b LEFT JOIN ivfpq l ON b.q_id = l.q_id AND b.c_id = l.c_id
         |GROUP BY b.q_id
-        |ORDER BY b.q_id ASC""".stripMargin,
+        |ORDER BY b.q_id ASC""".stripMargin),
     // recall of the shortlist→re-rank tier against the same brute truth:
     // should sit at/near the IVF leg (cell pruning is the shared bound),
     // far above the raw ADC row

@@ -53,6 +53,51 @@ object Graph {
         .filter(col("__bs") <= MaxBasket).select("l_orderkey"),
       Seq("l_orderkey"), "left_semi")
 
+  /** Shared append-delta scaffolding for BOTH basket-family artifacts
+    * (edges and census — one copy, so a fix to the dedup or the
+    * cap-crossing predicate can never drift between them):
+    *
+    *   - dedup the shard's (l_orderkey, l_partkey) rows against the
+    *     committed corpus, restricting the old side to delta-TOUCHED
+    *     orders BEFORE the distinct (the dedup shuffle is sized by what
+    *     the shard touches, not the committed corpus);
+    *   - detect cap-CROSSING orders — old size in [`crossLowBound`,
+    *     MaxBasket] (edges need ≥2 rows for the old artifact to hold
+    *     pairs; the census counts 1-part orders too, hence ≥1), merged
+    *     size > MaxBasket — the one case an append cannot express as a
+    *     delta, signalled via [[graft.ops.Layout.FullRebuild]];
+    *   - return `(newOnly, oldRaw, okTouched, oldSz)`: the genuinely-new
+    *     memberships, the old memberships of touched orders, the touched
+    *     orders that stayed under the cap (with their merged size
+    *     `__m`), and the old sizes (`__o`) of touched orders.
+    */
+  private def basketDelta(
+      spark: SparkSession, ctx: graft.ops.Layout.RefreshCtx,
+      crossLowBound: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val newRaw = spark.read.parquet(ctx.addedFiles: _*)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val touchedAny = newRaw.select("l_orderkey").distinct()
+    val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
+    // rows already present before the append contribute nothing new
+    val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
+      "left_anti")
+    val touched = newOnly.select("l_orderkey").distinct()
+    val mergedSz = oldRaw.unionByName(newOnly)
+      .join(touched, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
+    val oldSz = oldRaw
+      .join(touched, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
+    val crossed = mergedSz.filter(col("__m") > MaxBasket)
+      .join(oldSz, Seq("l_orderkey"), "left")
+      .filter(coalesce(col("__o"), lit(0L)).between(crossLowBound, MaxBasket))
+    if (!crossed.isEmpty) throw new graft.ops.Layout.FullRebuild
+    (newOnly, oldRaw, mergedSz.filter(col("__m") <= MaxBasket), oldSz)
+  }
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession, sfDir: String): DataFrame = {
     // baskets ≤ MaxBasket distinct parts; see the guard's scaladoc above
@@ -84,42 +129,13 @@ object Graph {
       // artifact is a valid single generation).
       refreshGen = Some(graft.ops.Layout.GenRefresh(
         delta = { ctx =>
-          val newRaw = spark.read.parquet(ctx.addedFiles: _*)
-            .select(col("l_orderkey"), col("l_partkey")).distinct()
-          // old rows matter ONLY within delta-touched orders — restrict
-          // BEFORE the distinct so the dedup shuffle is sized by the
-          // orders the shard touches, not the whole committed corpus
-          val touchedAny = newRaw.select("l_orderkey").distinct()
-          val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
-            .select(col("l_orderkey"), col("l_partkey"))
-            .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
-          // rows already present before the append contribute nothing new
-          val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
-            "left_anti")
-          // MaxBasket under append: a touched order that CROSSES the cap
-          // (old size ≤ cap, merged size > cap) has pairs in the old
-          // artifact that a from-scratch build would drop — the one case
-          // a delta generation cannot express, so it signals FullRebuild
-          // (rare: it needs one order to grow past MaxBasket in a single
-          // append). Orders already over the cap contribute nothing on
-          // either path; merged-under-cap orders take the normal delta.
-          val touched = newOnly.select("l_orderkey").distinct()
-          val mergedSz = oldRaw.unionByName(newOnly)
-            .join(touched, Seq("l_orderkey"), "left_semi")
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
-          val oldSz = oldRaw
-            .join(touched, Seq("l_orderkey"), "left_semi")
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
-          // old size in [2, cap]: the old artifact holds pairs for the
-          // order (a 0/1-part history has none — pure exclusion suffices)
-          val crossed = mergedSz.filter(col("__m") > MaxBasket)
-            .join(oldSz, Seq("l_orderkey"), "left")
-            .filter(coalesce(col("__o"), lit(0L)).between(2L, MaxBasket))
-          if (!crossed.isEmpty) throw new graft.ops.Layout.FullRebuild
-          val okTouched = mergedSz.filter(col("__m") <= MaxBasket)
-            .select("l_orderkey")
+          // crossLowBound = 2: only orders whose OLD history already held
+          // ≥2 parts have pairs in the committed artifact that a
+          // cap-crossing would orphan (a 0/1-part history has none)
+          val (newOnly, oldRaw, okTouched, _) = basketDelta(spark, ctx, 2L)
+          val okOrders = okTouched.select("l_orderkey")
           def ok(df: DataFrame): DataFrame =
-            df.join(okTouched, Seq("l_orderkey"), "left_semi")
+            df.join(okOrders, Seq("l_orderkey"), "left_semi")
           aggW(
             pairsOf(ok(newOnly), ok(oldRaw.unionByName(newOnly)))
               .unionByName(pairsOf(ok(oldRaw), ok(newOnly))))
@@ -171,32 +187,10 @@ object Graph {
       Seq("lineitem.parquet"), "l_partkey", version = 1,
       refreshGen = Some(graft.ops.Layout.GenRefresh(
         delta = { ctx =>
-          val newRaw = spark.read.parquet(ctx.addedFiles: _*)
-            .select(col("l_orderkey"), col("l_partkey")).distinct()
-          // same touched-order restriction as the edge artifact's delta:
-          // old rows only matter within orders the shard touches
-          val touchedAny = newRaw.select("l_orderkey").distinct()
-          val oldRaw = spark.read.parquet(ctx.priorFiles: _*)
-            .select(col("l_orderkey"), col("l_partkey"))
-            .join(touchedAny, Seq("l_orderkey"), "left_semi").distinct()
-          val newOnly = newRaw.join(oldRaw, Seq("l_orderkey", "l_partkey"),
-            "left_anti")
-          val touched = newOnly.select("l_orderkey").distinct()
-          val mergedSz = oldRaw.unionByName(newOnly)
-            .join(touched, Seq("l_orderkey"), "left_semi")
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m"))
-          val oldSz = oldRaw
-            .join(touched, Seq("l_orderkey"), "left_semi")
-            .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__o"))
-          // old size in [1, cap]: the old census counted this order (a
-          // 1-part order counts toward pc and the basket total, unlike the
-          // edge artifact's ≥2 bound); old size > cap was already excluded
-          // on both generations, so it cannot cross
-          val crossed = mergedSz.filter(col("__m") > MaxBasket)
-            .join(oldSz, Seq("l_orderkey"), "left")
-            .filter(coalesce(col("__o"), lit(0L)).between(1L, MaxBasket))
-          if (!crossed.isEmpty) throw new graft.ops.Layout.FullRebuild
-          val okTouched = mergedSz.filter(col("__m") <= MaxBasket)
+          // crossLowBound = 1: the old census counted this order already
+          // at 1 part (a 1-part order counts toward pc and the basket
+          // total, unlike the edge artifact's ≥2 pair bound)
+          val (newOnly, _, okTouched, oldSz) = basketDelta(spark, ctx, 1L)
           val okNew = newOnly
             .join(okTouched.select("l_orderkey"), Seq("l_orderkey"),
               "left_semi")

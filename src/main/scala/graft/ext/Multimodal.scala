@@ -1350,18 +1350,25 @@ object Multimodal {
               if (progressive) {
                 // coefficient grids on the padded MCU block grid; Int
                 // per coefficient — cap the total like the plane cap
-                // (a 64 MP progressive luma alone would be 256 MB)
+                // (a 64 MP progressive luma alone would be 256 MB).
+                // Under lumaOnly, chroma grids are never read (chroma AC
+                // scans are byte-skipped; interleaved-DC chroma bits are
+                // consumed but their values dropped), so only the luma
+                // grid is allocated — or charged against the cap
                 val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
                 val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                val nGrids = if (lumaOnly) 1 else nComp
                 var total = 0L
                 c = 0
-                while (c < nComp) {
+                while (c < nGrids) {
                   total += (mcusX * cH(c)).toLong * (mcusY * cV(c)) * 64 * 4
                   c += 1
                 }
                 if (total > 256L * 1024 * 1024) return None
                 progCoefs = Array.tabulate(nComp)(c =>
-                  new Array[Int](mcusX * cH(c) * mcusY * cV(c) * 64))
+                  if (c < nGrids)
+                    new Array[Int](mcusX * cH(c) * mcusY * cV(c) * 64)
+                  else null)
               }
             case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                 0xCD | 0xCE | 0xCF =>
@@ -1411,7 +1418,10 @@ object Multimodal {
               if (segEnd - seg >= 12 && bytes(seg) == 'A' &&
                 bytes(seg + 1) == 'd' && bytes(seg + 2) == 'o' &&
                 bytes(seg + 3) == 'b' && bytes(seg + 4) == 'e')
-                adobeTransform = bytes(segEnd - 1) & 0xFF
+                // transform lives at the FIXED spec offset (tag 5 +
+                // version 2 + flags0 2 + flags1 2), not the segment's
+                // last byte — a padded APP14 must not misread padding
+                adobeTransform = bytes(seg + 11) & 0xFF
             case 0xDA => // SOS
               if (cId == null) throw JpegBail
               // a len==2 SOS leaves seg == segEnd: bound BEFORE the ns
@@ -1646,13 +1656,16 @@ object Multimodal {
       java.util.Arrays.fill(dcPred, 0); eobrun = 0
     }
     // ---- per-block kernels over one zigzag-order 64-coef window ----
+    // cf == null: an unallocated (lumaOnly-dropped chroma) grid — the
+    // bits must still be CONSUMED to keep the stream in sync, only the
+    // coefficient store is skipped
     def dcBlock(s: Int, cf: Array[Int], base: Int): Unit =
       if (ah == 0) {
         val t = dcTab(s).decode(br)
         if (t > 15) throw JpegBail
         dcPred(s) += jpegExtend(br.receive(t), t)
-        cf(base) = dcPred(s) << al
-      } else if (br.bit() == 1) cf(base) |= (1 << al)
+        if (cf != null) cf(base) = dcPred(s) << al
+      } else if (br.bit() == 1 && cf != null) cf(base) |= (1 << al)
     def acFirst(s: Int, cf: Array[Int], base: Int): Unit = {
       if (eobrun > 0) { eobrun -= 1; return }
       var k = ss

@@ -1920,6 +1920,17 @@ class MultimodalSpec extends SparkSpec {
       Array[Byte](0, 100, 0, 0, 0, 0, 1))
     assert(Multimodal.jpegPixels(jpg.take(2) ++ app14Ycc ++ jpg.drop(2))
       .nonEmpty)
+    // PADDED APP14 (payload > 12 bytes): the transform lives at the
+    // fixed spec offset, not the segment's last byte — trailing padding
+    // of 0 must not misread a YCbCr file as RGB-coded (and vice versa)
+    val app14YccPad = seg(0xEE, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, 1, 0, 0, 0))
+    assert(Multimodal.jpegPixels(jpg.take(2) ++ app14YccPad ++ jpg.drop(2))
+      .nonEmpty, "padded APP14 transform=1 must still decode")
+    val app14RgbPad = seg(0xEE, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, 0, 1, 1, 1))
+    assert(Multimodal.jpegPixels(jpg.take(2) ++ app14RgbPad ++ jpg.drop(2))
+      .isEmpty, "padded APP14 transform=0 must still refuse")
     // 3) SOF component ids 'R','G','B' without APP14 — same refusal
     val sofRgb = seg(0xC0, Array[Byte](8, 0, 8, 0, 8, 3,
       'R', 0x11, 0, 'G', 0x11, 0, 'B', 0x11, 0))
