@@ -59,7 +59,15 @@ import graft.ext.{Curation, Dedup}
   *   ENVELOPE — pair producers only, default caps, bounded (zero) pair
   *   emission with the drop visible in the span census (see [[tierI]]).
   *
-  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|j|all]"
+  *   Tier K (documents + embeddings × 100 from sf0.1): the CORPUS-
+  *   artifact refresh decade — the three artifacts converted from
+  *   rewrite-refresh to the partition-level delta commit in round 11
+  *   (span_rows, winnow_sel, ivf_cells) built at 100×, then one
+  *   appended shard driving each refresh path, which must cost a small
+  *   fraction of its build and reproduce exact per-replica row
+  *   invariants (see [[tierK]]).
+  *
+  * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|j|k|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
   */
@@ -923,6 +931,74 @@ object StressTier {
     println(f"STRESS j.summary queries=${tierJQueries.size} errors=${errs.size} flagged=${flagged.size}")
   }
 
+  /** Tier K — the corpus-artifact refresh decade (scaladoc above): the
+    * per-row corpus artifacts whose refresh switched to the hardlink
+    * delta commit, measured tier-J-style. Per-doc/per-vector derivation
+    * is replication-invariant (replicas share bodies/vectors under
+    * remapped ids), so build counts must be exactly base×reps and the
+    * refreshed counts base×(reps+1); the appended shard's ids sit above
+    * the frozen IVF seed ceiling by construction (rep index is the
+    * id's low component), so ivf_cells must take the frozen-quantizer
+    * delta path, never the rebuild.
+    */
+  private def tierK(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 100
+    val mult = reps + 1
+    val (_, tRep) = timed("k.replicate")(replicateTables(
+      spark, baseDir, dir, Seq("documents", "embeddings"), mult, 0 until reps))
+    val nBaseDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val nBaseVecs = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+    println(f"STRESS k.replicate seconds=$tRep%.1f docs=${nBaseDocs * reps} vecs=${nBaseVecs * reps}")
+    // base-pattern row counts (tiny SF, warm or cheap to build)
+    val spanBase = Dedup.spanRowsShared(spark, baseDir).count()
+    val winBase = Dedup.winnowSelShared(spark, baseDir).count()
+    // builds at 100×
+    val (nSpan, tSpan) = timed("k.artifact_spans")(
+      Dedup.spanRowsShared(spark, dir).count())
+    println(f"STRESS k.artifact_spans seconds=$tSpan%.1f rows=$nSpan")
+    check(nSpan == spanBase * reps,
+      s"span rows $nSpan != base pattern $spanBase x $reps")
+    val (nWin, tWin) = timed("k.artifact_winnow")(
+      Dedup.winnowSelShared(spark, dir).count())
+    println(f"STRESS k.artifact_winnow seconds=$tWin%.1f rows=$nWin")
+    check(nWin == winBase * reps,
+      s"winnow rows $nWin != base pattern $winBase x $reps")
+    val (nIvf, tIvf) = timed("k.artifact_ivf")(
+      graft.ext.Similarity.ivfCellIndex(spark, dir).count())
+    println(f"STRESS k.artifact_ivf seconds=$tIvf%.1f rows=$nIvf")
+    check(nIvf == nBaseVecs * reps,
+      s"ivf rows $nIvf != one row per replicated vector")
+
+    // the 101st shard lands as an append-only parquet delta
+    val (_, tDelta) = timed("k.refresh_append")(replicateTables(
+      spark, baseDir, dir, Seq("documents", "embeddings"), mult,
+      reps to reps, mode = "append"))
+    val r0 = graft.ops.Layout.refreshCount.get
+    val b0 = graft.ops.Layout.buildCount.get
+    val (nSpan2, tSpanR) = timed("k.refresh_spans")(
+      Dedup.spanRowsShared(spark, dir).count())
+    println(f"STRESS k.refresh_spans seconds=$tSpanR%.1f append=$tDelta%.1f rows=$nSpan2")
+    check(nSpan2 == spanBase * mult, "span refresh must add exactly one shard pattern")
+    val (nWin2, tWinR) = timed("k.refresh_winnow")(
+      Dedup.winnowSelShared(spark, dir).count())
+    println(f"STRESS k.refresh_winnow seconds=$tWinR%.1f rows=$nWin2")
+    check(nWin2 == winBase * mult, "winnow refresh must add exactly one shard pattern")
+    val (nIvf2, tIvfR) = timed("k.refresh_ivf")(
+      graft.ext.Similarity.ivfCellIndex(spark, dir).count())
+    println(f"STRESS k.refresh_ivf seconds=$tIvfR%.1f rows=$nIvf2")
+    check(nIvf2 == nBaseVecs * mult, "ivf refresh must add exactly the delta vectors")
+    check(graft.ops.Layout.refreshCount.get == r0 + 3,
+      "all three artifacts must take the refresh path on the append")
+    check(graft.ops.Layout.buildCount.get == b0,
+      "no artifact may rebuild on an append-only delta")
+    // the delta commit must beat the build decisively — the rewrite is
+    // exactly what the round-11 conversion removed
+    check(tSpanR < tSpan * 0.5 + 5.0, "span refresh must cost well under a build")
+    check(tWinR < tWin * 0.5 + 5.0, "winnow refresh must cost well under a build")
+    check(tIvfR < tIvf * 0.5 + 5.0, "ivf refresh must cost well under a build")
+    println(s"STRESS k.summary artifacts=3 refreshes=3 rebuilds=0")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -953,6 +1029,8 @@ object StressTier {
         tierI(spark, "/root/testdata/sf0.1", s"$root/sf0.1doc1000")
       if (tier == "j")
         tierJ(spark, "/root/testdata/sf0.1", s"$root/sf0.1wh100")
+      if (tier == "k")
+        tierK(spark, "/root/testdata/sf0.1", s"$root/sf0.1corpus100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
