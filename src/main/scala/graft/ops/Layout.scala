@@ -183,12 +183,24 @@ object Layout {
     * re-sorts — joins stay shuffle-free). Takes precedence over
     * `refresh` when both are present and a committed predecessor exists.
     */
+  /** `deltaFileFactor` bounds a `refreshDelta` artifact's FILE-count
+    * growth: every append epoch links the committed files forward and
+    * adds up to `buckets` delta files, so a long-lived warehouse taking
+    * thousands of shards would otherwise accumulate thousands of small
+    * files per artifact (the classic small-files scan tax). Once the
+    * predecessor holds ≥ `buckets × deltaFileFactor` data files, the
+    * next refresh COMPACTS instead — one rewrite of old ∪ delta (content
+    * is row-identical; only the layout collapses), amortized
+    * 1-in-`deltaFileFactor` epochs. `refreshGen` needs no such knob:
+    * its `maxGenerations` compaction already bounds files.
+    */
   def ensureDerived(
       spark: SparkSession, sfDir: String, family: String,
       sources: Seq[String], key: String, buckets: Int = 32,
       version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None,
       refreshDelta: Option[RefreshCtx => DataFrame] = None,
-      refreshGen: Option[GenRefresh] = None)
+      refreshGen: Option[GenRefresh] = None,
+      deltaFileFactor: Int = 16)
       (build: => DataFrame): DataFrame = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = censusEntries(spark, sfDir, sources)
@@ -275,11 +287,21 @@ object Layout {
                 val deltaOpt =
                   try Some(refreshDelta.get(ctx))
                   catch { case _: FullRebuild => None }
+                val priorDataFiles = fs.listStatus(oldDir).count(s =>
+                  s.isFile && s.getPath.getName.endsWith(".parquet"))
                 deltaOpt match {
-                  case Some(delta) =>
+                  case Some(delta)
+                      if priorDataFiles < buckets * deltaFileFactor =>
                     commitAppend(spark, fs, table, wh, key, buckets,
                       censusStr, oldDir, ctx.oldArtifact.schema, delta)
                     ctx.oldArtifact.schema.toDDL
+                  case Some(delta) =>
+                    // small-file COMPACTION epoch (scaladoc above):
+                    // row-identical rewrite of old ∪ delta
+                    val content = ctx.oldArtifact.unionByName(delta)
+                    commitBuild(spark, fs, table, wh, key, buckets,
+                      censusStr, content)
+                    content.schema.toDDL
                   case None =>
                     val content = build
                     commitBuild(spark, fs, table, wh, key, buckets,

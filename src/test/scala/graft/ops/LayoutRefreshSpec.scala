@@ -684,6 +684,68 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(rawRows() === 4L)
   }
 
+  test("refreshDelta small-file compaction: file growth bounded, content row-identical") {
+    // every append epoch adds delta bucket files; once the predecessor
+    // holds >= buckets*deltaFileFactor data files the next refresh must
+    // COMPACT (one row-identical rewrite) instead of linking — a
+    // thousand-shard warehouse must not accumulate a thousand files
+    val base = Files.createTempDirectory("graft_fdcap").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(s"$base/facts.parquet"))
+    val sq = spark; import sq.implicits._
+    def shard(ks: Long*): DataFrame =
+      ks.toSeq.toDF("k").select(col("k"), (col("k") * 10L).as("w"))
+    def ensure(): DataFrame =
+      Layout.ensureDerived(spark, base, "fdcap_toy", Seq("facts.parquet"),
+        "k", buckets = 4, version = 1,
+        refreshDelta = Some(ctx =>
+          spark.read.parquet(ctx.addedFiles: _*).select(col("k"), col("w"))),
+        deltaFileFactor = 2) {
+        spark.read.parquet(s"$base/facts.parquet").select(col("k"), col("w"))
+      }
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    def dataFiles(): Int = {
+      val dir = fs.listStatus(new Path(wh)).map(_.getPath)
+        .filter(_.getName.startsWith("graft_fdcap_toy_"))
+        .maxBy(p => fs.getFileStatus(p).getModificationTime)
+      fs.listStatus(dir).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val f0 = Files.createTempDirectory("fdcap_seed").toString
+    shard(1L, 2L, 3L, 4L).coalesce(1).write.mode("overwrite").parquet(f0)
+    val seed = fs.listStatus(new Path(f0)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(seed, new Path(s"$base/facts.parquet/part-0.parquet")))
+    assert(ensure().count() === 4L)
+    val cap = 4 * 2 // buckets * deltaFileFactor
+    var sawGrowth = false
+    var sawCompaction = false
+    val b0 = Layout.buildCount.get
+    for (epoch <- 1 to 12) {
+      val before = dataFiles()
+      appendFile(s"$base/facts.parquet", shard(100L * epoch, 100L * epoch + 1))
+      val n = ensure().count()
+      assert(n === 4L + 2L * epoch, s"epoch $epoch row count")
+      val after = dataFiles()
+      if (before < cap) {
+        assert(after > before, s"epoch $epoch under the cap must append files")
+        sawGrowth = true
+      } else {
+        assert(after <= 4, s"epoch $epoch at the cap must compact, got $after")
+        sawCompaction = true
+      }
+      assert(after <= cap + 4, s"file count $after escaped the bound")
+      // content stays row-identical to the raw source at every epoch
+      val expect = spark.read.parquet(s"$base/facts.parquet")
+        .select(col("k"), col("w"))
+      assert(ensure().exceptAll(expect).isEmpty &&
+        expect.exceptAll(ensure()).isEmpty, s"epoch $epoch content")
+    }
+    assert(sawGrowth && sawCompaction,
+      "the walk must exercise both the append and the compaction epoch")
+    assert(Layout.buildCount.get === b0,
+      "compaction is a refresh-path rewrite, not a from-scratch build")
+  }
+
   test("copurch_edges generational append: base linked forward, weights sum across generations") {
     val base = Files.createTempDirectory("graft_edge_gen").toString + "/d"
     val pristine = Files.createTempDirectory("graft_edge_genf").toString + "/d"
