@@ -171,8 +171,9 @@ object Layout {
     * the kernel returns ONLY the new rows, and the commit materializes
     * the next generation as the predecessor's data files HARDLINKED
     * (local fs; copied elsewhere) plus the delta written as additional
-    * bucket files — O(delta + #files), never a rewrite of the committed
-    * rows. Tier J (STRESS_r10.md) measured why this exists: the
+    * bucket files — O(delta + #files) per epoch, the committed rows
+    * rewritten only by the amortized 1-in-`deltaFileFactor` small-file
+    * compaction. Tier J (STRESS_r10.md) measured why this exists: the
     * `refresh` path's full bucketed rewrite bounds refresh cost at
     * build cost once the artifact rivals its source in size. Only
     * correct when appended source rows NEVER change existing artifact
@@ -274,7 +275,10 @@ object Layout {
                       censusStr, content)
                     content.schema.toDDL
                   case None =>
-                    // inexpressible delta (FullRebuild) → full build
+                    // inexpressible delta (FullRebuild) → full build;
+                    // counted in buildCount so harnesses can assert an
+                    // append genuinely took the delta path
+                    buildCount.incrementAndGet()
                     val content = build
                     commitBuild(spark, fs, table, wh, key, buckets,
                       censusStr, content)
@@ -303,6 +307,9 @@ object Layout {
                       censusStr, content)
                     content.schema.toDDL
                   case None =>
+                    // FullRebuild from the delta kernel (e.g. ivf_cells'
+                    // seed-ceiling invalidation) — counted as a build
+                    buildCount.incrementAndGet()
                     val content = build
                     commitBuild(spark, fs, table, wh, key, buckets,
                       censusStr, content)
@@ -491,9 +498,17 @@ object Layout {
       s"CREATE TABLE `$tmpTable` (${schema.toDDL}) USING PARQUET " +
         s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
         s"LOCATION '$tmpDir'")
-    // positional INSERT: align the delta to the table's column order
+    // positional INSERT: align the delta to the table's column order,
+    // PRE-SHUFFLED onto the bucket key — the same writer alignment as
+    // [[writeBucketed]], without which every upstream task writes its
+    // own file per bucket (tasks × buckets files from ONE epoch —
+    // measured 1056 on tier K's first cut — instantly tripping the
+    // deltaFileFactor cap and taxing every later scan); aligned, one
+    // epoch adds at most `buckets` files, the premise the compaction
+    // threshold and its 1-in-N amortization stand on
     val view = s"${tmpTable}__delta"
     delta.select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(buckets, col(key))
       .createOrReplaceTempView(view)
     try spark.sql(s"INSERT INTO `$tmpTable` SELECT * FROM `$view`")
     finally {

@@ -989,6 +989,9 @@ object StressTier {
     check(nIvf2 == nBaseVecs * mult, "ivf refresh must add exactly the delta vectors")
     check(graft.ops.Layout.refreshCount.get == r0 + 3,
       "all three artifacts must take the refresh path on the append")
+    // buildCount now also counts FullRebuild fallbacks inside the
+    // refresh path, so this genuinely asserts the delta path was taken
+    // (e.g. a seed-ceiling regression in ivf_cells would trip it)
     check(graft.ops.Layout.buildCount.get == b0,
       "no artifact may rebuild on an append-only delta")
     // the delta commit must beat the build decisively — the rewrite is
@@ -996,7 +999,9 @@ object StressTier {
     check(tSpanR < tSpan * 0.5 + 5.0, "span refresh must cost well under a build")
     check(tWinR < tWin * 0.5 + 5.0, "winnow refresh must cost well under a build")
     check(tIvfR < tIvf * 0.5 + 5.0, "ivf refresh must cost well under a build")
-    println(s"STRESS k.summary artifacts=3 refreshes=3 rebuilds=0")
+    println(s"STRESS k.summary artifacts=3 " +
+      s"refreshes=${graft.ops.Layout.refreshCount.get - r0} " +
+      s"rebuilds=${graft.ops.Layout.buildCount.get - b0}")
   }
 
   def main(args: Array[String]): Unit = {

@@ -356,6 +356,11 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(gen0Files.subsetOf(gen1Files),
       s"gen0 files must be linked into gen1: missing ${gen0Files -- gen1Files}")
     assert((gen1Files -- gen0Files).nonEmpty, "delta files must be new")
+    // the delta INSERT is pre-shuffled onto the bucket key: ONE epoch
+    // adds at most `buckets` files (unaligned it writes tasks × buckets
+    // — the file explosion the deltaFileFactor cap math forbids)
+    assert((gen1Files -- gen0Files).size <= 32,
+      s"one epoch must add <= buckets files, got ${(gen1Files -- gen0Files).size}")
     // gen0 was GC'd as stale, yet the linked data still reads (hardlink
     // semantics: the delete dropped gen0's names, not the shared bytes)
     assert(!fs.exists(gen0), "stale predecessor should be GC'd")
