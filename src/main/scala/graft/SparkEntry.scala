@@ -204,6 +204,10 @@ object SparkEntry {
     // same rank-quality eval for the production IVF leg
     "retrieval_metrics_ivf" -> ((s, d) =>
       Similarity.retrievalMetricsIvf(s, d)),
+    // and for the deployable shortlist→re-rank tier (should sit at the
+    // IVF leg's level: stage 2 re-orders the shortlist exactly)
+    "retrieval_metrics_rerank" -> ((s, d) =>
+      Similarity.retrievalMetricsIvfPqRerank(s, d)),
     // product-quantization codes (the IVF-PQ compression half)
     "pq_codes"           -> ((s, d) => Similarity.pqCodes(s, d)),
     // cohort retention matrix (first-seen day × day offset)
@@ -293,6 +297,10 @@ object SparkEntry {
     "ingest_vector_index"   -> ((s, d) => CorpusIngest.vectorIngestFace(s, d)),
     "ingest_postings_index" -> ((s, d) => CorpusIngest.postingsIngestFace(s, d)),
     "ingest_media_index"    -> ((s, d) => CorpusIngest.mediaIngestFace(s, d)),
+    // the basket family's streaming maintainer run end-to-end in batch
+    // mode: two line-split shards (epoch 2 merges orders epoch 1 began)
+    // + a replayed epoch, merged index ≡ one-shot bounded derivation
+    "ingest_edge_index"     -> ((s, d) => CorpusIngest.edgeIngestFace(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
     "media_metadata"     -> ((s, d) => Multimodal.mediaMetadata(s, d)),
@@ -3930,6 +3938,67 @@ object SparkEntry {
         |         AS avg_precision
         |FROM probes p LEFT JOIN agg a USING (q_id)
         |ORDER BY p.q_id ASC""".stripMargin,
+    // MRR/AP of the shortlist→re-rank tier against the same brute
+    // relevance set — ann_recall_ivfpq_rerank's retrieval chain
+    // (ADC shortlist at 24×k, exact-cosine re-rank) with
+    // retrieval_metrics' scoring tail
+    "retrieval_metrics_rerank" -> (pqAdcOracleCtes +
+      """, shortlist AS (
+        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
+        |), rr AS (
+        |  SELECT s.q_id, s.c_id,
+        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
+        |                   JOIN nemb c ON s.c_id = c.vec_id
+        |), rranked AS (
+        |  SELECT q_id, c_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
+        |  FROM rr
+        |), rrl AS (
+        |  SELECT q_id, c_id, nn_rank FROM rranked WHERE nn_rank <= 5
+        |), branked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_inner_product(q.vec, c.vec)
+        |                                       / (q.nrm * c.nrm) DESC,
+        |                                     c.vec_id ASC) AS nn_rank
+        |  FROM nemb q, nemb c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |), brute AS (
+        |  SELECT q_id, c_id FROM branked WHERE nn_rank <= 5
+        |), marked AS (
+        |  SELECT l.q_id, l.nn_rank,
+        |         CASE WHEN b.c_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM rrl l LEFT JOIN brute b
+        |    ON l.q_id = b.q_id AND l.c_id = b.c_id
+        |), run AS (
+        |  SELECT q_id, nn_rank, rel,
+        |         sum(rel) OVER (PARTITION BY q_id ORDER BY nn_rank ASC
+        |                        ROWS UNBOUNDED PRECEDING) AS hits_at
+        |  FROM marked
+        |), term AS (
+        |  SELECT q_id, rel, nn_rank,
+        |         CASE WHEN rel = 1
+        |              THEN round(hits_at::DOUBLE / nn_rank::DOUBLE, 6)
+        |                     ::DECIMAL(18,6)
+        |              ELSE 0::DECIMAL(18,6) END AS prec
+        |  FROM run
+        |), agg AS (
+        |  SELECT q_id, sum(rel)::BIGINT AS n_hits,
+        |         min(CASE WHEN rel = 1 THEN nn_rank END) AS first_rel,
+        |         sum(prec) AS ap_sum
+        |  FROM term GROUP BY q_id
+        |), probes AS (
+        |  SELECT DISTINCT q_id FROM brute
+        |)
+        |SELECT p.q_id,
+        |       coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+        |       round(coalesce(1.0::DOUBLE / a.first_rel, 0.0), 6) AS mrr,
+        |       round(coalesce(a.ap_sum, 0::DECIMAL(18,6))::DOUBLE / 5.0, 6)
+        |         AS avg_precision
+        |FROM probes p LEFT JOIN agg a USING (q_id)
+        |ORDER BY p.q_id ASC""".stripMargin),
     // twin of the batch-mode streaming-vector-ingest face: the committed
     // index must equal one-shot derivation under the frozen 16-seed
     // quantizer — cosine cell assignment (kmeans_assign_seed's chain)
@@ -4040,6 +4109,26 @@ object SparkEntry {
          |FROM voted
          |ORDER BY media_id ASC""".stripMargin
     },
+    // twin of the batch-mode streaming-edge-ingest face: the merged
+    // epoch deltas over the l_orderkey % 8 = 0 order slice must equal
+    // the one-shot BOUNDED pair derivation (copurchase_pairs' basket
+    // guard, both orientations, src % 17 dump slice). A replayed epoch
+    // that double-counted a weight, or an epoch-2 pair derived without
+    // seeing epoch-1's committed memberships, breaks the hash.
+    "ingest_edge_index" ->
+      """WITH op0 AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey % 8 = 0
+        |), op AS (
+        |  SELECT l_orderkey, l_partkey FROM op0
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
+        |)
+        |SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |FROM op a JOIN op b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |WHERE a.l_partkey % 17 = 0
+        |GROUP BY 1, 2
+        |ORDER BY src ASC, dst ASC""".stripMargin,
     // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
     // sub-vector — cannot change the argmin); only integer codes emitted
     "pq_codes" ->

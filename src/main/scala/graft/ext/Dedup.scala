@@ -756,24 +756,48 @@ object Dedup {
     * re-windowing the corpus per call, and the doc_id bucketing makes
     * their per-call set rebuild (collect_set) exchange-free.
     *
-    * Deliberately NO incremental refresh kernel: df and hence every rank
-    * are GLOBAL statistics — one appended doc shifts any shingle's df and
-    * reorders the prefixes that contain it — so a census change rebuilds
-    * from scratch (the `ivf_model` retrain contract, not the `minhash_sig`
-    * per-row append contract).
+    * TWO-LAYER refresh (the r11 verdict's last O(corpus) refresh,
+    * removed): df and hence every rank are GLOBAL statistics — one
+    * appended doc shifts any shingle's df and reorders the prefixes that
+    * contain it — so the STATS layer legitimately recomputes on every
+    * census change. But the expensive half of that rebuild — shingling
+    * the corpus text — does not: the distinct (doc_id, sh) rows are
+    * append-only per doc, exactly the `minhash_sig` contract. The split:
+    * [[shingleRowsShared]] holds the rows under `refreshDelta` (an
+    * appended shard tokenizes ONLY its new docs; committed rows hardlink
+    * forward), and this layer re-WINDOWS those rows — O(artifact) hash
+    * shuffles over fixed-width longs, no text scan. A 100 TB corpus
+    * append pays delta tokenize + artifact-sized window arithmetic
+    * instead of a full re-shingle (tier K measures the decade).
     */
   private[graft] def shingleStatsShared(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "shingle_stats",
-      Seq("documents.parquet"), "doc_id") {
-      val wSh = Window.partitionBy(col("sh"))
-      val wDoc = Window.partitionBy(col("doc_id"))
-      val wRank = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df").asc, col("sh").asc)
+      Seq("documents.parquet"), "doc_id",
+      refresh = Some { _ => statsOf(shingleRowsShared(spark, sfDir)) }) {
+      statsOf(shingleRowsShared(spark, sfDir))
+    }
+
+  /** Layer 1 of [[shingleStatsShared]]: the corpus's distinct
+    * (doc_id, sha-60 shingle-hash) rows as an APPEND-ONLY maintained
+    * table, doc_id-bucketed. Rows are per-doc deterministic, so the
+    * `minhash_sig` partition-level append contract applies verbatim: a
+    * landed shard shingles ONLY its new docs (old rows win on a repeated
+    * id) and the committed rows hardlink forward. Everything global
+    * (df/sz/rk) lives in layer 2, derived from this table without
+    * touching text.
+    */
+  private[graft] def shingleRowsShared(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.Layout.ensureDerived(spark, sfDir, "shingle_rows",
+      Seq("documents.parquet"), "doc_id",
+      refreshDelta = Some { ctx =>
+        shingleRowsOf(spark.read.parquet(ctx.addedFiles: _*),
+          twinnable = true).distinct()
+          .join(ctx.oldArtifact.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+      }) {
       shingleRows(spark, sfDir, twinnable = true).distinct()
-        .withColumn("df", count(lit(1)).over(wSh))
-        .withColumn("sz", count(lit(1)).over(wDoc))
-        .withColumn("rk", row_number().over(wRank))
     }
 
   def jaccardPrefixPairs(

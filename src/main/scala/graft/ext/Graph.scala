@@ -98,17 +98,45 @@ object Graph {
     (newOnly, oldRaw, mergedSz.filter(col("__m") <= MaxBasket), oldSz)
   }
 
+  /** Pair instances within an order between a `src`-side and a
+    * `dst`-side membership frame — THE basket pair kernel, shared by the
+    * edge artifact's build, its generational delta, and the streaming
+    * ingest face ([[graft.streaming.CorpusIngest]]) so the three can
+    * never drift.
+    */
+  private[graft] def edgePairsOf(src: DataFrame, dst: DataFrame): DataFrame =
+    src.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(dst.select(col("l_orderkey"), col("l_partkey").as("dst")),
+        Seq("l_orderkey"))
+      .filter(col("src") =!= col("dst"))
+
+  /** Collapse pair instances to weighted (src, dst, w) edges. */
+  private[graft] def edgeAggW(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** The append-epoch EDGE DELTA: exactly the pair instances with ≥1 end
+    * among `newOnly` memberships — new×(old∪new) ∪ old×new, both with
+    * the new side as one join input so the quadratic old×old self-join
+    * never re-runs — restricted to `okOrders` (orders under the basket
+    * cap after the merge). Shared by the batch artifact's
+    * [[graft.ops.Layout.GenRefresh]] kernel and the streaming face.
+    */
+  private[graft] def edgeDelta(
+      newOnly: DataFrame, oldRaw: DataFrame, okOrders: DataFrame): DataFrame = {
+    def ok(df: DataFrame): DataFrame =
+      df.join(okOrders, Seq("l_orderkey"), "left_semi")
+    edgeAggW(
+      edgePairsOf(ok(newOnly), ok(oldRaw.unionByName(newOnly)))
+        .unionByName(edgePairsOf(ok(oldRaw), ok(newOnly))))
+  }
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession, sfDir: String): DataFrame = {
     // baskets ≤ MaxBasket distinct parts; see the guard's scaladoc above
     def bounded(op: DataFrame): DataFrame = boundedBaskets(op)
     def pairsOf(src: DataFrame, dst: DataFrame): DataFrame =
-      src.select(col("l_orderkey"), col("l_partkey").as("src"))
-        .join(dst.select(col("l_orderkey"), col("l_partkey").as("dst")),
-          Seq("l_orderkey"))
-        .filter(col("src") =!= col("dst"))
-    def aggW(pairs: DataFrame): DataFrame =
-      pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      edgePairsOf(src, dst)
+    def aggW(pairs: DataFrame): DataFrame = edgeAggW(pairs)
     graft.ops.Layout.ensureDerived(spark, sfDir, "copurch_edges",
       Seq("lineitem.parquet"), "src", version = 2,
       // GENERATIONAL APPEND REFRESH — an appended lineitem shard
@@ -133,12 +161,7 @@ object Graph {
           // ≥2 parts have pairs in the committed artifact that a
           // cap-crossing would orphan (a 0/1-part history has none)
           val (newOnly, oldRaw, okTouched, _) = basketDelta(spark, ctx, 2L)
-          val okOrders = okTouched.select("l_orderkey")
-          def ok(df: DataFrame): DataFrame =
-            df.join(okOrders, Seq("l_orderkey"), "left_semi")
-          aggW(
-            pairsOf(ok(newOnly), ok(oldRaw.unionByName(newOnly)))
-              .unionByName(pairsOf(ok(oldRaw), ok(newOnly))))
+          edgeDelta(newOnly, oldRaw, okTouched.select("l_orderkey"))
         },
         merge = _.groupBy(col("src"), col("dst"))
           .agg(sum(col("w")).as("w"))))) {

@@ -1320,6 +1320,12 @@ object Multimodal {
           val segEnd = o + len
           m match {
             case 0xC0 | 0xC1 | 0xC2 => // Huffman sequential / progressive
+              // T.81 allows ONE frame per image: a second SOF after
+              // progressive scans have decoded is malformed — without
+              // this bail the handler below would zero progCoefs while
+              // progScans stayed > 0, and EOI would return all-gray
+              // planes instead of the documented None stub (ADVICE r11)
+              if (progScans > 0) return None
               progressive = m == 0xC2
               if (segEnd - seg < 6) throw JpegBail
               if ((bytes(seg) & 0xFF) != 8) return None // 12-bit → stub
@@ -1450,6 +1456,10 @@ object Multimodal {
                   val idx = cId.indexOf(cs)
                   if (idx < 0) throw JpegBail
                   scanIdx(s) = idx
+                  // T.81 B.2.3: Td/Ta select among tables 0-3 — a hostile
+                  // nibble past 3 must bail, not index out of bounds
+                  // (found by the MultimodalSpec scan-walker fuzzer)
+                  if ((tdta >> 4) > 3 || (tdta & 15) > 3) throw JpegBail
                   dcTab(s) = huffDc(tdta >> 4)
                   acTab(s) = huffAc(tdta & 15)
                   s += 1
@@ -1511,6 +1521,8 @@ object Multimodal {
                   val idx = cId.indexOf(cs)
                   if (idx < 0) throw JpegBail
                   scanIdx(s) = idx
+                  // same Td/Ta ≤ 3 bound as the progressive reader
+                  if ((tdta >> 4) > 3 || (tdta & 15) > 3) throw JpegBail
                   dcTab(s) = huffDc(tdta >> 4)
                   acTab(s) = huffAc(tdta & 15)
                   if (dcTab(s) == null || acTab(s) == null) throw JpegBail

@@ -53,7 +53,13 @@ object Layout {
     * `delta` may throw [[FullRebuild]] when the append is inexpressible
     * as a generation (the MaxBasket cap-crossing case): ensureDerived
     * then runs the full `build` — correct by construction, same as any
-    * non-append census delta.
+    * non-append census delta. Kernels SHOULD run their expressibility
+    * checks eagerly (both shipped kernels do — the throw costs one small
+    * driver action and skips the commit machinery entirely), but the
+    * contract does not require it: a [[FullRebuild]] that first surfaces
+    * inside the commit/compaction ACTION — even wrapped in Spark's
+    * executor-exception chain — is caught there too, the half-written
+    * tmp dir is cleaned, and the epoch falls back to `build`.
     */
   final case class GenRefresh(
       delta: RefreshCtx => DataFrame,
@@ -240,6 +246,15 @@ object Layout {
                 version, entries)
             else None
           val t0 = System.nanoTime()
+          // the shared FullRebuild fallback: counted as a build so
+          // harnesses can assert an append genuinely took the delta path
+          def fullBuild(): String = {
+            buildCount.incrementAndGet()
+            val content = build
+            commitBuild(spark, fs, table, wh, key, buckets, censusStr,
+              content)
+            content.schema.toDDL
+          }
           val schemaDDL: String = predecessor match {
             case Some((oldDir, priorEntries)) =>
               refreshCount.incrementAndGet()
@@ -248,7 +263,7 @@ object Layout {
               val added = entries.filterNot(priorEntries.toSet).map(pathOf)
               val ctx = RefreshCtx(
                 spark.read.parquet(oldDir.toString), added, prior)
-              if (refreshGen.isDefined) {
+              try if (refreshGen.isDefined) {
                 val g = refreshGen.get
                 val gen = readText(fs,
                   new org.apache.hadoop.fs.Path(oldDir, GenFile))
@@ -275,14 +290,8 @@ object Layout {
                       censusStr, content)
                     content.schema.toDDL
                   case None =>
-                    // inexpressible delta (FullRebuild) → full build;
-                    // counted in buildCount so harnesses can assert an
-                    // append genuinely took the delta path
-                    buildCount.incrementAndGet()
-                    val content = build
-                    commitBuild(spark, fs, table, wh, key, buckets,
-                      censusStr, content)
-                    content.schema.toDDL
+                    // inexpressible delta (FullRebuild) → full build
+                    fullBuild()
                 }
               } else if (refreshDelta.isDefined) {
                 // partition-level append: link old files + write delta;
@@ -308,12 +317,8 @@ object Layout {
                     content.schema.toDDL
                   case None =>
                     // FullRebuild from the delta kernel (e.g. ivf_cells'
-                    // seed-ceiling invalidation) — counted as a build
-                    buildCount.incrementAndGet()
-                    val content = build
-                    commitBuild(spark, fs, table, wh, key, buckets,
-                      censusStr, content)
-                    content.schema.toDDL
+                    // seed-ceiling invalidation)
+                    fullBuild()
                 }
               } else {
                 val content = refresh.get(ctx)
@@ -321,12 +326,16 @@ object Layout {
                   content)
                 content.schema.toDDL
               }
+              catch {
+                // a FullRebuild that first surfaced inside the commit/
+                // compaction ACTION (a kernel that deferred its
+                // expressibility check into the lazy frame — possibly
+                // wrapped in Spark's executor-exception chain); the
+                // commit helpers have already cleaned their tmp dir
+                case t: Throwable if causedByFullRebuild(t) => fullBuild()
+              }
             case None =>
-              buildCount.incrementAndGet()
-              val content = build
-              commitBuild(spark, fs, table, wh, key, buckets, censusStr,
-                content)
-              content.schema.toDDL
+              fullBuild()
           }
           buildNanos.addAndGet(System.nanoTime() - t0)
           registerExternal(spark, table, wh, schemaDDL, key, buckets)
@@ -343,12 +352,35 @@ object Layout {
       // full-artifact hash-agg it doesn't need (tier J measured the
       // always-merge form costing every edge consumer 2-3× at 240M rows)
       refreshGen match {
-        case Some(g)
-            if readText(fs, new org.apache.hadoop.fs.Path(wh, GenFile))
-              .isDefined =>
+        case Some(g) if isMultiGeneration(fs, wh, s"${family}_$dirTag", table) =>
           g.merge(spark.table(table))
         case _ => spark.table(table)
       }
+    }
+  }
+
+  /** Cached multi-generation flag per (family, dir): whether the served
+    * artifact carries a [[GenFile]] marker (>1 generation → consumers
+    * must merge). The marker for a given committed table name never
+    * changes — an append publishes a NEW census-hashed name — so one FS
+    * metadata read per generation suffices; without the cache every
+    * consumer query of a refreshGen artifact paid the round-trip
+    * (ADVICE r11). Keyed like [[ensureLocks]] (family+dirTag, one entry
+    * per live artifact, not one per retired census) and validated
+    * against the current table name.
+    */
+  private val genFlags =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+  private def isMultiGeneration(
+      fs: org.apache.hadoop.fs.FileSystem, wh: org.apache.hadoop.fs.Path,
+      lockKey: String, table: String): Boolean = {
+    val cached = genFlags.get(lockKey)
+    if (cached != null && cached._1 == table) cached._2
+    else {
+      val flag =
+        readText(fs, new org.apache.hadoop.fs.Path(wh, GenFile)).isDefined
+      genFlags.put(lockKey, (table, flag))
+      flag
     }
   }
 
@@ -381,6 +413,21 @@ object Layout {
         buf.toSeq
       } else Seq.empty
     }.sorted
+  }
+
+  /** True when `t` is, or is caused (transitively) by, a [[FullRebuild]]
+    * — a deferred expressibility check surfaces wrapped in Spark's
+    * action-exception chain rather than as the raw control signal.
+    */
+  private def causedByFullRebuild(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[FullRebuild]) return true
+      cur = if (cur.getCause eq cur) null else cur.getCause
+      depth += 1
+    }
+    false
   }
 
   private def hex(s: String): String = java.lang.Long.toHexString(
@@ -453,11 +500,20 @@ object Layout {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val tmpTable = s"${table}__b$suffix"
     val tmpDir = new org.apache.hadoop.fs.Path(wh.getParent, tmpTable.toLowerCase)
-    content.repartition(buckets, col(key))
-      .write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet")
-      .option("path", tmpDir.toString)
-      .saveAsTable(tmpTable)
+    // a failed write (incl. a deferred FullRebuild surfacing in the
+    // action) must not orphan the tmp dir or the tmp catalog entry
+    try {
+      content.repartition(buckets, col(key))
+        .write.bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").format("parquet")
+        .option("path", tmpDir.toString)
+        .saveAsTable(tmpTable)
+    } catch {
+      case t: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        fs.delete(tmpDir, true)
+        throw t
+    }
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files survive
     publishTmp(fs, table, wh, tmpDir, censusStr)
   }
@@ -483,6 +539,7 @@ object Layout {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
     val tmpTable = s"${table}__a$suffix"
     val tmpDir = new org.apache.hadoop.fs.Path(wh.getParent, tmpTable.toLowerCase)
+    try {
     fs.mkdirs(tmpDir)
     genMarker.foreach(g =>
       writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, GenFile),
@@ -516,6 +573,14 @@ object Layout {
       spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`") // external: files survive
     }
     publishTmp(fs, table, wh, tmpDir, censusStr)
+    } catch {
+      // a failed link/create/INSERT (incl. a deferred FullRebuild
+      // surfacing inside the INSERT action) must not orphan the
+      // half-written tmp dir — the caller may fall back to a full build
+      case t: Throwable =>
+        fs.delete(tmpDir, true)
+        throw t
+    }
   }
 
   /** Hardlink `src` to `dst` when both live on a local fs; fall back to

@@ -907,7 +907,10 @@ object Marketplace {
     * is one IEEE division rounded to 6dp then DECIMAL — bit-identical
     * cross-engine. Region pruning broadcasts (≤25-row nation⋈region) into
     * the supplier dim BEFORE the cost frame joins it, so non-region
-    * suppliers never reach the agg.
+    * suppliers never reach the agg; part-size pruning broadcast-semi-joins
+    * the qualifying partkeys into the cost frame before the two groupBys,
+    * so non-qualifying parts never reach them either (the winner is
+    * per-partkey and independent of part attributes — row-identical).
     */
   def minCostSupplier(
       spark: SparkSession, sfDir: String, region: String = "EUROPE",
@@ -919,11 +922,21 @@ object Marketplace {
     val supp = Tables.supplier(spark, sfDir)
       .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    // qualifying parts are joined at the END for their attributes, but
+    // their KEYS prune the cost aggregate's input up front: the per-part
+    // winner is independent of part attributes, so a broadcast semi-join
+    // of the size-filtered partkeys cuts the (part, supplier) aggregate
+    // by the size selectivity with identical results (tier-J r11: this
+    // row was the heaviest TPC-H shape at 100× before the prune)
+    val qualParts = Tables.part(spark, sfDir).where(col("p_size") <= sizeMax)
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
     val cost = Tables.lineitem(spark, sfDir)
       .where(col("l_quantity") > 0)
       .select(col("l_partkey"), col("l_suppkey"),
         round(col("l_extendedprice") / col("l_quantity"), 6)
           .cast("decimal(18,6)").as("unit_cost"))
+      .join(broadcast(qualParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("unit_cost")).as("cost"))
@@ -933,9 +946,7 @@ object Marketplace {
       .select(col("l_partkey"), col("w.cost").as("supply_cost"),
         col("w.l_suppkey").as("win_suppkey"))
     winner
-      .join(Tables.part(spark, sfDir).where(col("p_size") <= sizeMax)
-          .select(col("p_partkey"), col("p_name"), col("p_size")),
-        col("l_partkey") === col("p_partkey"))
+      .join(qualParts, col("l_partkey") === col("p_partkey"))
       .join(supp, col("win_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"),

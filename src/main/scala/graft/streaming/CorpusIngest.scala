@@ -566,6 +566,197 @@ object CorpusIngest {
       .orderBy(col("media_id").asc)
   }
 
+  private val memberSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType)))
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType),
+    StructField("dst", LongType),
+    StructField("w", LongType)))
+
+  /** Committed `epoch=N` subdirs of an ingest index root, read with an
+    * explicit schema (an empty or absent index must read as an empty
+    * frame, never a schema-inference throw); `before` restricts to
+    * epochs strictly below it — the pre-batch state a replayed epoch
+    * re-derives from.
+    */
+  private def readEpochDirs(
+      spark: SparkSession, root: String, before: Option[Long],
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (fs.exists(p))
+        fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          .filter { d =>
+            d.getName.startsWith("epoch=") &&
+              d.getName.stripPrefix("epoch=").toLongOption.exists(e =>
+                before.forall(e < _))
+          }
+          .map(_.toString)
+      else Array.empty[String]
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(dirs.toIndexedSeq: _*)
+  }
+
+  /** One foreachBatch body of [[ingestEdges]] — the streaming face of
+    * the BASKET family's generational contract
+    * ([[graft.ext.Graph.coPurchaseEdges]]): a micro-batch of
+    * (l_orderkey, l_partkey) order lines appends one epoch of
+    * (src, dst, w) edge-DELTA rows, derived by the SAME kernel the batch
+    * artifact's [[graft.ops.Layout.GenRefresh]] delta runs
+    * ([[graft.ext.Graph.edgeDelta]] — pairs with ≥1 end among the
+    * batch's genuinely-new memberships, old×old never re-joined), plus
+    * the membership log the next epoch's dedup/size checks read.
+    * Consumers merge generations at read ([[readEdgeIndex]]: sum weights
+    * per (src, dst)) — the batch artifact's merge contract.
+    *
+    * Replay idempotence differs from the per-row faces ([[vectorBatchBody]]
+    * — anti-join suffices when rows are keyed): edge deltas are NOT
+    * per-row keyed, and the body writes TWO outputs, so a crash between
+    * them would leave any anti-join-based retry either doubling weights
+    * or dropping the epoch. Instead both outputs are EPOCH-SCOPED
+    * OVERWRITES (the standard foreachBatch exactly-once recipe:
+    * Structured Streaming guarantees a replayed micro-batch carries the
+    * same batchId) and the body reads ONLY epochs < its own — so a
+    * replay after ANY crash window re-derives from identical inputs and
+    * overwrites identical outputs.
+    *
+    * The batch artifact's one inexpressible case — an order CROSSING the
+    * [[graft.ext.Graph.MaxBasket]] cap, whose committed pairs a rebuild
+    * would drop — cannot rebuild here (committed epochs are immutable),
+    * so the epoch CANCELS instead: it emits the crossing order's old
+    * pairs at negative weight, and the read-side merge (sums are linear
+    * in per-order contributions, `w > 0` filter drops the zeroed rows)
+    * equals the one-shot bounded derivation exactly (spec-pinned).
+    */
+  private[graft] def edgeBatchBody(
+      batch: DataFrame, indexPath: String, epoch: Long): Unit = {
+    val spark = batch.sparkSession
+    val maxB = graft.ext.Graph.MaxBasket
+    val newRaw = batch.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().persist()
+    try {
+      val oldMembers = readEpochDirs(
+        spark, s"$indexPath/members", Some(epoch), memberSchema)
+      val touched = newRaw.select("l_orderkey").distinct()
+      val oldTouched = oldMembers
+        .join(touched, Seq("l_orderkey"), "left_semi").persist()
+      try {
+        val newOnly = newRaw.join(oldTouched,
+          Seq("l_orderkey", "l_partkey"), "left_anti").persist()
+        val mergedSz = oldTouched.unionByName(newOnly)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m")).persist()
+        try {
+          val okOrders = mergedSz.filter(col("__m") <= maxB)
+            .select("l_orderkey")
+          val delta = graft.ext.Graph.edgeDelta(newOnly, oldTouched, okOrders)
+          // cap-crossing cancellation: old size in [2, cap] (0/1-part
+          // histories hold no pairs; an order that crossed in an EARLIER
+          // epoch has __o > cap and was cancelled then), merged > cap.
+          // The emptiness probe is one bounded driver action (the
+          // basketDelta eager-check discipline) that keeps the common
+          // no-crossing epoch's write DAG free of the cancel legs —
+          // probed on the cheap single-stage `__m > cap` filter of the
+          // persisted sizes (no order over the cap ⇒ no crossing).
+          val epochRows =
+            if (mergedSz.filter(col("__m") > maxB).isEmpty) delta
+            else {
+              val oldSz = oldTouched.groupBy(col("l_orderkey"))
+                .agg(count(lit(1)).as("__o"))
+              val crossed = mergedSz.filter(col("__m") > maxB)
+                .join(oldSz, Seq("l_orderkey"))
+                .filter(col("__o").between(2L, maxB))
+                .select("l_orderkey")
+              val crossedOld = oldTouched
+                .join(crossed, Seq("l_orderkey"), "left_semi")
+              delta.unionByName(graft.ext.Graph.edgeAggW(
+                graft.ext.Graph.edgePairsOf(crossedOld, crossedOld))
+                .select(col("src"), col("dst"), (-col("w")).as("w")))
+            }
+          epochRows
+            .write.mode("overwrite").parquet(s"$indexPath/edges/epoch=$epoch")
+          newOnly.write.mode("overwrite")
+            .parquet(s"$indexPath/members/epoch=$epoch")
+        } finally { newOnly.unpersist(); mergedSz.unpersist(); () }
+      } finally { oldTouched.unpersist(); () }
+    } finally { newRaw.unpersist(); () }
+  }
+
+  /** The streamed edge index's consumer view: all committed epoch deltas
+    * merged — sum weights per (src, dst), cancellations netting to zero
+    * dropped. This is the [[graft.ops.Layout.GenRefresh]] read-side
+    * merge applied to the stream's epoch generations.
+    */
+  private[graft] def readEdgeIndex(
+      spark: SparkSession, indexPath: String): DataFrame =
+    readEpochDirs(spark, s"$indexPath/edges", None, edgeSchema)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+
+  /** Streaming CO-PURCHASE-EDGE ingest — the streaming maintainer the
+    * basket family lacked (r11 verdict, Missing #2): order-line rows
+    * (l_orderkey, l_partkey) arrive as a stream and each micro-batch
+    * appends one epoch of edge-delta rows through [[edgeBatchBody]].
+    * At 100 TB each epoch's cost is delta-proportional (new×touched-old
+    * pair production, never old×old), the committed epochs are immutable
+    * files, and consumers pay one exchange-free-shaped merge hash-agg —
+    * the same decade the batch artifact's generational refresh measured
+    * (STRESS_r11 tier J: 0.34–0.38× build).
+    */
+  def ingestEdges(
+      lines: DataFrame,
+      indexPath: String,
+      checkpoint: String): StreamingQuery =
+    lines.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        edgeBatchBody(batch, indexPath, id)
+      }
+      .start()
+
+  /** [[ingestEdges]]'s dataflow in BATCH mode — the registered face
+    * (`ingest_edge_index`), same contract as [[vectorIngestFace]]: a
+    * deterministic 1/8 of the orders (l_orderkey % 8 = 0 — the kernel
+    * under test is per-order, so the slice loses no coverage and keeps
+    * the face job-count-bound like its siblings) arrives as two shards
+    * split BY LINE NUMBER — so the second epoch's orders genuinely
+    * merge with memberships the first epoch committed, exercising the
+    * new×old pair leg — the second shard is REPLAYED (epoch-scoped
+    * overwrite: must re-derive identical rows, net-zero to the merge),
+    * and the merged index is read back. The dumped rows are a src % 17
+    * slice so the oracle artifact stays small at any sfDir.
+    */
+  def edgeIngestFace(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = resetDir(spark, sfDir, "graft_ingest_edge")
+    val lines = graft.io.Tables.lineitem(spark, sfDir)
+      .filter(pmod(col("l_orderkey"), lit(8L)) === 0L)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    def shard(r: Int): DataFrame = lines
+      .filter(pmod(col("l_linenumber"), lit(2L)) === r.toLong)
+      .select(col("l_orderkey"), col("l_partkey"))
+    // micro-batch-sized shuffle partitions for the epoch bodies: the
+    // body's ~10-stage DAG over a delta-sized batch is TASK-overhead
+    // bound at the session's cluster-sized setting (profiled 2× faster
+    // at 4-8 partitions than at 32 on identical data) — exactly the
+    // knob a real streaming deployment sizes to its micro-batch, set
+    // here face-scoped and restored
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      edgeBatchBody(shard(0), dir, 0L)
+      edgeBatchBody(shard(1), dir, 1L)
+      edgeBatchBody(shard(1), dir, 1L) // replay: same epoch, net no-op
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    readEdgeIndex(spark, dir)
+      .filter(pmod(col("src"), lit(17L)) === 0L)
+      .select(col("src"), col("dst"), col("w"))
+      .orderBy(col("src").asc, col("dst").asc)
+  }
+
   /** Per-(sfDir, face) scratch dir under the session warehouse, deleted
     * on entry — each face call re-ingests from scratch (determinism over
     * cleverness: a stale index from an earlier corpus can never leak in).

@@ -94,6 +94,90 @@ object Profile {
       graft.ext.Graph.copurchaseCommunities(spark, sfDir).count())
     timed("comm-full-again")(
       graft.ext.Graph.copurchaseCommunities(spark, sfDir).count())
+    // where does the streaming-edge face spend its time? (r12 probe:
+    // bench saw 11.6 s at the % 4 slice before the cancel-leg
+    // short-circuit + % 8 slice)
+    timed("edge-face-total")(
+      graft.streaming.CorpusIngest.edgeIngestFace(spark, sfDir).count())
+    locally {
+      val dir = "/root/repo/target/profile_edge_idx"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val lines = Tables.lineitem(spark, sfDir)
+        .filter(pmod(col("l_orderkey"), lit(8L)) === 0L)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      def shard(r: Int) = lines
+        .filter(pmod(col("l_linenumber"), lit(2L)) === r.toLong)
+        .select(col("l_orderkey"), col("l_partkey"))
+      timed("edge-body-0") {
+        graft.streaming.CorpusIngest.edgeBatchBody(shard(0), dir, 0L); 0L
+      }
+      timed("edge-body-1") {
+        graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
+      }
+      timed("edge-body-1-replay") {
+        graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
+      }
+      timed("edge-readback")(
+        graft.streaming.CorpusIngest.readEdgeIndex(spark, dir).count())
+      timed("edge-body-1-noaqe") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
+        } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      timed("edge-body-1-p4") {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
+        } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+      timed("edge-body-1-noaqe-p4") {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
+        } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          spark.conf.set("spark.sql.shuffle.partitions", "32")
+        }
+      }
+      // body-1 sub-steps, replayed by hand against the committed epoch 0
+      val newRaw = shard(1).distinct().persist()
+      timed("edge-s1-newraw")(newRaw.count())
+      val oldMembers = spark.read.parquet(s"$dir/members/epoch=0")
+      val touched = newRaw.select("l_orderkey").distinct()
+      val oldTouched = oldMembers
+        .join(touched, Seq("l_orderkey"), "left_semi").persist()
+      timed("edge-s2-oldtouched")(oldTouched.count())
+      val newOnly = newRaw.join(oldTouched,
+        Seq("l_orderkey", "l_partkey"), "left_anti").persist()
+      timed("edge-s3-newonly")(newOnly.count())
+      val mergedSz = oldTouched.unionByName(newOnly)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("__m")).persist()
+      timed("edge-s4-mergedsz")(mergedSz.count())
+      val oldSz = oldTouched.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__o"))
+      timed("edge-s5-crossed-empty") {
+        val crossed = mergedSz.filter(col("__m") > 256L)
+          .join(oldSz, Seq("l_orderkey"))
+          .filter(col("__o").between(2L, 256L))
+        if (crossed.isEmpty) 0L else 1L
+      }
+      val okOrders = mergedSz.filter(col("__m") <= 256L).select("l_orderkey")
+      timed("edge-s6-delta-write") {
+        graft.ext.Graph.edgeDelta(newOnly, oldTouched, okOrders)
+          .write.mode("overwrite")
+          .parquet("/root/repo/target/profile_edge_scratch")
+        0L
+      }
+      timed("edge-s7-members-write") {
+        newOnly.write.mode("overwrite")
+          .parquet("/root/repo/target/profile_edge_scratch2")
+        0L
+      }
+    }
     spark.stop()
   }
 }

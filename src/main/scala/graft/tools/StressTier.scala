@@ -943,63 +943,130 @@ object StressTier {
     */
   private def tierK(spark: SparkSession, baseDir: String, dir: String): Unit = {
     val reps = 100
-    val mult = reps + 1
+    // multiplier reserves shard ids for the refresh delta AND the
+    // 12-epoch file-growth walk (shards reps..reps+12) — every id stays
+    // disjoint from the build shards' v·mult + [0, reps) range
+    val mult = reps + 13
+    val walkEpochs = 12
     val (_, tRep) = timed("k.replicate")(replicateTables(
       spark, baseDir, dir, Seq("documents", "embeddings"), mult, 0 until reps))
     val nBaseDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
     val nBaseVecs = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
     println(f"STRESS k.replicate seconds=$tRep%.1f docs=${nBaseDocs * reps} vecs=${nBaseVecs * reps}")
-    // base-pattern row counts (tiny SF, warm or cheap to build)
-    val spanBase = Dedup.spanRowsShared(spark, baseDir).count()
-    val winBase = Dedup.winnowSelShared(spark, baseDir).count()
-    // builds at 100×
-    val (nSpan, tSpan) = timed("k.artifact_spans")(
-      Dedup.spanRowsShared(spark, dir).count())
-    println(f"STRESS k.artifact_spans seconds=$tSpan%.1f rows=$nSpan")
-    check(nSpan == spanBase * reps,
-      s"span rows $nSpan != base pattern $spanBase x $reps")
-    val (nWin, tWin) = timed("k.artifact_winnow")(
-      Dedup.winnowSelShared(spark, dir).count())
-    println(f"STRESS k.artifact_winnow seconds=$tWin%.1f rows=$nWin")
-    check(nWin == winBase * reps,
-      s"winnow rows $nWin != base pattern $winBase x $reps")
-    val (nIvf, tIvf) = timed("k.artifact_ivf")(
-      graft.ext.Similarity.ivfCellIndex(spark, dir).count())
-    println(f"STRESS k.artifact_ivf seconds=$tIvf%.1f rows=$nIvf")
-    check(nIvf == nBaseVecs * reps,
-      s"ivf rows $nIvf != one row per replicated vector")
 
-    // the 101st shard lands as an append-only parquet delta
+    // every maintained per-row corpus artifact family on the hardlink
+    // delta commit (r12: +postings, +minhash/simhash sigs, +media sigs,
+    // +the two-layer shingle pair). Each build count must be exactly
+    // base-pattern × reps (per-doc/per-vector derivation is
+    // replication-invariant), each refreshed count base × (reps+1).
+    val families: Seq[(String, () => Long)] = Seq(
+      ("spans", () => Dedup.spanRowsShared(spark, dir).count()),
+      ("winnow", () => Dedup.winnowSelShared(spark, dir).count()),
+      ("ivf", () => graft.ext.Similarity.ivfCellIndex(spark, dir).count()),
+      ("postings", () => graft.ext.Search.postingsShared(spark, dir).count()),
+      ("minhash_sig", () => Dedup.minHashSignaturesShared(spark, dir).count()),
+      ("simhash_sig", () => Dedup.simHashSignaturesShared(spark, dir).count()),
+      ("media_sig", () =>
+        graft.ext.Multimodal.mediaSignaturesShared(spark, dir).count()),
+      ("shingle_rows", () => Dedup.shingleRowsShared(spark, dir).count()),
+      ("shingle_stats", () => Dedup.shingleStatsShared(spark, dir).count()))
+    val basePattern: Map[String, Long] = Map(
+      "spans" -> Dedup.spanRowsShared(spark, baseDir).count(),
+      "winnow" -> Dedup.winnowSelShared(spark, baseDir).count(),
+      "ivf" -> nBaseVecs,
+      "postings" -> graft.ext.Search.postingsShared(spark, baseDir).count(),
+      "minhash_sig" ->
+        Dedup.minHashSignaturesShared(spark, baseDir).count(),
+      "simhash_sig" ->
+        Dedup.simHashSignaturesShared(spark, baseDir).count(),
+      "media_sig" ->
+        graft.ext.Multimodal.mediaSignaturesShared(spark, baseDir).count(),
+      "shingle_rows" -> Dedup.shingleRowsShared(spark, baseDir).count(),
+      "shingle_stats" -> Dedup.shingleStatsShared(spark, baseDir).count())
+
+    // builds at 100×. NOTE shingle_stats builds AFTER shingle_rows, so
+    // its timed build is the O(artifact) window recompute alone — the
+    // honest "rebuild minus tokenize" number the two-layer split buys.
+    val buildT = scala.collection.mutable.Map.empty[String, Double]
+    families.foreach { case (name, ensure) =>
+      val (n, t) = timed(s"k.artifact_$name")(ensure())
+      buildT(name) = t
+      println(f"STRESS k.artifact_$name seconds=$t%.1f rows=$n")
+      check(n == basePattern(name) * reps,
+        s"$name rows $n != base pattern ${basePattern(name)} x $reps")
+    }
+
+    // the (reps+1)-th shard lands as an append-only parquet delta
     val (_, tDelta) = timed("k.refresh_append")(replicateTables(
       spark, baseDir, dir, Seq("documents", "embeddings"), mult,
       reps to reps, mode = "append"))
+    println(f"STRESS k.refresh_append seconds=$tDelta%.1f")
     val r0 = graft.ops.Layout.refreshCount.get
     val b0 = graft.ops.Layout.buildCount.get
-    val (nSpan2, tSpanR) = timed("k.refresh_spans")(
-      Dedup.spanRowsShared(spark, dir).count())
-    println(f"STRESS k.refresh_spans seconds=$tSpanR%.1f append=$tDelta%.1f rows=$nSpan2")
-    check(nSpan2 == spanBase * mult, "span refresh must add exactly one shard pattern")
-    val (nWin2, tWinR) = timed("k.refresh_winnow")(
-      Dedup.winnowSelShared(spark, dir).count())
-    println(f"STRESS k.refresh_winnow seconds=$tWinR%.1f rows=$nWin2")
-    check(nWin2 == winBase * mult, "winnow refresh must add exactly one shard pattern")
-    val (nIvf2, tIvfR) = timed("k.refresh_ivf")(
-      graft.ext.Similarity.ivfCellIndex(spark, dir).count())
-    println(f"STRESS k.refresh_ivf seconds=$tIvfR%.1f rows=$nIvf2")
-    check(nIvf2 == nBaseVecs * mult, "ivf refresh must add exactly the delta vectors")
-    check(graft.ops.Layout.refreshCount.get == r0 + 3,
-      "all three artifacts must take the refresh path on the append")
-    // buildCount now also counts FullRebuild fallbacks inside the
-    // refresh path, so this genuinely asserts the delta path was taken
-    // (e.g. a seed-ceiling regression in ivf_cells would trip it)
+    families.foreach { case (name, ensure) =>
+      val (n, t) = timed(s"k.refresh_$name")(ensure())
+      println(f"STRESS k.refresh_$name seconds=$t%.1f rows=$n " +
+        f"ratio=${t / math.max(buildT(name), 0.001)}%.2f")
+      check(n == basePattern(name) * (reps + 1),
+        s"$name refresh must add exactly one shard pattern")
+      // the delta commit must beat the build decisively — except
+      // shingle_stats, whose refresh IS its (already tokenize-free)
+      // global window recompute: bounded by build, not by half of it
+      if (name == "shingle_stats")
+        check(t < buildT(name) * 1.5 + 5.0,
+          s"$name stats recompute must stay rebuild-shaped")
+      else
+        check(t < buildT(name) * 0.5 + 5.0,
+          s"$name refresh must cost well under a build")
+    }
+    // buildCount also counts FullRebuild fallbacks inside the refresh
+    // path, so rebuilds=0 genuinely asserts every delta path was taken
+    // (e.g. a seed-ceiling regression in ivf_cells would trip it).
+    // shingle_stats contributes ONE refresh of its own on top of
+    // shingle_rows' (its kernel re-windows the already-refreshed rows).
+    check(graft.ops.Layout.refreshCount.get == r0 + families.size,
+      "all families must take the refresh path on the append")
     check(graft.ops.Layout.buildCount.get == b0,
       "no artifact may rebuild on an append-only delta")
-    // the delta commit must beat the build decisively — the rewrite is
-    // exactly what the round-11 conversion removed
-    check(tSpanR < tSpan * 0.5 + 5.0, "span refresh must cost well under a build")
-    check(tWinR < tWin * 0.5 + 5.0, "winnow refresh must cost well under a build")
-    check(tIvfR < tIvf * 0.5 + 5.0, "ivf refresh must cost well under a build")
-    println(s"STRESS k.summary artifacts=3 " +
+
+    // 12-epoch WALK (postings): shards land one at a time, each refresh
+    // links the committed files forward and adds ≤ `buckets` delta
+    // files — total file count must stay inside the deltaFileFactor
+    // compaction bound the whole way (tier K run 1 r11 caught the
+    // unaligned writer exploding to tasks×buckets files in ONE epoch)
+    val whRoot = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fsW = whRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def postingsFiles(): Int = {
+      val d = fsW.listStatus(whRoot).map(_.getPath)
+        .filter(_.getName.startsWith("graft_postings_"))
+        .maxBy(p => fsW.getFileStatus(p).getModificationTime)
+      fsW.listStatus(d).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    var tWalk = 0.0
+    var maxFiles = 0
+    (1 to walkEpochs).foreach { e =>
+      replicateTables(spark, baseDir, dir, Seq("documents"), mult,
+        (reps + e) to (reps + e), mode = "append")
+      val (_, t) = timed(s"k.walk_$e")(
+        graft.ext.Search.postingsShared(spark, dir).count())
+      tWalk += t
+      val nf = postingsFiles()
+      maxFiles = math.max(maxFiles, nf)
+      check(nf <= 32 * 16,
+        s"walk epoch $e: postings files $nf exceed the deltaFileFactor bound")
+      // base(≤32) + the refresh shard(≤32) + ≤32 per walk epoch: the
+      // aligned delta writer's ≤buckets-files-per-epoch contract
+      check(nf <= 32 * (2 + e),
+        s"walk epoch $e: postings files $nf grew faster than buckets/epoch")
+    }
+    val nWalk = graft.ext.Search.postingsShared(spark, dir).count()
+    check(nWalk == basePattern("postings") * (reps + 1 + walkEpochs),
+      s"walk total $nWalk != base pattern x ${reps + 1 + walkEpochs}")
+    println(f"STRESS k.walk epochs=$walkEpochs seconds=$tWalk%.1f " +
+      s"max_files=$maxFiles rows=$nWalk")
+    println(s"STRESS k.summary artifacts=${families.size} " +
       s"refreshes=${graft.ops.Layout.refreshCount.get - r0} " +
       s"rebuilds=${graft.ops.Layout.buildCount.get - b0}")
   }

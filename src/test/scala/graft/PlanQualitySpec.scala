@@ -614,6 +614,25 @@ class PlanQualitySpec extends SparkSpec {
     val q2 = plan("min_cost_supplier")
     assert(!q2.contains("Window"), q2.take(2000))
     assert(q2.contains("TakeOrderedAndProject"), q2.take(2000))
+    // r12 filter-early rewrite: the size-filtered partkeys broadcast-
+    // semi-join must sit BELOW the (part, supplier) cost aggregate, so
+    // non-qualifying parts never reach it (r11 verdict, What's wrong #1)
+    assert(q2.contains("LeftSemi"), q2.take(2000))
+    val prevAqe2 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val aggsWithSemi =
+      try SparkEntry.queries("min_cost_supplier")(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+              if a.exists {
+                case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+                  j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+                case _ => false
+              } => a
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe2)
+    assert(aggsWithSemi.nonEmpty,
+      "min_cost_supplier: the partkey semi-join must sit below the cost aggregate")
     // Q21: limit 25 never global-sorts
     assert(plan("sole_return_supplier").contains("TakeOrderedAndProject"))
     // sweep-line: every window either partitions on the hour bucket or

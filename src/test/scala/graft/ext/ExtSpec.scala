@@ -2049,6 +2049,58 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.jpegLuma(gjpg.take(gjpg.length / 2)).isEmpty)
   }
 
+  test("jpeg scan-walker fuzzer: mutated SOF2 streams never throw; a second SOF is malformed") {
+    val w = 48; val h = 32
+    val jpg = jpegProgressive(w, h,
+      (x, y) => ((x * 4) << 16) | ((y * 6) << 8) | 128)
+    assert(isSof2(jpg))
+    // double SOF (ADVICE r11): T.81 allows ONE frame per image — a
+    // second SOF2 after progressive scans have decoded must take the
+    // documented None stub path, never return all-gray planes
+    val sofSeg: Array[Byte] = {
+      var o = 2; var res: Array[Byte] = null
+      while (res == null && o + 4 <= jpg.length) {
+        val m = jpg(o + 1) & 0xFF
+        val len = ((jpg(o + 2) & 0xFF) << 8) | (jpg(o + 3) & 0xFF)
+        if (m == 0xC2) res = jpg.slice(o, o + 2 + len)
+        else o += 2 + len
+      }
+      res
+    }
+    assert(sofSeg != null)
+    val doubled = jpg.dropRight(2) ++ sofSeg ++ jpg.takeRight(2)
+    assert(Multimodal.jpegPixels(doubled).isEmpty,
+      "a second SOF after progressive scans must be malformed (None)")
+    assert(Multimodal.jpegLuma(doubled).isEmpty)
+    // fuzz over untrusted bytes: every mutation of a valid progressive
+    // stream — truncation, bit flip, byte splice — must yield Some or
+    // None, NEVER an executor-killing throw (the 100 TB media-ingest
+    // insurance; deterministic seed so a failure reproduces)
+    val rnd = new scala.util.Random(0xA11CE)
+    val fuzzN = sys.env.get("GRAFT_FUZZ_N").flatMap(_.toIntOption)
+      .getOrElse(300) // CI default; deep soak via GRAFT_FUZZ_N
+    for (i <- 0 until fuzzN) {
+      val mutated: Array[Byte] =
+        if (i % 3 == 0) jpg.take(2 + rnd.nextInt(jpg.length - 1))
+        else if (i % 3 == 1) {
+          val b = jpg.clone
+          val p = rnd.nextInt(b.length)
+          b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+          b
+        } else {
+          val b = jpg.clone
+          b(2 + rnd.nextInt(b.length - 2)) = rnd.nextInt(256).toByte
+          b
+        }
+      try { Multimodal.jpegPixels(mutated); () }
+      catch {
+        case e: Throwable =>
+          fail(s"fuzz case $i (mode ${i % 3}) threw: $e at " +
+            e.getStackTrace.take(4).mkString(" <- "))
+      }
+    }
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =

@@ -95,6 +95,46 @@ class LayoutRefreshSpec extends SparkSpec {
       s"a touched source file must force a rebuild (builds=$builds refreshes=$refreshes)")
   }
 
+  test("a FullRebuild deferred into the delta ACTION still falls back to a full build") {
+    // the shipped kernels run their expressibility checks eagerly, but
+    // the GenRefresh/refreshDelta contract (ADVICE r11) also covers a
+    // kernel that defers the check into the returned lazy frame: the
+    // signal first surfaces inside commitAppend's INSERT action, wrapped
+    // in Spark's executor-exception chain — ensureDerived must clean the
+    // tmp dir and fall back to the full build instead of aborting
+    val root = Files.createTempDirectory("graft_defer").toString
+    spark.range(50).withColumn("v", col("id") * 3)
+      .write.parquet(s"$root/t.parquet")
+    var builds = 0
+    def ensure(): DataFrame = Layout.ensureDerived(
+      spark, root, "test_defer", Seq("t.parquet"), "id", buckets = 4,
+      refreshDelta = Some { ctx =>
+        import spark.implicits._
+        spark.read.parquet(ctx.addedFiles: _*)
+          .select(col("id"), col("v")).as[(Long, Long)]
+          .mapPartitions[(Long, Long)] { (_: Iterator[(Long, Long)]) =>
+            throw new Layout.FullRebuild
+          }
+          .toDF("id", "v")
+      }) {
+      builds += 1
+      spark.read.parquet(s"$root/t.parquet").select(col("id"), col("v"))
+    }
+    assert(ensure().count() === 50)
+    assert(builds === 1)
+    appendFile(s"$root/t.parquet",
+      spark.range(50, 60).withColumn("v", col("id") * 3))
+    val out = ensure()
+    assert(builds === 2,
+      "a deferred FullRebuild must fall back to the full build")
+    assert(out.count() === 60)
+    // the aborted append's tmp dir must not survive as an orphan
+    val whRoot = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val orphans = fs.listStatus(whRoot).map(_.getPath.getName)
+      .filter(n => n.startsWith("graft_test_defer_") && n.contains("__a"))
+    assert(orphans.isEmpty, s"orphan tmp dirs: ${orphans.mkString(",")}")
+  }
+
   test("a partitioned (nested-subdir) source still invalidates on nested change") {
     // partitionBy layouts nest data files under key=value subdirs; the
     // census must recurse or a nested shard change silently reuses the
@@ -418,7 +458,7 @@ class LayoutRefreshSpec extends SparkSpec {
       "pair list after refresh diverged from the full rebuild")
   }
 
-  test("simhash_sig refreshes append-only; shingle_stats REBUILDS (global df/rank)") {
+  test("simhash_sig refreshes append-only; shingle_stats refreshes TWO-LAYER (rows delta + stats re-window)") {
     val base = Files.createTempDirectory("graft_sh_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_sh_full").toString + "/d"
     fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
@@ -443,17 +483,27 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.exceptAll(rebuilt).isEmpty &&
       rebuilt.exceptAll(refreshed).isEmpty,
       "refreshed simhash index diverged from the full rebuild")
-    // global df/rank stats: an append REBUILDS (one new doc can shift any
-    // shingle's df and reorder prefixes) — and the rebuilt stats cover
-    // the appended docs. (Counter captured here: the pristine-dir rebuild
-    // above legitimately incremented buildCount once.)
+    // TWO-LAYER global df/rank stats (r12): the rows layer refreshes via
+    // refreshDelta — ONLY the appended docs tokenize, the committed
+    // (doc_id, sh) rows hardlink forward — and the stats layer
+    // re-windows the rows artifact (O(artifact), no text scan). Neither
+    // layer may run its full build on an append, and df/sz/rk must
+    // match a from-scratch rebuild row-for-row. (Counters captured
+    // here: the pristine-dir simhash rebuild above legitimately
+    // incremented buildCount once.)
     val b1 = Layout.buildCount.get
     val r1 = Layout.refreshCount.get
     val stats = graft.ext.Dedup.shingleStatsShared(spark, base)
-    assert(Layout.buildCount.get === b1 + 1 && Layout.refreshCount.get === r1,
-      "shingle_stats must rebuild, not refresh, on an append")
+    assert(Layout.buildCount.get === b1,
+      "an append must never re-shingle the corpus (delta tokenize only)")
+    assert(Layout.refreshCount.get === r1 + 2,
+      "both layers (shingle_rows delta, shingle_stats re-window) must refresh")
     assert(stats.filter(col("doc_id") > maxId).count() > 0,
-      "rebuilt shingle_stats must include the appended docs")
+      "refreshed shingle_stats must include the appended docs")
+    val pristineStats = graft.ext.Dedup.shingleStatsShared(spark, pristine)
+    assert(stats.exceptAll(pristineStats).isEmpty &&
+      pristineStats.exceptAll(stats).isEmpty,
+      "two-layer refreshed shingle_stats diverged from the full rebuild")
   }
 
   test("winnow_sel refreshes append-only and matches a full rebuild") {

@@ -287,6 +287,80 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamedStats.getLong(1) === expectToks)
   }
 
+  test("ingestEdges: streamed edge index equals the one-shot bounded derivation; replays net to zero") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_edgeingest").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") <= 400)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    val rows = li.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // split BY LINE PARITY so epoch 2's orders genuinely merge with
+    // memberships epoch 1 committed (the new×old pair leg)
+    val shard1 = rows.filter(_._3 % 2 == 0).map(t => (t._1, t._2))
+    val shard2 = rows.filter(_._3 % 2 == 1).map(t => (t._1, t._2))
+    assert(shard1.nonEmpty && shard2.nonEmpty)
+    val input = MemoryStream[(Long, Long)]
+    val lines = input.toDF()
+      .select(col("_1").as("l_orderkey"), col("_2").as("l_partkey"))
+    val q = CorpusIngest.ingestEdges(lines, s"$dir/index", s"$dir/ckpt")
+    try {
+      input.addData(shard1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(shard2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    def merged() = CorpusIngest.readEdgeIndex(spark, s"$dir/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val streamed = merged()
+    // one-shot bounded derivation over the same lines (the batch
+    // artifact's build kernel)
+    val op = graft.ext.Graph.boundedBaskets(
+      li.select("l_orderkey", "l_partkey").distinct())
+    val oneShot = graft.ext.Graph.edgeAggW(graft.ext.Graph.edgePairsOf(op, op))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed === oneShot,
+      "streamed+merged edge index must equal the one-shot derivation")
+    // crash-window replay of the SECOND epoch (epoch-scoped overwrite:
+    // re-derives identical rows from epochs < 1, nets to zero)
+    CorpusIngest.edgeBatchBody(
+      shard2.toSeq.toDF("l_orderkey", "l_partkey"), s"$dir/index", 1L)
+    assert(merged() === streamed, "replayed epoch must not change weights")
+  }
+
+  test("ingestEdges cap-crossing: an order crossing MaxBasket cancels its committed pairs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_edgecap").toString
+    val cap = graft.ext.Graph.MaxBasket.toInt
+    // epoch 0: order 1 holds 3 parts (6 directed pairs commit); order 2
+    // holds 2 parts
+    val e0 = (Seq((1L, 101L), (1L, 102L), (1L, 103L)) ++
+      Seq((2L, 201L), (2L, 202L))).toDF("l_orderkey", "l_partkey")
+    CorpusIngest.edgeBatchBody(e0, s"$dir/index", 0L)
+    assert(CorpusIngest.readEdgeIndex(spark, s"$dir/index").count() === 8)
+    // epoch 1: order 1 crosses the cap (3 old + cap-2 new > cap) — its
+    // committed pairs must CANCEL; order 2 gains one part under the cap
+    val e1 = ((1 to (cap - 2)).map(i => (1L, 1000L + i)) ++
+      Seq((2L, 203L))).toDF("l_orderkey", "l_partkey")
+    CorpusIngest.edgeBatchBody(e1, s"$dir/index", 1L)
+    def merged() = CorpusIngest.readEdgeIndex(spark, s"$dir/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val after = merged()
+    // exactly the one-shot bounded derivation: order 1 excluded wholly,
+    // order 2's 3 parts pair fully
+    val expect = (for {
+      a <- Seq(201L, 202L, 203L); b <- Seq(201L, 202L, 203L) if a != b
+    } yield (a, b, 1L)).toSet
+    assert(after === expect,
+      s"crossing order's pairs must cancel; got ${after.size} rows")
+    // replay of the crossing epoch re-derives the same cancellation
+    CorpusIngest.edgeBatchBody(e1, s"$dir/index", 1L)
+    assert(merged() === expect, "replayed crossing epoch must be a net no-op")
+  }
+
   /** Minimal REAL 24-bit grayscale BMP (the ExtSpec builder) so the
     * stream carries a payload the perceptual decoder accepts.
     */
