@@ -2101,6 +2101,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("container fuzzer: mutated BMP/PNG/GIF/WAV/MP4 streams never throw") {
+    // same insurance as the JPEG scan-walker fuzzer, over every other
+    // from-scratch container/pixel decoder the 100 TB media ingest runs
+    // on untrusted bytes: any mutation of a valid stream — truncation,
+    // bit flip, byte splice — must yield Some or None, never a throw.
+    // (The JPEG fuzzer caught a real OOB on its first run; this pins
+    // the rest of the family at the same bar.) Deterministic seed.
+    val grad = (x: Int, y: Int) => (x * 5 + y * 3) & 0xFF
+    val subjects: Seq[(String, Array[Byte], Array[Byte] => Unit)] = Seq(
+      ("bmp", bmpPattern(40, 24, grad),
+        (b: Array[Byte]) => { Multimodal.bmpPHash(b); () }),
+      ("png", pngPattern(40, 24, grad),
+        (b: Array[Byte]) => { Multimodal.pngPHash(b); () }),
+      ("gif", gifPattern(40, 24, grad),
+        (b: Array[Byte]) => { Multimodal.gifPHash(b); () }),
+      ("wav", wavPcm((0 until 2048).map(i => (i * 37) % 9000 - 4500)),
+        (b: Array[Byte]) => { Multimodal.pcmPHash(b); () }),
+      ("mp4", mp4Bytes(640, 360, 42000L),
+        (b: Array[Byte]) => { Multimodal.mp4Info(b); () }),
+      // the shared dims walker sees every image format too
+      ("dims", pngPattern(40, 24, grad),
+        (b: Array[Byte]) => { Multimodal.parseDims("image", b); () }))
+    val rnd = new scala.util.Random(0xFACADE)
+    for ((name, valid, decode) <- subjects; i <- 0 until 200) {
+      val mutated: Array[Byte] =
+        if (i % 3 == 0) valid.take(1 + rnd.nextInt(valid.length))
+        else if (i % 3 == 1) {
+          val b = valid.clone
+          val p = rnd.nextInt(b.length)
+          b(p) = (b(p) ^ (1 << rnd.nextInt(8))).toByte
+          b
+        } else {
+          val b = valid.clone
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        }
+      try { decode(mutated); () }
+      catch {
+        case e: Throwable =>
+          fail(s"$name fuzz case $i (mode ${i % 3}) threw: $e at " +
+            e.getStackTrace.take(4).mkString(" <- "))
+      }
+    }
+  }
+
   test("pcmPHash: volume-invariant, corruption-tolerant, content-sensitive audio fingerprint") {
     // deterministic pseudo-waveform with distinct per-window energies
     def wave(n: Int, seed: Int): Seq[Int] =
