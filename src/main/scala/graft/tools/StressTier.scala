@@ -1071,6 +1071,73 @@ object StressTier {
       s"rebuilds=${graft.ops.Layout.buildCount.get - b0}")
   }
 
+  /** Tier L — the STREAMING edge maintainer at scale: 20 order-disjoint
+    * replicas of the sf0.1 lineitem (12M lines) arrive as 10 epochs
+    * through [[graft.streaming.CorpusIngest.edgeBatchBody]] against a
+    * growing committed index. Proves the three contract properties the
+    * MemoryStream spec can only show at toy size:
+    *
+    *   - per-epoch cost stays EPOCH-SIZED as the member log grows (the
+    *     old side is read touched-orders-only; new orders touch none);
+    *   - an at-least-once redelivery of an already-committed replica's
+    *     lines derives ZERO memberships and a zero edge delta;
+    *   - the merged read equals the one-shot bounded derivation exactly
+    *     (replication-invariant: replicas are id-remapped disjoint
+    *     graphs, so merged edges = base pattern × reps).
+    */
+  private def tierL(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 20
+    val epochs = 10
+    val (_, tRep) = timed("l.replicate")(replicateTables(
+      spark, baseDir, dir, Seq("lineitem"), reps, 0 until reps))
+    val nBase = spark.read.parquet(s"$baseDir/lineitem.parquet").count()
+    println(f"STRESS l.replicate seconds=$tRep%.1f lines=${nBase * reps}")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val baseOp = graft.ext.Graph.boundedBaskets(
+      spark.read.parquet(s"$baseDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val baseEdges = graft.ext.Graph.edgeAggW(
+      graft.ext.Graph.edgePairsOf(baseOp, baseOp)).count()
+    val idx = s"$dir/edge_index"
+    val pIdx = new org.apache.hadoop.fs.Path(idx)
+    pIdx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(pIdx, true)
+    var first = 0.0
+    var worst = 0.0
+    (0 until epochs).foreach { e =>
+      val batch = li.filter(pmod(col("l_orderkey"), lit(reps.toLong))
+        .isin(2L * e, 2L * e + 1))
+      val (_, t) = timed(s"l.epoch_$e") {
+        graft.streaming.CorpusIngest.edgeBatchBody(batch, idx, e.toLong); 0L
+      }
+      if (e == 0) first = t
+      worst = math.max(worst, t)
+      println(f"STRESS l.epoch_$e seconds=$t%.1f")
+    }
+    check(worst < first * 3.0 + 5.0,
+      f"epoch cost grew with index size: first $first%.1f worst $worst%.1f")
+    // at-least-once redelivery of replica 0's (committed) lines
+    val (_, tReplay) = timed("l.replay_epoch") {
+      graft.streaming.CorpusIngest.edgeBatchBody(
+        li.filter(pmod(col("l_orderkey"), lit(reps.toLong)) === 0L),
+        idx, epochs.toLong); 0L
+    }
+    println(f"STRESS l.replay_epoch seconds=$tReplay%.1f")
+    val replayMembers = spark.read
+      .schema("l_orderkey BIGINT, l_partkey BIGINT")
+      .parquet(s"$idx/members/epoch=$epochs").count()
+    check(replayMembers == 0L,
+      s"redelivered lines contributed $replayMembers memberships (want 0)")
+    val (nEdges, tMerge) = timed("l.merged_read")(
+      graft.streaming.CorpusIngest.readEdgeIndex(spark, idx).count())
+    println(f"STRESS l.merged_read seconds=$tMerge%.1f edges=$nEdges")
+    check(nEdges == baseEdges * reps,
+      s"merged stream index $nEdges != one-shot pattern $baseEdges x $reps")
+    println(s"STRESS l.summary epochs=$epochs replay_zero=true " +
+      f"first=$first%.1f worst=$worst%.1f")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -1103,6 +1170,8 @@ object StressTier {
         tierJ(spark, "/root/testdata/sf0.1", s"$root/sf0.1wh100")
       if (tier == "k")
         tierK(spark, "/root/testdata/sf0.1", s"$root/sf0.1corpus100")
+      if (tier == "l")
+        tierL(spark, "/root/testdata/sf0.1", s"$root/sf0.1edgestream")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")
