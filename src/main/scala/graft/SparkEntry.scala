@@ -990,6 +990,27 @@ object SparkEntry {
       |  FROM est
       |)""".stripMargin
 
+  /** The ADC-shortlist → exact-cosine re-rank CTE chain appended onto
+    * [[pqAdcOracleCtes]] — shortlist depth 24×k = 120, re-rank ordered
+    * (sim DESC, c_id ASC). ONE definition so the three rerank oracles
+    * (`knn_ivfpq_rerank`, `ann_recall_ivfpq_rerank`,
+    * `retrieval_metrics_rerank`) can never drift from each other.
+    */
+  private val rerankOracleCtes: String =
+    """, shortlist AS (
+      |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
+      |), rr AS (
+      |  SELECT s.q_id, s.c_id,
+      |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
+      |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
+      |                   JOIN nemb c ON s.c_id = c.vec_id
+      |), rranked AS (
+      |  SELECT q_id, c_id, sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
+      |  FROM rr
+      |)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
@@ -2069,20 +2090,8 @@ object SparkEntry {
         |ORDER BY q_id ASC, nn_rank ASC""".stripMargin),
     // ADC shortlist (24×k=120 by estimated L2², the saturating depth for 16-bit codes) → exact-cosine re-rank of
     // the shortlist ids only — the deployable compressed-domain pattern
-    "knn_ivfpq_rerank" -> (pqAdcOracleCtes +
-      """, shortlist AS (
-        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
-        |), rr AS (
-        |  SELECT s.q_id, s.c_id,
-        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
-        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
-        |                   JOIN nemb c ON s.c_id = c.vec_id
-        |), rranked AS (
-        |  SELECT q_id, c_id, sim,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
-        |  FROM rr
-        |)
+    "knn_ivfpq_rerank" -> (pqAdcOracleCtes + rerankOracleCtes +
+      """
         |SELECT q_id, nn_rank, c_id AS neighbor_id, round(sim, 6) AS cosine_sim
         |FROM rranked WHERE nn_rank <= 5
         |ORDER BY q_id ASC, nn_rank ASC""".stripMargin),
@@ -3765,20 +3774,8 @@ object SparkEntry {
     // recall of the shortlist→re-rank tier against the same brute truth:
     // should sit at/near the IVF leg (cell pruning is the shared bound),
     // far above the raw ADC row
-    "ann_recall_ivfpq_rerank" -> (pqAdcOracleCtes +
-      """, shortlist AS (
-        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
-        |), rr AS (
-        |  SELECT s.q_id, s.c_id,
-        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
-        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
-        |                   JOIN nemb c ON s.c_id = c.vec_id
-        |), rranked AS (
-        |  SELECT q_id, c_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
-        |  FROM rr
-        |), rrtop AS (
+    "ann_recall_ivfpq_rerank" -> (pqAdcOracleCtes + rerankOracleCtes +
+      """, rrtop AS (
         |  SELECT q_id, c_id FROM rranked WHERE nn_rank <= 5
         |), branked AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
@@ -3942,20 +3939,8 @@ object SparkEntry {
     // relevance set — ann_recall_ivfpq_rerank's retrieval chain
     // (ADC shortlist at 24×k, exact-cosine re-rank) with
     // retrieval_metrics' scoring tail
-    "retrieval_metrics_rerank" -> (pqAdcOracleCtes +
-      """, shortlist AS (
-        |  SELECT q_id, c_id FROM pqranked WHERE nn_rank <= 120
-        |), rr AS (
-        |  SELECT s.q_id, s.c_id,
-        |         list_inner_product(q.vec, c.vec) / (q.nrm * c.nrm) AS sim
-        |  FROM shortlist s JOIN nemb q ON s.q_id = q.vec_id
-        |                   JOIN nemb c ON s.c_id = c.vec_id
-        |), rranked AS (
-        |  SELECT q_id, c_id,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY sim DESC, c_id ASC) AS nn_rank
-        |  FROM rr
-        |), rrl AS (
+    "retrieval_metrics_rerank" -> (pqAdcOracleCtes + rerankOracleCtes +
+      """, rrl AS (
         |  SELECT q_id, c_id, nn_rank FROM rranked WHERE nn_rank <= 5
         |), branked AS (
         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,

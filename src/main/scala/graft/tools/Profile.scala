@@ -127,11 +127,12 @@ object Profile {
           graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
         } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       timed("edge-body-1-p4") {
         spark.conf.set("spark.sql.shuffle.partitions", "4")
         try {
           graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
-        } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
       timed("edge-body-1-noaqe-p4") {
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -140,7 +141,7 @@ object Profile {
           graft.streaming.CorpusIngest.edgeBatchBody(shard(1), dir, 1L); 0L
         } finally {
           spark.conf.set("spark.sql.adaptive.enabled", "true")
-          spark.conf.set("spark.sql.shuffle.partitions", "32")
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         }
       }
       // body-1 sub-steps, replayed by hand against the committed epoch 0
@@ -159,13 +160,14 @@ object Profile {
       timed("edge-s4-mergedsz")(mergedSz.count())
       val oldSz = oldTouched.groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("__o"))
+      val maxB = graft.ext.Graph.MaxBasket
       timed("edge-s5-crossed-empty") {
-        val crossed = mergedSz.filter(col("__m") > 256L)
+        val crossed = mergedSz.filter(col("__m") > maxB)
           .join(oldSz, Seq("l_orderkey"))
-          .filter(col("__o").between(2L, 256L))
+          .filter(col("__o").between(2L, maxB))
         if (crossed.isEmpty) 0L else 1L
       }
-      val okOrders = mergedSz.filter(col("__m") <= 256L).select("l_orderkey")
+      val okOrders = mergedSz.filter(col("__m") <= maxB).select("l_orderkey")
       timed("edge-s6-delta-write") {
         graft.ext.Graph.edgeDelta(newOnly, oldTouched, okOrders)
           .write.mode("overwrite")

@@ -1046,6 +1046,17 @@ object StressTier {
     }
     var tWalk = 0.0
     var maxFiles = 0
+    // mirror the postings artifact's layout constants (ensureDerived
+    // defaults): the walk's growth bound derives from them instead of
+    // hardcoding magic numbers that could desynchronize from the
+    // contract. The walk deliberately stays BELOW the
+    // buckets×deltaFileFactor compaction trigger — the compaction epoch
+    // itself is pinned at small scale in LayoutRefreshSpec's 12-epoch
+    // walk; what this tier pins is the ALIGNED writer's
+    // ≤buckets-files-per-epoch growth at 100× volume (the r11 tier-K
+    // run-1 regression wrote tasks×buckets files in ONE epoch, which
+    // this bound catches immediately).
+    val buckets = 32
     (1 to walkEpochs).foreach { e =>
       replicateTables(spark, baseDir, dir, Seq("documents"), mult,
         (reps + e) to (reps + e), mode = "append")
@@ -1054,11 +1065,9 @@ object StressTier {
       tWalk += t
       val nf = postingsFiles()
       maxFiles = math.max(maxFiles, nf)
-      check(nf <= 32 * 16,
-        s"walk epoch $e: postings files $nf exceed the deltaFileFactor bound")
-      // base(≤32) + the refresh shard(≤32) + ≤32 per walk epoch: the
-      // aligned delta writer's ≤buckets-files-per-epoch contract
-      check(nf <= 32 * (2 + e),
+      // base(≤buckets) + the refresh shard(≤buckets) + ≤buckets per
+      // walk epoch
+      check(nf <= buckets * (2 + e),
         s"walk epoch $e: postings files $nf grew faster than buckets/epoch")
     }
     val nWalk = graft.ext.Search.postingsShared(spark, dir).count()
