@@ -2124,7 +2124,9 @@ class MultimodalSpec extends SparkSpec {
       ("dims", pngPattern(40, 24, grad),
         (b: Array[Byte]) => { Multimodal.parseDims("image", b); () }))
     val rnd = new scala.util.Random(0xFACADE)
-    for ((name, valid, decode) <- subjects; i <- 0 until 200) {
+    val fuzzN = sys.env.get("GRAFT_FUZZ_N").flatMap(_.toIntOption)
+      .getOrElse(200) // per format; deep soak via GRAFT_FUZZ_N
+    for ((name, valid, decode) <- subjects; i <- 0 until fuzzN) {
       val mutated: Array[Byte] =
         if (i % 3 == 0) valid.take(1 + rnd.nextInt(valid.length))
         else if (i % 3 == 1) {

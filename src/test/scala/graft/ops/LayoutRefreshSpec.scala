@@ -288,6 +288,39 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(builds.get === 1, "the per-table lock must serialize to one build")
   }
 
+  test("concurrent ensures of the TWO-LAYER shingle pair: nested locks, one build per layer") {
+    // the r12 shingle split nests ensureDerived calls (the stats layer's
+    // build/refresh ensures the rows layer while holding its own lock).
+    // Lock acquisition is always stats→rows or rows alone — acyclic — so
+    // mixed concurrent ensures of both layers must neither deadlock nor
+    // double-build either layer.
+    val root = Files.createTempDirectory("graft_conc2").toString + "/d"
+    fs.mkdirs(new Path(root))
+    seedAsDir(s"$sf/documents.parquet", s"$root/documents.parquet")
+    val b0 = Layout.buildCount.get
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() =>
+        try counts.add(graft.ext.Dedup.shingleStatsShared(spark, root).count())
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try counts.add(graft.ext.Dedup.shingleStatsShared(spark, root).count())
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try counts.add(graft.ext.Dedup.shingleRowsShared(spark, root).count())
+        catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(threads.forall(!_.isAlive), "two-layer ensure deadlocked")
+    assert(errs.isEmpty, errs)
+    import scala.jdk.CollectionConverters._
+    assert(counts.asScala.toSet.size === 1,
+      s"all readers must see the same complete copy: ${counts.asScala.toSeq}")
+    assert(Layout.buildCount.get === b0 + 2,
+      "exactly one build per layer (rows + stats), no double-build")
+  }
+
   test("ivf_cells refreshes appended vectors under a FROZEN quantizer; matches full rebuild") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_ivfinc").toString
