@@ -579,9 +579,10 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
     // cluster_keywords attaches the 1-row n_cells total by broadcast and
-    // retrieval_metrics the 1-row probe/exact-set — the accepted
-    // scalar-attach BNLJ — so only cartesians are banned for them
-    for (q <- Seq("cluster_keywords", "retrieval_metrics"))
+    // the retrieval-metric family the 1-row probe/exact-set — the
+    // accepted scalar-attach BNLJ — so only cartesians are banned
+    for (q <- Seq("cluster_keywords", "retrieval_metrics",
+      "retrieval_metrics_ivf", "retrieval_metrics_rerank"))
       assert(!plan(q).contains("CartesianProduct"), s"$q has a cartesian product")
     // the A-ES weighted sample is per-partition top-n, never a global sort
     assert(plan("weighted_sample").contains("TakeOrderedAndProject"))
