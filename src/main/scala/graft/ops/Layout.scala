@@ -25,6 +25,19 @@ object Layout {
     * `addedFiles` is the only corpus data it should re-process;
     * `priorFiles` is available for the rare kernels whose delta spans
     * old×new, e.g. pair generation within a key).
+    *
+    * For a [[GenRefresh]] artifact past its first append, `oldArtifact`
+    * is served through the kernel's `merge` — a kernel reading it sees
+    * COMMITTED per-key values, never the raw per-generation partials.
+    *
+    * `addedFiles`/`priorFiles` are LEAF data-file paths. A
+    * Hive-partitioned (key=value subdir) source still invalidates
+    * correctly (the census lists recursively), but a refresh KERNEL
+    * reading leaf files with `spark.read.parquet` loses the
+    * directory-encoded partition columns — such sources must either
+    * carry the partition value as a real column or register without a
+    * refresh kernel (full rebuild per census change, correct by
+    * construction). Every shipped source is a flat file directory.
     */
   final case class RefreshCtx(
       oldArtifact: DataFrame,
@@ -261,13 +274,25 @@ object Layout {
               val pathOf = (e: String) => e.split("\\|", 3)(2)
               val prior = priorEntries.map(pathOf)
               val added = entries.filterNot(priorEntries.toSet).map(pathOf)
+              val genOpt =
+                if (refreshGen.isDefined)
+                  readText(fs, new org.apache.hadoop.fs.Path(oldDir, GenFile))
+                    .flatMap(_.trim.toIntOption)
+                else None
+              val rawOld = spark.read.parquet(oldDir.toString)
+              // RefreshCtx contract: a multi-generation predecessor's raw
+              // rows carry per-generation PARTIAL values — a kernel
+              // reading oldArtifact must see committed content, so it is
+              // served through the merge (lazy; costs nothing unless the
+              // kernel actually reads it)
               val ctx = RefreshCtx(
-                spark.read.parquet(oldDir.toString), added, prior)
+                refreshGen match {
+                  case Some(g) if genOpt.isDefined => g.merge(rawOld)
+                  case _ => rawOld
+                }, added, prior)
               try if (refreshGen.isDefined) {
                 val g = refreshGen.get
-                val gen = readText(fs,
-                  new org.apache.hadoop.fs.Path(oldDir, GenFile))
-                  .flatMap(_.trim.toIntOption).getOrElse(1)
+                val gen = genOpt.getOrElse(1)
                 // the delta kernel runs (and performs its eager
                 // expressibility checks) BEFORE any write is chosen
                 val deltaOpt =
@@ -340,10 +365,16 @@ object Layout {
           buildNanos.addAndGet(System.nanoTime() - t0)
           registerExternal(spark, table, wh, schemaDDL, key, buckets)
         }
+        // GC LAST — a stale sibling may have just served as the refresh
+        // predecessor, so it must survive until the new copy is
+        // committed — and only HERE, on the mint/re-register path: a
+        // stale sibling can only exist when a new tag was just created
+        // (census change) or a surviving dir was re-registered, so the
+        // warm serve path must not pay a full catalog enumeration plus
+        // a warehouse listing per consumer query (the ADVICE-r11
+        // genFlags lesson applied to the GC sweep)
+        dropStaleDerived(spark, family, dirTag, table)
       }
-      // GC LAST: a stale sibling may have just served as the refresh
-      // predecessor — it must survive until the new copy is committed
-      dropStaleDerived(spark, family, dirTag, table)
       // a MULTI-generation artifact is served through its merge (the
       // generation marker is written by every append commit); a single
       // generation — fresh build, compaction, or a pre-generational
@@ -576,8 +607,10 @@ object Layout {
     } catch {
       // a failed link/create/INSERT (incl. a deferred FullRebuild
       // surfacing inside the INSERT action) must not orphan the
-      // half-written tmp dir — the caller may fall back to a full build
+      // half-written tmp dir OR a catalog entry pointing at it — the
+      // caller may fall back to a full build
       case t: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
         fs.delete(tmpDir, true)
         throw t
     }
@@ -781,11 +814,16 @@ object Layout {
     * [0, 2^bits); see [[quantize]]. Pure shift/mask arithmetic — codegen'd,
     * no UDF.
     */
-  def zvalue(x: Column, y: Column, bits: Int = 16): Column =
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
+    // 2·bits interleaved bits must fit the non-sign Long range — at
+    // bits = 32 the top y-bit would land on bit 63 and flip the sign,
+    // silently scrambling the range-partition order
+    require(bits >= 1 && bits <= 31, s"zvalue bits must be in [1, 31], got $bits")
     (0 until bits).map { j =>
       shiftleft(shiftright(x, j).bitwiseAND(lit(1L)), 2 * j) +
         shiftleft(shiftright(y, j).bitwiseAND(lit(1L)), 2 * j + 1)
     }.reduce(_ + _)
+  }
 
   /** Linear quantization of a numeric column onto [0, 2^bits) given its
     * [lo, hi] domain (from table stats — one cheap agg pass at write time).
@@ -859,19 +897,25 @@ object Layout {
         buildCount.incrementAndGet()
         val tmp = new org.apache.hadoop.fs.Path(
           whRoot, name + "__b" + java.util.UUID.randomUUID().toString.take(8))
-        writeZOrdered(
-          spark.read.parquet(new org.apache.hadoop.fs.Path(sfDir, source).toString),
-          xCol, yCol, tmp.toString, outFiles)
-        writeText(fs, new org.apache.hadoop.fs.Path(tmp, CensusFile), censusStr)
-        if (!fs.rename(tmp, wh)) {
-          // rename loser: adopt a concurrent winner's identical commit
-          if (isCommitted(fs, wh, censusStr)) fs.delete(tmp, true)
-          else throw new IllegalStateException(
-            s"ensureZOrdered($name): could not publish $tmp to $wh")
+        // publishTmp is the one commit point (census marker + atomic
+        // rename + adopt-a-concurrent-winner); a failed write must not
+        // orphan the tmp dir
+        try {
+          writeZOrdered(
+            spark.read.parquet(
+              new org.apache.hadoop.fs.Path(sfDir, source).toString),
+            xCol, yCol, tmp.toString, outFiles)
+          publishTmp(fs, name, wh, tmp, censusStr)
+        } catch {
+          case t: Throwable =>
+            fs.delete(tmp, true)
+            throw t
         }
         buildNanos.addAndGet(System.nanoTime() - t0)
+        // GC only on the build path — the warm serve path stays free of
+        // the catalog/warehouse sweep (same reasoning as ensureDerived)
+        dropStaleDerived(spark, family, dirTag, name)
       }
-      dropStaleDerived(spark, family, dirTag, name)
     }
     wh.toString
   }
@@ -911,17 +955,32 @@ object Layout {
     * groups). File count derives from the actual on-disk bytes; content is
     * rewritten 1:1 (no dedup, no reorder guarantees beyond Spark's
     * round-robin rebalance).
+    *
+    * OFFLINE maintenance contract: callers must quiesce writers AND
+    * readers of `path` for the swap. The rewrite validates row count and
+    * re-checks the source file listing immediately before the swap — a
+    * concurrent append that landed after the rewrite's snapshot aborts
+    * the compaction (its rows are not in the rewrite and would be lost)
+    * — but a file landing INSIDE the rename window itself, or a reader
+    * hitting the instant between the two renames, is inherently
+    * unprotected by a rename-based swap; that is what the quiesce is for
+    * (table formats solve this with a metadata pointer flip — out of
+    * scope for plain parquet dirs).
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = path.stripSuffix("/") + "__compacting"
     val backup = path.stripSuffix("/") + "__backup"
-    val src = new org.apache.hadoop.fs.Path(path)
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val bakP = new org.apache.hadoop.fs.Path(backup)
+    def listSnapshot(): Set[String] =
+      fs.listStatus(src)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => s"${s.getPath.getName}|${s.getLen}").toSet
     // Crash-window auto-restore: a previous compact that died between the
     // two renames below left the table readable ONLY under __backup —
     // restore it before doing anything else. (A leftover backup alongside a
@@ -933,6 +992,7 @@ object Layout {
     if (fs.exists(tmpP)) fs.delete(tmpP, true) // dead rewrite from a crashed run
     val totalBytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, (totalBytes.toDouble / targetFileBytes).ceil.toInt)
+    val snapshot = listSnapshot()
     val before = spark.read.parquet(path).count()
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
@@ -943,6 +1003,14 @@ object Layout {
       fs.delete(tmpP, true)
       throw new IllegalStateException(
         s"compact($path): rewrite row count $after != source $before; aborted")
+    }
+    // a writer that appended DURING the rewrite left files the rewrite
+    // never read — swapping would silently drop their rows. Abort; the
+    // caller re-runs after quiescing (scaladoc contract).
+    if (listSnapshot() != snapshot) {
+      fs.delete(tmpP, true)
+      throw new IllegalStateException(
+        s"compact($path): source changed during the rewrite; aborted")
     }
     // swap via backup so a crash at any point leaves a readable copy:
     // src -> backup, tmp -> src, then drop backup. If either rename fails
