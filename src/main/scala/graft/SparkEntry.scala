@@ -247,7 +247,7 @@ object SparkEntry {
     // mergeable bounded top-k on negated sim — no corpus-wide window
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     // SemDeDup: cell-scoped cosine near-dup, keeper = lowest id per pair
-    "semantic_dedup"     -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "semantic_dedup"     -> ((s, d) => Similarity.semanticDedupAdaptive(s, d)),
     // bitext/parallel-pair mining: best cross-label neighbor + margin
     "bitext_mine"        -> ((s, d) => Similarity.crossLabelMineAdaptive(s, d)),
     // contrastive-training negatives: per-anchor top-n in the [lo, hi)
@@ -2456,16 +2456,24 @@ object SparkEntry {
     // SemDeDup: the dup search replays the identical seed-cell assignment,
     // then pairs ONLY within a cell; dup_of = smallest lower-id cell-mate
     // above the cosine threshold
+    // seeds limit is the census-derived 16·ceil(N/500) — the same
+    // adaptive k as bitext_mine/hard_negatives (cells stay bounded as
+    // the corpus grows; r12 closed the last fixed-k cell-scoped sibling)
     "semantic_dedup" ->
       """WITH emb AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS vec,
         |         sqrt(list_inner_product(embedding::DOUBLE[],
         |                                 embedding::DOUBLE[])) AS nrm
         |  FROM embeddings
+        |), nk AS (
+        |  SELECT greatest(16, 16 * CAST(ceil(count(*) / 500.0) AS BIGINT))
+        |           AS k
+        |  FROM emb
         |), seeds AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell_id,
-        |         list_transform(vec, x -> x / nrm) AS c
-        |  FROM emb ORDER BY vec_id ASC LIMIT 16
+        |  SELECT rn - 1 AS cell_id, list_transform(vec, x -> x / nrm) AS c
+        |  FROM (SELECT *, row_number() OVER (ORDER BY vec_id ASC) AS rn
+        |        FROM emb)
+        |  WHERE rn <= (SELECT k FROM nk)
         |), scored AS (
         |  SELECT e.vec_id, s.cell_id,
         |         list_inner_product(e.vec, s.c) / e.nrm AS sim

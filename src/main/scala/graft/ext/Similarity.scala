@@ -11,16 +11,19 @@ import graft.io.Tables
   * array<float>, label) — LLM-pipeline north-star capability.
   *
   * Baseline: brute-force cosine top-k (exact; the oracle-checkable path).
-  * Scale path: random-hyperplane LSH bucketing — candidates share a 16-bit
-  * band signature, so the join is bucket-local instead of a full cross
-  * product. Hyperplane components are derived from xxhash64(dim, plane)
-  * parity: fully deterministic, no stored model, reproducible on any
-  * cluster.
+  * Scale path: random-hyperplane LSH bucketing — candidates share an
+  * (8-bit band idx, 8-bit signature) key, so the join is bucket-local
+  * instead of a full cross product. Hyperplane ±1 components come from a
+  * fixed-seed PRNG ([[hyperplaneSigns]]): fully deterministic, no stored
+  * model, reproducible on any cluster, and embedded verbatim as SQL
+  * array literals in the generated oracle twins.
   *
   * Vector math uses the native codegen [[graft.functions.DotProduct]]
   * expression (floats widened per element → bit-identical to the DuckDB
-  * DOUBLE[] oracle); signature math is explode → 64 codegen'd aggregates
-  * (Spark's array lambdas are interpreted — see Dedup's scaladoc).
+  * DOUBLE[] oracle); each projection is one graft_dot against a constant
+  * plane in a narrow map stage, and the per-band rows are emitted by a
+  * single 8-element explode (never Spark's interpreted array lambdas —
+  * see Dedup's scaladoc).
   */
 object Similarity {
 
@@ -81,9 +84,10 @@ object Similarity {
 
   /** Random-hyperplane band signatures: 8 bands × 8 bits (collision rate
     * tuned so near-neighbors of RANDOM 64-d vectors still collide). Each
-    * projection is one native graft_dot against a constant hyperplane —
-    * a pure narrow map stage: NO shuffle, no explode; at 100 TB the
-    * signature pass streams the embedding column once.
+    * projection is one native graft_dot against a constant hyperplane in
+    * a pure narrow map stage — NO shuffle; the only row expansion is the
+    * final 8-element band explode (8 fixed-width rows per vector). At
+    * 100 TB the signature pass streams the embedding column once.
     */
   private def bandSignatures(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -132,8 +136,13 @@ object Similarity {
           .filter(col("q_id") =!= col("c_id"))
           .select("q_id", "c_id").distinct())
     } finally banded.unpersist()
-    val q = emb.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    // the broadcast side must be the PROBE slice, never the raw corpus
+    // frame: candIds restricts q_id < nProbes anyway, but without the
+    // static filter Spark would ship every vector in the broadcast
+    // (review r12 — the bruteForceTopK pattern applied here)
+    val q = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"), col("__norm").as("q_norm"))
     val c = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"), col("__norm").as("c_norm"))
     candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
@@ -470,8 +479,10 @@ object Similarity {
       .join(assigned.select(col("cell"), col("vec_id").as("c_id")), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
-    val q = emb.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_vec"), col("__norm").as("q_norm"))
+    // probe-slice broadcast, never the raw corpus frame (the lshTopK fix)
+    val q = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"), col("__norm").as("q_norm"))
     val c = emb.select(col("vec_id").as("c_id"),
       col("embedding").as("c_vec"), col("__norm").as("c_norm"))
     candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
@@ -506,7 +517,7 @@ object Similarity {
     val n = Tables.parquetRowCount(spark, sfDir, "embeddings")
     require(n <= maxExact,
       s"embeddingNearDupPairs: $n vectors exceeds the exact all-pairs cap " +
-        s"$maxExact (${n * n / 2} candidate pairs); use " +
+        s"$maxExact (${BigInt(n) * n / 2} candidate pairs); use " +
         "embeddingNearDupPairsLSH for corpus-scale near-dup")
     val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
     val a = emb.select(col("vec_id").as("q_id"),
@@ -609,8 +620,21 @@ object Similarity {
       spark: SparkSession, sfDir: String,
       model: Map[Int, Array[Double]]): DataFrame = {
     GraftFunctions.register(spark)
-    val emb = withNorm(spark, Tables.embeddings(spark, sfDir))
-      .select(col("vec_id"), col("embedding"), col("__norm"))
+    assignEmbAgainst(
+      withNorm(spark, Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding"), col("__norm")),
+      model)
+  }
+
+  /** The model-assignment kernel over a (vec_id, embedding, __norm)
+    * frame: k graft_dot projections against centroid LITERALS + one
+    * greatest() argmax (narrow map pass; lowest cell id on ties). ONE
+    * definition — [[trainFloatModel]]'s per-iteration assignment and the
+    * artifact replay ([[assignAgainst]]) must agree bit-for-bit for the
+    * kmeans_model artifact contract (review r12: was duplicated).
+    */
+  private def assignEmbAgainst(
+      emb: DataFrame, model: Map[Int, Array[Double]]): DataFrame = {
     val scores = model.toSeq.sortBy(_._1).map { case (cid, c) =>
       val litArr = c.map(v => v.toString + "D").mkString("array(", ",", ")")
       struct((expr(s"graft_dot(embedding, $litArr)") / col("__norm")).as("s"),
@@ -658,17 +682,10 @@ object Similarity {
     // Assignment is a narrow map pass: k native graft_dot projections
     // against centroid LITERALS (codegen'd; same shape as ivfTopK's cell
     // assignment) and a greatest() argmax — no join, no shuffle, the
-    // dominant per-iteration cost drops to one corpus scan.
-    def assignFor(m: Map[Int, Array[Double]]): DataFrame = {
-      val scores = m.toSeq.sortBy(_._1).map { case (cid, c) =>
-        val litArr = c.map(v => v.toString + "D").mkString("array(", ",", ")")
-        struct((expr(s"graft_dot(embedding, $litArr)") / col("__norm")).as("s"),
-          lit(-cid).as("negid"))
-      }
-      emb.withColumn("best", greatest(scores: _*))
-        .select(col("vec_id"), (-col("best.negid")).as("cell_id"),
-          col("best.s").as("sim"))
-    }
+    // dominant per-iteration cost drops to one corpus scan. Shared with
+    // the artifact replay (assignAgainst) so the two can never drift.
+    def assignFor(m: Map[Int, Array[Double]]): DataFrame =
+      assignEmbAgainst(emb, m)
     try {
       for (_ <- 1 to iters) {
         val assign = assignFor(model)
@@ -1392,6 +1409,12 @@ object Similarity {
         index.select(col("vec_id"), col("embedding"), col("norm")), nCells)
       require(sm.vecs.forall(_.length == EmbeddingDim),
         s"ivfPqTopK: corpus is not $EmbeddingDim-dimensional")
+      // a corpus smaller than the codebook builds the index with NULL PQ
+      // codes (pqReady = false) — the live path rejects that loudly; the
+      // artifact path must too, not rank candidates by null distances
+      require(sm.size == PqCodebookSize,
+        s"ivfPqTopK: ${sm.size} vectors < codebook size $PqCodebookSize — " +
+          "the index carries no PQ codes")
       val subDim = EmbeddingDim / subspaces
       val probes = collectProbes(index, nProbes)
       val routed = probeCells(probes.map(p => (p._1, p._2)), sm, cellProbes)
@@ -1405,24 +1428,7 @@ object Similarity {
       val pruned = index.filter(col("cell").isin(wanted: _*))
       val indexSide = pruned.select((col("vec_id").as("c_id") +: col("cell") +:
         (0 until subspaces).map(m => col(s"code$m"))): _*)
-      def cbLit(m: Int, j: Int): String =
-        sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
-          .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
-      def dotD(a: Seq[Double]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { s += a(i) * a(i); i += 1 }; s
-      }
-      val est = (0 until subspaces).map { m =>
-        val cbArr = (0 until codebookSize).map(j => cbLit(m, j))
-          .mkString("array(", ",", ")")
-        val ccArr = (0 until codebookSize).map { j =>
-          dotD(sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
-            .map(_.toDouble)).toString + "D"
-        }.mkString("array(", ",", ")")
-        expr(s"graft_dot(__sub$m, __sub$m)" +
-          s" - 2D * graft_dot(__sub$m, element_at($cbArr, code$m + 1))" +
-          s" + element_at($ccArr, code$m + 1)")
-      }.reduce(_ + _)
+      val est = adcEstimator(sm.vecs, subspaces, subDim, codebookSize)
       return broadcast(topCells)
         .join(indexSide, Seq("cell"))
         .filter(col("q_id") =!= col("c_id"))
@@ -1493,28 +1499,7 @@ object Similarity {
       .select("q_id", "cell")
     val queries = emb.filter(col("vec_id") < nProbes)
       .select((col("vec_id").as("q_id") +: subCols.map(c => c)): _*)
-    // ADC: est = Σ_m ( q_m·q_m − 2·q_m·c_code + c_code·c_code ). The
-    // codebook rides as an array-of-arrays LITERAL indexed by the code id
-    // (element_at), so each subspace costs ONE runtime dot product — a
-    // 16-branch case-when variant measured a ~1.9 s codegen-compile floor
-    // from the 64 inlined dot expressions. ||c_j||² is driver-computed
-    // with the same left-to-right summation graft_dot uses, so the
-    // constant equals the twin's runtime list_inner_product bit-for-bit.
-    def dotD(a: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
-    }
-    val est = (0 until subspaces).map { m =>
-      val cbArr = (0 until codebookSize).map(j => cbLit(m, j))
-        .mkString("array(", ",", ")")
-      val ccArr = (0 until codebookSize).map { j =>
-        dotD(seeds(j).slice(m * subDim, (m + 1) * subDim)
-          .map(_.toDouble)).toString + "D"
-      }.mkString("array(", ",", ")")
-      expr(s"graft_dot(__sub$m, __sub$m)" +
-        s" - 2D * graft_dot(__sub$m, element_at($cbArr, code$m + 1))" +
-        s" + element_at($ccArr, code$m + 1)")
-    }.reduce(_ + _)
+    val est = adcEstimator(seeds, subspaces, subDim, codebookSize)
     topCells
       .join(index, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
@@ -1530,6 +1515,41 @@ object Similarity {
       .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
         round(col("l2sq_est"), 6).as("l2sq_est"))
       .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
+  /** The ADC L2² estimator column over `__sub0..` and `code0..`:
+    * est = Σ_m ( q_m·q_m − 2·q_m·c_code + ||c_code||² ), the codebook
+    * riding as array-of-arrays LITERALS indexed by the code id
+    * (element_at), so each subspace costs ONE runtime dot product — a
+    * 16-branch case-when variant measured a ~1.9 s codegen-compile floor
+    * from the 64 inlined dot expressions. ||c_j||² is driver-computed
+    * with the same left-to-right summation graft_dot uses, so the
+    * constant equals the twin's runtime list_inner_product bit-for-bit.
+    * ONE definition shared by [[ivfPqTopK]]'s artifact-backed and live
+    * branches — their bit-for-bit agreement IS the artifact contract
+    * (review r12: the block was previously duplicated verbatim).
+    */
+  private def adcEstimator(
+      seedVecs: Seq[Seq[Float]], subspaces: Int, subDim: Int,
+      codebookSize: Int): Column = {
+    def cbLit(m: Int, j: Int): String =
+      seedVecs(j).slice(m * subDim, (m + 1) * subDim)
+        .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+    def selfDot(a: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }; s
+    }
+    (0 until subspaces).map { m =>
+      val cbArr = (0 until codebookSize).map(j => cbLit(m, j))
+        .mkString("array(", ",", ")")
+      val ccArr = (0 until codebookSize).map { j =>
+        selfDot(seedVecs(j).slice(m * subDim, (m + 1) * subDim)
+          .map(_.toDouble)).toString + "D"
+      }.mkString("array(", ",", ")")
+      expr(s"graft_dot(__sub$m, __sub$m)" +
+        s" - 2D * graft_dot(__sub$m, element_at($cbArr, code$m + 1))" +
+        s" + element_at($ccArr, code$m + 1)")
+    }.reduce(_ + _)
   }
 
   /** Embedding-space drift report — the [[graft.ops.Profiling.psiDrift]]
@@ -1613,13 +1633,20 @@ object Similarity {
   def pqCodes(
       spark: SparkSession, sfDir: String,
       subspaces: Int = 4, codebookSize: Int = 16): DataFrame = {
-    if (subspaces == PqSubspaces && codebookSize == PqCodebookSize)
+    if (subspaces == PqSubspaces && codebookSize == PqCodebookSize) {
       // codes are index columns — one scan, the per-(row, code) argmin was
-      // paid once at artifact build
+      // paid once at artifact build. A corpus smaller than the codebook
+      // holds NULL codes (pqReady = false at build): reject it like the
+      // live path below would (footer count — no scan)
+      require(
+        Tables.parquetRowCount(spark, sfDir, "embeddings") >= PqCodebookSize,
+        s"pqCodes: corpus smaller than codebook size $PqCodebookSize — " +
+          "the index carries no PQ codes")
       return ivfCellIndex(spark, sfDir)
         .select((col("vec_id") +: (0 until subspaces).map(m =>
           col(s"code$m").cast("long").as(s"code$m"))): _*)
         .orderBy(col("vec_id").asc)
+    }
     GraftFunctions.register(spark)
     require(EmbeddingDim % subspaces == 0, s"dim $EmbeddingDim not divisible")
     val subDim = EmbeddingDim / subspaces
@@ -1669,6 +1696,17 @@ object Similarity {
     * cosine is the same sequential `graft_dot` fold the twins match
     * bit-for-bit; only ids, the cell, and a boolean are emitted.
     */
+  /** [[semanticDedup]] with the census-derived quantizer width — the
+    * registered `semantic_dedup` path, closing the one cell-scoped
+    * sibling that was still registered at fixed k after
+    * decontaminate/bitext/hard-negatives converted (review r12): at
+    * fixed k cell sizes grow linearly with the corpus and the in-cell
+    * self-join goes quadratic — the tier-H flag [[bitextCensusK]] fixes.
+    */
+  def semanticDedupAdaptive(
+      spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame =
+    semanticDedup(spark, sfDir, bitextCensusK(spark, sfDir), threshold)
+
   def semanticDedup(
       spark: SparkSession, sfDir: String, k: Int = 16,
       threshold: Double = 0.4): DataFrame = {
@@ -1786,7 +1824,9 @@ object Similarity {
     */
   def bitextCensusK(spark: SparkSession, sfDir: String): Int = {
     val n = Tables.parquetRowCount(spark, sfDir, "embeddings")
-    (16L * ((n + 499L) / 500L)).max(16L).toInt
+    // toIntExact, not toInt: past ~6.7e10 rows the silent wrap would
+    // feed a garbage k into the quantizer instead of failing loudly
+    math.toIntExact((16L * ((n + 499L) / 500L)).max(16L))
   }
 
   /** [[crossLabelMine]] with the census-derived quantizer width — the
