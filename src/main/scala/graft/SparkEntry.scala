@@ -706,9 +706,13 @@ object SparkEntry {
        |  SELECT doc_id, $votes FROM svtoks GROUP BY doc_id
        |), ssig AS (
        |  SELECT doc_id, $bits AS simhash FROM svoted
-       |), schunked AS (
+       |), schunked0 AS (
        |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
        |  FROM ssig, unnest(range(0, 4, 1)) AS u(c)
+       |), sokc AS (
+       |  SELECT c, cv FROM schunked0 GROUP BY c, cv HAVING count(*) <= 256
+       |), schunked AS (
+       |  SELECT ch.* FROM schunked0 ch JOIN sokc USING (c, cv)
        |), shamm AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM schunked a JOIN schunked b ON a.c = b.c AND a.cv = b.cv
@@ -1858,9 +1862,13 @@ object SparkEntry {
          |  SELECT doc_id, $votes FROM toks GROUP BY doc_id
          |), sig AS (
          |  SELECT doc_id, $bits AS simhash FROM voted
-         |), chunked AS (
+         |), chunked0 AS (
          |  SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cv
          |  FROM sig, unnest(range(0, 4, 1)) AS u(c)
+         |), okc AS (
+         |  SELECT c, cv FROM chunked0 GROUP BY c, cv HAVING count(*) <= 256
+         |), chunked AS (
+         |  SELECT ch.* FROM chunked0 ch JOIN okc USING (c, cv)
          |), pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sa, b.simhash AS sb
@@ -4495,10 +4503,18 @@ object SparkEntry {
          |  SELECT media_id, $votes FROM sh GROUP BY media_id
          |), sig AS (
          |  SELECT media_id, $bits AS phash FROM voted
-         |), chunks AS (
+         |), chunks0 AS (
          |  SELECT media_id, phash, t.c AS chunk_idx,
          |         (phash >> (t.c * 16)) & 65535 AS chunk_val
          |  FROM sig, unnest([0, 1, 2, 3]) AS t(c)
+         |), mokc AS (
+         |  SELECT chunk_idx, chunk_val, media_id % 3 AS mt
+         |  FROM chunks0 GROUP BY 1, 2, 3 HAVING count(*) <= 256
+         |), chunks AS (
+         |  SELECT ch.* FROM chunks0 ch JOIN mokc
+         |    ON ch.chunk_idx = mokc.chunk_idx
+         |   AND ch.chunk_val = mokc.chunk_val
+         |   AND ch.media_id % 3 = mokc.mt
          |), mpairs AS (
          |  SELECT DISTINCT a.media_id AS src, b.media_id AS dst
          |  FROM chunks a JOIN chunks b
@@ -4547,10 +4563,18 @@ object SparkEntry {
          |  SELECT media_id, $votes FROM sh GROUP BY media_id
          |), sig AS (
          |  SELECT media_id, $bits AS phash FROM voted
-         |), chunks AS (
+         |), chunks0 AS (
          |  SELECT media_id, phash, t.c AS chunk_idx,
          |         (phash >> (t.c * 16)) & 65535 AS chunk_val
          |  FROM sig, unnest([0, 1, 2, 3]) AS t(c)
+         |), mokc AS (
+         |  SELECT chunk_idx, chunk_val, media_id % 3 AS mt
+         |  FROM chunks0 GROUP BY 1, 2, 3 HAVING count(*) <= 256
+         |), chunks AS (
+         |  SELECT ch.* FROM chunks0 ch JOIN mokc
+         |    ON ch.chunk_idx = mokc.chunk_idx
+         |   AND ch.chunk_val = mokc.chunk_val
+         |   AND ch.media_id % 3 = mokc.mt
          |), pairs AS (
          |  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
          |         a.phash AS ph_a, b.phash AS ph_b

@@ -31,6 +31,23 @@ object Dedup {
 
   private val toksExpr = """filter(split(lower(text), '\\s+'), t -> t <> '')"""
 
+  /** CC spill roots live until JVM exit (the final round's files back
+    * returned frames); ONE shutdown hook sweeps them all — per-round
+    * dirs are deleted eagerly inside the loop.
+    */
+  private val ccSpillRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val ccSpillHookInit: Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      ccSpillRoots.forEach(r => rm(new java.io.File(r)))
+    }
+    ()
+  }
+
   /** Modulus of the twinnable Carter–Wegman permutation family (2³¹−1,
     * prime): with 28-bit base hashes and 31-bit constants the products
     * stay under 2⁵⁹, so neither engine's ANSI arithmetic can overflow.
@@ -282,7 +299,13 @@ object Dedup {
     val batchBands = bandRows(batchSig).withColumn("__idx", lit(false))
     val indexBands = bandRows(index).withColumn("__idx", lit(true))
     val all = indexBands.unionByName(batchBands)
-    val okBuckets = all.groupBy(bandKey.map(col): _*)
+    // census over DISTINCT (bucket, doc): a replayed keeper's band rows
+    // sit in both the index and the batch side of the union, and raw-row
+    // counting would inflate its buckets past the cap on replay —
+    // flipping a boundary bucket's candidates between the first run and
+    // the retry (the replay-idempotence contract below)
+    val okBuckets = all.dropDuplicates(bandKey :+ "doc_id")
+      .groupBy(bandKey.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
     val cands = batchBands
@@ -594,6 +617,12 @@ object Dedup {
       spark: SparkSession, sfDir: String,
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
     import spark.implicits._
+    // the pair artifact is VERIFIED at the 0.5 floor — a sweep point
+    // below it would silently undercount (pairs in [t, 0.5) were never
+    // materialized); fail loudly instead (review r12)
+    require(thresholds.forall(_ >= 0.5),
+      s"dedupSensitivity: thresholds below the pair artifact's 0.5 " +
+        s"verify floor would undercount: ${thresholds.filter(_ < 0.5)}")
     val pairs = minHashPairsShared(spark, sfDir)
     val ths = thresholds.toDF("threshold")
     val surviving = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
@@ -675,9 +704,7 @@ object Dedup {
     */
   def simHashPairs(
       spark: SparkSession, sfDir: String, maxHamming: Int = 3,
-      twinnable: Boolean = false): DataFrame = {
-    val chunkBits = (if (twinnable) 60 else 64) / 4
-    val chunkMask = (1L << chunkBits) - 1
+      twinnable: Boolean = false, maxChunkDocs: Long = 256L): DataFrame = {
     // twinnable path: signatures come off the maintained simhash_sig
     // artifact (disk-backed — both chunk-join sides read the bucketed
     // table, nothing to cache). xxhash64 throughput path: computed live
@@ -686,29 +713,55 @@ object Dedup {
     val sim =
       if (twinnable) simHashSignaturesShared(spark, sfDir)
       else simHashSignatures(spark, sfDir, twinnable).persist()
-    try {
-      val chunkCols = (0 until 4).map { c =>
-        struct(lit(c).as("idx"),
-          shiftright(col("simhash"), c * chunkBits)
-            .bitwiseAND(lit(chunkMask)).as("v"))
-      }
-      val chunked = sim
-        .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("chunk"))
-        .select(col("doc_id"), col("simhash"),
-          col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
-      val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      graft.ops.Materialize.smallLocal(
-        a.join(b, Seq("chunk_idx", "chunk_val"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-          .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-          .filter(col("hamming") <= maxHamming)
-          .select("doc_a", "doc_b", "hamming")
-          .orderBy(col("doc_a").asc, col("doc_b").asc))
-    } finally { if (!twinnable) sim.unpersist(); () }
+    try
+      simHashPairsFromSigs(sim, maxHamming,
+        (if (twinnable) 60 else 64) / 4, maxChunkDocs)
+    finally { if (!twinnable) sim.unpersist(); () }
+  }
+
+  /** The chunk-band → bucket-cap → Hamming-verify pipeline over an
+    * existing signature frame — shared by the corpus entry point and the
+    * slice-scoped recall audit. `maxChunkDocs` is THE boilerplate guard
+    * every other pair producer in this file already carries (the
+    * `maxBucket`/`maxDocsPerSpan` analog, added by the r12 review): a
+    * chunk value shared by a mass-duplicated template would otherwise
+    * emit ~N² candidate rows on one skewed join key before the Hamming
+    * filter ever runs. Chunks above the cap are excluded from candidate
+    * generation — the identical recall caveat as the siblings (a pair
+    * whose EVERY chunk is mass-duplicated boilerplate is missed), and
+    * the cap is mirrored in the DuckDB twins.
+    */
+  private def simHashPairsFromSigs(
+      sim: DataFrame, maxHamming: Int, chunkBits: Int,
+      maxChunkDocs: Long): DataFrame = {
+    val chunkMask = (1L << chunkBits) - 1
+    val chunkCols = (0 until 4).map { c =>
+      struct(lit(c).as("idx"),
+        shiftright(col("simhash"), c * chunkBits)
+          .bitwiseAND(lit(chunkMask)).as("v"))
+    }
+    val chunked = sim
+      .select(col("doc_id"), col("simhash"), explode(array(chunkCols: _*)).as("chunk"))
+      .select(col("doc_id"), col("simhash"),
+        col("chunk.idx").as("chunk_idx"), col("chunk.v").as("chunk_val"))
+    val okChunks = chunked.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") <= maxChunkDocs)
+      .select("chunk_idx", "chunk_val")
+    val bounded = chunked
+      .join(okChunks, Seq("chunk_idx", "chunk_val"), "left_semi")
+    val a = bounded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bounded.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    graft.ops.Materialize.smallLocal(
+      a.join(b, Seq("chunk_idx", "chunk_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy(col("doc_a").asc, col("doc_b").asc))
   }
 
   /** Set-similarity join via GLOBAL-ORDER PREFIX FILTERING — the
@@ -1011,6 +1064,13 @@ object Dedup {
   def lshRecallSampled(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
       sampleMod: Int = 8, maxPrefixDf: Long = 256L): DataFrame = {
+    // the LSH side is the 0.5-verified pair artifact: a lower truth
+    // threshold would count pairs in [t, 0.5) — which banding may well
+    // have FOUND — as misses, blaming the candidate stage for the verify
+    // cut; refuse rather than understate recall (review r12)
+    require(threshold >= 0.5,
+      s"lshRecallSampled: threshold $threshold below the pair artifact's " +
+        "0.5 verify floor would understate banding recall")
     def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
     recallReport(
       sliceTruthShared(spark, sfDir, threshold, sampleMod, maxPrefixDf),
@@ -1034,12 +1094,18 @@ object Dedup {
   def simhashRecallSampled(
       spark: SparkSession, sfDir: String, threshold: Double = 0.5,
       sampleMod: Int = 8, maxPrefixDf: Long = 256L,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxChunkDocs: Long = 256L): DataFrame = {
     def inSlice(c: Column) = shaBucket(c, sampleMod.toLong) === 0L
+    // signatures restrict to the slice losslessly (a signature depends
+    // only on its own document), and banding runs SLICE-FIRST so the
+    // chunk-bucket census is slice-scoped — the same scope the twin's
+    // sliced CTEs compute, which matters now that the census feeds the
+    // maxChunkDocs cap
     recallReport(
       sliceTruthShared(spark, sfDir, threshold, sampleMod, maxPrefixDf),
-      simHashPairs(spark, sfDir, maxHamming, twinnable = true)
-        .filter(inSlice(col("doc_a")) && inSlice(col("doc_b"))))
+      simHashPairsFromSigs(
+        simHashSignaturesShared(spark, sfDir).filter(inSlice(col("doc_id"))),
+        maxHamming, 15, maxChunkDocs))
       .withColumnRenamed("n_lsh_pairs", "n_simhash_pairs")
   }
 
@@ -1190,20 +1256,40 @@ object Dedup {
     // (defaultSizeInBytes = Long.MaxValue) and multiplying that through
     // the round's joins overflows the planner's BigInteger size
     // estimate — a FileScan carries real stats, so round plans stay
-    // constant-size. The spill dir shares the checkpoint files'
-    // lifecycle (JVM-temp, session-scoped); the final round's files back
-    // the returned frame.
+    // constant-size. Superseded rounds are deleted as the loop advances
+    // (only the final mapping's files back the returned frame); the
+    // spill root itself is swept by a JVM shutdown hook.
     val sparkCC = pairs.sparkSession
     val spillRoot = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    ccSpillHookInit
+    ccSpillRoots.add(spillRoot)
     var roundN = 0
-    def pin(df: DataFrame): DataFrame = {
+    // pin returns the frame AND its backing dir so superseded rounds can
+    // be deleted as the loop advances — without the per-round GC a
+    // long-lived session running repeated clusterings accumulates one
+    // dup-graph-sized dir per round per call until the tmp volume fills
+    // (review r12); only the FINAL mapping dir must outlive the call
+    // (it backs the returned frame; the shutdown hook sweeps it)
+    def pinAt(df: DataFrame): (DataFrame, String) = {
       val p = s"$spillRoot/r$roundN"; roundN += 1
       df.write.mode("overwrite").parquet(p)
-      sparkCC.read.parquet(p)
+      (sparkCC.read.parquet(p), p)
     }
-    var mapping = pin(edges.select(col("src").as("doc_id")).distinct()
+    def rmDir(p: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+    val (m0, m0p) = pinAt(edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")))
-    var cur = pin(edges.select(col("src"), col("dst"))) // symmetric by construction
+    var mapping = m0
+    var mappingDir = m0p
+    // symmetric by construction
+    val (c0, c0p) = pinAt(edges.select(col("src"), col("dst")))
+    var cur = c0
+    var curDir = c0p
     var nCur = cur.count()
     var it = 0
     while (nCur > 0 && it < maxIter) {
@@ -1219,9 +1305,9 @@ object Dedup {
         lbl = lbl.join(pl, lbl("lbl") === pl("__p"), "left")
           .select(col("node"), coalesce(col("__pl"), col("lbl")).as("lbl"))
       }
-      val lblP = pin(lbl)
+      val (lblP, lblDir) = pinAt(lbl)
       // compose: every doc whose current cluster id got relabeled follows it
-      mapping = pin(mapping
+      val (m1, m1p) = pinAt(mapping
         .join(lblP.select(col("node").as("cluster_id"), col("lbl")),
           Seq("cluster_id"), "left")
         .select(col("doc_id"),
@@ -1229,7 +1315,7 @@ object Dedup {
       // contract: rewrite endpoints through the labels, drop collapsed
       // (loop) edges, dedup — symmetry is preserved because both
       // orientations of every edge are rewritten
-      cur = pin(cur
+      val (c1, c1p) = pinAt(cur
         .join(lblP.select(col("node").as("src"), col("lbl").as("__ls")),
           Seq("src"), "left")
         .join(lblP.select(col("node").as("dst"), col("lbl").as("__ld")),
@@ -1238,6 +1324,11 @@ object Dedup {
           coalesce(col("__ld"), col("dst")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct())
+      // this round's writes have executed — the superseded dirs (old
+      // mapping, old cur, this round's consumed labels) are unreferenced
+      Seq(mappingDir, curDir, lblDir).foreach(rmDir)
+      mapping = m1; mappingDir = m1p
+      cur = c1; curDir = c1p
       nCur = cur.count()
       it += 1
     }
@@ -1246,11 +1337,13 @@ object Dedup {
     // the TRUE closure.
     if (nCur > 0) {
       edges.unpersist()
+      rmDir(spillRoot) // nothing from an aborted run is referenced
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
           s"($nCur contracted edges remain) — raise maxIter; the dup " +
           "graph has a longer chain than expected")
     }
+    rmDir(curDir) // converged: the empty edge frame is never read again
     val labels = mapping
     // The converged edge-touching labels are already STORAGE-pinned
     // (dup-graph-sized parquet — survives executor loss, unlike
@@ -1700,13 +1793,20 @@ object Dedup {
   def boilerplateNgrams(
       spark: SparkSession, sfDir: String,
       n: Int = 8, minDf: Int = 3, topK: Int = 50): DataFrame = {
-    val docGramRows = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), expr(toksExpr).as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, size(toks) - ${n - 1}), i -> array_join(slice(toks, i, $n), ' '))"))
-          .as("gram"))
+    // grams assembled from EXPLODED token rows with window leads — the
+    // shingleRowsOf discipline: the regex tokenize runs ONCE per doc
+    // inside the generator, where the projected-array form re-ran the
+    // split per inlined reference (size guard + sequence bound + slice
+    // lambda ≈ 3 tokenizes per row per scan — the file-header pitfall;
+    // r12 review). Rows whose (n−1)-th lead is null are the < n-token
+    // tails — excluded, matching the slice() form's exact-n grams.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"__l$j"))
+    def docGramRows = tokenRows(spark, sfDir)
+      .select((Seq(col("doc_id"), col("tok")) ++ leads): _*)
+      .filter(col(s"__l${n - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ",
+        (col("tok") +: (1 until n).map(j => col(s"__l$j"))): _*).as("gram"))
     val winners = docGramRows
       .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
       .distinct()

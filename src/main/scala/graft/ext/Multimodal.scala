@@ -2132,14 +2132,27 @@ object Multimodal {
   }
 
   private def pairsFromSignatures(
-      sig: DataFrame, maxHamming: Int): DataFrame = {
+      sig: DataFrame, maxHamming: Int,
+      maxChunkDocs: Long = 256L): DataFrame = {
     {
       // modality AND signature family are part of the candidate key: an
       // image block-mean hash and an audio energy hash share no feature
       // space, and a perceptual pHash shares none with a character-4-gram
       // SimHash stub of the same modality — a cross-family Hamming
       // coincidence must never become a "pair"
-      val chunked = chunkedSignatures(sig)
+      val chunked0 = chunkedSignatures(sig)
+      // boilerplate guard (the Dedup.simHashPairs maxChunkDocs analog,
+      // r12 review): a window value shared by a mass-duplicated payload
+      // family would otherwise emit ~N² candidate rows on one skewed
+      // key; capped buckets drop from candidate generation, mirrored in
+      // the DuckDB twins
+      val capKey = Seq("chunk_idx", "chunk_val", "media_type",
+        "is_perceptual")
+      val okChunks = chunked0.groupBy(capKey.map(col): _*)
+        .agg(count(lit(1)).as("csz"))
+        .filter(col("csz") <= maxChunkDocs)
+        .select(capKey.map(col): _*)
+      val chunked = chunked0.join(okChunks, capKey, "left_semi")
       val a = chunked.select(col("chunk_idx"), col("chunk_val"),
         col("media_type"), col("is_perceptual"),
         col("media_id").as("media_a"), col("phash").as("ph_a"))

@@ -16,10 +16,15 @@ import graft.io.Tables
   */
 object TextStats {
 
-  /** Whitespace token count with the empty-string edge pinned to 0. */
+  /** Whitespace token count with the empty/whitespace-only edge pinned
+    * to 0 — the FILTERED-split form every other tokenizer in the file
+    * uses: Spark's `trim` strips only ASCII spaces and `split` keeps
+    * leading/trailing empty strings, so the earlier trim-based guard
+    * overcounted text with edge tabs/newlines (r12 review; the pinned
+    * fixtures are clean, so twins are untouched).
+    */
   private[ext] def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    size(filter(split(text, "\\s+"), t => t =!= ""))
 
   /** Corpus statistics per language: doc counts, exact char/token sums
     * (integer — order-independent, oracle-exact), source diversity.
@@ -146,9 +151,17 @@ object TextStats {
       col("doc_id"), col("lang"),
       textLen.as("text_len"),
       toks.as("n_tokens"),
-      (punct.cast("double") / textLen.cast("double")).as("punct_ratio"),
-      (uppers.cast("double") / textLen.cast("double")).as("upper_ratio"),
-      (digits.cast("double") / textLen.cast("double")).as("digit_ratio"),
+      // empty docs get 0.0, not a NULL divide — the avg_word_len guard
+      // applied to all three ratios (r12 review)
+      when(textLen === 0, lit(0.0))
+        .otherwise(punct.cast("double") / textLen.cast("double"))
+        .as("punct_ratio"),
+      when(textLen === 0, lit(0.0))
+        .otherwise(uppers.cast("double") / textLen.cast("double"))
+        .as("upper_ratio"),
+      when(textLen === 0, lit(0.0))
+        .otherwise(digits.cast("double") / textLen.cast("double"))
+        .as("digit_ratio"),
       (when(toks === 0, lit(0.0)).otherwise(
         length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
           toks.cast("double"))).as("avg_word_len"),
@@ -426,6 +439,10 @@ object TextStats {
         .map(ch => when(col("text").contains(ch), 1).otherwise(0))
         .reduce(_ + _))
     val langs = Seq("en", "de", "es", "fr", "zh")
+    // greatest() over (score, lang) structs: score ties resolve to the
+    // lexicographically LARGEST language code (zh > fr > es > de > en) -
+    // deterministic and twin-identical, which is the property that
+    // matters; stated so nobody reads a priority into the Seq order
     val best = langs.map(l => struct(col(s"__s_$l").as("score"), lit(l).as("lang")))
     scored
       .withColumn("__best", greatest(best: _*))
@@ -571,7 +588,12 @@ object TextStats {
       hasLorem = lower_.contains("lorem ipsum"),
       hasBrace = col("text").contains("{"),
       hasJs = lower_.contains("javascript"),
-      endsTerminal = expr("right(trim(text), 1)").isin(".", "!", "?", "\""),
+      // last NON-WHITESPACE char: trim strips only ASCII spaces, so a
+      // newline after the period would otherwise fail the rule the text
+      // satisfies (r12 review; fixtures are clean — twins untouched)
+      endsTerminal = expr(
+        "right(regexp_replace(text, '\\\\s+$', ''), 1)")
+        .isin(".", "!", "?", "\""),
       toks = tokenCount(col("text")))
   }
 
@@ -713,12 +735,16 @@ object TextStats {
       targetSource: String = "src0"): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val isT = col("source") === targetSource
+    // checkpointed ONCE (the knScore discipline): the tokenize + the
+    // two-level hash-agg otherwise re-run for each of the three
+    // consumers below (vocab→ratios, vocab→tot, per — r12 review)
     val perDocTok = docs
       .select(col("doc_id"), col("source"),
         explode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
           .as("w"))
       .groupBy(col("doc_id"), col("source"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+      .checkpoint()
     val vocab = perDocTok.groupBy(col("w"))
       .agg(
         sum(when(isT, col("cnt")).otherwise(0L)).as("c_t"),
