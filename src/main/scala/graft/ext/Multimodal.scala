@@ -1948,61 +1948,77 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType),
       StructField("media_type", StringType),
-      StructField("content", BinaryType),
-      StructField("phash", LongType, nullable = true),
+      StructField("phash", LongType),
       StructField("is_perceptual", BooleanType))))
-    val withP = media
-      .select("media_id", "media_type", "content").mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](2)
-          val ph = r.getString(1) match {
-            case "image" =>
-              bmpPHash(bytes).orElse(pngPHash(bytes)).orElse(gifPHash(bytes))
-                .orElse(jpegPHash(bytes))
-            case "audio" => pcmPHash(bytes)
-            case _       => None
-          }
-          Row(r.getLong(0), r.getString(1), bytes,
-            ph.map(Long.box).orNull, ph.isDefined)
+    media.select("media_id", "media_type", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](2)
+        val ph = r.getString(1) match {
+          case "image" =>
+            bmpPHash(bytes).orElse(pngPHash(bytes)).orElse(gifPHash(bytes))
+              .orElse(jpegPHash(bytes))
+          case "audio" => pcmPHash(bytes)
+          case _       => None
         }
-      }(enc)
-    val real = withP.filter(col("phash").isNotNull)
-      .select(col("media_id"), col("media_type"), col("phash"),
-        col("is_perceptual"))
-    val stubShingles = withP.filter(col("phash").isNull)
-      .select(col("media_id"),
-        org.apache.spark.sql.functions.decode(col("content"), "UTF-8")
-          .as("__t"))
-      .select(col("media_id"),
-        explode(expr("sequence(1, greatest(length(__t) - 3, 1))")).as("__p"),
-        col("__t"))
-      .select(col("media_id"), expr("substring(__t, __p, 4)").as("sh"))
-      .distinct()
-    real.unionByName(
-      simHash60(stubShingles)
-        .join(withP.select(col("media_id"), col("media_type")),
-          Seq("media_id"))
-        .select(col("media_id"), col("media_type"), col("phash"),
-          col("is_perceptual")))
+        val (h, perceptual) = ph match {
+          case Some(v) => (v, true)
+          case None    => (stubSimHash60(bytes), false)
+        }
+        Row(r.getLong(0), r.getString(1), h, perceptual)
+      }
+    }(enc)
   }
 
-  /** 60-bit SimHash votes over (media_id, sh) shingle rows — the
-    * [[Dedup]] vote kernel on the twinnable sha-60 hash family.
+  /** 60-bit SimHash stub for a payload NO container decoder claims —
+    * majority vote over the payload text's DISTINCT character 4-grams on
+    * the twinnable sha-60 hash family (the [[Dedup.simHashSignatures]]
+    * vote kernel), computed ROW-LOCALLY inside the same partition pass
+    * that already decodes the perceptual families. The former SQL
+    * formulation (decode → per-position explode → distinct → sha2/conv →
+    * 60 vote aggregates) shuffled payload-length shingle rows through a
+    * distinct AND a 60-slot hash-agg per stub payload; since every
+    * shingle of a payload lives in its own single row, both shuffles
+    * were pure overhead — at 100 TB the stub family now costs exactly
+    * the one decode pass the perceptual family pays, nothing moves.
+    * Bit-identical to the SQL form for every UTF-8-decodable payload
+    * (differential-pinned in MultimodalSpec on the live corpus: same
+    * code-point shingling as `substring`, same sha-60 = first 15 hex
+    * chars of sha2 = top 60 bits of the digest's first 8 bytes, same
+    * strict-majority vote); an INVALID-UTF-8 payload takes Java's
+    * replacement decode where the SQL form threw
+    * MALFORMED_CHARACTER_CODING — a strict totality win for hostile
+    * crawl bytes.
     */
-  private def simHash60(shingles: DataFrame): DataFrame = {
-    val th = conv(substring(sha2(col("sh"), 256), 1, 15), 16, 10)
-      .cast("long")
-    val toks = shingles.withColumn("__h", th)
-    val votes: Seq[org.apache.spark.sql.Column] = (0 until 60).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"__v$j")
+  private[graft] def stubSimHash60(bytes: Array[Byte]): Long = {
+    val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val cps = t.codePointCount(0, t.length)
+    val votes = new Array[Int](60)
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val n = math.max(cps - 3, 1)
+    var p = 0
+    var ci = 0
+    while (p < n) {
+      val sh = t.substring(ci, t.offsetByCodePoints(ci, math.min(4, cps - p)))
+      if (seen.add(sh)) {
+        val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h = h >>> 4 // first 15 hex chars of the digest = top 60 bits
+        var j = 0
+        while (j < 60) {
+          votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      if (p + 1 < n) ci = t.offsetByCodePoints(ci, 1)
+      p += 1
     }
-    val voted = toks.groupBy(col("media_id")).agg(votes.head, votes.tail: _*)
-    val bits: org.apache.spark.sql.Column = (0 until 60).map { j =>
-      when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    voted.select(col("media_id"), bits.as("phash"),
-      lit(false).as("is_perceptual"))
+    var bits = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) bits |= 1L << j; j += 1 }
+    bits
   }
 
   /** Media near-duplicate pairs — the LAST dedup modality (text ✓,

@@ -225,27 +225,44 @@ object Similarity {
     *                corpora the PQ paths reject anyway).
     */
   private def ivfDeriveColumns(emb: DataFrame, sm: SeedModel): DataFrame = {
+    // Direct-Column construction (GraftFunctions.dot + one array-Literal
+    // node per centroid) instead of `expr()` strings: this plan embeds
+    // 16 seeds × 64 doubles × 2 score families + 64 codebook subvectors,
+    // and parsing+analyzing them as CreateArray trees dominated the
+    // per-call plan cost (ProfileIngest: ~0.7 s fixed at 10 rows — paid
+    // per streaming micro-batch). Same Literal doubles, same DotProduct
+    // node, bit-identical results; only the plan-build cost moves.
+    val gdot = graft.functions.GraftFunctions.dot _
+    val unitLits = (0 until sm.size).map(i => lit(sm.unitVec(i)))
     val cellScores = (0 until sm.size).map { i =>
-      struct(expr(s"graft_dot(embedding, ${sm.unitLit(i)})").as("s"),
+      struct(gdot(col("embedding"), unitLits(i)).as("s"),
         lit(-sm.ids(i)).as("negid"))
     }
     val rankScores = (0 until sm.size).map { i =>
-      struct((expr(s"graft_dot(embedding, ${sm.unitLit(i)})") / col("__norm")).as("s"),
+      struct((gdot(col("embedding"), unitLits(i)) / col("__norm")).as("s"),
         lit(-i.toLong).as("negid"))
     }
     val subDim = EmbeddingDim / PqSubspaces
     val pqReady = sm.size == PqCodebookSize &&
       sm.vecs.forall(_.length == EmbeddingDim)
-    def cbLit(m: Int, j: Int): String =
+    def cbArr(m: Int, j: Int): Array[Double] =
       sm.vecs(j).slice(m * subDim, (m + 1) * subDim)
-        .map(v => v.toDouble.toString + "D").mkString("array(", ",", ")")
+        .map(_.toDouble).toArray
+    // c·c, folded on the driver with the expression's own left-to-right
+    // summation (the expr() form folded it at plan time to the same
+    // double — graft_dot over two equal double-array literals)
+    def dotDD(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
     val codeCols = (0 until PqSubspaces).map { m =>
       if (!pqReady) lit(null).cast("int").as(s"code$m")
       else {
+        val sub = slice(col("embedding"), m * subDim + 1, subDim)
         val cands = (0 until PqCodebookSize).map { j =>
-          val c = cbLit(m, j)
-          struct(expr(
-            s"graft_dot($c, $c) - 2D * graft_dot(slice(embedding, ${m * subDim + 1}, $subDim), $c)")
+          val c = cbArr(m, j)
+          struct((lit(dotDD(c)) - lit(2.0) * gdot(sub, lit(c)))
             .as("dist"), lit(j).as("j"))
         }
         least(cands: _*).getField("j").as(s"code$m")

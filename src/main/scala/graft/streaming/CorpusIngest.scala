@@ -461,9 +461,11 @@ object CorpusIngest {
     def shard(r: Int): DataFrame = emb
       .filter(pmod(col("vec_id"), lit(8L)) === r.toLong)
       .select("vec_id", "embedding", "label")
-    vectorBatchBody(shard(0), seeds, dir)
-    vectorBatchBody(shard(4), seeds, dir)
-    vectorBatchBody(shard(4), seeds, dir) // replay: must append nothing
+    withMicroBatchPartitions(spark) {
+      vectorBatchBody(shard(0), seeds, dir)
+      vectorBatchBody(shard(4), seeds, dir)
+      vectorBatchBody(shard(4), seeds, dir) // replay: must append nothing
+    }
     spark.read.parquet(dir)
       .select(Seq(col("vec_id"), col("cell_id"),
         round(col("sim"), 6).as("sim")) ++
@@ -489,9 +491,11 @@ object CorpusIngest {
       .filter(pmod(col("doc_id"), lit(4L)) === 0L)
     def shard(r: Int): DataFrame =
       docs.filter(pmod(col("doc_id"), lit(8L)) === r.toLong)
-    postingsBatchBody(shard(0), dir)
-    postingsBatchBody(shard(4), dir)
-    postingsBatchBody(shard(4), dir) // replay: must append nothing
+    withMicroBatchPartitions(spark) {
+      postingsBatchBody(shard(0), dir)
+      postingsBatchBody(shard(4), dir)
+      postingsBatchBody(shard(4), dir) // replay: must append nothing
+    }
     spark.read.parquet(dir)
       .filter(pmod(col("doc_id"), lit(23L)) === 0L)
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
@@ -557,9 +561,11 @@ object CorpusIngest {
       .filter(pmod(col("media_id"), lit(4L)) === 0L)
     def shard(r: Int): DataFrame =
       media.filter(pmod(col("media_id"), lit(8L)) === r.toLong)
-    mediaBatchBody(shard(0), dir)
-    mediaBatchBody(shard(4), dir)
-    mediaBatchBody(shard(4), dir) // replay: must append nothing
+    withMicroBatchPartitions(spark) {
+      mediaBatchBody(shard(0), dir)
+      mediaBatchBody(shard(4), dir)
+      mediaBatchBody(shard(4), dir) // replay: must append nothing
+    }
     spark.read.parquet(dir)
       .select(col("media_id"), col("media_type"), col("phash"),
         col("is_perceptual"))
@@ -738,23 +744,32 @@ object CorpusIngest {
     def shard(r: Int): DataFrame = lines
       .filter(pmod(col("l_linenumber"), lit(2L)) === r.toLong)
       .select(col("l_orderkey"), col("l_partkey"))
-    // micro-batch-sized shuffle partitions for the epoch bodies: the
-    // body's ~10-stage DAG over a delta-sized batch is TASK-overhead
-    // bound at the session's cluster-sized setting (profiled 2× faster
-    // at 4-8 partitions than at 32 on identical data) — exactly the
-    // knob a real streaming deployment sizes to its micro-batch, set
-    // here face-scoped and restored
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withMicroBatchPartitions(spark) {
       edgeBatchBody(shard(0), dir, 0L)
       edgeBatchBody(shard(1), dir, 1L)
       edgeBatchBody(shard(1), dir, 1L) // replay: same epoch, net no-op
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     readEdgeIndex(spark, dir)
       .filter(pmod(col("src"), lit(17L)) === 0L)
       .select(col("src"), col("dst"), col("w"))
       .orderBy(col("src").asc, col("dst").asc)
+  }
+
+  /** Run `body` with micro-batch-sized shuffle partitions, restoring the
+    * session's setting after. The ingest-face bodies run ~10-stage DAGs
+    * over DELTA-sized batches; at the session's cluster-sized partition
+    * count those stages are task-launch-overhead bound (the edge face
+    * profiled 2× faster at 4–8 partitions than at 32 on identical data —
+    * BASELINE c12). This is exactly the knob a real streaming deployment
+    * sizes to its micro-batch volume, applied face-scoped; results are
+    * partition-count-invariant (hash-pinned at both SFs), only the job
+    * overhead moves.
+    */
+  private def withMicroBatchPartitions[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Per-(sfDir, face) scratch dir under the session warehouse, deleted

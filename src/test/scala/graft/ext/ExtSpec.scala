@@ -1674,6 +1674,60 @@ class MultimodalSpec extends SparkSpec {
       "different content must not pair")
   }
 
+  test("stubSimHash60 is bit-identical to the SQL shingle-vote formulation") {
+    import spark.implicits._
+    // The distributed formulation the row-local kernel replaced (r13):
+    // decode → per-position explode → distinct 4-grams → sha-60 → 60
+    // vote aggregates. Rebuilt here as the differential oracle over the
+    // LIVE corpus payloads plus planted edges (empty, shorter than one
+    // shingle, supplementary code points, shingle repeats) — one
+    // diverging bit on any payload fails the map compare.
+    val corpus = Multimodal.mediaTable(spark, sf)
+      .select(col("media_id"), col("content"))
+    val planted = Seq(
+      (90001L, ""), (90002L, "ab"), (90003L, "abcd"),
+      (90004L, "a😀b😀cdef"), (90005L, "😀"),
+      (90006L, "xyxyxyxyxyxyxyxy"), // every shingle repeats
+      (90007L, "héllo wörld héllo wörld"))
+      .toDF("media_id", "__s")
+      .select(col("media_id"), encode(col("__s"), "UTF-8").as("content"))
+    val media = corpus.unionByName(planted)
+    val shingles = media
+      .select(col("media_id"),
+        org.apache.spark.sql.functions.decode(col("content"), "UTF-8")
+          .as("__t"))
+      .select(col("media_id"),
+        explode(expr("sequence(1, greatest(length(__t) - 3, 1))")).as("__p"),
+        col("__t"))
+      .select(col("media_id"), expr("substring(__t, __p, 4)").as("sh"))
+      .distinct()
+      .withColumn("__h",
+        conv(substring(sha2(col("sh"), 256), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__v$j")
+    }
+    val bits = (0 until 60).map { j =>
+      when(col(s"__v$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val expected = shingles.groupBy(col("media_id")).agg(votes.head, votes.tail: _*)
+      .select(col("media_id"), bits.as("phash"))
+      .as[(Long, Long)].collect().toMap
+    val actual = media.select("media_id", "content").collect()
+      .map(r => r.getLong(0) ->
+        Multimodal.stubSimHash60(r.getAs[Array[Byte]](1))).toMap
+    assert(actual.size === expected.size)
+    assert(actual === expected)
+  }
+
+  test("stubSimHash60 is total on invalid UTF-8 (the SQL form threw)") {
+    // replacement-decode semantics: hostile bytes hash deterministically
+    val hostile = Array[Byte](0x80.toByte, 0x41, 0xC3.toByte, 0x28)
+    assert(Multimodal.stubSimHash60(hostile) ===
+      Multimodal.stubSimHash60(hostile.clone()))
+    assert(Multimodal.stubSimHash60(hostile) >= 0L)
+  }
+
   /** A real GIF encoded by javax.imageio from the pattern — exercises a
     * PRODUCTION LZW encoder against our decoder, not a hand-rolled one.
     */
