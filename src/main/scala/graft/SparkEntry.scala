@@ -299,7 +299,11 @@ object SparkEntry {
     "ingest_media_index"    -> ((s, d) => CorpusIngest.mediaIngestFace(s, d)),
     // the basket family's streaming maintainer run end-to-end in batch
     // mode: two line-split shards (epoch 2 merges orders epoch 1 began)
-    // + a replayed epoch, merged index ≡ one-shot bounded derivation
+    // + a replayed epoch, merged index ≡ one-shot bounded derivation.
+    // The readback carries BOTH maintained outputs: edge rows plus the
+    // census leg (association-rule denominators + sentinel) folded in
+    // as (l_partkey, -9, pc) rows — one set of epoch bodies, two legs
+    // hash-checked.
     "ingest_edge_index"     -> ((s, d) => CorpusIngest.edgeIngestFace(s, d)),
     "bucketed_join"      -> ((s, d) => graft.ops.Layout.bucketedOrderItems(s, d)),
     "zorder_scan"        -> ((s, d) => graft.ops.Layout.zorderScan(s, d)),
@@ -4116,6 +4120,10 @@ object SparkEntry {
     // guard, both orientations, src % 17 dump slice). A replayed epoch
     // that double-counted a weight, or an epoch-2 pair derived without
     // seeing epoch-1's committed memberships, breaks the hash.
+    // edge rows over the face's order slice, plus the census leg folded
+    // in as (l_partkey, -9, pc): per-part membership counts of under-cap
+    // baskets + the -1 sentinel carrying the bounded-basket total — what
+    // the merged census epochs must equal
     "ingest_edge_index" ->
       """WITH op0 AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4123,12 +4131,20 @@ object SparkEntry {
         |), op AS (
         |  SELECT l_orderkey, l_partkey FROM op0
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256
+        |), combined AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  WHERE a.l_partkey % 17 = 0
+        |  GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT l_partkey AS src, -9 AS dst, count(*) AS w
+        |  FROM op WHERE l_partkey % 7 = 0 GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1 AS src, -9 AS dst, count(DISTINCT l_orderkey) AS w
+        |  FROM op
         |)
-        |SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
-        |FROM op a JOIN op b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-        |WHERE a.l_partkey % 17 = 0
-        |GROUP BY 1, 2
+        |SELECT src, dst, w FROM combined
         |ORDER BY src ASC, dst ASC""".stripMargin,
     // squared L2 enters as c·c − 2·x·c on BOTH sides (‖x‖² is constant per
     // sub-vector — cannot change the argmin); only integer codes emitted

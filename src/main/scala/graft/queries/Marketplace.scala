@@ -621,13 +621,23 @@ object Marketplace {
     * census attaches to k rows by broadcast, never to the pair frame.
     */
   def partAffinity(
-      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame = {
-    val census = graft.ext.Graph.basketCensus(spark, sfDir)
+      spark: SparkSession, sfDir: String, topK: Int = 25): DataFrame =
+    affinityOf(graft.ext.Graph.basketCensus(spark, sfDir),
+      graft.ext.Graph.coPurchaseEdges(spark, sfDir), topK)
+
+  /** [[partAffinity]]'s ranking+ratio kernel over explicit census and
+    * edge frames — factored out so the STREAMED basket index
+    * ([[graft.streaming.CorpusIngest.readCensusIndex]] /
+    * `readEdgeIndex`) can serve the same query, and the spec can pin
+    * streamed-index results equal to the batch artifacts row-for-row.
+    */
+  private[graft] def affinityOf(
+      census: DataFrame, edges: DataFrame, topK: Int = 25): DataFrame = {
     val nBaskets = census.filter(col("l_partkey") === -1L)
       .select(col("pc").as("__n"))
     val partCounts = census.filter(col("l_partkey") =!= -1L)
       .select(col("l_partkey"), col("pc").as("__pc"))
-    val pairs = graft.ext.Graph.coPurchaseEdges(spark, sfDir)
+    val pairs = edges
       .filter(col("src") < col("dst"))
       .select(col("src").as("pa"), col("dst").as("pb"),
         col("w").cast("long").as("n_both"))

@@ -581,6 +581,10 @@ object CorpusIngest {
     StructField("dst", LongType),
     StructField("w", LongType)))
 
+  private val censusSchema = StructType(Seq(
+    StructField("l_partkey", LongType),
+    StructField("pc", LongType)))
+
   /** Committed `epoch=N` subdirs of an ingest index root, read with an
     * explicit schema (an empty or absent index must read as an empty
     * frame, never a schema-inference throw); `before` restricts to
@@ -638,6 +642,23 @@ object CorpusIngest {
     * pairs at negative weight, and the read-side merge (sums are linear
     * in per-order contributions, `w > 0` filter drops the zeroed rows)
     * equals the one-shot bounded derivation exactly (spec-pinned).
+    *
+    * Since r13 the body also maintains the basket CENSUS — the
+    * association-rule denominators [[graft.ext.Graph.basketCensus]]
+    * serves in batch and `part_affinity` reads — as a third epoch-scoped
+    * output (`census/epoch=N`): per-part membership-count deltas for the
+    * batch's genuinely-new rows of under-cap orders, one sentinel
+    * (`l_partkey = -1`) increment per brand-new under-cap order, and —
+    * mirroring the edge cancel with the census's own crossing bound (old
+    * size ≥ 1, not ≥ 2: a 1-part order counts toward `pc` and the basket
+    * total even though it holds no pairs) — negative counts for a
+    * crossing order's committed memberships + sentinel. Counting is
+    * exact by the monotone-prefix argument: an order's merged size only
+    * grows, so every membership of a finally-bounded order is counted at
+    * exactly the epoch it first arrived, and a crossing order's counted
+    * prefix is cancelled at exactly its crossing epoch — the merged
+    * census equals the one-shot bounded census row-for-row (spec-pinned,
+    * and `ingest_census_index` proves it against the DuckDB oracle).
     */
   private[graft] def edgeBatchBody(
       batch: DataFrame, indexPath: String, epoch: Long): Unit = {
@@ -660,33 +681,69 @@ object CorpusIngest {
           val okOrders = mergedSz.filter(col("__m") <= maxB)
             .select("l_orderkey")
           val delta = graft.ext.Graph.edgeDelta(newOnly, oldTouched, okOrders)
-          // cap-crossing cancellation: old size in [2, cap] (0/1-part
-          // histories hold no pairs; an order that crossed in an EARLIER
-          // epoch has __o > cap and was cancelled then), merged > cap.
-          // The emptiness probe is one bounded driver action (the
+          // census delta: new memberships of under-cap orders count once
+          // per part; brand-new under-cap orders (no committed
+          // membership) grow the sentinel basket total
+          val pcDelta = newOnly
+            .join(okOrders, Seq("l_orderkey"), "left_semi")
+            .groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+          val nbDelta = mergedSz.filter(col("__m") <= maxB)
+            .join(oldTouched.select("l_orderkey"), Seq("l_orderkey"),
+              "left_anti")
+            .agg(count(lit(1)).as("pc"))
+            .select(lit(-1L).as("l_partkey"), col("pc"))
+          val censusDelta = pcDelta.unionByName(nbDelta)
+          // cap-crossing cancellation: old size in [2, cap] for edges
+          // (0/1-part histories hold no pairs), [1, cap] for the census
+          // (a 1-part order was counted); an order that crossed in an
+          // EARLIER epoch has __o > cap and was cancelled then; merged >
+          // cap. The emptiness probe is one bounded driver action (the
           // basketDelta eager-check discipline) that keeps the common
           // no-crossing epoch's write DAG free of the cancel legs —
           // probed on the cheap single-stage `__m > cap` filter of the
           // persisted sizes (no order over the cap ⇒ no crossing).
-          val epochRows =
-            if (mergedSz.filter(col("__m") > maxB).isEmpty) delta
+          val (epochRows, censusRows) =
+            if (mergedSz.filter(col("__m") > maxB).isEmpty)
+              (delta, censusDelta)
             else {
               val oldSz = oldTouched.groupBy(col("l_orderkey"))
                 .agg(count(lit(1)).as("__o"))
-              val crossed = mergedSz.filter(col("__m") > maxB)
+              val overCap = mergedSz.filter(col("__m") > maxB)
                 .join(oldSz, Seq("l_orderkey"))
-                .filter(col("__o").between(2L, maxB))
+              val crossed = overCap.filter(col("__o").between(2L, maxB))
                 .select("l_orderkey")
               val crossedOld = oldTouched
                 .join(crossed, Seq("l_orderkey"), "left_semi")
-              delta.unionByName(graft.ext.Graph.edgeAggW(
+              val crossedC = overCap.filter(col("__o").between(1L, maxB))
+                .select("l_orderkey")
+              val pcCancel = oldTouched
+                .join(crossedC, Seq("l_orderkey"), "left_semi")
+                .groupBy(col("l_partkey"))
+                .agg((-count(lit(1))).as("pc"))
+              val nbCancel = crossedC
+                .agg((-count(lit(1))).as("pc"))
+                .select(lit(-1L).as("l_partkey"), col("pc"))
+              (delta.unionByName(graft.ext.Graph.edgeAggW(
                 graft.ext.Graph.edgePairsOf(crossedOld, crossedOld))
-                .select(col("src"), col("dst"), (-col("w")).as("w")))
+                .select(col("src"), col("dst"), (-col("w")).as("w"))),
+                censusDelta.unionByName(pcCancel).unionByName(nbCancel))
             }
-          epochRows
-            .write.mode("overwrite").parquet(s"$indexPath/edges/epoch=$epoch")
-          newOnly.write.mode("overwrite")
-            .parquet(s"$indexPath/members/epoch=$epoch")
+          // the three epoch outputs are independent sinks over the same
+          // persisted frames (the probe above already materialized the
+          // caches) — submit them concurrently, the standard foreachBatch
+          // multi-sink recipe: epoch wall time is the slowest write, not
+          // the sum, and a failure in any write still fails the batch
+          // (Await rethrows), keeping the replay contract intact
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq(
+            Future(epochRows.write.mode("overwrite")
+              .parquet(s"$indexPath/edges/epoch=$epoch")),
+            Future(censusRows.write.mode("overwrite")
+              .parquet(s"$indexPath/census/epoch=$epoch")),
+            Future(newOnly.write.mode("overwrite")
+              .parquet(s"$indexPath/members/epoch=$epoch")))),
+            scala.concurrent.duration.Duration.Inf)
         } finally { newOnly.unpersist(); mergedSz.unpersist(); () }
       } finally { oldTouched.unpersist(); () }
     } finally { newRaw.unpersist(); () }
@@ -702,6 +759,19 @@ object CorpusIngest {
     readEpochDirs(spark, s"$indexPath/edges", None, edgeSchema)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .filter(col("w") > 0)
+
+  /** The streamed CENSUS's consumer view: committed epoch deltas merged —
+    * sum counts per part, a part whose counts net to zero (all its
+    * memberships sat in since-crossed orders) dropped exactly as a batch
+    * rebuild would drop it. The sentinel row (`l_partkey = -1`, the
+    * bounded-basket total) survives even at zero: the batch census
+    * always carries it.
+    */
+  private[graft] def readCensusIndex(
+      spark: SparkSession, indexPath: String): DataFrame =
+    readEpochDirs(spark, s"$indexPath/census", None, censusSchema)
+      .groupBy(col("l_partkey")).agg(sum(col("pc")).as("pc"))
+      .filter(col("pc") > 0 || col("l_partkey") === -1L)
 
   /** Streaming CO-PURCHASE-EDGE ingest — the streaming maintainer the
     * basket family lacked (r11 verdict, Missing #2): order-line rows
@@ -749,11 +819,31 @@ object CorpusIngest {
       edgeBatchBody(shard(1), dir, 1L)
       edgeBatchBody(shard(1), dir, 1L) // replay: same epoch, net no-op
     }
-    readEdgeIndex(spark, dir)
+    val edges = readEdgeIndex(spark, dir)
       .filter(pmod(col("src"), lit(17L)) === 0L)
       .select(col("src"), col("dst"), col("w"))
+    // the maintainer's CENSUS leg rides the same face (one set of epoch
+    // bodies proves both outputs — a separate face would re-ingest the
+    // identical slice for another ~10 fixed-overhead jobs): census rows
+    // fold in as (l_partkey, CensusMark, pc). The marker dst cannot
+    // collide with a real edge — part keys are positive — and the
+    // sentinel part (-1, the bounded-basket total) rides within it, so
+    // one double-counted membership, missed sentinel increment, or
+    // uncancelled crossing breaks the face hash exactly as an edge
+    // defect would.
+    val census = readCensusIndex(spark, dir)
+      .filter(col("l_partkey") % 7 === 0L || col("l_partkey") === -1L)
+      .select(col("l_partkey").as("src"), lit(CensusMark).as("dst"),
+        col("pc").as("w"))
+    edges.unionByName(census)
       .orderBy(col("src").asc, col("dst").asc)
   }
+
+  /** `dst` marker of the census rows folded into [[edgeIngestFace]]'s
+    * readback: impossible as a real edge endpoint (part keys are
+    * positive) and distinct from the census sentinel part (-1).
+    */
+  private[graft] val CensusMark = -9L
 
   /** Run `body` with micro-batch-sized shuffle partitions, restoring the
     * session's setting after. The ingest-face bodies run ~10-stage DAGs
@@ -767,7 +857,10 @@ object CorpusIngest {
     */
   private def withMicroBatchPartitions[T](spark: SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // overridable per deployment: a stream sizes this to its micro-batch
+    // volume (the faces' delta batches profile best at 4)
+    val mb = spark.conf.get("graft.microBatchPartitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", mb)
     try body
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

@@ -60,9 +60,19 @@ object ProfileIngest {
     timed("media_face_total")(
       graft.streaming.CorpusIngest.mediaIngestFace(spark, sfDir).count())
 
-    // ---- edge face decomposition ----
-    timed("edge_face_total")(
-      graft.streaming.CorpusIngest.edgeIngestFace(spark, sfDir).count())
+    // ---- micro-batch partition A/B (same session, so host drift between
+    // separate bench invocations can't fake a winner) ----
+    for (mb <- Seq("4", "32", "4", "32")) {
+      spark.conf.set("graft.microBatchPartitions", mb)
+      timed(s"edge_face_mb$mb")(
+        graft.streaming.CorpusIngest.edgeIngestFace(spark, sfDir).count())
+      timed(s"vec_face_mb$mb")(
+        graft.streaming.CorpusIngest.vectorIngestFace(spark, sfDir).count())
+      timed(s"post_face_mb$mb")(
+        graft.streaming.CorpusIngest.postingsIngestFace(spark, sfDir).count())
+      timed(s"media_face_mb$mb")(
+        graft.streaming.CorpusIngest.mediaIngestFace(spark, sfDir).count())
+    }
     spark.stop()
   }
 }

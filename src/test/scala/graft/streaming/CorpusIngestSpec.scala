@@ -331,6 +331,41 @@ class CorpusIngestSpec extends SparkSpec {
     assert(merged() === streamed, "replayed epoch must not change weights")
   }
 
+  test("census leg: streamed denominators equal the one-shot census; part_affinity parity") {
+    val dir = Files.createTempDirectory("graft_censusingest").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    // FULL-corpus ingest in two line-split epochs + a crash-window
+    // replay — so the streamed census can be compared to the registered
+    // artifact-backed part_affinity, not just a one-shot recompute
+    def shard(r: Int) = li.filter(col("l_linenumber") % 2 === r)
+      .select("l_orderkey", "l_partkey")
+    CorpusIngest.edgeBatchBody(shard(0), s"$dir/index", 0L)
+    CorpusIngest.edgeBatchBody(shard(1), s"$dir/index", 1L)
+    CorpusIngest.edgeBatchBody(shard(1), s"$dir/index", 1L) // replay
+    val streamed = CorpusIngest.readCensusIndex(spark, s"$dir/index")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = graft.ext.Graph.boundedBaskets(
+      li.select("l_orderkey", "l_partkey").distinct())
+    val oneShot = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+      .unionByName(b.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("pc"))
+        .select(lit(-1L).as("l_partkey"), col("pc")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(streamed === oneShot,
+      "merged census epochs must equal the one-shot bounded census")
+    // part_affinity served entirely from the STREAMED index equals the
+    // registered artifact-backed query row-for-row
+    val viaStream = graft.queries.Marketplace.affinityOf(
+      CorpusIngest.readCensusIndex(spark, s"$dir/index"),
+      CorpusIngest.readEdgeIndex(spark, s"$dir/index"))
+      .collect().toSeq
+    val viaArtifact = graft.queries.Marketplace.partAffinity(spark, sf)
+      .collect().toSeq
+    assert(viaStream === viaArtifact,
+      "part_affinity over the streamed index must match the batch artifact")
+  }
+
   test("ingestEdges cap-crossing: an order crossing MaxBasket cancels its committed pairs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_edgecap").toString
@@ -341,6 +376,11 @@ class CorpusIngestSpec extends SparkSpec {
       Seq((2L, 201L), (2L, 202L))).toDF("l_orderkey", "l_partkey")
     CorpusIngest.edgeBatchBody(e0, s"$dir/index", 0L)
     assert(CorpusIngest.readEdgeIndex(spark, s"$dir/index").count() === 8)
+    def census() = CorpusIngest.readCensusIndex(spark, s"$dir/index")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census() === Map(101L -> 1L, 102L -> 1L, 103L -> 1L,
+      201L -> 1L, 202L -> 1L, -1L -> 2L),
+      "epoch 0 census: one membership per part, two bounded baskets")
     // epoch 1: order 1 crosses the cap (3 old + cap-2 new > cap) — its
     // committed pairs must CANCEL; order 2 gains one part under the cap
     val e1 = ((1 to (cap - 2)).map(i => (1L, 1000L + i)) ++
@@ -356,9 +396,18 @@ class CorpusIngestSpec extends SparkSpec {
     } yield (a, b, 1L)).toSet
     assert(after === expect,
       s"crossing order's pairs must cancel; got ${after.size} rows")
+    // census mirrors the cancel with its own ≥1 crossing bound: order
+    // 1's three counted memberships net to zero (rows dropped), its
+    // sentinel contribution is withdrawn, the crossing epoch's own
+    // over-cap rows were never counted; order 2's new part counts
+    val expectCensus = Map(201L -> 1L, 202L -> 1L, 203L -> 1L, -1L -> 1L)
+    assert(census() === expectCensus,
+      "crossing order's census counts + sentinel must cancel")
     // replay of the crossing epoch re-derives the same cancellation
     CorpusIngest.edgeBatchBody(e1, s"$dir/index", 1L)
     assert(merged() === expect, "replayed crossing epoch must be a net no-op")
+    assert(census() === expectCensus,
+      "replayed crossing epoch must not change the census")
   }
 
   /** Minimal REAL 24-bit grayscale BMP (the ExtSpec builder) so the
