@@ -4419,7 +4419,17 @@ object SparkEntry {
         |       strlen(text) AS n_bytes
         |FROM documents
         |ORDER BY media_id ASC""".stripMargin,
-    // the signature index itself (same stub chain as media_near_dup's)
+    // the signature index itself (same stub chain as media_near_dup's).
+    // INVARIANT the whole media-twin family stands on: every oracle-
+    // corpus payload is text bytes (`encode(text, 'UTF-8')`) no container
+    // decoder claims, so the Scala side emits ONLY SimHash stubs and the
+    // twins rebuild every signature with the stub formula. The invariant
+    // is self-checking: one decodable payload would flip a row's
+    // phash/is_perceptual here and break THIS query's hash before the
+    // census-key question (ADVICE r12: the pair twins' chunk-cap census
+    // groups without is_perceptual) could ever matter — and the spec
+    // pins it directly (MultimodalSpec: the fixture corpus derives zero
+    // perceptual signatures).
     "media_signatures" -> {
       val votes = (0 until 60)
         .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")

@@ -37,6 +37,23 @@ object Dedup {
     */
   private val ccSpillRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Explicit release handle for [[connectedComponents]]' per-call spill
+    * roots (scaladoc there): deletes every accumulated final-mapping dir
+    * NOW instead of at JVM exit. Caller contract: no frame returned by a
+    * prior `connectedComponents`/`clusters` call may be consumed again
+    * after this — their backing files are gone (reads throw, they do not
+    * corrupt). Calls in flight on other threads are unaffected: only
+    * roots registered BEFORE this call are swept.
+    */
+  def releaseClusterFrames(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    var r = ccSpillRoots.poll()
+    while (r != null) { rm(new java.io.File(r)); r = ccSpillRoots.poll() }
+  }
   private lazy val ccSpillHookInit: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
@@ -827,7 +844,18 @@ object Dedup {
       spark: SparkSession, sfDir: String): DataFrame =
     graft.ops.Layout.ensureDerived(spark, sfDir, "shingle_stats",
       Seq("documents.parquet"), "doc_id",
-      refresh = Some { _ => statsOf(shingleRowsShared(spark, sfDir)) }) {
+      refresh = Some { _ => statsOf(shingleRowsShared(spark, sfDir)) },
+      // amortization dial for the one O(artifact) recompute left in the
+      // dedup family (the df/sz/rk windows are global, so they cannot be
+      // delta-expressed): at K > 1, K−1 consecutive corpus appends SERVE
+      // the committed stats (hardlink-forward, no job — bounded
+      // staleness, counter visible in the artifact dir's _graft_stale)
+      // and the Kth recomputes the windows over the append-only rows
+      // layer. Default 1 = always fresh; every registered oracle query
+      // runs at the default, so consumer hashes are knob-independent
+      // when fresh (LayoutRefreshSpec pins both halves).
+      staleEpochs = spark.conf
+        .get("graft.shingleStats.staleEpochs", "1").toInt) {
       statsOf(shingleRowsShared(spark, sfDir))
     }
 
@@ -1189,6 +1217,15 @@ object Dedup {
     * — the classic large-graph CC loop; rounds needed = graph diameter
     * (near-dup graphs are shallow; `maxIter` bounds pathological chains).
     * Returns (doc_id, cluster_id); singletons keep cluster_id = doc_id.
+    *
+    * RETENTION (ADVICE r12): on the distributed path each call spills its
+    * FINAL doc→cluster mapping to a tmp dir that backs the returned frame
+    * — superseded per-round dirs are deleted as the loop advances, but
+    * the final dir must outlive the call and is swept only at JVM exit.
+    * A long-lived driver running many clusterings therefore retains one
+    * dup-graph-sized mapping dir per call; call
+    * [[releaseClusterFrames]] once every previously returned cluster
+    * frame has been fully consumed to reclaim them early.
     */
   def connectedComponents(
       pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 25,

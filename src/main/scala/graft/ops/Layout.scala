@@ -92,6 +92,16 @@ object Layout {
     */
   private val GenFile = "_graft_gen"
 
+  /** Marker a BOUNDED-STALENESS serve writes into the published dir
+    * (`staleEpochs > 1` artifacts only): first line = how many source
+    * epochs this copy has served beyond the census it actually
+    * processed, remaining lines = that processed census. The counter
+    * makes the staleness bound auditable on disk, and the processed
+    * census lets the eventual recompute hand the kernel the TRUE
+    * added-files set (not just the files since the last stale serve).
+    */
+  private val StaleFile = "_graft_stale"
+
   /** Name of the census marker a committed artifact dir carries. Written
     * LAST (into the tmp dir, before the atomic publish rename), so its
     * presence + content is the commit point a later session trusts.
@@ -214,14 +224,30 @@ object Layout {
     * 1-in-`deltaFileFactor` epochs. `refreshGen` needs no such knob:
     * its `maxGenerations` compaction already bounds files.
     */
+  /** `staleEpochs` is the BOUNDED-STALENESS knob for `refresh`-kernel
+    * artifacts whose recompute is global (the shingle-stats df/sz/rk
+    * windows): K−1 consecutive source epochs SERVE the committed copy
+    * (hardlinked forward under the new census tag, counter in
+    * [[StaleFile]]), and the Kth runs the kernel — amortizing an
+    * O(artifact) recompute to 1/K per epoch, the standard freshness/cost
+    * dial a production stats layer exposes (BM25 df, dedup prefix ranks
+    * are routinely minutes stale). Default 1 = always fresh (every
+    * registered oracle query runs at the default). Only meaningful with
+    * `refresh`: a ctx-reading delta kernel would need the processed
+    * census threaded through — the kernel receives exactly that (the
+    * added-files set since the last RECOMPUTE, not the last serve).
+    */
   def ensureDerived(
       spark: SparkSession, sfDir: String, family: String,
       sources: Seq[String], key: String, buckets: Int = 32,
       version: Int = 1, refresh: Option[RefreshCtx => DataFrame] = None,
       refreshDelta: Option[RefreshCtx => DataFrame] = None,
       refreshGen: Option[GenRefresh] = None,
-      deltaFileFactor: Int = 16)
+      deltaFileFactor: Int = 16, staleEpochs: Int = 1)
       (build: => DataFrame): DataFrame = {
+    require(staleEpochs == 1 || (refresh.isDefined && refreshDelta.isEmpty &&
+      refreshGen.isEmpty),
+      "staleEpochs > 1 requires a refresh kernel (no delta/gen forms)")
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val entries = censusEntries(spark, sfDir, sources)
     val censusStr = (s"v=$version" +: entries).mkString("\n")
@@ -346,10 +372,29 @@ object Layout {
                     fullBuild()
                 }
               } else {
-                val content = refresh.get(ctx)
-                commitBuild(spark, fs, table, wh, key, buckets, censusStr,
-                  content)
-                content.schema.toDDL
+                // bounded-staleness bookkeeping (scaladoc on the
+                // parameter): the stale marker carries how many epochs
+                // the committed copy has already served and the census
+                // it actually PROCESSED, so the eventual recompute's ctx
+                // reflects every file since the last kernel run
+                val staleLines = readText(fs,
+                  new org.apache.hadoop.fs.Path(oldDir, StaleFile))
+                  .map(_.split("\n").toSeq)
+                val staleN = staleLines.flatMap(_.headOption)
+                  .flatMap(_.trim.toIntOption).getOrElse(0)
+                val processed = staleLines.map(_.tail).getOrElse(priorEntries)
+                if (staleN + 1 < staleEpochs) {
+                  commitStaleServe(spark, fs, table, wh, censusStr, oldDir,
+                    ((staleN + 1).toString +: processed).mkString("\n"))
+                  rawOld.schema.toDDL
+                } else {
+                  val content = refresh.get(RefreshCtx(rawOld,
+                    entries.filterNot(processed.toSet).map(pathOf),
+                    processed.map(pathOf)))
+                  commitBuild(spark, fs, table, wh, key, buckets, censusStr,
+                    content)
+                  content.schema.toDDL
+                }
               }
               catch {
                 // a FullRebuild that first surfaced inside the commit/
@@ -611,6 +656,41 @@ object Layout {
       // caller may fall back to a full build
       case t: Throwable =>
         spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        fs.delete(tmpDir, true)
+        throw t
+    }
+  }
+
+  /** Publish the predecessor's committed content under the CURRENT
+    * census tag without running any kernel — the bounded-staleness serve
+    * (`staleEpochs`): data files hardlink forward (bucket ids live in
+    * file names, so exchange-free reads hold), the [[StaleFile]] marker
+    * records the serve count + processed census, and the same atomic
+    * publish as every other commit path applies. O(#files), no job.
+    */
+  private def commitStaleServe(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      table: String, wh: org.apache.hadoop.fs.Path,
+      censusStr: String, oldDir: org.apache.hadoop.fs.Path,
+      staleMarker: String): Unit = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val tmpDir = new org.apache.hadoop.fs.Path(
+      wh.getParent, s"${table}__s$suffix".toLowerCase)
+    try {
+      fs.mkdirs(tmpDir)
+      writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, StaleFile),
+        staleMarker)
+      // no job ran, so create the commit marker isCommitted requires
+      writeText(fs, new org.apache.hadoop.fs.Path(tmpDir, "_SUCCESS"), "")
+      fs.listStatus(oldDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          linkOrCopy(fs, s.getPath,
+            new org.apache.hadoop.fs.Path(tmpDir, s.getPath.getName))
+        }
+      publishTmp(fs, table, wh, tmpDir, censusStr)
+    } catch {
+      case t: Throwable =>
         fs.delete(tmpDir, true)
         throw t
     }
@@ -976,11 +1056,17 @@ object Layout {
     val backup = path.stripSuffix("/") + "__backup"
     val tmpP = new org.apache.hadoop.fs.Path(tmp)
     val bakP = new org.apache.hadoop.fs.Path(backup)
+    // name|length|mtime, the sourceCensus discipline (ADVICE r12): an
+    // in-place same-length overwrite landing during the rewrite would be
+    // invisible to a name|length key and its rows silently dropped by
+    // the swap; mtime catches it. The quiesce contract still owns the
+    // rename window itself.
     def listSnapshot(): Set[String] =
       fs.listStatus(src)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
-        .map(s => s"${s.getPath.getName}|${s.getLen}").toSet
+        .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+        .toSet
     // Crash-window auto-restore: a previous compact that died between the
     // two renames below left the table readable ONLY under __backup —
     // restore it before doing anything else. (A leftover backup alongside a

@@ -292,19 +292,29 @@ object CorpusIngest {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist the SIGNATURES, not the raw batch: both outputs (report
-        // + index append) read them, and the tokenize+window+64-agg pass
-        // is the expensive part worth running once
-        val sig = graft.ext.Dedup.minHashSignaturesOf(batch).persist()
-        try {
-          val index = readSigIndex(batch.sparkSession, indexPath)
-          val (report, newEntries) =
-            graft.ext.Dedup.nearDupBatch(sig, index, threshold, maxBucket)
-          report.write.mode("append").parquet(reportPath)
-          newEntries.write.mode("append").parquet(indexPath)
-        } finally { sig.unpersist(); () }
+        nearDedupBody(batch, indexPath, reportPath, threshold, maxBucket)
       }
       .start()
+
+  /** One foreachBatch body of [[ingestNearDedup]], exposed (like
+    * [[ingestDedupBody]]) for the replay spec and the tier-M scale
+    * harness: signature the batch ONCE (persisted — the report and the
+    * index append both read it, and the tokenize+window+64-agg pass is
+    * the expensive part), probe the committed signature index, append
+    * report then keepers.
+    */
+  private[graft] def nearDedupBody(
+      batch: DataFrame, indexPath: String, reportPath: String,
+      threshold: Double = 0.5, maxBucket: Int = 64): Unit = {
+    val sig = graft.ext.Dedup.minHashSignaturesOf(batch).persist()
+    try {
+      val index = readSigIndex(batch.sparkSession, indexPath)
+      val (report, newEntries) =
+        graft.ext.Dedup.nearDupBatch(sig, index, threshold, maxBucket)
+      report.write.mode("append").parquet(reportPath)
+      newEntries.write.mode("append").parquet(indexPath)
+    } finally { sig.unpersist(); () }
+  }
 
   /** Snapshot of one long id column off an index dir's committed parquet
     * files (file-list binding, as in [[readIndex]] — appends only ADD

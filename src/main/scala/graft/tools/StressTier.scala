@@ -1147,6 +1147,94 @@ object StressTier {
       f"first=$first%.1f worst=$worst%.1f")
   }
 
+  /** Tier M — the SECOND streaming family at streaming-maintainer scale
+    * (r12 verdict #4, pairing tier L's edge readout): the NEAR-DUP
+    * ingest over 100k documents — 20 disjoint id-replicas of the sf0.1
+    * corpus (texts repeat verbatim, the worst case for a near-dup
+    * index) — fed through [[graft.streaming.CorpusIngest.nearDedupBody]]
+    * in 10 epochs of two replicas each. Checks:
+    *
+    *   - per-epoch cost stays flat-ish as the signature index grows
+    *     (each epoch pays its own tokenize+minhash plus a band-probe of
+    *     the committed index — fixed-width rows, never the corpus text);
+    *   - a REDELIVERED epoch (the crash-window retry) derives ZERO new
+    *     keepers — the index never holds a duplicate signature;
+    *   - the final keeper set equals the ONE-SHOT batch derivation over
+    *     all 100k docs exactly. Bucket caps are lifted on BOTH sides for
+    *     this check: cap-drop is order-dependent BY DESIGN (a bucket
+    *     that crosses the cap only once all replicas pile in drops
+    *     candidates the per-epoch view legitimately keeps), and the cap
+    *     behavior has its own readout (tier I: 1000-twin buckets drop
+    *     everywhere). With caps out of the way, keeper equality is
+    *     forced: every epoch contains a replica of every text pattern,
+    *     so a doc's dup witness is always present either in the epoch
+    *     or in the committed keepers.
+    */
+  private def tierM(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    val reps = 20
+    val epochs = 10
+    val noCap = 1 << 20
+    val thr = 0.5
+    val (_, tRep) = timed("m.replicate")(replicateTables(
+      spark, baseDir, dir, Seq("documents"), reps, 0 until reps))
+    val n = spark.read.parquet(s"$dir/documents.parquet").count()
+    println(f"STRESS m.replicate seconds=$tRep%.1f docs=$n")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val idx = s"$dir/near_index"
+    val rep = s"$dir/near_report"
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx), true)
+    fs.delete(new org.apache.hadoop.fs.Path(rep), true)
+    var first = 0.0
+    var worst = 0.0
+    (0 until epochs).foreach { e =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(reps.toLong))
+        .isin(2L * e, 2L * e + 1))
+      val (_, t) = timed(s"m.epoch_$e") {
+        graft.streaming.CorpusIngest.nearDedupBody(
+          batch, idx, rep, thr, noCap); 0L
+      }
+      if (e == 0) first = t
+      worst = math.max(worst, t)
+      println(f"STRESS m.epoch_$e seconds=$t%.1f")
+    }
+    check(worst < first * 3.0 + 5.0,
+      f"near-dup epoch cost grew with index size: first $first%.1f worst $worst%.1f")
+    // crash-window redelivery of the LAST epoch: zero new keepers
+    val preReplay = spark.read.parquet(idx).count()
+    val (_, tReplay) = timed("m.replay_epoch") {
+      graft.streaming.CorpusIngest.nearDedupBody(
+        docs.filter(pmod(col("doc_id"), lit(reps.toLong))
+          .isin(2L * (epochs - 1), 2L * (epochs - 1) + 1)),
+        idx, rep, thr, noCap); 0L
+    }
+    val postReplay = spark.read.parquet(idx).count()
+    println(f"STRESS m.replay_epoch seconds=$tReplay%.1f added=${postReplay - preReplay}")
+    check(postReplay == preReplay,
+      s"redelivered epoch appended ${postReplay - preReplay} keepers (want 0)")
+    // keeper-set equality with the one-shot derivation over all docs
+    val streamedKeepers = spark.read.parquet(idx)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val (oneShot, tOne) = timed("m.one_shot") {
+      val sig = graft.ext.Dedup.minHashSignaturesOf(docs).persist()
+      try {
+        val emptyIdx = sig.filter(lit(false))
+        val (report, _) = graft.ext.Dedup.nearDupBatch(sig, emptyIdx, thr, noCap)
+        report.filter(!col("is_dup"))
+          .select(col("new_doc_id")).collect().map(_.getLong(0)).toSet
+      } finally { sig.unpersist(); () }
+    }
+    println(f"STRESS m.one_shot seconds=$tOne%.1f keepers=${oneShot.size} " +
+      f"streamed=${streamedKeepers.size}")
+    check(streamedKeepers == oneShot,
+      s"streamed keeper set (${streamedKeepers.size}) != one-shot (${oneShot.size}); " +
+        s"diff=${(streamedKeepers diff oneShot).take(5)} / ${(oneShot diff streamedKeepers).take(5)}")
+    println(s"STRESS m.summary epochs=$epochs replay_zero=true " +
+      f"first=$first%.1f worst=$worst%.1f keepers=${oneShot.size}")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -1181,6 +1269,8 @@ object StressTier {
         tierK(spark, "/root/testdata/sf0.1", s"$root/sf0.1corpus100")
       if (tier == "l")
         tierL(spark, "/root/testdata/sf0.1", s"$root/sf0.1edgestream")
+      if (tier == "m")
+        tierM(spark, "/root/testdata/sf0.1", s"$root/sf0.1neardupstream")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

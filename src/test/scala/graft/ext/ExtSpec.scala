@@ -30,6 +30,28 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("releaseClusterFrames reclaims CC spill roots; later calls unaffected") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val docs = (1L to 6L).toDF("doc_id")
+    // driverEdgeLimit = 0 forces the distributed (spill-backed) path
+    val cc1 = Dedup.connectedComponents(pairs, docs, driverEdgeLimit = 0L)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    assert(cc1.as[(Long, Long)].collect().toMap === expect)
+    val backing = cc1.inputFiles.filter(_.contains("graft_cc"))
+    assert(backing.nonEmpty, "distributed CC must be parquet-spill-backed")
+    def exists(uri: String) =
+      new java.io.File(java.net.URI.create(uri).getPath).exists()
+    assert(backing.forall(exists))
+    Dedup.releaseClusterFrames()
+    assert(backing.forall(f => !exists(f)),
+      "release must delete the per-call final-mapping dirs")
+    // a fresh clustering after the sweep is unaffected
+    val cc2 = Dedup.connectedComponents(pairs, docs, driverEdgeLimit = 0L)
+    assert(cc2.as[(Long, Long)].collect().toMap === expect)
+    Dedup.releaseClusterFrames()
+  }
+
   test("connectedComponents closes transitive chains; singletons self-label") {
     import spark.implicits._
     // chain 1-2-3 (1~2, 2~3 but never 1~3 directly), pair 4-5, singleton 6
@@ -1718,6 +1740,19 @@ class MultimodalSpec extends SparkSpec {
         Multimodal.stubSimHash60(r.getAs[Array[Byte]](1))).toMap
     assert(actual.size === expected.size)
     assert(actual === expected)
+  }
+
+  test("oracle-corpus payloads derive ONLY stub signatures (the media-twin invariant)") {
+    // the DuckDB media twins rebuild every signature with the stub
+    // formula and cap candidate buckets without an is_perceptual
+    // discriminator (ADVICE r12) — sound exactly because text-byte
+    // payloads are never claimed by a container decoder. Pin it: one
+    // decodable payload in the fixture corpus fails here (and would
+    // break the media_signatures hash at the driver's SFs).
+    val sigs = Multimodal.mediaSignatures(spark, sf)
+    assert(sigs.filter(col("is_perceptual")).count() === 0L,
+      "a fixture payload decoded as real media — the media twins' " +
+        "stub-only assumption no longer holds")
   }
 
   test("stubSimHash60 is total on invalid UTF-8 (the SQL form threw)") {

@@ -539,6 +539,50 @@ class LayoutRefreshSpec extends SparkSpec {
       "two-layer refreshed shingle_stats diverged from the full rebuild")
   }
 
+  test("shingle_stats staleEpochs: K-1 appends serve committed stats, the Kth recomputes") {
+    val base = Files.createTempDirectory("graft_stale_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_stale_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    def extra(tag: Long) = docs.orderBy(col("doc_id").asc).limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + tag))
+      .withColumn("text", concat(col("text"), lit(s" shard $tag")))
+    spark.conf.set("graft.shingleStats.staleEpochs", "3")
+    try {
+      val s0 = graft.ext.Dedup.shingleStatsShared(spark, base)
+      val s0rows = s0.collect().toSeq
+      // appends 1..K-1: the stats layer SERVES the committed copy —
+      // no kernel job, counter in the artifact dir, appended docs
+      // absent BY CONTRACT (the documented bounded staleness)
+      for (k <- 1 to 2) {
+        appendFile(s"$base/documents.parquet", extra(1000L * k))
+        val b0 = Layout.buildCount.get
+        val sk = graft.ext.Dedup.shingleStatsShared(spark, base)
+        assert(Layout.buildCount.get === b0,
+          s"stale serve $k must not run any build")
+        assert(sk.filter(col("doc_id") > maxId).count() === 0,
+          s"stale serve $k: committed stats served unchanged")
+        assert(sk.collect().toSeq.sortBy(_.toString) ===
+          s0rows.sortBy(_.toString),
+          s"stale serve $k must be row-identical to the committed stats")
+      }
+      // the Kth append recomputes: every appended shard's docs appear,
+      // and the result equals a from-scratch rebuild over the same data
+      appendFile(s"$base/documents.parquet", extra(3000L))
+      val s3 = graft.ext.Dedup.shingleStatsShared(spark, base)
+      for (k <- 1 to 3)
+        assert(s3.filter(col("doc_id") > maxId + 1000L * k).count() > 0,
+          s"recompute must cover shard $k (including stale-served ones)")
+      copyDir(s"$base/documents.parquet", s"$pristine/documents.parquet")
+      spark.conf.set("graft.shingleStats.staleEpochs", "1")
+      val rebuilt = graft.ext.Dedup.shingleStatsShared(spark, pristine)
+      assert(s3.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(s3).isEmpty,
+        "post-stale recompute diverged from the full rebuild")
+    } finally spark.conf.unset("graft.shingleStats.staleEpochs")
+  }
+
   test("winnow_sel refreshes append-only and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_wn_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_wn_full").toString + "/d"
