@@ -295,6 +295,43 @@ object Layout {
             content.schema.toDDL
           }
           val schemaDDL: String = predecessor match {
+            case Some((oldDir, priorEntries))
+                if staleEpochs > 1 && readText(fs,
+                  new org.apache.hadoop.fs.Path(oldDir, StaleFile))
+                  .map(_.split("\n").toSeq).map(_.headOption
+                    .flatMap(_.trim.toIntOption).getOrElse(0))
+                  .getOrElse(0) + 1 < staleEpochs =>
+              // bounded-staleness SERVE, decided BEFORE any full-file-set
+              // schema inference: the whole point is an O(#files) epoch,
+              // and `spark.read.parquet(oldDir)` alone costs a
+              // footer-reading job over the committed files (tier K
+              // measured ~2 s at 350 files — more than the serve itself)
+              refreshCount.incrementAndGet()
+              val staleLines = readText(fs,
+                new org.apache.hadoop.fs.Path(oldDir, StaleFile))
+                .map(_.split("\n").toSeq)
+              val staleN = staleLines.flatMap(_.headOption)
+                .flatMap(_.trim.toIntOption).getOrElse(0)
+              val processed = staleLines.map(_.tail).getOrElse(priorEntries)
+              commitStaleServe(spark, fs, table, wh, censusStr, oldDir,
+                ((staleN + 1).toString +: processed).mkString("\n"))
+              // schema from the predecessor's catalog entry when this
+              // session registered it (no job at all); else one data
+              // file's footer (all files share the schema)
+              val fromCatalog =
+                if (spark.catalog.tableExists(oldDir.getName))
+                  Some(spark.sessionState.catalog.getTableMetadata(
+                    org.apache.spark.sql.catalyst.TableIdentifier(
+                      oldDir.getName)).schema.toDDL)
+                else None
+              fromCatalog.getOrElse {
+                val oneFile = fs.listStatus(oldDir).collectFirst {
+                  case s if s.isFile &&
+                    s.getPath.getName.endsWith(".parquet") =>
+                    s.getPath.toString
+                }.get
+                spark.read.parquet(oneFile).schema.toDDL
+              }
             case Some((oldDir, priorEntries)) =>
               refreshCount.incrementAndGet()
               val pathOf = (e: String) => e.split("\\|", 3)(2)
@@ -372,29 +409,20 @@ object Layout {
                     fullBuild()
                 }
               } else {
-                // bounded-staleness bookkeeping (scaladoc on the
-                // parameter): the stale marker carries how many epochs
-                // the committed copy has already served and the census
-                // it actually PROCESSED, so the eventual recompute's ctx
-                // reflects every file since the last kernel run
-                val staleLines = readText(fs,
+                // the Kth (or a default-always-fresh) recompute: the
+                // predecessor's stale marker, when present, carries the
+                // census it actually PROCESSED, so the kernel's ctx
+                // reflects every file since the last kernel run — not
+                // just the files since the last stale serve
+                val processed = readText(fs,
                   new org.apache.hadoop.fs.Path(oldDir, StaleFile))
-                  .map(_.split("\n").toSeq)
-                val staleN = staleLines.flatMap(_.headOption)
-                  .flatMap(_.trim.toIntOption).getOrElse(0)
-                val processed = staleLines.map(_.tail).getOrElse(priorEntries)
-                if (staleN + 1 < staleEpochs) {
-                  commitStaleServe(spark, fs, table, wh, censusStr, oldDir,
-                    ((staleN + 1).toString +: processed).mkString("\n"))
-                  rawOld.schema.toDDL
-                } else {
-                  val content = refresh.get(RefreshCtx(rawOld,
-                    entries.filterNot(processed.toSet).map(pathOf),
-                    processed.map(pathOf)))
-                  commitBuild(spark, fs, table, wh, key, buckets, censusStr,
-                    content)
-                  content.schema.toDDL
-                }
+                  .map(_.split("\n").toSeq.tail).getOrElse(priorEntries)
+                val content = refresh.get(RefreshCtx(rawOld,
+                  entries.filterNot(processed.toSet).map(pathOf),
+                  processed.map(pathOf)))
+                commitBuild(spark, fs, table, wh, key, buckets, censusStr,
+                  content)
+                content.schema.toDDL
               }
               catch {
                 // a FullRebuild that first surfaced inside the commit/
@@ -875,8 +903,13 @@ object Layout {
       if (!rest.contains("_")) true
       else rest.startsWith(s"${dirTag}_") && name != keepName
     }
-    spark.catalog.listTables().collect()
-      .map(_.name).filter(stale)
+    // name-only listing: spark.catalog.listTables() RESOLVES every
+    // table's metadata (~tens of ms each — measured >2 s per mint in a
+    // warehouse carrying hundreds of artifact tables, which every stale
+    // serve and refresh epoch then paid); the session catalog's
+    // identifier listing is O(names)
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table).filter(stale)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     // dirs from PRIOR sessions have no catalog entry — sweep the warehouse
     val whRoot = new org.apache.hadoop.fs.Path(

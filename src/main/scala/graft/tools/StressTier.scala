@@ -943,10 +943,11 @@ object StressTier {
     */
   private def tierK(spark: SparkSession, baseDir: String, dir: String): Unit = {
     val reps = 100
-    // multiplier reserves shard ids for the refresh delta AND the
-    // 12-epoch file-growth walk (shards reps..reps+12) — every id stays
-    // disjoint from the build shards' v·mult + [0, reps) range
-    val mult = reps + 13
+    // multiplier reserves shard ids for the refresh delta, the 12-epoch
+    // file-growth walk (shards reps..reps+12) AND the 4-epoch
+    // staleEpochs walk (reps+13..reps+16) — every id stays disjoint
+    // from the build shards' v·mult + [0, reps) range
+    val mult = reps + 17
     val walkEpochs = 12
     val (_, tRep) = timed("k.replicate")(replicateTables(
       spark, baseDir, dir, Seq("documents", "embeddings"), mult, 0 until reps))
@@ -1075,6 +1076,64 @@ object StressTier {
       s"walk total $nWalk != base pattern x ${reps + 1 + walkEpochs}")
     println(f"STRESS k.walk epochs=$walkEpochs seconds=$tWalk%.1f " +
       s"max_files=$maxFiles rows=$nWalk")
+
+    // staleEpochs AMORTIZATION walk (r13): the stats layer's window
+    // recompute — the one cost the two-layer split cannot make
+    // delta-proportional — amortizes to 1/K per epoch under the bounded-
+    // staleness knob: at K = 4, three appends SERVE the committed stats
+    // (hardlink-forward, no job) and the fourth recomputes.
+    val nShards = reps + 1 + walkEpochs
+    // NOTE on timings: the ENSURE is the maintainer's cost (the serve or
+    // the recompute job runs inside it — commitBuild is eager); the
+    // consumer count is a separate, untimed scan so a 30M-row read can't
+    // masquerade as serve cost (tier K run 1 r13 mis-read exactly that).
+    // Catch the stats layer up to the walk's 12 doc shards first, so the
+    // stale walk measures exactly its own four epochs.
+    val (dfC, tCatch) = timed("k.stale_catchup")(
+      Dedup.shingleStatsShared(spark, dir))
+    val fresh0 = dfC.count()
+    println(f"STRESS k.stale_catchup seconds=$tCatch%.1f rows=$fresh0")
+    check(fresh0 == basePattern("shingle_stats") * nShards,
+      "catch-up recompute must cover the walk shards")
+    spark.conf.set("graft.shingleStats.staleEpochs", "4")
+    try {
+      var tServe = 0.0
+      var worstServe = 0.0
+      val bS = graft.ops.Layout.buildCount.get
+      (1 to 3).foreach { e =>
+        replicateTables(spark, baseDir, dir, Seq("documents"), mult,
+          (reps + 12 + e) to (reps + 12 + e), mode = "append")
+        val (dfS, t) = timed(s"k.stale_serve_$e")(
+          Dedup.shingleStatsShared(spark, dir))
+        val n = dfS.count()
+        tServe += t
+        worstServe = math.max(worstServe, t)
+        println(f"STRESS k.stale_serve_$e seconds=$t%.1f rows=$n")
+        check(n == fresh0, s"stale serve $e must hand back the committed stats")
+      }
+      check(graft.ops.Layout.buildCount.get == bS,
+        "stale serves must not build")
+      replicateTables(spark, baseDir, dir, Seq("documents"), mult,
+        (reps + 16) to (reps + 16), mode = "append")
+      val (df4, t4) = timed("k.stale_recompute")(
+        Dedup.shingleStatsShared(spark, dir))
+      val n4 = df4.count()
+      println(f"STRESS k.stale_recompute seconds=$t4%.1f rows=$n4")
+      check(n4 == basePattern("shingle_stats") * (nShards + 4),
+        "the Kth epoch's recompute must cover every stale-served shard")
+      // a serve is kernel-free (buildCount pinned above); its wall cost
+      // is session bookkeeping (catalog mint + hardlinks + GC sweep,
+      // ~1-2 s at this warehouse's ~500 registered tables) — bound it
+      // RELATIVE to the recompute it displaces, plus an absolute cap
+      // that would catch a window job sneaking back in
+      check(worstServe < math.max(0.35 * t4, 1.0) && worstServe < 4.0,
+        f"stale serve cost $worstServe%.1f s vs recompute $t4%.1f s — a job leaked in?")
+      val amortized = (tServe + t4) / 4.0
+      println(f"STRESS k.stale_amortized per_epoch=$amortized%.1f " +
+        f"recompute=$t4%.1f serve_total=$tServe%.1f " +
+        f"ratio_vs_recompute=${amortized / math.max(t4, 0.001)}%.2f")
+    } finally spark.conf.unset("graft.shingleStats.staleEpochs")
+
     println(s"STRESS k.summary artifacts=${families.size} " +
       s"refreshes=${graft.ops.Layout.refreshCount.get - r0} " +
       s"rebuilds=${graft.ops.Layout.buildCount.get - b0}")
