@@ -37,30 +37,35 @@ object Dedup {
     */
   private val ccSpillRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // roots of connectedComponents calls still EXECUTING: registered here
+  // at entry, moved to ccSpillRoots only when the call exits — so
+  // releaseClusterFrames can never delete files a concurrent clustering
+  // is still writing/reading mid-loop
+  private val ccInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   /** Explicit release handle for [[connectedComponents]]' per-call spill
     * roots (scaladoc there): deletes every accumulated final-mapping dir
     * NOW instead of at JVM exit. Caller contract: no frame returned by a
     * prior `connectedComponents`/`clusters` call may be consumed again
     * after this — their backing files are gone (reads throw, they do not
-    * corrupt). Calls in flight on other threads are unaffected: only
-    * roots registered BEFORE this call are swept.
+    * corrupt). Calls in flight on other threads are safe: their roots
+    * sit in a separate in-flight registry until the call exits, so this
+    * sweep cannot touch them.
     */
   def releaseClusterFrames(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
     var r = ccSpillRoots.poll()
-    while (r != null) { rm(new java.io.File(r)); r = ccSpillRoots.poll() }
+    while (r != null) { deleteRecursively(new java.io.File(r)); r = ccSpillRoots.poll() }
   }
   private lazy val ccSpillHookInit: Unit = {
     sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      ccSpillRoots.forEach(r => rm(new java.io.File(r)))
+      ccSpillRoots.forEach(r => deleteRecursively(new java.io.File(r)))
+      ccInFlight.forEach(r => deleteRecursively(new java.io.File(r)))
     }
     ()
   }
@@ -1299,7 +1304,12 @@ object Dedup {
     val sparkCC = pairs.sparkSession
     val spillRoot = java.nio.file.Files.createTempDirectory("graft_cc").toString
     ccSpillHookInit
-    ccSpillRoots.add(spillRoot)
+    // in-flight registry, not the releasable queue: a concurrent
+    // releaseClusterFrames() must never delete files this call is still
+    // writing/reading; the root becomes releasable when the call exits
+    // (on failure too — an aborted run's frames are never consumed)
+    ccInFlight.add(spillRoot)
+    try {
     var roundN = 0
     // pin returns the frame AND its backing dir so superseded rounds can
     // be deleted as the loop advances — without the per-round GC a
@@ -1312,13 +1322,7 @@ object Dedup {
       df.write.mode("overwrite").parquet(p)
       (sparkCC.read.parquet(p), p)
     }
-    def rmDir(p: String): Unit = {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }
+    def rmDir(p: String): Unit = deleteRecursively(new java.io.File(p))
     val (m0, m0p) = pinAt(edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")))
     var mapping = m0
@@ -1393,6 +1397,7 @@ object Dedup {
       .join(pinned.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     pinned.unionByName(singletons)
+    } finally { ccInFlight.remove(spillRoot); ccSpillRoots.add(spillRoot); () }
   }
 
   /** Driver-registered clustering summary: MinHash pairs → components →

@@ -1951,6 +1951,11 @@ object Multimodal {
       StructField("phash", LongType),
       StructField("is_perceptual", BooleanType))))
     media.select("media_id", "media_type", "content").mapPartitions { rows =>
+      // partition-scoped scratch for the stub hash: a per-row
+      // MessageDigest.getInstance is a provider lookup + allocation in
+      // the hot decode pass (review r13)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val seen = new java.util.HashSet[String]()
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](2)
         val ph = r.getString(1) match {
@@ -1962,7 +1967,7 @@ object Multimodal {
         }
         val (h, perceptual) = ph match {
           case Some(v) => (v, true)
-          case None    => (stubSimHash60(bytes), false)
+          case None    => (stubSimHash60(bytes, md, seen), false)
         }
         Row(r.getLong(0), r.getString(1), h, perceptual)
       }
@@ -1989,12 +1994,21 @@ object Multimodal {
     * MALFORMED_CHARACTER_CODING — a strict totality win for hostile
     * crawl bytes.
     */
-  private[graft] def stubSimHash60(bytes: Array[Byte]): Long = {
+  private[graft] def stubSimHash60(bytes: Array[Byte]): Long =
+    stubSimHash60(bytes, java.security.MessageDigest.getInstance("SHA-256"),
+      new java.util.HashSet[String]())
+
+  /** [[stubSimHash60]] with caller-owned scratch — the per-partition hot
+    * path reuses one digest + shingle set across rows (`digest()` resets
+    * the digest; the set is cleared here).
+    */
+  private[graft] def stubSimHash60(
+      bytes: Array[Byte], md: java.security.MessageDigest,
+      seen: java.util.HashSet[String]): Long = {
     val t = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
     val cps = t.codePointCount(0, t.length)
     val votes = new Array[Int](60)
-    val seen = new java.util.HashSet[String]()
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+    seen.clear()
     val n = math.max(cps - 3, 1)
     var p = 0
     var ci = 0

@@ -170,15 +170,10 @@ object Similarity {
     */
   private case class SeedModel(ids: Seq[Long], vecs: Seq[Seq[Float]], norms: Seq[Double]) {
     def size: Int = ids.size
-    /** Unit-normalized centroid as a plan-time array literal — the exact
-      * string construction every live path uses, so artifact-backed and
-      * live assignments are bit-identical.
-      */
-    def unitLit(i: Int): String =
-      vecs(i).map(v => (v / norms(i)).toString + "D").mkString("array(", ",", ")")
-    /** Unit-normalized centroid as driver doubles (same arithmetic as
-      * [[unitLit]] — Double.toString round-trips exactly, so the literal
-      * parse yields these very doubles).
+    /** Unit-normalized centroid as driver doubles — fed to the derive
+      * plan as ONE array Literal per centroid (r13; the former
+      * expr()-string form parsed the same doubles, Double.toString
+      * round-tripping exactly, so both constructions are bit-identical).
       */
     def unitVec(i: Int): Array[Double] =
       vecs(i).map(v => v / norms(i)).toArray

@@ -135,6 +135,15 @@ object Layout {
   private val ensureLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Tables this session is serving from a bounded-staleness SERVE
+    * (commit or re-register of a [[StaleFile]]-marked dir): a later
+    * ensure of the same table at `staleEpochs = 1` must recompute
+    * instead of handing the stale copy out — tracked in memory so the
+    * warm (registered) path stays free of per-call marker reads.
+    */
+  private val staleServedTables =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Write `df` as a bucketed+sorted catalog table on `key`. Joins between
     * tables written with the same (key domain, buckets) are exchange-free.
     *
@@ -262,6 +271,16 @@ object Layout {
     val wh = new org.apache.hadoop.fs.Path(whRoot, table.toLowerCase)
     val fs = wh.getFileSystem(hadoopConf)
     ensureLocks.computeIfAbsent(s"${family}_$dirTag", _ => new Object).synchronized {
+      // a table this session registered via a bounded-staleness SERVE is
+      // only servable while the session still accepts staleness: a later
+      // ensure at the default (always fresh) must recompute, not silently
+      // keep handing out the stale copy (review r13)
+      if (staleEpochs == 1 && staleServedTables.contains(table) &&
+        spark.catalog.tableExists(table)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        staleServedTables.remove(table)
+        ()
+      }
       if (!spark.catalog.tableExists(table)) {
         // the in-memory catalog dies with the session but the warehouse
         // directory survives. A COMPLETE surviving dir (current tag,
@@ -270,8 +289,16 @@ object Layout {
         // artifact itself — re-REGISTER it as an external bucketed table
         // instead of rebuilding: bucket ids live in the file names, so
         // bucketed (exchange-free) reads apply to the re-registered copy
-        // exactly as to the original.
-        if (isCommitted(fs, wh, censusStr)) {
+        // exactly as to the original. A dir carrying the [[StaleFile]]
+        // marker was published by a bounded-staleness serve in some
+        // session: reusable only when THIS caller also accepts staleness
+        // — at the default it is recompute input, not an artifact (the
+        // cross-session face of the same review finding).
+        if (isCommitted(fs, wh, censusStr) && (staleEpochs > 1 ||
+          readText(fs, new org.apache.hadoop.fs.Path(wh, StaleFile)).isEmpty)) {
+          if (readText(fs,
+            new org.apache.hadoop.fs.Path(wh, StaleFile)).isDefined)
+            staleServedTables.add(table)
           registerExternal(spark, table, wh,
             spark.read.parquet(wh.toString).schema.toDDL, key, buckets)
         } else {
@@ -295,46 +322,49 @@ object Layout {
             content.schema.toDDL
           }
           val schemaDDL: String = predecessor match {
-            case Some((oldDir, priorEntries))
-                if staleEpochs > 1 && readText(fs,
-                  new org.apache.hadoop.fs.Path(oldDir, StaleFile))
-                  .map(_.split("\n").toSeq).map(_.headOption
-                    .flatMap(_.trim.toIntOption).getOrElse(0))
-                  .getOrElse(0) + 1 < staleEpochs =>
-              // bounded-staleness SERVE, decided BEFORE any full-file-set
-              // schema inference: the whole point is an O(#files) epoch,
-              // and `spark.read.parquet(oldDir)` alone costs a
-              // footer-reading job over the committed files (tier K
-              // measured ~2 s at 350 files — more than the serve itself)
-              refreshCount.incrementAndGet()
-              val staleLines = readText(fs,
-                new org.apache.hadoop.fs.Path(oldDir, StaleFile))
-                .map(_.split("\n").toSeq)
-              val staleN = staleLines.flatMap(_.headOption)
-                .flatMap(_.trim.toIntOption).getOrElse(0)
-              val processed = staleLines.map(_.tail).getOrElse(priorEntries)
-              commitStaleServe(spark, fs, table, wh, censusStr, oldDir,
-                ((staleN + 1).toString +: processed).mkString("\n"))
-              // schema from the predecessor's catalog entry when this
-              // session registered it (no job at all); else one data
-              // file's footer (all files share the schema)
-              val fromCatalog =
-                if (spark.catalog.tableExists(oldDir.getName))
-                  Some(spark.sessionState.catalog.getTableMetadata(
-                    org.apache.spark.sql.catalyst.TableIdentifier(
-                      oldDir.getName)).schema.toDDL)
-                else None
-              fromCatalog.getOrElse {
-                val oneFile = fs.listStatus(oldDir).collectFirst {
-                  case s if s.isFile &&
-                    s.getPath.getName.endsWith(".parquet") =>
-                    s.getPath.toString
-                }.get
-                spark.read.parquet(oneFile).schema.toDDL
-              }
             case Some((oldDir, priorEntries)) =>
               refreshCount.incrementAndGet()
               val pathOf = (e: String) => e.split("\\|", 3)(2)
+              // ONE read of the predecessor's stale marker serves both
+              // the serve decision and the recompute's processed-census
+              // ctx (review r13: the guard+body pattern read it twice)
+              val staleLines =
+                if (staleEpochs > 1 || refresh.isDefined)
+                  readText(fs,
+                    new org.apache.hadoop.fs.Path(oldDir, StaleFile))
+                    .map(_.split("\n").toSeq)
+                else None
+              val staleN = staleLines.flatMap(_.headOption)
+                .flatMap(_.trim.toIntOption).getOrElse(0)
+              val processed = staleLines.map(_.tail).getOrElse(priorEntries)
+              if (staleEpochs > 1 && staleN + 1 < staleEpochs) {
+                // bounded-staleness SERVE, decided BEFORE any
+                // full-file-set schema inference: the whole point is an
+                // O(#files) epoch, and `spark.read.parquet(oldDir)`
+                // alone costs a footer-reading job over the committed
+                // files (tier K measured ~2 s at 350 files — more than
+                // the serve itself)
+                commitStaleServe(spark, fs, table, wh, censusStr, oldDir,
+                  ((staleN + 1).toString +: processed).mkString("\n"))
+                staleServedTables.add(table)
+                // schema from the predecessor's catalog entry when this
+                // session registered it (no job at all); else one data
+                // file's footer (all files share the schema)
+                val fromCatalog =
+                  if (spark.catalog.tableExists(oldDir.getName))
+                    Some(spark.sessionState.catalog.getTableMetadata(
+                      org.apache.spark.sql.catalyst.TableIdentifier(
+                        oldDir.getName)).schema.toDDL)
+                  else None
+                fromCatalog.getOrElse {
+                  val oneFile = fs.listStatus(oldDir).collectFirst {
+                    case s if s.isFile &&
+                      s.getPath.getName.endsWith(".parquet") =>
+                      s.getPath.toString
+                  }.get
+                  spark.read.parquet(oneFile).schema.toDDL
+                }
+              } else {
               val prior = priorEntries.map(pathOf)
               val added = entries.filterNot(priorEntries.toSet).map(pathOf)
               val genOpt =
@@ -411,12 +441,9 @@ object Layout {
               } else {
                 // the Kth (or a default-always-fresh) recompute: the
                 // predecessor's stale marker, when present, carries the
-                // census it actually PROCESSED, so the kernel's ctx
-                // reflects every file since the last kernel run — not
-                // just the files since the last stale serve
-                val processed = readText(fs,
-                  new org.apache.hadoop.fs.Path(oldDir, StaleFile))
-                  .map(_.split("\n").toSeq.tail).getOrElse(priorEntries)
+                // census it actually PROCESSED (read once above), so the
+                // kernel's ctx reflects every file since the last kernel
+                // run — not just the files since the last stale serve
                 val content = refresh.get(RefreshCtx(rawOld,
                   entries.filterNot(processed.toSet).map(pathOf),
                   processed.map(pathOf)))
@@ -431,6 +458,7 @@ object Layout {
                 // wrapped in Spark's executor-exception chain); the
                 // commit helpers have already cleaned their tmp dir
                 case t: Throwable if causedByFullRebuild(t) => fullBuild()
+              }
               }
             case None =>
               fullBuild()
@@ -907,8 +935,12 @@ object Layout {
     // table's metadata (~tens of ms each — measured >2 s per mint in a
     // warehouse carrying hundreds of artifact tables, which every stale
     // serve and refresh epoch then paid); the session catalog's
-    // identifier listing is O(names)
-    spark.sessionState.catalog.listTables("default")
+    // identifier listing is O(names). CURRENT database, not a hardcoded
+    // "default": registerExternal creates unqualified tables there, and
+    // sweeping the dirs of tables the listing missed would leave
+    // dangling catalog entries (review r13)
+    spark.sessionState.catalog
+      .listTables(spark.sessionState.catalog.getCurrentDatabase)
       .map(_.table).filter(stale)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     // dirs from PRIOR sessions have no catalog entry — sweep the warehouse

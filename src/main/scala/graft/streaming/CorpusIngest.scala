@@ -667,8 +667,9 @@ object CorpusIngest {
     * grows, so every membership of a finally-bounded order is counted at
     * exactly the epoch it first arrived, and a crossing order's counted
     * prefix is cancelled at exactly its crossing epoch — the merged
-    * census equals the one-shot bounded census row-for-row (spec-pinned,
-    * and `ingest_census_index` proves it against the DuckDB oracle).
+    * census equals the one-shot bounded census row-for-row (spec-pinned;
+    * the DuckDB oracle proves it through `ingest_edge_index`, whose
+    * readback folds the census rows in under [[CensusMark]]).
     */
   private[graft] def edgeBatchBody(
       batch: DataFrame, indexPath: String, epoch: Long): Unit = {
@@ -742,18 +743,28 @@ object CorpusIngest {
           // persisted frames (the probe above already materialized the
           // caches) — submit them concurrently, the standard foreachBatch
           // multi-sink recipe: epoch wall time is the slowest write, not
-          // the sum, and a failure in any write still fails the batch
-          // (Await rethrows), keeping the replay contract intact
+          // the sum. Failures SETTLE before they rethrow: a fail-fast
+          // Await would return while the surviving writers still hold
+          // the epoch=N dirs, and the stream's replay of this epoch
+          // would then race those orphaned overwrites on the same paths
+          // — so every future is awaited to termination (as a Try) and
+          // only then does the first failure fail the batch, keeping the
+          // epoch-scoped-overwrite replay contract intact.
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(Future.sequence(Seq(
+          val writes = Seq(
             Future(epochRows.write.mode("overwrite")
               .parquet(s"$indexPath/edges/epoch=$epoch")),
             Future(censusRows.write.mode("overwrite")
               .parquet(s"$indexPath/census/epoch=$epoch")),
             Future(newOnly.write.mode("overwrite")
-              .parquet(s"$indexPath/members/epoch=$epoch")))),
+              .parquet(s"$indexPath/members/epoch=$epoch")))
+          val settled = Await.result(
+            Future.sequence(writes.map(_.map(r => scala.util.Success(r)
+              : scala.util.Try[Unit])
+              .recover { case t => scala.util.Failure(t) })),
             scala.concurrent.duration.Duration.Inf)
+          settled.foreach(_.get)
         } finally { newOnly.unpersist(); mergedSz.unpersist(); () }
       } finally { oldTouched.unpersist(); () }
     } finally { newRaw.unpersist(); () }

@@ -583,6 +583,45 @@ class LayoutRefreshSpec extends SparkSpec {
     } finally spark.conf.unset("graft.shingleStats.staleEpochs")
   }
 
+  test("a stale-served artifact is never served at the default knob (always-fresh)") {
+    val base = Files.createTempDirectory("graft_stale_fresh").toString + "/d"
+    fs.mkdirs(new Path(base))
+    seedAsDir(s"$sf/documents.parquet", s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    def extra(tag: Long) = docs.orderBy(col("doc_id").asc).limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + tag))
+      .withColumn("text", concat(col("text"), lit(s" fresh shard $tag")))
+    spark.conf.set("graft.shingleStats.staleEpochs", "3")
+    try {
+      graft.ext.Dedup.shingleStatsShared(spark, base).count()
+      appendFile(s"$base/documents.parquet", extra(1000L))
+      val served = graft.ext.Dedup.shingleStatsShared(spark, base)
+      assert(served.filter(col("doc_id") > maxId).count() === 0,
+        "precondition: the append was stale-served")
+      // SAME-SESSION flip back to the default: the registered stale copy
+      // must be recomputed, not handed out
+      spark.conf.set("graft.shingleStats.staleEpochs", "1")
+      val fresh = graft.ext.Dedup.shingleStatsShared(spark, base)
+      assert(fresh.filter(col("doc_id") > maxId).count() > 0,
+        "default-knob ensure must recompute over a stale-served table")
+      // CROSS-SESSION face: serve stale again, then drop the catalog
+      // entry (what a new session sees) — the surviving marker-carrying
+      // dir must be recompute input at the default, not an artifact
+      spark.conf.set("graft.shingleStats.staleEpochs", "3")
+      appendFile(s"$base/documents.parquet", extra(2000L))
+      graft.ext.Dedup.shingleStatsShared(spark, base).count() // stale serve
+      spark.sessionState.catalog
+        .listTables(spark.sessionState.catalog.getCurrentDatabase)
+        .map(_.table).filter(_.startsWith("graft_shingle_stats_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+      spark.conf.set("graft.shingleStats.staleEpochs", "1")
+      val fresh2 = graft.ext.Dedup.shingleStatsShared(spark, base)
+      assert(fresh2.filter(col("doc_id") > maxId + 2000L).count() > 0,
+        "a surviving stale-marked dir must not be re-registered at the default")
+    } finally spark.conf.unset("graft.shingleStats.staleEpochs")
+  }
+
   test("winnow_sel refreshes append-only and matches a full rebuild") {
     val base = Files.createTempDirectory("graft_wn_incr").toString + "/d"
     val pristine = Files.createTempDirectory("graft_wn_full").toString + "/d"
