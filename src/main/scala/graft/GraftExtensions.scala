@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, GraftFunctions, MisraGriesAgg, SortedIntersectCount, TopKAgg}
+import graft.functions.{DamerauLevenshtein, DotProduct, GraftFunctions, MisraGriesAgg, NfcNormalize, SortedIntersectCount, TopKAgg}
 
 /** `spark.sql.extensions` entry point: a deployment that cannot call
   * [[graft.functions.GraftFunctions.register]] programmatically (e.g. a
@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       GraftFunctions.topKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      GraftFunctions.unaryBuilder("graft_nfc", NfcNormalize(_))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dl"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_dl"),
+      GraftFunctions.binaryBuilder("graft_dl", DamerauLevenshtein(_, _))))
   }
 }

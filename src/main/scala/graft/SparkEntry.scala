@@ -506,6 +506,16 @@ object SparkEntry {
     "er_name_matches"    -> ((s, d) => EntityResolution.nameMatches(s, d)),
     // golden record per matched-name entity via the CC kernel
     "er_golden_records"  -> ((s, d) => EntityResolution.goldenRecords(s, d)),
+    // deterministic adjacent-swap typos resolved at true
+    // Damerau–Levenshtein ≤ 1 (native graft_dl) via lossless 1-deletion
+    // neighborhood blocking; brute-force twin re-proves losslessness and
+    // cross-checks the DL kernel against DuckDB's on real transpositions
+    "er_typo_matches"    -> ((s, d) => EntityResolution.typoMatches(s, d)),
+    // Unicode canonical form (native graft_nfc + strip/collapse chain)
+    // over a deterministically-decorated corpus; twin rebuilds the dirt
+    // with chr() and normalizes with DuckDB's nfc_normalize, so the hash
+    // cross-checks JDK NFC against utf8proc NFC byte-for-byte
+    "text_normalize"     -> ((s, d) => ext.Normalize.textNormalize(s, d)),
   )
 
   /** Shared CTE prefix of the generated MinHash twins, ending at `scored`
@@ -1681,6 +1691,96 @@ object SparkEntry {
         |       a.n_variants, a.n_parts
         |FROM agg a JOIN names n2 ON n2.name_id = a.entity_id
         |ORDER BY a.entity_id ASC""".stripMargin,
+    // brute-force all-pairs twin: no blocking, so a candidate the Scala
+    // side's 1-deletion neighborhood missed would hash-diverge here; the
+    // dl/lev pair cross-checks graft_dl against DuckDB's implementation
+    // on genuine transpositions (dl=1, lev=2 rows)
+    "er_typo_matches" ->
+      """WITH names AS (
+        |  SELECT p_name, min(p_partkey) AS name_id FROM part GROUP BY p_name
+        |), sw AS (
+        |  SELECT name_id, p_name,
+        |         CAST(name_id % (length(p_name) - 1) AS INTEGER) + 1 AS p
+        |  FROM names
+        |), typos AS (
+        |  SELECT name_id AS typo_id,
+        |         substr(p_name, 1, p - 1) || substr(p_name, p + 1, 1) ||
+        |         substr(p_name, p, 1) || substr(p_name, p + 2) AS typo_text
+        |  FROM sw
+        |)
+        |SELECT t.typo_id, n.name_id, t.typo_text, n.p_name AS name,
+        |       CAST(damerau_levenshtein(t.typo_text, n.p_name) AS INTEGER)
+        |         AS dl_dist,
+        |       CAST(levenshtein(t.typo_text, n.p_name) AS INTEGER)
+        |         AS lev_dist,
+        |       levenshtein(t.typo_text, n.p_name) >
+        |         damerau_levenshtein(t.typo_text, n.p_name)
+        |         AS is_transposition
+        |FROM typos t JOIN names n
+        |  ON damerau_levenshtein(t.typo_text, n.p_name) <= 1
+        |ORDER BY typo_id ASC, name_id ASC""".stripMargin,
+    // the dirt is rebuilt with chr() codepoints and normalized with
+    // DuckDB's nfc_normalize + the same strip/collapse chain; the two
+    // normalize legs (dirty + clean) ride one stacked chain
+    "text_normalize" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE CAST(doc_id % 6 AS INTEGER)
+        |      WHEN 0 THEN 'Cafe' || chr(769) || chr(8203) || ' ' || text
+        |                  || ' ' || chr(8491)
+        |      WHEN 1 THEN chr(4352) || chr(4449) || chr(4520) || ' ' || text
+        |                  || chr(13) || chr(10) || 'end' || chr(13)
+        |      WHEN 2 THEN text || ' a' || chr(768) || chr(790) || ' '
+        |                  || chr(8486)
+        |      WHEN 3 THEN chr(160) || chr(160) || text || chr(9) || chr(9)
+        |                  || ' end'
+        |      WHEN 4 THEN chr(7) || text || chr(11) || chr(65279)
+        |      ELSE text || chr(10) || chr(10) || chr(10) || chr(10)
+        |           || 'fin  tail'
+        |    END AS dirty
+        |  FROM documents
+        |), stacked AS (
+        |  SELECT doc_id, 'd' AS w, dirty AS v FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, 'c' AS w, text AS v FROM docs
+        |), n1 AS (
+        |  SELECT doc_id, w, nfc_normalize(v) AS v FROM stacked
+        |), n2 AS (
+        |  SELECT doc_id, w, translate(v,
+        |    chr(8203) || chr(8204) || chr(8205) || chr(65279), '') AS v
+        |  FROM n1
+        |), n3 AS (
+        |  SELECT doc_id, w, translate(v,
+        |    chr(160) || chr(8199) || chr(8239), '   ') AS v FROM n2
+        |), n4 AS (
+        |  SELECT doc_id, w, translate(
+        |    replace(v, chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS v
+        |  FROM n3
+        |), n5 AS (
+        |  SELECT doc_id, w,
+        |    regexp_replace(v, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS v
+        |  FROM n4
+        |), n6 AS (
+        |  SELECT doc_id, w, regexp_replace(v, '[ \t]+', ' ', 'g') AS v
+        |  FROM n5
+        |), n7 AS (
+        |  SELECT doc_id, w,
+        |    regexp_replace(v, '\n{3,}', chr(10) || chr(10), 'g') AS v
+        |  FROM n6
+        |), n8 AS (
+        |  SELECT doc_id, w,
+        |    regexp_replace(v, '^[ \n]+|[ \n]+$', '', 'g') AS v
+        |  FROM n7
+        |)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(length(d.dirty) AS INTEGER) AS n_dirty,
+        |       CAST(length(nd.v) AS INTEGER) AS n_norm,
+        |       nd.v AS norm_text,
+        |       nc.v = d.text AS already_clean
+        |FROM docs d
+        |JOIN n8 nd ON nd.doc_id = d.doc_id AND nd.w = 'd'
+        |JOIN n8 nc ON nc.doc_id = d.doc_id AND nc.w = 'c'
+        |ORDER BY d.doc_id ASC""".stripMargin,
     "fk_audit" -> fkAuditOracle,
     "copurchase_communities" ->
       """WITH RECURSIVE op0 AS (

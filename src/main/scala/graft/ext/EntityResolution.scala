@@ -72,6 +72,64 @@ object EntityResolution {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Typo-robust resolution: every distinct name generates a DETERMINISTIC
+    * adjacent-swap typo (the dominant human error class; the swap position
+    * is keyed on name_id so the DuckDB twin reproduces the variant
+    * exactly), and each typo is matched back against the clean vocabulary
+    * at true Damerau–Levenshtein ≤ 1 via the native `graft_dl` — Spark's
+    * own `levenshtein` scores a transposition 2 and would miss every such
+    * variant at τ=1; `is_transposition` marks exactly those wins.
+    *
+    * Blocking is the 1-DELETION NEIGHBORHOOD (SymSpell's discipline): each
+    * string emits itself plus its |s| delete-one variants; candidates must
+    * share a key. For DL ≤ 1 this is LOSSLESS: equality shares the
+    * 0-deletion key; a substitution or adjacent transposition at i shares
+    * the delete-at-i key (delete the differing char from both sides); an
+    * insertion/deletion shares the shorter string itself. The oracle twin
+    * is the brute-force all-pairs join, so every CORRECTNESS run re-proves
+    * the losslessness. Keys per name are |s|+1 — linear in name length,
+    * independent of vocabulary size — and matching stays in the
+    * distinct-name space like every ER leg here, never the row space.
+    */
+  def typoMatches(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val names = distinctNames(spark, sfDir)
+      .select(col("name_id"), col("p_name"))
+    val typos = names
+      .select(col("name_id").as("typo_id"), col("p_name"),
+        (pmod(col("name_id"), length(col("p_name")) - 1) + 1)
+          .cast("int").as("p"))
+      .select(col("typo_id"),
+        concat(
+          expr("substring(p_name, 1, p - 1)"),
+          expr("substring(p_name, p + 1, 1)"),
+          expr("substring(p_name, p, 1)"),
+          expr("substring(p_name, p + 2)")).as("typo_text"))
+
+    // s itself (i=0) plus each delete-one variant (i in 1..|s|)
+    def delKeys(df: DataFrame, str: String): DataFrame =
+      df.withColumn("i", explode(sequence(lit(0), length(col(str)))))
+        .withColumn("key",
+          when(col("i") === 0, col(str))
+            .otherwise(concat(
+              expr(s"substring($str, 1, i - 1)"),
+              expr(s"substring($str, i + 1)"))))
+        .drop("i").distinct()
+
+    delKeys(typos, "typo_text")
+      .join(delKeys(names, "p_name"), Seq("key"))
+      .select("typo_id", "name_id", "typo_text", "p_name").distinct()
+      .withColumn("dl_dist",
+        call_function("graft_dl", col("typo_text"), col("p_name")).cast("int"))
+      .filter(col("dl_dist") <= 1)
+      .withColumn("lev_dist",
+        levenshtein(col("typo_text"), col("p_name")).cast("int"))
+      .select(col("typo_id"), col("name_id"), col("typo_text"),
+        col("p_name").as("name"), col("dl_dist"), col("lev_dist"),
+        (col("lev_dist") > col("dl_dist")).as("is_transposition"))
+      .orderBy(col("typo_id").asc, col("name_id").asc)
+  }
+
   /** Golden-record report: connected components over the match graph
     * (reusing the dedup CC kernel — union-find fast path under the edge
     * limit, contraction loop past it), canonical name = the cluster's

@@ -177,6 +177,15 @@ object GraftFunctions {
     make(children(0), children(1))
   }
 
+  private[graft] def unaryBuilder(
+      name: String, make: Expression => Expression)
+      : Seq[Expression] => Expression = { children =>
+    if (children.length != 1)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 1 argument, got ${children.length}")
+    make(children(0))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", binaryBuilder("graft_dot", DotProduct(_, _)), "built-in")
@@ -192,6 +201,11 @@ object GraftFunctions {
       "graft_heavy_hitters_w", heavyHittersWeightedBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", topKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", unaryBuilder("graft_nfc", NfcNormalize(_)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dl", binaryBuilder("graft_dl", DamerauLevenshtein(_, _)),
+      "built-in")
   }
 
   /** capacity must be a foldable integer literal — evaluate it now so a

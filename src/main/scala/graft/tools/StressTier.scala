@@ -67,6 +67,11 @@ import graft.ext.{Curation, Dedup}
   *   fraction of its build and reproduce exact per-replica row
   *   invariants (see [[tierK]]).
   *
+  *   Tier N (embeddings × 100 = 200k PERTURBED vectors): ANN rank
+  *   quality at scale — trained-IVF and ADC→re-rank recall floors plus
+  *   warm pruned-search-beats-brute, where replicas are distinct points
+  *   (tier E owns the exact-twin worst case) (see [[tierN]]).
+  *
   * Usage: sbt "runMain graft.tools.StressTier [a|b|c|d|e|f|g|h|i|j|k|all]"
   * Prints one `STRESS <phase> seconds=<s> <k>=<v>...` line per phase and
   * `STRESS_RESULT PASS|FAIL` last; exits non-zero on FAIL.
@@ -1294,6 +1299,84 @@ object StressTier {
       f"first=$first%.1f worst=$worst%.1f keepers=${oneShot.size}")
   }
 
+  /** Tier N — ANN RANK QUALITY at corpus ×100 (200k vectors): the recall
+    * audits run per-round at sf0.1 prove the retrieval tiers against a
+    * 2k-vector corpus; this tier re-proves them where cell pruning has
+    * real teeth. Replicas are PERTURBED (multiplicative jitter up to
+    * ±50% per element, deterministic in (vec_id, rep, i)), not twins —
+    * tier E owns the exact-duplicate worst case; here every replica is a
+    * distinct point so recall is a genuine ranking question, and probe
+    * queries (base ids 0..19, identity replicas) see a 100×-denser
+    * neighborhood. Checks: trained-IVF and ADC-shortlist→re-rank recall
+    * hold a floor at 40× the audited corpus, and the warm bucket-pruned
+    * search leg beats the brute scan it replaces — the inequality that
+    * only widens with corpus size.
+    */
+  private def tierN(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    import graft.ext.Similarity
+    val reps = 100
+    val probes = 20
+    val k = 5
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val nBase = base.count()
+    val (_, tRep) = timed("n.replicate") {
+      base
+        .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+        .withColumn("emb2",
+          when(col("rep") === 0, col("embedding")).otherwise(expr(
+            "transform(embedding, (x, i) -> CAST(x * (1.0D + 0.5D * " +
+              "((CAST(pmod(xxhash64(vec_id, rep, i), 2001) AS DOUBLE) " +
+              "- 1000.0D) / 1000.0D)) AS FLOAT))")))
+        // block-remapped ids: probe ids 0..probes-1 stay the DIVERSE base
+        // vectors (family-contiguous ids would make every probe a jitter
+        // of base vector 0)
+        .select((col("vec_id") + col("rep") * nBase).as("vec_id"),
+          col("emb2").as("embedding"), col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(f"STRESS n.replicate seconds=$tRep%.1f vectors=$n")
+    check(n == nBase * reps, s"tier N row count $n != $nBase*$reps")
+
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect()
+      check(rows.length == probes, s"recall rows ${rows.length} != $probes")
+      rows.foreach { r =>
+        val v = r.getAs[Double]("recall_at_k")
+        check(v >= 0.0 && v <= 1.0, s"recall out of range: $v")
+      }
+      rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    }
+
+    // first call builds the trained-quantizer + PQ artifacts at 200k
+    val (rIvf, tIvf) = timed("n.recall_ivf_trained")(
+      meanRecall(Similarity.annRecallIvfTrained(spark, dir, probes, k)))
+    println(f"STRESS n.recall_ivf_trained seconds=$tIvf%.1f recall=$rIvf%.3f")
+    val (rRr, tRr) = timed("n.recall_ivfpq_rerank")(
+      meanRecall(Similarity.annRecallIvfPqRerank(spark, dir, probes, k)))
+    println(f"STRESS n.recall_ivfpq_rerank seconds=$tRr%.1f recall=$rRr%.3f")
+    // floors: the sf0.1-audited legs sit at 0.88-0.92; cell pruning over
+    // a 100x-denser corpus may cost some, but a collapse means the
+    // index is routing wrong
+    check(rIvf >= 0.6, f"trained-IVF recall collapsed at 100x: $rIvf%.3f")
+    check(rRr >= 0.55, f"ADC re-rank recall collapsed at 100x: $rRr%.3f")
+
+    // warm search legs: artifacts committed above, so this times the
+    // QUERY path alone; the pruned probe must beat the brute scan
+    val (nb, tBrute) = timed("n.brute_warm")(
+      Similarity.bruteForceTopK(spark, dir, probes, k).collect().length)
+    val (ni, tProbe) = timed("n.ivf_warm")(
+      Similarity.ivfTopKTrained(spark, dir, probes, k).collect().length)
+    println(f"STRESS n.warm_search brute=$tBrute%.1f ivf=$tProbe%.1f " +
+      f"rows=$nb/$ni")
+    check(nb == probes * k && ni == probes * k,
+      s"top-k row counts $nb/$ni != ${probes * k}")
+    check(tProbe < tBrute,
+      f"bucket-pruned search ($tProbe%.1f s) not faster than brute " +
+        f"($tBrute%.1f s) at 100x")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -1330,6 +1413,8 @@ object StressTier {
         tierL(spark, "/root/testdata/sf0.1", s"$root/sf0.1edgestream")
       if (tier == "m")
         tierM(spark, "/root/testdata/sf0.1", s"$root/sf0.1neardupstream")
+      if (tier == "n")
+        tierN(spark, "/root/testdata/sf0.1", s"$root/sf0.1annx100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

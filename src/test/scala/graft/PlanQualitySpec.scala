@@ -701,4 +701,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(q10.contains("EqualTo(l_returnflag,R)"), q10.take(2000))
     assert(q10.contains("TakeOrderedAndProject"), q10.take(2000))
   }
+
+  test("text_normalize: the whole canonicalization chain is codegen'd") {
+    // execute with codegen fallback OFF so a generated-code compile error
+    // fails loud instead of silently degrading to the interpreted path,
+    // then read the FINAL adaptive plan (markers only exist post-run)
+    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val p = try {
+      val df = SparkEntry.queries("text_normalize")(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    // the native NFC expression sits INSIDE a WholeStageCodegen span with
+    // the rest of the chain — one fused projection over the scan, the
+    // property that makes this the cheapest pass at 100 TB; the `*(n)`
+    // operator prefix is the codegen marker
+    assert(p.contains("nfcnormalize"), p.take(2000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("nfcnormalize") && l.trim.startsWith("+- *(")),
+      s"NFC fell out of whole-stage codegen: ${p.take(2000)}")
+    // row-local pass: the only exchange permitted is the final
+    // presentation sort's (AQE's toString appends the initial plan too —
+    // count the final section only)
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalSection).length
+    assert(exchanges <= 1, s"normalization chain shuffles: $p")
+  }
+
+  test("er_typo_matches: matching stays in the vocabulary space") {
+    val p = plan("er_typo_matches")
+    // the candidate join is on deletion keys — an equi-join, never a
+    // cartesian (the brute-force shape lives only in the DuckDB twin)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the part scan feeds the distinct-name aggregate: two columns only
+    val schemas = "ReadSchema: struct<([^>]*p_[^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(s.split(",").length <= 2, s"part scan too wide: $s")
+    }
+  }
 }

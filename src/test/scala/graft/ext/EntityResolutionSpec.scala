@@ -48,4 +48,35 @@ class EntityResolutionSpec extends SparkSpec {
     // matches must actually merge something on the fixture
     assert(gold.exists(_.getAs[Long]("n_variants") > 1L))
   }
+
+  test("typoMatches: 1-deletion blocking lossless vs brute; DL beats lev") {
+    graft.functions.GraftFunctions.register(spark)
+    val out = EntityResolution.typoMatches(spark, sf).collect()
+    // every typo is within DL 1 of its source by construction (an
+    // adjacent swap costs 1, or 0 when the swapped bytes are equal), so
+    // every distinct name must appear as its own typo's match
+    val names = spark.read.parquet(s"$sf/part.parquet")
+      .groupBy($"p_name").agg(min($"p_partkey").as("name_id"))
+    assert(out.count(r =>
+      r.getAs[Long]("typo_id") == r.getAs[Long]("name_id")) ==
+      names.count())
+    // blocking losslessness: blocked pairs == brute-force cross join at
+    // DL <= 1 (the oracle re-proves this against DuckDB's kernel; this
+    // test re-proves it in-engine so it can't rot between sweeps)
+    val typos = out.map(r =>
+      (r.getAs[Long]("typo_id"), r.getAs[String]("typo_text")))
+      .distinct.toSeq.toDF("typo_id", "typo_text")
+    val brute = typos.crossJoin(names)
+      .where(expr("graft_dl(typo_text, p_name)") <= 1)
+      .collect()
+      .map(r => (r.getAs[Long]("typo_id"), r.getAs[Long]("name_id"))).toSet
+    assert(out.map(r =>
+      (r.getAs[Long]("typo_id"), r.getAs[Long]("name_id"))).toSet === brute)
+    assert(out.length === brute.size, "no duplicate pair rows")
+    // the leg's reason to exist: transpositions that plain levenshtein
+    // misses at tau=1 (dl=1, lev=2) dominate the fixture
+    assert(out.count(r => r.getAs[Boolean]("is_transposition") &&
+      r.getAs[Int]("dl_dist") == 1 && r.getAs[Int]("lev_dist") == 2) >
+      out.length / 2)
+  }
 }
