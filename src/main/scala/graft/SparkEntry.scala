@@ -1701,7 +1701,7 @@ object SparkEntry {
         |), sw AS (
         |  SELECT name_id, p_name,
         |         CAST(name_id % (length(p_name) - 1) AS INTEGER) + 1 AS p
-        |  FROM names
+        |  FROM names WHERE length(p_name) >= 2
         |), typos AS (
         |  SELECT name_id AS typo_id,
         |         substr(p_name, 1, p - 1) || substr(p_name, p + 1, 1) ||
@@ -1726,7 +1726,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, lang, text,
         |    CASE CAST(doc_id % 6 AS INTEGER)
-        |      WHEN 0 THEN 'Cafe' || chr(769) || chr(8203) || ' ' || text
+        |      WHEN 0 THEN 'Cafe' || chr(8203) || chr(769) || ' ' || text
         |                  || ' ' || chr(8491)
         |      WHEN 1 THEN chr(4352) || chr(4449) || chr(4520) || ' ' || text
         |                  || chr(13) || chr(10) || 'end' || chr(13)
@@ -1744,22 +1744,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'c' AS w, text AS v FROM docs
         |), n1 AS (
-        |  SELECT doc_id, w, nfc_normalize(v) AS v FROM stacked
-        |), n2 AS (
         |  SELECT doc_id, w, translate(v,
         |    chr(8203) || chr(8204) || chr(8205) || chr(65279), '') AS v
-        |  FROM n1
-        |), n3 AS (
+        |  FROM stacked
+        |), n2 AS (
         |  SELECT doc_id, w, translate(v,
-        |    chr(160) || chr(8199) || chr(8239), '   ') AS v FROM n2
-        |), n4 AS (
+        |    chr(160) || chr(8199) || chr(8239), '   ') AS v FROM n1
+        |), n3 AS (
         |  SELECT doc_id, w, translate(
         |    replace(v, chr(13) || chr(10), chr(10)), chr(13), chr(10)) AS v
-        |  FROM n3
-        |), n5 AS (
+        |  FROM n2
+        |), n4 AS (
         |  SELECT doc_id, w,
         |    regexp_replace(v, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS v
-        |  FROM n4
+        |  FROM n3
+        |), n5 AS (
+        |  SELECT doc_id, w, nfc_normalize(v) AS v FROM n4
         |), n6 AS (
         |  SELECT doc_id, w, regexp_replace(v, '[ \t]+', ' ', 'g') AS v
         |  FROM n5

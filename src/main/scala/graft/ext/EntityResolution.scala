@@ -95,7 +95,11 @@ object EntityResolution {
     graft.functions.GraftFunctions.register(spark)
     val names = distinctNames(spark, sfDir)
       .select(col("name_id"), col("p_name"))
+    // a 1-char name has no adjacent pair to swap — without the guard the
+    // swap position's `% (len-1)` is a divide-by-zero (NULL row here, a
+    // hard error in the DuckDB twin); the guard is mirrored in the twin
     val typos = names
+      .filter(length(col("p_name")) >= 2)
       .select(col("name_id").as("typo_id"), col("p_name"),
         (pmod(col("name_id"), length(col("p_name")) - 1) + 1)
           .cast("int").as("p"))

@@ -20,12 +20,14 @@ import graft.io.Tables
   * `nfc_normalize` + the same replace chain, so every CORRECTNESS run
   * cross-checks the JDK's NFC against utf8proc's):
   *
-  *  1. Unicode NFC (compose: e+U+0301, U+212B angstrom, Hangul jamo;
-  *     canonical reordering of combining marks)
-  *  2. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM)
-  *  3. NBSP family (U+00A0, U+2007, U+202F) to plain space
-  *  4. CRLF and bare CR to LF
-  *  5. drop remaining C0 controls (except tab/LF) and DEL
+  *  1. drop zero-width characters (ZWSP/ZWNJ/ZWJ/BOM)
+  *  2. NBSP family (U+00A0, U+2007, U+202F) to plain space
+  *  3. CRLF and bare CR to LF
+  *  4. drop remaining C0 controls (except tab/LF) and DEL
+  *  5. Unicode NFC (compose: e+U+0301, U+212B angstrom, Hangul jamo;
+  *     canonical reordering of combining marks) -- AFTER the strips, so
+  *     junk that blocked a composition exposes it rather than leaving a
+  *     decomposed residue (see normalizeText)
   *  6. collapse horizontal whitespace runs to one space
   *  7. collapse 3+ blank lines to one blank line
   *  8. trim leading/trailing spaces and newlines
@@ -45,15 +47,24 @@ object Normalize {
     * RE2, so the twin reuses the pattern text verbatim.
     */
   def normalizeText(c: Column): Column = {
-    val nfc = call_function("graft_nfc", c)
-    val zw = translate(nfc, "\u200B\u200C\u200D\uFEFF", "")
+    // ALL removals run BEFORE NFC: a zero-width or control character
+    // between a base letter and its combining mark blocks composition, so
+    // stripping it AFTER NFC would leave a decomposed (non-NFC,
+    // non-idempotent) string -- exactly the dodge this pass exists to
+    // close. The strip set itself can never be PRODUCED by NFC (none of
+    // those codepoints appear in any canonical decomposition), and the
+    // post-NFC steps only replace/remove starters while always leaving a
+    // space or newline between retained characters, so no new
+    // composition opportunity arises after step NFC.
+    val zw = translate(c, "\u200B\u200C\u200D\uFEFF", "")
     val nbsp = translate(zw, "\u00A0\u2007\u202F", "   ")
     // replacement is a REAL newline char: Java's Matcher treats backslash
     // in the replacement text as an escape, so a two-char `\n` replacement
     // would insert a literal 'n'
     val lf = translate(regexp_replace(nbsp, "\\r\\n", "\n"), "\r", "\n")
     val ctl = regexp_replace(lf, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
-    val hws = regexp_replace(ctl, "[ \\t]+", " ")
+    val nfc = call_function("graft_nfc", ctl)
+    val hws = regexp_replace(nfc, "[ \\t]+", " ")
     val nls = regexp_replace(hws, "\\n{3,}", "\n\n")
     regexp_replace(nls, "^[ \\n]+|[ \\n]+$", "")
   }
@@ -68,10 +79,13 @@ object Normalize {
     * combining-mark reordering (U+0300 ordered after U+0316, then the
     * base composes), NFC singletons (U+212B angstrom, U+2126 ohm),
     * zero-width, NBSP, CRLF/CR, C0 controls, BOM, and whitespace runs.
+    * Class 0 places the ZWSP BETWEEN the base letter and its combining
+    * mark: composition is exposed only by the strip, pinning the
+    * strip-BEFORE-NFC order cross-engine.
     */
   private[ext] def decorate(text: Column, docId: Column): Column = {
     val m = (docId % 6).cast("int")
-    when(m === 0, concat(lit("Cafe\u0301\u200B "), text, lit(" \u212B")))
+    when(m === 0, concat(lit("Cafe\u200B\u0301 "), text, lit(" \u212B")))
       .when(m === 1, concat(lit("\u1100\u1161\u11A8 "), text, lit("\r\nend\r")))
       .when(m === 2, concat(text, lit(" a\u0300\u0316 \u2126")))
       .when(m === 3, concat(lit("\u00A0\u00A0"), text, lit("\t\t end")))

@@ -400,34 +400,51 @@ object Similarity {
     *
     * Recall < 1 by design (property-tested vs brute force).
     */
+  /** Shared tail of the artifact-backed IVF searches: probes already
+    * routed (driver-side), candidates from the bucket-pruned scan of the
+    * probed cells. ONE broadcast equi-join against the pruned index —
+    * a vector lives in exactly one cell and the routed (q_id, cell) rows
+    * are unique, so (q_id, c_id) pairs cannot duplicate: no `distinct`,
+    * no candidate-id re-join (each of those was a full candidate-set
+    * shuffle, the second one carrying vector payloads — tier N measured
+    * the pair costing ~2× the whole search at 200k vectors). The vector
+    * columns are dropped BEFORE the per-probe top-k window, so the only
+    * data exchange moves narrow (q_id, c_id, sim) rows.
+    */
+  private def prunedProbeTopK(
+      spark: SparkSession, index: DataFrame,
+      probes: Seq[(Long, Seq[Float], Double)], routed: Seq[(Long, Long)],
+      k: Int): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val wanted = routed.map(_._2).distinct.sorted
+    val qcells = routed.toDF("q_id", "cell")
+    val pruned = index.filter(col("cell").isin(wanted: _*))
+    val q = probes.map(p => (p._1, p._2, p._3)).toDF("q_id", "q_vec", "q_norm")
+    broadcast(qcells).join(pruned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"), col("norm").as("c_norm"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", simExpr)
+      .select(col("q_id"), col("c_id"), col("sim"))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
+      .filter(col("nn_rank") <= k)
+      .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
+        round(col("sim"), 6).as("cosine_sim"))
+      .orderBy(col("q_id").asc, col("nn_rank").asc)
+  }
+
   def ivfTopK(
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, cellProbes: Int = 4): DataFrame = {
     if (nCells == IvfNCells) {
-      val sp = spark; import sp.implicits._
       val index = ivfCellIndex(spark, sfDir)
       val sm = collectSeeds(
         index.select(col("vec_id"), col("embedding"), col("norm")), nCells)
       val probes = collectProbes(index, nProbes)
       val routed = probeCells(probes.map(p => (p._1, p._2)), sm, cellProbes)
-      val wanted = routed.map(_._2).distinct.sorted
-      val qcells = routed.toDF("q_id", "cell")
-      val pruned = index.filter(col("cell").isin(wanted: _*))
-      val candIds = broadcast(qcells)
-        .join(pruned.select(col("cell"), col("vec_id").as("c_id")), Seq("cell"))
-        .filter(col("q_id") =!= col("c_id"))
-        .select("q_id", "c_id").distinct()
-      val q = probes.toDF("q_id", "q_vec", "q_norm")
-      val c = pruned.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_vec"), col("norm").as("c_norm"))
-      candIds.join(broadcast(q), Seq("q_id")).join(c, Seq("c_id"))
-        .withColumn("sim", simExpr)
-        .withColumn("nn_rank", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)))
-        .filter(col("nn_rank") <= k)
-        .select(col("q_id"), col("nn_rank"), col("c_id").as("neighbor_id"),
-          round(col("sim"), 6).as("cosine_sim"))
-        .orderBy(col("q_id").asc, col("nn_rank").asc)
+      prunedProbeTopK(spark, index, probes, routed, k)
     } else ivfTopKLive(spark, sfDir, nProbes, k, nCells, cellProbes)
   }
 
@@ -929,19 +946,78 @@ object Similarity {
     }
   }
 
+  /** Unit-normalized trained centroids as driver doubles — the same
+    * `v / ‖c‖` values the expr()-literal form round-trips (Double
+    * toString is exact), shared by the artifact derive, the driver-side
+    * probe routing, and the live fallback path.
+    */
+  private def trainedUnits(model: IndexedSeq[Array[Long]]): IndexedSeq[Array[Double]] =
+    model.map { c =>
+      val n = math.sqrt(c.map(v => v * v).sum.toDouble)
+      c.map(_ / n)
+    }
+
+  /** The maintained TRAINED-quantizer index — [[ivfCellIndex]]'s deploy
+    * shape for the Lloyd-trained model: the corpus bucketed on its
+    * trained-cell assignment so [[ivfTopKTrained]]'s candidate retrieval
+    * is a bucket-pruned static-filter scan instead of a per-query
+    * re-assignment of the whole corpus (tier N caught the live path
+    * costing MORE than brute force at 200k vectors: the per-call
+    * corpus-wide argmax + assignment join cost ~4× the pruned scan).
+    * Deliberately NO append refresh, mirroring `ivf_model`: a trained
+    * model must retrain when its corpus changes, so any census change
+    * rebuilds both artifacts (ensureDerived's default path).
+    */
+  def ivfCellIndexTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    graft.ops.Layout.ensureDerived(
+      spark, sfDir, "ivf_cells_trained", Seq("embeddings.parquet"),
+      key = "cell", buckets = 32, version = 1) {
+      val units = trainedUnits(trainedModelArtifact(spark, sfDir, IvfNCells, 5))
+      val gdot = GraftFunctions.dot _
+      val cellScores = units.zipWithIndex.map { case (u, i) =>
+        struct(gdot(col("embedding"), lit(u)).as("s"),
+          lit(-i.toLong).as("negid"))
+      }
+      withNorm(spark, Tables.embeddings(spark, sfDir))
+        .select(col("vec_id"), col("embedding"), col("__norm"))
+        .withColumn("cell", -greatest(cellScores: _*).getField("negid"))
+        .select(col("vec_id"), col("embedding"),
+          col("__norm").as("norm"), col("cell"))
+    }
+  }
+
   def ivfTopKTrained(
       spark: SparkSession, sfDir: String, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, iters: Int = 5, cellProbes: Int = 4): DataFrame = {
-    val model =
-      if (nCells == IvfNCells && iters == 5)
-        trainedModelArtifact(spark, sfDir, nCells, iters)
-      else kmeansModelInt(spark, sfDir, nCells, iters)
-    val centroids: Seq[(Long, String)] = model.zipWithIndex.map { case (c, i) =>
-      val n = math.sqrt(c.map(v => v * v).sum.toDouble)
-      (i.toLong,
-        c.map(v => (v / n).toString + "D").mkString("array(", ",", ")"))
+    if (nCells == IvfNCells && iters == 5) {
+      // artifact path: probe routing is driver-side query planning
+      // (nProbes×nCells dotFD folds — bit-identical to the live explode
+      // + rank, whose rank order equals the cell-asc tie-break), and
+      // candidates come from a bucket-PRUNED scan of the maintained
+      // trained index — the exact [[ivfTopK]] shape
+      val units = trainedUnits(trainedModelArtifact(spark, sfDir, nCells, iters))
+      val index = ivfCellIndexTrained(spark, sfDir)
+      val probes = collectProbes(index, nProbes)
+      val routed = probes.flatMap { case (qid, qv, _) =>
+        units.zipWithIndex
+          .map { case (u, i) => (dotFD(qv, u), i) }
+          .sortBy { case (s, i) => (-s, i) }
+          .take(cellProbes)
+          .map { case (_, i) => (qid, i.toLong) }
+      }
+      prunedProbeTopK(spark, index, probes, routed, k)
+    } else {
+      // live fallback for ad-hoc quantizer configs — the semantics the
+      // artifact must reproduce bit-for-bit
+      val model = kmeansModelInt(spark, sfDir, nCells, iters)
+      val centroids: Seq[(Long, String)] = model.zipWithIndex.map { case (c, i) =>
+        val n = math.sqrt(c.map(v => v * v).sum.toDouble)
+        (i.toLong,
+          c.map(v => (v / n).toString + "D").mkString("array(", ",", ")"))
+      }
+      ivfSearchWithCentroids(spark, sfDir, centroids, nProbes, k, cellProbes)
     }
-    ivfSearchWithCentroids(spark, sfDir, centroids, nProbes, k, cellProbes)
   }
 
   /** Per-cell size + cohesion summary of the TRAINED integer quantizer —

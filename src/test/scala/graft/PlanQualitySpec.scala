@@ -705,17 +705,17 @@ class PlanQualitySpec extends SparkSpec {
   test("text_normalize: the whole canonicalization chain is codegen'd") {
     // execute with codegen fallback OFF so a generated-code compile error
     // fails loud instead of silently degrading to the interpreted path,
-    // then read the FINAL adaptive plan (markers only exist post-run)
-    val prior = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    val p = try {
-      val df = SparkEntry.queries("text_normalize")(spark, sf)
-      df.collect()
-      df.queryExecution.executedPlan.toString
-    } finally prior match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
-    }
+    // then read the FINAL adaptive plan (markers only exist post-run).
+    // The knob lives on a newSession(): suites share one SparkSession and
+    // run in parallel, and disabling fallback GLOBALLY makes any
+    // concurrent suite's oversized-codegen plan (which normally degrades
+    // silently) throw — a real cross-suite race, observed as 3
+    // DedupScaleSpec failures in a full run.
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.codegen.fallback", "false")
+    val df = SparkEntry.queries("text_normalize")(iso, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     // the native NFC expression sits INSIDE a WholeStageCodegen span with
     // the rest of the chain — one fused projection over the scan, the
     // property that makes this the cheapest pass at 100 TB; the `*(n)`

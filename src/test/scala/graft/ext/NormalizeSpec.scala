@@ -12,7 +12,10 @@ import graft.SparkSpec
 class NormalizeSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val out = Normalize.textNormalize(spark, sf).cache()
+  // NOT cached: DedupScaleSpec asserts the SHARED session's CacheManager
+  // is empty after its CC paths, and suites run in parallel — a cached
+  // frame here fails it (observed). The fixture is 50 rows; recompute.
+  private lazy val out = Normalize.textNormalize(spark, sf)
 
   test("canonical form: no junk codepoints, collapsed whitespace, trimmed") {
     val rows = out.collect()
@@ -33,6 +36,25 @@ class NormalizeSpec extends SparkSpec {
     }
     // the provided corpus is clean ASCII: normalization must be a no-op
     assert(rows.forall(_.getAs[Boolean]("already_clean")))
+  }
+
+  test("strips run BEFORE NFC: junk between base and mark exposes compose") {
+    // a zero-width space (or control) between a base letter and its
+    // combining mark blocks NFC composition; the canonical form must
+    // strip first so the mark composes — normalizing first then stripping
+    // would leave a decomposed, non-NFC, non-idempotent residue
+    graft.functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      "Cafe\u200B\u0301" -> "Caf\u00E9", // ZWSP between e and acute
+      "a\u0007\u0300" -> "\u00E0", // C0 control between a and grave
+      "x\uFEFF\u0301y" -> "x\u0301y") // BOM strip: x+acute has no composite
+    val out = cases.map(_._1).toDF("s")
+      .select(Normalize.normalizeText($"s").as("n")).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want)
+      assert(java.text.Normalizer.isNormalized(
+        got, java.text.Normalizer.Form.NFC))
+    }
   }
 
   test("normalizeText is idempotent on the decorated corpus") {
