@@ -1520,9 +1520,12 @@ object Similarity {
       return broadcast(topCells)
         .join(indexSide, Seq("cell"))
         .filter(col("q_id") =!= col("c_id"))
+        // no distinct: a vector lives in exactly one cell and the routed
+        // (q_id, cell) rows are unique, so (q_id, c_id) cannot duplicate —
+        // the dedup was a full candidate-set shuffle (prunedProbeTopK's
+        // lesson applied to the ADC leg)
         .select((Seq("q_id", "c_id") ++
           (0 until subspaces).map(m => s"code$m")).map(col): _*)
-        .distinct()
         .join(broadcast(queries), Seq("q_id"))
         .withColumn("l2sq_est", est)
         .withColumn("nn_rank", row_number().over(
