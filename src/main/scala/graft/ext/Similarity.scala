@@ -161,6 +161,15 @@ object Similarity {
   // (scan-and-quantize) paths below, which define the semantics the
   // artifact must reproduce bit-for-bit.
   private[graft] val IvfNCells = 16
+
+  /** Version of the TRAINED-quantizer lineage: bump when
+    * [[kmeansModelInt]]'s quantization/training changes. Shared by the
+    * `ivf_model` artifact AND every artifact derived from it
+    * (`ivf_cells_trained`), so a trainer change invalidates the whole
+    * lineage together — a model bump with an unchanged embeddings census
+    * must never leave a derived index serving the old model's bucketing.
+    */
+  private val IvfModelVersion = 1
   private val PqSubspaces = 4
   private val PqCodebookSize = 16
 
@@ -419,7 +428,7 @@ object Similarity {
     val wanted = routed.map(_._2).distinct.sorted
     val qcells = routed.toDF("q_id", "cell")
     val pruned = index.filter(col("cell").isin(wanted: _*))
-    val q = probes.map(p => (p._1, p._2, p._3)).toDF("q_id", "q_vec", "q_norm")
+    val q = probes.toDF("q_id", "q_vec", "q_norm")
     broadcast(qcells).join(pruned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
@@ -930,7 +939,7 @@ object Similarity {
     val sp = spark; import sp.implicits._
     val rows = graft.ops.Layout.ensureDerived(
       spark, sfDir, s"ivf_model", Seq("embeddings.parquet"),
-      key = "cell", buckets = 4, version = 1) {
+      key = "cell", buckets = 4, version = IvfModelVersion) {
       kmeansModelInt(spark, sfDir, nCells, iters).zipWithIndex.flatMap {
         case (c, cell) => c.zipWithIndex.map { case (v, pos) =>
           (cell.toLong, pos, v)
@@ -972,7 +981,11 @@ object Similarity {
     GraftFunctions.register(spark)
     graft.ops.Layout.ensureDerived(
       spark, sfDir, "ivf_cells_trained", Seq("embeddings.parquet"),
-      key = "cell", buckets = 32, version = 1) {
+      // versioned BY THE MODEL's version: this index is derived FROM
+      // ivf_model, and a model-version bump with an unchanged embeddings
+      // census would otherwise serve the OLD model's bucketing to probes
+      // routed with the NEW model's units — silent wrong-cell scans
+      key = "cell", buckets = 32, version = IvfModelVersion) {
       val units = trainedUnits(trainedModelArtifact(spark, sfDir, IvfNCells, 5))
       val gdot = GraftFunctions.dot _
       val cellScores = units.zipWithIndex.map { case (u, i) =>

@@ -1377,7 +1377,7 @@ object StressTier {
     check(nb == probes * k && ni == probes * k,
       s"top-k row counts $nb/$ni != ${probes * k}")
     check(tProbe < tBrute * 1.3,
-      f"bucket-pruned search ($tProbe%.1f s) not faster than brute " +
+      f"bucket-pruned search ($tProbe%.1f s) exceeds 1.3x brute " +
         f"($tBrute%.1f s) at 100x")
   }
 

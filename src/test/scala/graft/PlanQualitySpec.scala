@@ -184,11 +184,32 @@ class PlanQualitySpec extends SparkSpec {
     for (q <- Seq("knn_ivf", "knn_ivfpq")) {
       val p = plan(q)
       assert(p.contains("graft_ivf_cells"), s"$q must read the ivf_cells artifact")
+      // substring trap: "graft_ivf_cells_trained" CONTAINS "graft_ivf_cells"
+      // — the seeded legs must read the seeded artifact, not the trained one
+      assert(!p.contains("graft_ivf_cells_trained"),
+        s"$q reads the TRAINED artifact")
       assert(!p.contains("embeddings.parquet"), s"$q re-scans the raw corpus")
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
       assert(m.isDefined, s"$q: no bucket-pruned scan in the plan")
       assert(m.get.group(1).toInt < m.get.group(2).toInt,
         s"$q: bucketed scan reads every bucket (${m.get.matched})")
+    }
+    // the TRAINED leg rides its own maintained artifact (tier N caught the
+    // index-free form costing 5× brute at 200k): bucket-pruned scan of
+    // graft_ivf_cells_trained, no raw-corpus re-scan, and no per-query
+    // corpus re-assignment (the live path's argmax-over-centroids shows
+    // up as a `greatest(` over the full scan)
+    locally {
+      val p = plan("knn_ivf_trained")
+      assert(p.contains("graft_ivf_cells_trained"),
+        "knn_ivf_trained must read the trained artifact")
+      assert(!p.contains("embeddings.parquet"),
+        "knn_ivf_trained re-scans the raw corpus")
+      assert(!p.contains("greatest("),
+        "knn_ivf_trained re-assigns the corpus per query")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        "knn_ivf_trained: no bucket-pruned scan")
     }
     // cell-scoped semantic consumers start from the artifact's stored
     // assignments (their pair SIMS still run graft_dot, by design)
