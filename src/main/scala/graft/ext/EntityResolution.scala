@@ -23,49 +23,77 @@ import graft.io.Tables
   * numeric id = min(p_partkey) carrying it — deterministic, so the
   * DuckDB twin reproduces ids exactly.
   *
-  * Matching is BLOCKED, not all-pairs: candidates must share a
-  * (position, token) key. For edit distance ≤ 1 between equal-arity
-  * token strings this is LOSSLESS — a single edit lands inside one
-  * token (an edit on the separator changes the token count, and both
-  * sides of a pair are well-formed names), so the other token is shared
-  * verbatim at its position. The oracle twin is the BRUTE-FORCE
+  * Matching is BLOCKED, not all-pairs. At the verified τ=1 both ER
+  * match legs block on the 1-DELETION NEIGHBORHOOD (SymSpell): a name's
+  * keys are itself plus its |s| delete-one variants — |s|+1 keys,
+  * linear in name length, independent of vocabulary size — and block
+  * width is bounded by the true near-duplicate density around a
+  * surface form, NOT by token popularity. That distinction is the
+  * whole 100 TB story: the earlier (position, token) blocking put
+  * every name sharing a popular token in one block, so candidate
+  * pairs grew with Σ C(block, 2) — quadratic in the popularity of
+  * "premium"/"pro"/"mini" as the vocabulary scales (stress tier O
+  * measures the two side by side). The oracle twin is the BRUTE-FORCE
   * all-pairs join, so every CORRECTNESS run re-proves losslessness.
-  * Block width is vocabulary-bounded (a token's block = names containing
-  * it); at larger τ or web-scale vocabularies you'd add the df-cap +
-  * multi-key discipline `span_dedup`/`winnow_pairs` already use.
+  * τ ≥ 2 keeps the (position, token) path (delete-1 keys are lossless
+  * only at distance 1) — documented as recall-heuristic there, with
+  * the df-cap + multi-key discipline `span_dedup`/`winnow_pairs`
+  * already use as the scale path.
   */
 object EntityResolution {
 
   /** Distinct names with their stable ids and row support:
     * (name_id = min partkey, p_name, n_parts).
     */
-  private[ext] def distinctNames(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def distinctNames(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("name_id"), count(lit(1)).as("n_parts"))
 
+  /** s itself (i=0) plus each delete-one variant (i in 1..|s|): the
+    * 1-deletion neighborhood. Lossless blocking for edit distance ≤ 1:
+    * equality shares the 0-deletion key; a substitution (or, for DL, an
+    * adjacent transposition) at i shares the delete-at-i key of both
+    * sides; an insertion/deletion shares the shorter string itself.
+    * `distinct` because deleting either of two equal adjacent chars
+    * yields the same key and must not multiply the candidate row.
+    */
+  private[graft] def delKeys(df: DataFrame, str: String): DataFrame =
+    df.withColumn("i", explode(sequence(lit(0), length(col(str)))))
+      .withColumn("key",
+        when(col("i") === 0, col(str))
+          .otherwise(concat(
+            expr(s"substring($str, 1, i - 1)"),
+            expr(s"substring($str, i + 1)"))))
+      .drop("i").distinct()
+
   /** Fuzzy name matches at edit distance ≤ `tau` (default 1) over the
-    * distinct-name space, via lossless (pos, token) blocking + codegen'd
-    * `levenshtein` verification. Output is one row per matched unordered
-    * pair, id-ordered.
+    * distinct-name space: lossless 1-deletion-neighborhood blocking at
+    * τ=1 (see the object scaladoc for why this is the scalable key;
+    * (pos, token) blocking at τ≥2) + codegen'd `levenshtein`
+    * verification. Output is one row per matched unordered pair,
+    * id-ordered.
     */
   def nameMatches(spark: SparkSession, sfDir: String, tau: Int = 1): DataFrame = {
     val names = distinctNames(spark, sfDir)
       .select(col("name_id"), col("p_name"))
-    // (position, token) blocking keys; distinct because a token repeated
-    // inside one name must not multiply the candidate row
-    val keys = names
-      .select(col("name_id"), col("p_name"),
-        posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
-      .distinct()
-    val a = keys.select(col("pos"), col("tok"),
+    val keys =
+      if (tau <= 1) delKeys(names, "p_name").select(
+        col("key"), col("name_id"), col("p_name"))
+      else names
+        .select(col("name_id"), col("p_name"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+        .distinct() // a token repeated inside one name: one candidate row
+        .select(concat_ws(":", col("pos"), col("tok")).as("key"),
+          col("name_id"), col("p_name"))
+    val a = keys.select(col("key"),
       col("name_id").as("id_a"), col("p_name").as("name_a"))
-    val b = keys.select(col("pos"), col("tok"),
+    val b = keys.select(col("key"),
       col("name_id").as("id_b"), col("p_name").as("name_b"))
-    a.join(b, Seq("pos", "tok"))
+    a.join(b, Seq("key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
-      .distinct() // a pair sharing both tokens must count once
+      .distinct() // a pair may share several blocking keys; count once
       .where(levenshtein(col("name_a"), col("name_b")) <= tau)
       .withColumn("edit_dist",
         levenshtein(col("name_a"), col("name_b")).cast("int"))
@@ -109,16 +137,6 @@ object EntityResolution {
           expr("substring(p_name, p + 1, 1)"),
           expr("substring(p_name, p, 1)"),
           expr("substring(p_name, p + 2)")).as("typo_text"))
-
-    // s itself (i=0) plus each delete-one variant (i in 1..|s|)
-    def delKeys(df: DataFrame, str: String): DataFrame =
-      df.withColumn("i", explode(sequence(lit(0), length(col(str)))))
-        .withColumn("key",
-          when(col("i") === 0, col(str))
-            .otherwise(concat(
-              expr(s"substring($str, 1, i - 1)"),
-              expr(s"substring($str, i + 1)"))))
-        .drop("i").distinct()
 
     delKeys(typos, "typo_text")
       .join(delKeys(names, "p_name"), Seq("key"))

@@ -1381,6 +1381,132 @@ object StressTier {
         f"($tBrute%.1f s) at 100x")
   }
 
+  /** Tier O — the ER family at a WEB-SCALE VOCABULARY, plus the
+    * canonicalization pass at documents×100.
+    *
+    * The fixture part catalog has 64 distinct names at EVERY SF, so the
+    * registered ER rows never measure what actually limits entity
+    * resolution at 100 TB: vocabulary growth. This tier builds a 2M-row
+    * catalog with 600k distinct surface forms — 200k name families
+    * ("adj noun sku<code>", the near-unique model-number token real
+    * catalogs carry), each family one clean form (8 rows) plus two
+    * deterministic substitution variants (1 row each): varA replaces the
+    * adjective's first char, varB the noun's first char. Both edits stay
+    * OUTSIDE the sku token, and the sku code doubles every digit-letter,
+    * so any cross-family pair is ≥ 2 edits apart and the τ=1 ground
+    * truth is EXACTLY 2 pairs per family (clean↔varA, clean↔varB;
+    * varA↔varB is 2). Tier N's lesson applied to the late-round batch:
+    * a leg's fixture-SF correctness says nothing about its blocking at
+    * a grown vocabulary — measure it, with exact count invariants.
+    */
+  private def tierO(spark: SparkSession, baseDir: String, dir: String): Unit = {
+    import graft.ext.{EntityResolution, Normalize}
+    val families = 200000L
+    val rowsPerFamily = 10L
+    val (_, tGen) = timed("o.catalog") {
+      val adjArr = array(
+        "small,red,blue,hot,large,old,cold,new".split(",").map(lit(_)): _*)
+      val nounArr = array(
+        "ring,widget,bolt,gear,gizmo,plate,cap,valve".split(",").map(lit(_)): _*)
+      spark.range(families * rowsPerFamily)
+        .withColumn("f", col("id") % families)
+        .withColumn("r", (col("id") / lit(families)).cast("int"))
+        // doubled digit-letters: two distinct codes differ in >= 2 chars
+        .withColumn("code",
+          regexp_replace(
+            translate(col("f").cast("string"), "0123456789", "abcdefghij"),
+            "(.)", "$1$1"))
+        .withColumn("adj", element_at(adjArr, (col("f") % 8 + 1).cast("int")))
+        .withColumn("noun",
+          element_at(nounArr, ((col("f") / 8) % 8 + 1).cast("int")))
+        .withColumn("p_name",
+          when(col("r") === 8, concat(lit("q"), expr("substring(adj, 2)"),
+            lit(" "), col("noun"), lit(" sku"), col("code")))
+            .when(col("r") === 9, concat(col("adj"), lit(" q"),
+              expr("substring(noun, 2)"), lit(" sku"), col("code")))
+            .otherwise(concat(col("adj"), lit(" "), col("noun"),
+              lit(" sku"), col("code"))))
+        .select((col("id") + 1).as("p_partkey"), col("p_name"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    }
+    val cat = spark.read.parquet(s"$dir/part.parquet")
+    val nRows = cat.count()
+    val nNames = cat.select("p_name").distinct().count()
+    println(f"STRESS o.catalog seconds=$tGen%.1f rows=$nRows names=$nNames")
+    check(nRows == families * rowsPerFamily, s"tier O rows $nRows")
+    check(nNames == families * 3,
+      s"tier O distinct names $nNames != ${families * 3}")
+
+    // the blocking contrast, measured on the real kernels: candidate
+    // pairs each discipline would have to verify = sum C(block, 2)
+    val names = EntityResolution.distinctNames(spark, dir)
+      .select(col("name_id"), col("p_name"))
+    def candSum(blocks: org.apache.spark.sql.DataFrame): Long = blocks
+      .agg(sum(expr("cnt * (cnt - 1) / 2")).cast("long")).first().getLong(0)
+    val delCand = candSum(EntityResolution.delKeys(names, "p_name")
+      .groupBy("key").agg(count(lit(1)).as("cnt")))
+    val tokCand = candSum(names
+      .select(posexplode(split(col("p_name"), " ")).as(Seq("pos", "tok")))
+      .groupBy("pos", "tok").agg(count(lit(1)).as("cnt")))
+    println(s"STRESS o.blocking_candidates delete_neighborhood=$delCand " +
+      s"pos_token=$tokCand")
+    check(delCand > 0 && tokCand / math.max(delCand, 1L) > 1000,
+      s"(pos, token) blocking should be >1000x the delete-neighborhood " +
+        s"here: $tokCand vs $delCand")
+
+    // tau=1 matches: the exact in-family truth, nothing else
+    val (nPairs, tNm) = timed("o.name_matches")(
+      EntityResolution.nameMatches(spark, dir).count())
+    println(f"STRESS o.name_matches seconds=$tNm%.1f pairs=$nPairs")
+    check(nPairs == families * 2,
+      s"tier O name matches $nPairs != ${families * 2} (2 per family)")
+
+    // typo leg: every generated adjacent-swap typo must find its own
+    // source name at DL <= 1 (the self-match is the recall floor; the
+    // blocking is lossless so extras, if any, are genuine DL<=1 hits)
+    val (typo, tTy) = timed("o.typo_matches") {
+      val t = EntityResolution.typoMatches(spark, dir)
+      t.agg(count(lit(1)).as("n"),
+        count(when(col("typo_id") === col("name_id"), 1)).as("self"),
+        max(col("dl_dist")).as("maxdl")).first()
+    }
+    println(f"STRESS o.typo_matches seconds=$tTy%.1f rows=${typo.getAs[Long]("n")} self=${typo.getAs[Long]("self")}")
+    check(typo.getAs[Long]("self") == nNames,
+      s"every typo must match its source: ${typo.getAs[Long]("self")} != $nNames")
+    check(typo.getAs[Int]("maxdl") <= 1, "typo match above the DL bound")
+
+    // golden records: 200k entities of exactly 3 variants / 10 rows
+    val (gr, tGr) = timed("o.golden_records") {
+      val g = EntityResolution.goldenRecords(spark, dir)
+      g.agg(count(lit(1)).as("n"),
+        count(when(col("n_variants") === 3, 1)).as("v3"),
+        sum(col("n_parts")).as("rows")).first()
+    }
+    println(f"STRESS o.golden_records seconds=$tGr%.1f entities=${gr.getAs[Long]("n")}")
+    check(gr.getAs[Long]("n") == families,
+      s"tier O entities ${gr.getAs[Long]("n")} != $families")
+    check(gr.getAs[Long]("v3") == families, "every entity must have 3 variants")
+    check(gr.getAs[Long]("rows") == nRows, "entity row support must cover the catalog")
+
+    // canonicalization at documents x100: embarrassingly parallel row
+    // pass; base-vs-100x ratio is the linearity readout
+    val (baseStats, tBase) = timed("o.normalize_base")(
+      Normalize.textNormalize(spark, baseDir)
+        .agg(count(lit(1)).as("n"),
+          count(when(!col("already_clean"), 1)).as("dirty")).first())
+    val (_, tRepD) = timed("o.docs_replicate")(replicate(spark, baseDir, dir, 100))
+    val (stats, tNorm) = timed("o.text_normalize")(
+      Normalize.textNormalize(spark, dir)
+        .agg(count(lit(1)).as("n"),
+          count(when(!col("already_clean"), 1)).as("dirty")).first())
+    val n100 = stats.getAs[Long]("n")
+    println(f"STRESS o.text_normalize base_seconds=$tBase%.1f seconds=$tNorm%.1f docs=$n100 ratio=${tNorm / math.max(tBase, 0.001)}%.1f rep_seconds=$tRepD%.1f")
+    check(n100 == baseStats.getAs[Long]("n") * 100, s"tier O doc count $n100")
+    check(stats.getAs[Long]("dirty") == 0L,
+      "the provided corpus is ASCII: normalization must be a no-op on it")
+  }
+
   def main(args: Array[String]): Unit = {
     val tier = args.headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -1419,6 +1545,8 @@ object StressTier {
         tierM(spark, "/root/testdata/sf0.1", s"$root/sf0.1neardupstream")
       if (tier == "n")
         tierN(spark, "/root/testdata/sf0.1", s"$root/sf0.1annx100")
+      if (tier == "o")
+        tierO(spark, "/root/testdata/sf0.1", s"$root/sf0.1erx100")
     }
     println(f"STRESS total seconds=$total%.1f")
     println(s"STRESS_RESULT ${if (failures.isEmpty) "PASS" else "FAIL"}")

@@ -28,6 +28,22 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
+  test("nameMatches: delete-neighborhood catches separator edits the old " +
+    "(pos, token) blocking missed") {
+    // "redwidget" is lev 1 from "red widget" (space deletion) but shares
+    // no (position, token) with it — the r13 blocking rewrite's witness;
+    // brute force (and the DuckDB twin's shape) always found this pair
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_sep").toString
+    Seq(
+      (1L, "red widget"), (2L, "redwidget"),
+      (3L, "blue bolt"), (4L, "blue bolts"),
+      (5L, "cold gear")
+    ).toDF("p_partkey", "p_name").write.parquet(s"$dir/part.parquet")
+    val pairs = EntityResolution.nameMatches(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (3L, 4L)))
+  }
+
   test("goldenRecords: entities partition names, conserve rows, min-id canon") {
     val parts = spark.read.parquet(s"$sf/part.parquet")
     val nParts = parts.count()
