@@ -43,12 +43,36 @@ import graft.io.Tables
 object EntityResolution {
 
   /** Distinct names with their stable ids and row support:
-    * (name_id = min partkey, p_name, n_parts).
+    * (p_name, name_id = min partkey, n_parts) — served from the
+    * maintained `name_census` artifact. This is the ER family's scale
+    * hinge: every ER leg starts from this frame, and without the
+    * artifact each query re-runs the full catalog scan + vocabulary
+    * hash-agg — at 100 TB, a corpus-wide pass per entity-resolution
+    * query (the same per-query-rescan class tier N caught in
+    * `ivfTopKTrained`). With it, the scan runs once per corpus state;
+    * an appended part shard contributes a GENERATIONAL delta (its own
+    * per-name min/count — rows that may repeat committed names, which
+    * is what disqualifies the strictly-new `refreshDelta` form), and
+    * consumers collapse generations at read with the algebraic merge —
+    * min of mins, sum of counts — bit-identical to a full rebuild
+    * because both aggregates are mergeable and name instances partition
+    * disjointly across generations.
     */
-  private[graft] def distinctNames(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.part(spark, sfDir)
+  private[graft] def distinctNames(spark: SparkSession, sfDir: String): DataFrame = {
+    def census(rows: DataFrame): DataFrame = rows
       .groupBy(col("p_name"))
       .agg(min(col("p_partkey")).as("name_id"), count(lit(1)).as("n_parts"))
+    graft.ops.Layout.ensureDerived(spark, sfDir, "name_census",
+      Seq("part.parquet"), "p_name",
+      refreshGen = Some(graft.ops.Layout.GenRefresh(
+        delta = ctx => census(spark.read.parquet(ctx.addedFiles: _*)
+          .select(col("p_partkey"), col("p_name"))),
+        merge = gens => gens.groupBy(col("p_name")).agg(
+          min(col("name_id")).as("name_id"),
+          sum(col("n_parts")).as("n_parts"))))) {
+      census(Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name")))
+    }
+  }
 
   /** s itself (i=0) plus each delete-one variant (i in 1..|s|): the
     * 1-deletion neighborhood. Lossless blocking for edit distance ≤ 1:

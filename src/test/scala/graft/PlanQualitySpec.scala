@@ -759,12 +759,28 @@ class PlanQualitySpec extends SparkSpec {
     // cartesian (the brute-force shape lives only in the DuckDB twin)
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // the part scan feeds the distinct-name aggregate: two columns only
-    val schemas = "ReadSchema: struct<([^>]*p_[^>]*)>".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
+  }
+
+  test("ER legs read the maintained name_census artifact, not the catalog") {
+    // r13: distinctNames — the frame every ER leg starts from — is the
+    // maintained vocabulary artifact; the per-query catalog re-scan +
+    // hash-agg (a corpus-wide pass per ER query at 100 TB — the same
+    // class tier N caught in the index-free trained-IVF search) must
+    // not come back
+    for (q <- Seq("er_name_matches", "er_typo_matches", "er_golden_records")) {
+      val p = plan(q)
+      assert(p.contains("graft_name_census"),
+        s"$q must read the name_census artifact")
+      assert(!p.contains("part.parquet"), s"$q re-scans the raw catalog")
+    }
+    // column pruning reaches the artifact scan: the match legs need only
+    // (p_name, name_id) — n_parts stays unread
+    val m = plan("er_name_matches")
+    val schemas = "ReadSchema: struct<([^>]+)>".r
+      .findAllMatchIn(m).map(_.group(1)).toSeq
     assert(schemas.nonEmpty)
     schemas.foreach { s =>
-      assert(s.split(",").length <= 2, s"part scan too wide: $s")
+      assert(!s.contains("n_parts"), s"match leg reads n_parts: $s")
     }
   }
 }

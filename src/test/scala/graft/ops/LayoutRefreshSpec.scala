@@ -769,6 +769,40 @@ class LayoutRefreshSpec extends SparkSpec {
     assert(refreshed.count() === rebuilt.count())
   }
 
+  test("name_census refreshes via min/count merge and matches a full rebuild") {
+    val base = Files.createTempDirectory("graft_nc_incr").toString + "/d"
+    val pristine = Files.createTempDirectory("graft_nc_full").toString + "/d"
+    fs.mkdirs(new Path(base)); fs.mkdirs(new Path(pristine))
+    seedAsDir(s"$sf/part.parquet", s"$base/part.parquet")
+    val part = spark.read.parquet(s"$base/part.parquet")
+    // the shard exercises every merge case: repeats of committed names
+    // that only bump counts, a SMALLER partkey that must lower a
+    // committed min (min-of-mins across generations — appends are not
+    // guaranteed monotone in the surrogate key), and brand-new names
+    val extra = part.orderBy(col("p_partkey").asc).limit(30)
+      .withColumn("p_partkey", col("p_partkey") + lit(1000000L))
+      .unionByName(part.orderBy(col("p_partkey").asc).limit(10)
+        .withColumn("p_partkey", -col("p_partkey")))
+      .unionByName(part.orderBy(col("p_partkey").asc).limit(20)
+        .withColumn("p_name", concat(col("p_name"), lit(" zz"))))
+    graft.ext.EntityResolution.distinctNames(spark, base).count()
+    val b0 = Layout.buildCount.get
+    val r0 = Layout.refreshCount.get
+    appendFile(s"$base/part.parquet", extra)
+    val refreshed = graft.ext.EntityResolution.distinctNames(spark, base)
+    assert(Layout.refreshCount.get === r0 + 1)
+    assert(Layout.buildCount.get === b0,
+      "the catalog scan must NOT re-run on an append")
+    copyDir(s"$base/part.parquet", s"$pristine/part.parquet")
+    val rebuilt = graft.ext.EntityResolution.distinctNames(spark, pristine)
+    assert(refreshed.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(refreshed).isEmpty,
+      "refreshed name census diverged from the full rebuild")
+    assert(refreshed.count() === rebuilt.count())
+    // the min actually moved: a negative partkey rules the merged min
+    assert(refreshed.agg(min(col("name_id"))).first().getLong(0) < 0L)
+  }
+
   test("GenRefresh: generations append, compact past maxGenerations, FullRebuild falls back") {
     val base = Files.createTempDirectory("graft_gen_toy").toString + "/d"
     fs.mkdirs(new Path(base)); fs.mkdirs(new Path(s"$base/facts.parquet"))
