@@ -130,6 +130,51 @@ object Graph {
         .unionByName(edgePairsOf(ok(oldRaw), ok(newOnly))))
   }
 
+  /** Driver-side edge cap for the graph reports' size-adaptive fast
+    * paths — the [[Dedup.connectedComponents]] union-find discipline
+    * extended to the whole family: the STRONG/SAMPLED graphs these
+    * reports run on are tiny fractions of the edge artifact (sf0.1:
+    * w≥2 keeps ~2.3k of 1.2M edges; the 1/4³ vertex sample keeps ~2%),
+    * so one typed collect + local arithmetic replaces 15–25 scheduled
+    * jobs of per-round joins whose inputs are a few KB. Every caller
+    * keeps its distributed loop as the scale branch past the cap, and
+    * both branches produce bit-identical integer reports.
+    */
+  private[graft] val DriverEdgeCap = 2_000_000
+
+  /** Probe-collect an edge frame: `Some(rows)` when it fits the cap
+    * (the probe IS the collect — `limit(cap+1)`, one job, no separate
+    * count), `None` past it. Callers take `None` to their distributed
+    * branch.
+    */
+  private def collectIfDriverSized[T](
+      ds: org.apache.spark.sql.Dataset[T], cap: Int): Option[Array[T]] = {
+    val rows = ds.limit(cap + 1).collect()
+    if (rows.length <= cap) Some(rows) else None
+  }
+
+  /** Union-find with MIN-root retention (labels = component minimum,
+    * matching the distributed min-label contraction loop) — the same
+    * kernel as [[Dedup.connectedComponents]]' driver branch, shared here
+    * by the communities fast path.
+    */
+  private def unionFindMin(edges: Array[(Long, Long, Long)])
+      : scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (s, d, _) =>
+      val (a, b) = (find(s), find(d))
+      if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+    }
+    parent
+  }
+
   private[graft] def coPurchaseEdges(
       spark: SparkSession, sfDir: String): DataFrame = {
     // baskets ≤ MaxBasket distinct parts; see the guard's scaladoc above
@@ -397,10 +442,54 @@ object Graph {
     * frame keyed by the label — no corpus-sized structure anywhere.
     */
   def copurchaseCommunities(
-      spark: SparkSession, sfDir: String, minWeight: Long = 2L): DataFrame = {
-    val strong = coPurchaseEdges(spark, sfDir)
+      spark: SparkSession, sfDir: String, minWeight: Long = 2L,
+      driverEdgeCap: Int = DriverEdgeCap): DataFrame = {
+    import spark.implicits._
+    val strongLazy = coPurchaseEdges(spark, sfDir)
       .filter(col("src") < col("dst") && col("w") >= minWeight)
-      .persist()
+    // Size-adaptive fast path (r13 optimization): the strong graph is
+    // driver-sized at any realistic weight threshold — one typed collect
+    // replaces the CC driver round-trip (which re-collects these same
+    // edges), the singleton anti-join, two summary aggregations and a
+    // join: ~8 scheduled jobs down to 1. Same min-label/union-find
+    // kernel, same integer aggregates, bit-identical report.
+    collectIfDriverSized(
+      strongLazy.select(col("src"), col("dst"), col("w"))
+        .as[(Long, Long, Long)], driverEdgeCap) match {
+      case Some(es) =>
+        val parent = unionFindMin(es)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          r
+        }
+        // per-label node counts over DISTINCT endpoints, edge counts and
+        // weight sums over the canonical (src<dst) edges — exactly the
+        // sizes ⋈ estat frames of the distributed branch (every member
+        // of an edge-bearing community is an edge endpoint, so the CC
+        // singleton tail can never contribute a row here)
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        val nParts = scala.collection.mutable.LongMap.empty[Long]
+        val nEdges = scala.collection.mutable.LongMap.empty[Long]
+        val totW = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (s, d, w) =>
+          if (!seen.contains(s)) {
+            seen(s) = (); val l = find(s); nParts(l) = nParts.getOrElse(l, 0L) + 1L
+          }
+          if (!seen.contains(d)) {
+            seen(d) = (); val l = find(d); nParts(l) = nParts.getOrElse(l, 0L) + 1L
+          }
+          val l = find(s)
+          nEdges(l) = nEdges.getOrElse(l, 0L) + 1L
+          totW(l) = totW.getOrElse(l, 0L) + w
+        }
+        return nParts.iterator
+          .map { case (l, np) => (l, np, nEdges(l), totW(l)) }
+          .toSeq.sortBy { case (l, np, _, _) => (-np, l) }
+          .toDF("community_id", "n_parts", "n_edges", "total_weight")
+      case None => () // scale branch below
+    }
+    val strong = strongLazy.persist()
     try {
       val pairs = strong.select(col("src").as("doc_a"), col("dst").as("doc_b"))
       val nodes = strong.select(col("src").as("doc_id"))
@@ -445,11 +534,50 @@ object Graph {
     */
   def copurchaseKCore(
       spark: SparkSession, sfDir: String, k: Int = 2,
-      minWeight: Long = 2L, rounds: Int = 5): DataFrame = {
+      minWeight: Long = 2L, rounds: Int = 5,
+      driverEdgeCap: Int = DriverEdgeCap): DataFrame = {
     import spark.implicits._
-    val und = coPurchaseEdges(spark, sfDir)
+    val undLazy = coPurchaseEdges(spark, sfDir)
       .filter(col("src") < col("dst") && col("w") >= minWeight)
-      .select("src", "dst").persist()
+      .select("src", "dst")
+    // Size-adaptive fast path (r13 optimization): the strong graph the
+    // peel runs on is driver-sized (see DriverEdgeCap), so the per-round
+    // degree-agg + two semi-joins + eager localCheckpoint + two counts —
+    // ~4 scheduled jobs × `rounds` — collapse into one typed collect and
+    // local integer arithmetic. Identical peeling recurrence, identical
+    // report rows; past the cap the distributed loop below is the
+    // unchanged scale branch.
+    collectIfDriverSized(
+      undLazy.as[(Long, Long)], driverEdgeCap) match {
+      case Some(es0) =>
+        var edges = es0
+        val seen0 = scala.collection.mutable.LongMap.empty[Unit]
+        es0.foreach { case (s, d) => seen0(s) = (); seen0(d) = () }
+        var prevNodes = seen0.size.toLong
+        val report = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long, Boolean)]
+        var r = 1
+        while (r <= rounds) {
+          val deg = scala.collection.mutable.LongMap.empty[Long]
+          edges.foreach { case (s, d) =>
+            deg(s) = deg.getOrElse(s, 0L) + 1L
+            deg(d) = deg.getOrElse(d, 0L) + 1L
+          }
+          val keep = scala.collection.mutable.LongMap.empty[Unit]
+          deg.foreach { case (n, dg) => if (dg >= k) keep(n) = () }
+          edges = edges.filter { case (s, d) =>
+            keep.contains(s) && keep.contains(d)
+          }
+          val nNodes = keep.size.toLong
+          report += ((r, nNodes, edges.length.toLong, nNodes == prevNodes))
+          prevNodes = nNodes
+          r += 1
+        }
+        return report.toSeq.toDF("round", "n_nodes", "n_edges", "converged")
+          .orderBy(col("round").asc)
+      case None => () // scale branch below
+    }
+    val und = undLazy.persist()
     try {
       var induced = und
       // round 1's `converged` compares against the FULL node universe
@@ -519,7 +647,8 @@ object Graph {
     */
   def partTriangles(
       spark: SparkSession, sfDir: String, topK: Int = 25,
-      sampleMod: Int = 4): DataFrame = {
+      sampleMod: Int = 4,
+      driverEdgeCap: Int = DriverEdgeCap / 4): DataFrame = {
     def keep(c: Column) = Dedup.shaBucket(c, sampleMod.toLong) === 0L
     // canonical simple edges of the vertex-sampled induced subgraph:
     // src < dst halves the shared symmetric edge table to one orientation
@@ -532,14 +661,73 @@ object Graph {
     val sampledNodes = Tables.part(spark, sfDir)
       .select(col("p_partkey").as("node"))
       .filter(keep(col("node")))
-    val und = coPurchaseEdges(spark, sfDir)
+    val undLazy = coPurchaseEdges(spark, sfDir)
       .filter(col("src") < col("dst"))
       .join(broadcast(sampledNodes.select(col("node").as("src"))),
         Seq("src"), "left_semi")
       .join(broadcast(sampledNodes.select(col("node").as("dst"))),
         Seq("dst"), "left_semi")
       .select("src", "dst")
-      .persist()
+    // Size-adaptive fast path (r13 optimization): the SAMPLED induced
+    // subgraph (edges fall by sampleMod², sf0.1: ~2% of the artifact) is
+    // driver-sized, so the degree broadcast joins, the wedge self-join
+    // and the closure join — 7 scheduled jobs — collapse to one typed
+    // collect + the same degree-ordered wedge enumeration locally. The
+    // cap is tighter than DriverEdgeCap because the local work is
+    // Σ out-deg² (the identical arboricity-bounded work the wedge join
+    // does, minus the cluster); past it the distributed census below is
+    // the unchanged scale branch.
+    val fastPath = collectIfDriverSized(
+      undLazy.as[(Long, Long)](
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong)), driverEdgeCap)
+    fastPath match {
+      case Some(es) =>
+        import spark.implicits._
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (s, d) =>
+          deg(s) = deg.getOrElse(s, 0L) + 1L
+          deg(d) = deg.getOrElse(d, 0L) + 1L
+        }
+        val edgeSet = new scala.collection.mutable.HashSet[(Long, Long)]
+        es.foreach(edgeSet += _)
+        // orient low-(deg, id) → high-(deg, id), as the distributed pass
+        def lower(a: Long, b: Long): Boolean = {
+          val (da, db) = (deg(a), deg(b))
+          da < db || (da == db && a < b)
+        }
+        val out = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        es.foreach { case (s, d) =>
+          val (u, v) = if (lower(s, d)) (s, d) else (d, s)
+          out.getOrElseUpdate(u,
+            scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+        }
+        val tri = scala.collection.mutable.LongMap.empty[Long]
+        def bump(n: Long): Unit = tri(n) = tri.getOrElse(n, 0L) + 1L
+        out.foreach { case (_, nbrs) => nbrs.sortInPlace() }
+        out.foreach { case (u, nbrs) =>
+          val arr = nbrs.toArray
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              if (edgeSet.contains((arr(i), arr(j)))) {
+                bump(u); bump(arr(i)); bump(arr(j))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        return tri.iterator.toSeq
+          .sortBy { case (n, c) => (-c, n) }
+          .take(topK)
+          .toDF("p_partkey", "n_triangles")
+      case None => () // scale branch below
+    }
+    val und = undLazy.persist()
     try {
       val deg = und.select(col("src").as("node"))
         .unionAll(und.select(col("dst").as("node")))

@@ -415,6 +415,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph reports: driver fast path == distributed branch (r13)") {
+    import spark.implicits._
+    // driverEdgeCap = 0 forces every call down the distributed loop; the
+    // default takes the typed-collect fast path. Both must emit the same
+    // rows in the same order — the optimization contract.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(Graph.copurchaseKCore(spark, sf)) ===
+      rows(Graph.copurchaseKCore(spark, sf, driverEdgeCap = 0)))
+    assert(rows(Graph.copurchaseCommunities(spark, sf)) ===
+      rows(Graph.copurchaseCommunities(spark, sf, driverEdgeCap = 0)))
+    assert(rows(Graph.partTriangles(spark, sf)) ===
+      rows(Graph.partTriangles(spark, sf, driverEdgeCap = 0)))
+  }
+
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
     import spark.implicits._
     val s1 = Similarity.clusterBalancedSample(spark, sf)
