@@ -117,6 +117,13 @@ object Dedup {
     */
   private def shingleRowsOf(docs: DataFrame, twinnable: Boolean): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    // r13 measured dead-end, do not redo: hash-repartitioning the RAW doc
+    // rows by doc_id before the explode (to move the window's exchange
+    // below the Generate — fewer, fatter shuffle rows) benched NET SLOWER
+    // (dedup_simhash 0.76→0.85, ngram_jaccard 0.81→1.15): AQE sizes the
+    // pre-explode exchange by its tiny text BYTES and coalesces it to ~1
+    // partition, serializing the explode+window+sha work that the
+    // post-explode shuffle spreads across cores.
     val withShingle = tokenRowsOf(docs)
       .withColumn("shingle",
         concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
@@ -1849,11 +1856,20 @@ object Dedup {
       .filter(col(s"__l${n - 1}").isNotNull)
       .select(col("doc_id"), concat_ws(" ",
         (col("tok") +: (1 until n).map(j => col(s"__l$j"))): _*).as("gram"))
+    // gram TEXT rides the census (two-level min — min per (gram_h, doc)
+    // then min per gram_h — equals the former post-cut min over all gram
+    // rows), so the report needs NO second tokenize+window pass: the r13
+    // rewrite drops one full corpus scan + doc_id window shuffle + semi
+    // join for ~4× wider level-1 aggregation rows (gram strings instead
+    // of (doc_id, hash) pairs) — a pass removed for a byte-width bump,
+    // guide §2.4 over §2.3. Values are hash-unchanged at both SFs.
     val winners = docGramRows
-      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .distinct()
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram_h"), col("gram"))
+      .groupBy(col("gram_h"), col("doc_id"))
+      .agg(min(col("gram")).as("gram"))
       .groupBy(col("gram_h"))
-      .agg(count(lit(1)).as("doc_freq"), min(col("doc_id")).as("first_doc_id"))
+      .agg(count(lit(1)).as("doc_freq"), min(col("doc_id")).as("first_doc_id"),
+        min(col("gram")).as("gram"))
       .filter(col("doc_freq") >= minDf)
       .persist() // call-scoped: the census feeds the cut, the cands, the report
     try {
@@ -1871,14 +1887,10 @@ object Dedup {
             .limit(0)
         }
       val cands = winners.filter(col("doc_freq") >= lit(cut))
-      val gramText = docGramRows
-        .select(xxhash64(col("gram")).as("gram_h"), col("gram"))
-        .join(broadcast(cands.select("gram_h")), Seq("gram_h"), "left_semi")
-        .groupBy(col("gram_h")).agg(min(col("gram")).as("gram"))
       // ≤ topK rows hang off the call-scoped cache — driver-materialize
       // before unpersisting (the smallLocal idiom, not localCheckpoint)
       graft.ops.Materialize.smallLocal(
-        cands.join(broadcast(gramText), Seq("gram_h"))
+        cands
           .select(col("gram"), col("doc_freq"), col("first_doc_id"))
           .orderBy(col("doc_freq").desc, col("gram").asc)
           .limit(topK))
