@@ -117,13 +117,19 @@ object Dedup {
     */
   private def shingleRowsOf(docs: DataFrame, twinnable: Boolean): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    // r13 measured dead-end, do not redo: hash-repartitioning the RAW doc
+    // r13 measured dead-end, do not redo: hash-repartitioning the raw doc
     // rows by doc_id before the explode (to move the window's exchange
-    // below the Generate — fewer, fatter shuffle rows) benched NET SLOWER
-    // (dedup_simhash 0.76→0.85, ngram_jaccard 0.81→1.15): AQE sizes the
-    // pre-explode exchange by its tiny text BYTES and coalesces it to ~1
-    // partition, serializing the explode+window+sha work that the
-    // post-explode shuffle spreads across cores.
+    // below the Generate — fewer, fatter shuffle rows, parallel split).
+    // The bare repartition(col) form benched NET SLOWER (dedup_simhash
+    // 0.76→0.85, ngram_jaccard 0.81→1.15): AQE sizes that exchange by its
+    // tiny pre-explode text BYTES and coalesces it to ~1 partition,
+    // serializing the downstream explode+window+sha. The explicit-count
+    // form (repartition(shuffle.partitions, doc_id), AQE-exempt) was
+    // indistinguishable from noise on the bench rows that tokenize live,
+    // and it is actively wrong for this function's OTHER callers — the
+    // streaming faces' micro-batch kernels run deliberately at 4–8
+    // partitions (graft.microBatchPartitions), which a forced
+    // session-width repartition would defeat.
     val withShingle = tokenRowsOf(docs)
       .withColumn("shingle",
         concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
@@ -1241,7 +1247,8 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, allDocs: DataFrame, maxIter: Int = 25,
-      driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+      driverEdgeLimit: Long = 2_000_000L,
+      dropSingletons: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -1275,6 +1282,12 @@ object Dedup {
           .filterNot(parent.contains).map(id => (id, id))
       edges.unpersist()
       val touched = labeled.toDF("doc_id", "cluster_id")
+      // dropSingletons (r13): a consumer that filters cluster_size > 1
+      // never reads the singleton tail — every multi-member cluster is
+      // made of edge endpoints — so skipping the corpus anti-join +
+      // union returns a purely LOCAL frame here and saves a table scan
+      // per clustering report
+      if (dropSingletons) return touched
       val singletons = allDocs.select(col("doc_id"))
         .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
@@ -1400,10 +1413,10 @@ object Dedup {
     // corpus-sized is ever materialized here.
     val pinned = labels
     edges.unpersist()
-    val singletons = allDocs.select(col("doc_id"))
+    if (dropSingletons) pinned
+    else pinned.unionByName(allDocs.select(col("doc_id"))
       .join(pinned.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    pinned.unionByName(singletons)
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     } finally { ccInFlight.remove(spillRoot); ccSpillRoots.add(spillRoot); () }
   }
 
@@ -1419,17 +1432,20 @@ object Dedup {
     */
   def minHashMembership(
       spark: SparkSession, sfDir: String, twinnable: Boolean = false,
-      maxIter: Int = 25, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+      maxIter: Int = 25, driverEdgeLimit: Long = 2_000_000L,
+      dropSingletons: Boolean = false): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
     connectedComponents(
       minHashPairsUnsorted(spark, sfDir, twinnable = twinnable), docs,
-      maxIter, driverEdgeLimit)
+      maxIter, driverEdgeLimit, dropSingletons)
   }
 
   def minHashClusters(
       spark: SparkSession, sfDir: String, twinnable: Boolean = false,
       maxIter: Int = 25, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
-    val cc = minHashMembership(spark, sfDir, twinnable, maxIter, driverEdgeLimit)
+    // dropSingletons: the >1 filter below never reads the singleton tail
+    val cc = minHashMembership(spark, sfDir, twinnable, maxIter,
+      driverEdgeLimit, dropSingletons = true)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)
@@ -1814,7 +1830,9 @@ object Dedup {
     val pairs = probes.join(anchors, Seq("lang", "__b"))
       .filter(abs(col("nc_a") - col("nc_b")) <= 2 && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val cc = connectedComponents(pairs, docs.select("doc_id"))
+    // dropSingletons: the >1 filter below never reads the singleton tail
+    val cc = connectedComponents(pairs, docs.select("doc_id"),
+      dropSingletons = true)
     cc.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min(col("doc_id")).as("keeper_doc_id"))
       .filter(col("cluster_size") > 1)

@@ -2133,7 +2133,8 @@ object Multimodal {
     val pairs = mediaNearDup(spark, sfDir, maxHamming)
       .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
     val all = mediaTable(spark, sfDir).select(col("media_id").as("doc_id"))
-    Dedup.connectedComponents(pairs, all)
+    // dropSingletons: the >1 filter below never reads the singleton tail
+    Dedup.connectedComponents(pairs, all, dropSingletons = true)
       .groupBy(col("cluster_id"))
       .agg(min(col("doc_id")).as("keeper_media_id"),
         count(lit(1)).as("cluster_size"))
