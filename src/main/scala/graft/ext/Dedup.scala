@@ -1257,9 +1257,22 @@ object Dedup {
     // union-find in milliseconds beats diameter-many distributed rounds
     // (each a join+agg job). The loop below remains the scale path for
     // graphs past the limit; both produce the identical min-label result.
-    val nEdges = edges.count()
-    if (nEdges <= driverEdgeLimit) {
-      val spark = pairs.sparkSession
+    //
+    // The probe IS the collect (r13): limit(cap+1) in one typed job
+    // replaces the former count() + collect() + distinct-src collect()
+    // triple — under the cap everything local (roots and distinct
+    // endpoints fall out of the collected tuples), past it only one
+    // wasted pass, same as the old count(). Typed (Long, Long) tuples,
+    // not GenericRows — roughly 3× lighter on the driver at the limit.
+    val spark0 = pairs.sparkSession
+    val localEdges = {
+      import spark0.implicits._
+      edges.select(col("src"), col("dst")).as[(Long, Long)]
+        .limit(math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt + 1)
+        .collect()
+    }
+    if (localEdges.length <= driverEdgeLimit) {
+      val spark = spark0
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -1269,17 +1282,16 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      // typed collect: (Long, Long) tuples, not GenericRows — roughly 3×
-      // lighter on the driver at the edge limit
-      edges.select(col("src"), col("dst")).as[(Long, Long)].collect().foreach {
-        case (s, d) =>
-          val (a, b) = (find(s), find(d))
-          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      // symmetric edges: every endpoint occurs as a src
+      val srcSeen = scala.collection.mutable.LongMap.empty[Unit]
+      localEdges.foreach { case (s, d) =>
+        srcSeen(s) = (); srcSeen(d) = ()
+        val (a, b) = (find(s), find(d))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
       }
       val nonRoots = parent.keysIterator.toArray // snapshot: find() compresses paths
       val labeled = nonRoots.map(id => (id, find(id))).toSeq ++
-        edges.select(col("src")).distinct().as[Long].collect().iterator
-          .filterNot(parent.contains).map(id => (id, id))
+        srcSeen.keysIterator.filterNot(parent.contains).map(id => (id, id))
       edges.unpersist()
       val touched = labeled.toDF("doc_id", "cluster_id")
       // dropSingletons (r13): a consumer that filters cluster_size > 1

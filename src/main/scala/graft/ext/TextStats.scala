@@ -119,6 +119,14 @@ object TextStats {
     // w(f) = (sha32(f) mod 2001) - 1000 ∈ [-1000, 1000] — integer, exact
     val w = "(cast(conv(substring(sha2(f, 256), 1, 8), 16, 10) as bigint)" +
       " % 2001) - 1000"
+    // r13 measured dead-end, do not redo: spreading the (single-file,
+    // single-task) scan across the session width before this fold
+    // (Tables.spreadIfUnderParallel) benched NET SLOWER on every consumer
+    // (quality_threshold_by_lang 1.10→1.37 at a QUIETER sentinel): the
+    // consumers cache the scored frame and re-read it 3–4×, and 32-task
+    // scheduling overhead per pass over a 5k-row cache exceeds the
+    // one-time single-task sha cost. At warehouse file counts the scan is
+    // already wide and the question is moot.
     docs
       .withColumn("__toks",
         expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))

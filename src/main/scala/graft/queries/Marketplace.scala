@@ -534,12 +534,15 @@ object Marketplace {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
         .as("has_r"))
-    val orderStats = perOrderSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
+    // n_r_supp = 1 means the blamed supplier is UNIQUE per qualifying
+    // order, so it can ride the same per-order aggregate as
+    // max(when(has_r, suppkey)) — one chained agg instead of re-deriving
+    // perOrderSupp (it was unpersisted: a second full scan + (order,
+    // supp) aggregation) and joining it back (r13)
+    perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"),
+        max(when(col("has_r") === 1, col("l_suppkey"))).as("l_suppkey"))
       .where(col("n_supp") > 1 && col("n_r_supp") === 1)
-      .select("l_orderkey")
-    perOrderSupp.where(col("has_r") === 1)
-      .join(orderStats, Seq("l_orderkey"))
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(Tables.supplier(spark, sfDir),
@@ -1131,8 +1134,12 @@ object Marketplace {
       topK: Int = 50): DataFrame = {
     val badSupp = broadcast(Tables.supplier(spark, sfDir)
       .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    // no pair-distinct before the joins (r13): countDistinct dedups per
+    // group anyway (partial_ map-side), so the upfront distinct was a
+    // full extra exchange of the fact projection ahead of two joins that
+    // are broadcast either way — one shuffle instead of two, same rows
     Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey").distinct()
+      .select("l_partkey", "l_suppkey")
       .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .join(broadcast(Tables.part(spark, sfDir)
           .filter(col("p_brand") =!= excludeBrand &&
