@@ -34,6 +34,13 @@ object Contamination {
     * than `n` tokens yield no rows (nothing meaningful to match on).
     */
   private def gramRows(spark: SparkSession, sfDir: String, n: Int): DataFrame = {
+    // r13 measured dead-end, do not redo: assembling these 5-grams off a
+    // CARRIED token array (posexplode keeping the array in scope,
+    // element_at neighbour reads — the form that WON for the n ≤ 3 gram
+    // sites in TextStats/Dedup) benched 0.83→0.95 s here at a matched
+    // sentinel: at n = 5 the per-row element_at fan-out costs more than
+    // the one fixed-width window exchange it removes. The lead window
+    // stays — one doc_id-partitioned shuffle, fully codegen'd.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
     Tables.documents(spark, sfDir)

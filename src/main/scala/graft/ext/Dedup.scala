@@ -109,30 +109,36 @@ object Dedup {
 
   /** (doc_id, shingle_hash) rows: hashes of word-3-gram shingles (tail
     * positions yield 2/1-gram shingles so short docs still have one).
-    * Assembled with window leads — one doc_id-partitioned shuffle, fully
-    * codegen'd. `twinnable = false`: 64-bit xxhash64 (throughput path);
+    * Assembled off the carried token array — narrow, fully codegen'd, no
+    * shuffle. `twinnable = false`: 64-bit xxhash64 (throughput path);
     * `twinnable = true`: 60-bit sha-256 hex prefix, which the DuckDB
     * oracle recomputes from the shingle STRING — set Jaccard over either
     * hash family equals string-set Jaccard absent collisions.
     */
   private def shingleRowsOf(docs: DataFrame, twinnable: Boolean): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    // Shingle text assembled off the CARRIED token array (r13, guide
+    // §2.4): posexplode keeps the array in scope, element_at reads the
+    // two neighbours under CaseWhen boundary guards, and concat_ws skips
+    // the null tails — so tail positions still yield 2/1-gram shingles,
+    // exactly like the lead-window form this replaces, WITHOUT hash-
+    // partitioning and sorting the corpus-sized token stream by doc_id
+    // first. The one corpus Exchange this drops also leaves the streaming
+    // micro-batch kernels (4–8 partition foreachBatch bodies) one stage
+    // shorter per epoch.
     // r13 measured dead-end, do not redo: hash-repartitioning the raw doc
-    // rows by doc_id before the explode (to move the window's exchange
-    // below the Generate — fewer, fatter shuffle rows, parallel split).
-    // The bare repartition(col) form benched NET SLOWER (dedup_simhash
-    // 0.76→0.85, ngram_jaccard 0.81→1.15): AQE sizes that exchange by its
-    // tiny pre-explode text BYTES and coalesces it to ~1 partition,
-    // serializing the downstream explode+window+sha. The explicit-count
-    // form (repartition(shuffle.partitions, doc_id), AQE-exempt) was
-    // indistinguishable from noise on the bench rows that tokenize live,
-    // and it is actively wrong for this function's OTHER callers — the
-    // streaming faces' micro-batch kernels run deliberately at 4–8
-    // partitions (graft.microBatchPartitions), which a forced
-    // session-width repartition would defeat.
-    val withShingle = tokenRowsOf(docs)
-      .withColumn("shingle",
-        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w), lead(col("tok"), 2).over(w)))
+    // rows by doc_id before the explode instead — the bare
+    // repartition(col) form benched NET SLOWER (dedup_simhash 0.76→0.85,
+    // ngram_jaccard 0.81→1.15): AQE sizes that exchange by its tiny
+    // pre-explode text BYTES and coalesces it to ~1 partition,
+    // serializing the downstream explode+window+sha.
+    def nxt(i: Int): Column =
+      when(col("pos") + 1 + i <= size(col("__toks")),
+        element_at(col("__toks"), col("pos") + 1 + i))
+    val withShingle = docs
+      .withColumn("__toks", expr(toksExpr))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .withColumn("shingle", concat_ws(" ", col("tok"), nxt(1), nxt(2)))
     val hash =
       if (twinnable)
         conv(substring(sha2(col("shingle"), 256), 1, 15), 16, 10).cast("long")
@@ -1872,13 +1878,15 @@ object Dedup {
   def boilerplateNgrams(
       spark: SparkSession, sfDir: String,
       n: Int = 8, minDf: Int = 3, topK: Int = 50): DataFrame = {
-    // grams assembled from EXPLODED token rows with window leads — the
-    // shingleRowsOf discipline: the regex tokenize runs ONCE per doc
-    // inside the generator, where the projected-array form re-ran the
-    // split per inlined reference (size guard + sequence bound + slice
-    // lambda ≈ 3 tokenizes per row per scan — the file-header pitfall;
-    // r12 review). Rows whose (n−1)-th lead is null are the < n-token
-    // tails — excluded, matching the slice() form's exact-n grams.
+    // grams assembled from EXPLODED token rows with window leads. Two r13
+    // notes: (1) the projected-array slice form re-ran the split per
+    // inlined reference (r12 review — the file-header pitfall); (2) the
+    // CARRIED-array element_at form that won for the n ≤ 3 gram sites
+    // (shingleRowsOf, pmi/kn bigrams) benched 1.03→1.16 s HERE at a
+    // matched sentinel — at n = 8 the per-row element_at fan-out costs
+    // more than the one fixed-width window exchange it removes. Rows
+    // whose (n−1)-th lead is null are the < n-token tails — excluded,
+    // matching the slice() form's exact-n grams.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
     val leads = (1 until n).map(j => lead(col("tok"), j).over(w).as(s"__l$j"))
     def docGramRows = tokenRows(spark, sfDir)

@@ -26,6 +26,18 @@ object TextStats {
   private[ext] def tokenCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => t =!= ""))
 
+  /** Driver-side row cap for the rank-report fast paths
+    * ([[perplexityBuckets]], [[qualityCalibration]],
+    * [[qualityThresholdByLang]]) — the [[graft.ext.Graph.DriverEdgeCap]]
+    * discipline applied to doc-level SCORED frames (a few fixed-width
+    * numbers per document): under the cap one typed collect + local
+    * integer rank arithmetic replaces the two-level exact-rank machinery's
+    * sample/histogram/rank jobs over a call-scoped cache; past it every
+    * caller keeps its distributed branch unchanged. 2M rows ≈ tens of MB
+    * on the driver — the same envelope the union-find fast path budgets.
+    */
+  private[graft] val DriverScoredCap = 2_000_000
+
   /** Corpus statistics per language: doc counts, exact char/token sums
     * (integer — order-independent, oracle-exact), source diversity.
     *
@@ -86,15 +98,45 @@ object TextStats {
     * counts — the twin states the same rank selection with a window.
     */
   def qualityThresholdByLang(
-      spark: SparkSession, sfDir: String, pct: Double = 0.2): DataFrame = {
+      spark: SparkSession, sfDir: String, pct: Double = 0.2,
+      driverScoredCap: Int = DriverScoredCap): DataFrame = {
+    import spark.implicits._
+    val scoredLazy = classifierScored(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("lang"), col("logit"))
+    // Size-adaptive fast path (r13 optimization): |docs| comes from the
+    // parquet footers (driver-only, no job); under the cap one typed
+    // collect runs the sha fold exactly once; per-language sort + the
+    // identical `ceil(n·pct)` rank pick + integer census go local,
+    // replacing the cache build, the selection kernel's
+    // sample/histogram/target-bucket jobs and the census pass (~8 jobs
+    // down to 1). The selected threshold is an actual data element and
+    // every count is an integer — bit-identical; past the cap the
+    // distributed branch runs unchanged.
+    if (Tables.parquetRowCount(spark, sfDir, "documents") <= driverScoredCap) {
+      val rows = scoredLazy.select(col("lang"), col("logit"))
+        .as[(String, Long)].collect()
+      return rows.groupBy(_._1).toSeq
+          .flatMap { case (lang, rs) =>
+            val logits = rs.map(_._2).sorted
+            val n = logits.length.toLong
+            // same IEEE multiply + ceil as the kernel's target expression
+            val r = math.ceil(n * pct).toLong
+            if (r < 1L || r > n) None
+            else {
+              val thr = logits((r - 1).toInt)
+              val nCut = logits.count(_ < thr).toLong
+              Some((lang, thr, n, nCut, n - nCut))
+            }
+          }
+          .sortBy(_._1)
+          .toDF("lang", "threshold", "n_docs", "n_cut", "n_kept")
+    }
     // persist the scored frame CALL-SCOPED: the per-feature sha fold is
     // the expensive part, and the selection kernel alone reads its input
     // three times (sample, histogram, target-bucket rank) before the
     // census pass — unpersisted, the fold would run 4× over the corpus
     // (measured 9.3 s vs 1.9 s at sf0.1)
-    val scored = classifierScored(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("lang"), col("logit"))
-      .persist()
+    val scored = scoredLazy.persist()
     try {
       val thresholds = graft.ops.Ranks.selectOrderStatistic(
         scored, Seq("lang"), col("logit"), pct, "threshold")
@@ -177,6 +219,48 @@ object TextStats {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Per-document adjacent-token bigram stream (doc_id, l, r): posexplode
+    * the token array while CARRYING the array, and read the right
+    * neighbour with `element_at(toks, pos + 2)` — every expression
+    * codegen'd, one narrow chain off the scan. The `lead` window form
+    * this replaces hash-partitions AND sorts the corpus-sized token
+    * stream by doc_id before a single aggregate runs — a full corpus
+    * Exchange that exists only to recover an adjacency the array still
+    * has (r13 optimization, guide §2.4: remove shuffles outright; the
+    * zip_with(slice, slice) struct form was tried first and benched
+    * SLOWER than the window — higher-order-function lambdas evaluate
+    * interpreted, per element). Docs with < 2 tokens contribute no rows,
+    * exactly like the window form's `lead IS NOT NULL` filter.
+    */
+  private def adjacentBigrams(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .filter(col("pos") < size(col("__toks")) - 1)
+      .select(col("doc_id"), col("tok").as("l"),
+        element_at(col("__toks"), col("pos") + 2).as("r"))
+
+  /** Per-document word n-gram stream off the carried token array —
+    * (doc_id, `extra`..., gram), one gram per window start with
+    * `pos <= size − n` guarding the boundary (the same surviving rows as
+    * the window form's trailing-`lead IS NOT NULL` filter, without
+    * shuffling the token stream; see [[adjacentBigrams]]).
+    */
+  private def carriedGrams(
+      docs: DataFrame, n: Int, extra: Seq[String]): DataFrame =
+    docs
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .select(col("doc_id") +: extra.map(col) :+ col("__toks") :+
+        posexplode(col("__toks")).as(Seq("pos", "tok")): _*)
+      .filter(col("pos") + n <= size(col("__toks")))
+      .withColumn("gram", concat_ws(" ",
+        col("tok") +: (1 until n).map(i =>
+          element_at(col("__toks"), col("pos") + (i + 1))): _*))
+      .select((col("doc_id") +: extra.map(col)) :+ col("gram"): _*)
+
   /** GPT-2-style pre-tokenizer regex, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
     * contractions, space-prefixed letter/digit runs, space-prefixed
@@ -224,16 +308,22 @@ object TextStats {
     * (presentation) and [[curationFunnel]] (flag consumer, no sort needed).
     */
   private def repetitionFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    def lead_(i: Int): Column = lead(col("tok"), i).over(w)
+    // neighbours read off the carried token array (the [[adjacentBigrams]]
+    // idiom) — the former lead-window form shuffled and sorted the whole
+    // token stream by doc_id before the first aggregate; CaseWhen
+    // evaluates the guarded element_at lazily, so the boundary rows never
+    // touch an out-of-range index
+    def nxt(i: Int): Column = element_at(col("__toks"), col("pos") + 1 + i)
+    def hasNxt(i: Int): Column = col("pos") + 1 + i <= size(col("__toks"))
     val gramRows = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
+      .withColumn("__toks",
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+      .select(col("doc_id"), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
       .withColumn("g2",
-        when(lead_(1).isNotNull, concat_ws(" ", col("tok"), lead_(1))))
+        when(hasNxt(1), concat_ws(" ", col("tok"), nxt(1))))
       .withColumn("g3",
-        when(lead_(2).isNotNull, concat_ws(" ", col("tok"), lead_(1), lead_(2))))
+        when(hasNxt(2), concat_ws(" ", col("tok"), nxt(1), nxt(2))))
       .select(col("doc_id"), explode(array(
         struct(lit(1).as("n"), col("tok").as("gram")),
         struct(lit(2).as("n"), col("g2").as("gram")),
@@ -623,11 +713,43 @@ object TextStats {
     */
   def qualityCalibration(
       spark: SparkSession, sfDir: String, nBuckets: Int = 10,
-      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
-    val scored = classifierScored(Tables.documents(spark, sfDir))
+      minWords: Int = 5, maxWords: Int = 100000,
+      driverScoredCap: Int = DriverScoredCap): DataFrame = {
+    import spark.implicits._
+    val scoredLazy = classifierScored(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("logit"),
         c4FlagExprs.keep(minWords, maxWords).as("__keep"))
-      .persist()
+    // Size-adaptive fast path (r13 optimization): |docs| comes from the
+    // parquet footers (driver-only, no job); under the cap one typed
+    // collect runs the expensive per-feature sha fold exactly once and
+    // the decile/census arithmetic goes local — replacing the cache
+    // build + exact-rank sample/histogram/rank jobs + report collect
+    // (~7 jobs down to 1). Integer ntile
+    // ([[graft.ops.Ranks.ntileLocal]]), integer counts, one IEEE
+    // division per bucket — bit-identical; past the cap the distributed
+    // branch below runs unchanged.
+    if (Tables.parquetRowCount(spark, sfDir, "documents") <= driverScoredCap) {
+      val rows = scoredLazy.as[(Long, Long, Boolean)].collect()
+      val n = rows.length.toLong
+      val sorted = rows.sortWith { (a, b) =>
+        if (a._2 != b._2) a._2 < b._2 else a._1 < b._1
+      }
+      return sorted.iterator.zipWithIndex
+        .map { case ((_, logit, keep), i) =>
+          (graft.ops.Ranks.ntileLocal(i + 1L, n, nBuckets), logit, keep)
+        }
+        .toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, rs) =>
+          val nDocs = rs.size.toLong
+          val nPass = rs.count(_._3).toLong
+          (b, nDocs, nPass,
+            rs.iterator.map(_._2).min, rs.iterator.map(_._2).max,
+            nPass.toDouble / nDocs.toDouble)
+        }
+        .toDF("score_decile", "n_docs", "n_rule_pass", "min_logit",
+          "max_logit", "rule_pass_rate")
+    }
+    val scored = scoredLazy.persist()
     try {
       val out = graft.ops.Ranks.withExactRank(
           scored, Nil, Seq(col("logit"), col("doc_id")), "__rk", Some("__n"))
@@ -951,26 +1073,17 @@ object TextStats {
     * the corpus (high novelty → keep even if small; near-zero → a candidate
     * to down-weight before training).
     *
-    * Scale shape: gram assembly is the one doc_id-partitioned window pass
-    * (shared shape with [[graft.ext.Contamination]]); then two hash-aggs —
+    * Scale shape: gram assembly is a narrow pass off the carried token
+    * array ([[carriedGrams]] — no corpus shuffle); then two hash-aggs —
     * per (gram → n_sources) and per source — joined on the gram. All keys
     * are gram/source-rooted, fully parallel; at 100 TB join on
     * `xxhash64(gram)` to keep shuffle rows fixed-width (string grams kept
     * here for oracle parity).
     */
   def sourceNovelty(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
-      // gram must be assembled BEFORE the boundary filter — a lead over
-      // the filtered frame would skip the dropped tail rows and corrupt
-      // the final grams of every document
-      .withColumn("__last", lead(col("tok"), n - 1).over(w))
-      .withColumn("gram", concat_ws(" ", parts: _*))
-      .filter(col("__last").isNotNull)
+    // grams off the carried token array ([[carriedGrams]]) — the former
+    // doc_id-window assembly shuffled the whole token stream first
+    val grams = carriedGrams(Tables.documents(spark, sfDir), n, Seq("source"))
       .select(col("source"), col("gram"))
       .distinct()
     val gramSpread = grams.groupBy(col("gram"))
@@ -1050,8 +1163,9 @@ object TextStats {
     * catches a mirrored crawl or a re-labeled slice before mixing weights
     * are assigned).
     *
-    * Scale shape: gram assembly is the shared doc-partitioned window
-    * pass; then one distinct (source, gram) frame self-joined on the
+    * Scale shape: gram assembly is a narrow pass off the carried token
+    * array ([[carriedGrams]]); then one distinct (source, gram) frame
+    * self-joined on the
     * gram with `source_a < source_b` — the join key is the gram, fully
     * parallel, and the output is |sources|² rows. At 100 TB join on
     * xxhash64(gram) for fixed-width shuffle rows (strings kept here for
@@ -1059,15 +1173,9 @@ object TextStats {
     */
   def sourceSimilarity(
       spark: SparkSession, sfDir: String, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w))
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
-      .withColumn("__last", lead(col("tok"), n - 1).over(w))
-      .withColumn("gram", concat_ws(" ", parts: _*))
-      .filter(col("__last").isNotNull)
+    // grams off the carried token array ([[carriedGrams]]) — no corpus
+    // Exchange+Window before the distinct
+    val grams = carriedGrams(Tables.documents(spark, sfDir), n, Seq("source"))
       .select(col("source"), col("gram"))
       .distinct()
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
@@ -1104,23 +1212,21 @@ object TextStats {
     * far inside 6dp), and the REPORT is ordered/limited by the integer
     * count with lexicographic tie-breaks, never by the float.
     *
-    * Scale shape: one tokenize pass; bigrams come from a per-doc window
-    * lead (doc-local, like [[Dedup]]'s span windows); then two hash-aggs
-    * (pair and unigram) and a broadcast of the 1-row totals. Linear,
+    * Scale shape: bigrams sliced from the token array
+    * ([[adjacentBigrams]] — no corpus shuffle); then two hash-aggs (pair
+    * and unigram) and a broadcast of the 1-row totals. Linear,
     * TakeOrdered top-k.
     */
   def pmiPairs(
       spark: SparkSession, sfDir: String,
       minCount: Int = 5, topK: Int = 50): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
-    val bigrams = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("tok").as("w1"), col("nxt").as("w2"))
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs
+      .select(explode(
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("tok"))
+    val bigrams = adjacentBigrams(docs)
+      .groupBy(col("l").as("w1"), col("r").as("w2"))
       .agg(count(lit(1)).as("pair_count"))
     val unigrams = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totals = unigrams.agg(
@@ -1185,23 +1291,23 @@ object TextStats {
     * lefts, so its continuation count is tiny. Complements [[pmiPairs]]
     * (association) with the smoothing-table view of the same bigram pass.
     *
-    * Scale shape: one tokenize pass; bigrams from the doc-local window
-    * lead; three hash-aggs (unigram count + two distinct-context aggs,
-    * each shuffling (word, context) pairs once); TakeOrdered top-k. The
+    * Scale shape: one tokenize pass; bigrams sliced from the token array
+    * ([[adjacentBigrams]] — no corpus shuffle); three hash-aggs (unigram
+    * count + two distinct-context aggs, each shuffling (word, context)
+    * pairs once); TakeOrdered top-k. The
     * distinct aggs are the expand — at 100 TB swap for
     * approx_count_distinct, exact here for oracle parity.
     */
   def knContinuationCounts(
       spark: SparkSession, sfDir: String, topK: Int = 30): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
-    val bigrams = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("tok").as("l"), col("nxt").as("r"))
+    val docs = Tables.documents(spark, sfDir)
+    // bigrams from the token array ([[adjacentBigrams]]) — no corpus
+    // Exchange+Window; the unigram census explodes without positions
+    val toks = docs
+      .select(explode(
+        expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
+          .as("tok"))
+    val bigrams = adjacentBigrams(docs).select(col("l"), col("r"))
     val uni = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n_unigram"))
       .select(col("tok").as("word"), col("n_unigram"))
@@ -1245,22 +1351,17 @@ object TextStats {
     * direct round(sum/n, 6) form diverged at sf0.1 on doc 3611, whose
     * mean is exactly −3.4163865 but whose double is a hair BELOW it.
     *
-    * Scale shape: one tokenize pass feeds both the model aggs and the
-    * per-doc bigram stream; the stream joins the bigram table on (l,r)
-    * and the two word-level tables on their single keys — all hash
-    * joins on token keys, fully parallel, no window beyond the doc-local
-    * lead, no driver materialization.
+    * Scale shape: bigrams are sliced from the token array
+    * ([[adjacentBigrams]] — narrow, no corpus shuffle anywhere); the
+    * stream joins the bigram table on (l,r) and the two word-level
+    * tables on their single keys — all hash joins on token keys, fully
+    * parallel, no driver materialization.
     */
   def knScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        posexplode(expr("""filter(split(lower(text), '\\s+'), t -> t <> '')"""))
-          .as(Seq("pos", "tok")))
-    val docBigrams = toks
-      .withColumn("nxt", lead(col("tok"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), col("tok").as("l"), col("nxt").as("r"))
+    // bigrams from the token array ([[adjacentBigrams]]) — both executions
+    // of the stream (the model build and the scoring join) drop the
+    // corpus-wide Exchange+Window the posexplode/lead form paid
+    val docBigrams = adjacentBigrams(Tables.documents(spark, sfDir))
     // the bigram table feeds FOUR consumers (left totals, continuation
     // counts, the type total, and the per-doc stream join); without the
     // reliable checkpoint each consumer re-runs the tokenize + window
@@ -1371,8 +1472,46 @@ object TextStats {
     * before returning (library convention for call-scoped caches).
     */
   def perplexityBuckets(
-      spark: SparkSession, sfDir: String, nBuckets: Int = 4): DataFrame = {
-    val scored = lmScored(spark, sfDir).persist()
+      spark: SparkSession, sfDir: String, nBuckets: Int = 4,
+      driverScoredCap: Int = DriverScoredCap): DataFrame = {
+    import spark.implicits._
+    val scoredLazy = lmScored(spark, sfDir)
+    // Size-adaptive fast path (r13 optimization, the [[graft.ext.Graph]]
+    // discipline): the scored frame is |docs| rows of four fixed-width
+    // numbers, and |docs| is already known from the parquet FOOTERS — a
+    // driver-only metadata probe, cheaper than a limit-probe whose
+    // executeTake re-fetches the final stage in growing rounds. Under the
+    // cap, one typed collect (executing the lmScored pipeline exactly
+    // once — no call-scoped cache needed) plus local ntile/aggregate
+    // arithmetic replaces the cache build, the two-level rank's
+    // sample/histogram/rank-join jobs and the report collect: ~7
+    // scheduled jobs down to 1. The ntile CASE is the identical integer
+    // arithmetic ([[graft.ops.Ranks.ntileLocal]]), sums are integer,
+    // min/max are order-independent — bit-identical report; past the cap
+    // the distributed exact-rank branch runs unchanged.
+    if (Tables.parquetRowCount(spark, sfDir, "documents") <= driverScoredCap) {
+      val rows = scoredLazy.select(col("doc_id"), col("n_tokens"),
+        col("rank_sum"), col("mean_rank")).as[(Long, Long, Long, Double)]
+        .collect()
+      val n = rows.length.toLong
+      val sorted = rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._4, b._4)
+        if (c != 0) c < 0 else a._1 < b._1
+      }
+      return sorted.iterator.zipWithIndex
+        .map { case ((_, toks, rsum, mean), i) =>
+          (graft.ops.Ranks.ntileLocal(i + 1L, n, nBuckets), toks, rsum, mean)
+        }
+        .toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, rs) =>
+          (b, rs.size.toLong, rs.iterator.map(_._2).sum,
+            rs.iterator.map(_._3).sum,
+            rs.iterator.map(_._4).min, rs.iterator.map(_._4).max)
+        }
+        .toDF("ppl_bucket", "n_docs", "total_tokens", "total_rank_sum",
+          "min_mean_rank", "max_mean_rank")
+    }
+    val scored = scoredLazy.persist()
     try {
       val out = graft.ops.Ranks.withExactRank(
           scored, Nil, Seq(col("mean_rank"), col("doc_id")), "__rk",

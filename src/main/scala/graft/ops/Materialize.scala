@@ -60,4 +60,18 @@ object Materialize {
       df.sparkSession.read.parquet(dir)
     }
   }
+
+  /** Probe-collect a typed frame for a size-adaptive driver fast path:
+    * `Some(rows)` when it fits `cap` (the probe IS the collect —
+    * `limit(cap+1)`, one scheduled job, no separate count), `None` past
+    * it, where the caller takes its distributed branch. The
+    * [[graft.ext.Graph]] family's discipline, hoisted here so every
+    * report with a driver-sized intermediate shares one helper. Past the
+    * cap the single wasted pass costs what a `count()` probe would have.
+    */
+  def collectIfDriverSized[T](
+      ds: org.apache.spark.sql.Dataset[T], cap: Int): Option[Array[T]] = {
+    val rows = ds.limit(cap + 1).collect()
+    if (rows.length <= cap) Some(rows) else None
+  }
 }

@@ -189,6 +189,19 @@ object Ranks {
          |            div ($nCol div $b) + 1
          |END AS INT)""".stripMargin)
 
+  /** [[ntileFromRank]] as driver-side integer arithmetic — the identical
+    * CASE, for size-adaptive fast paths that rank a collected frame
+    * locally. `rank` is 1-based; callers guarantee `1 <= rank <= n`
+    * (which keeps the `n div b == 0` else-branch division unreachable,
+    * exactly as in the SQL form).
+    */
+  def ntileLocal(rank: Long, n: Long, b: Int): Int = {
+    val q = n / b
+    val r = n % b
+    if (rank <= (q + 1) * r) ((rank - 1) / (q + 1) + 1).toInt
+    else (r + (rank - (q + 1) * r - 1) / q + 1).toInt
+  }
+
   /** Core: given a deterministic `bucket` expression monotone non-decreasing
     * in `orderKeys` (within every `partCols` group), attach the exact rank.
     *   1. histogram: `groupBy(part, bucket).count` — map-side combinable,

@@ -430,6 +430,20 @@ class PipelineOpsSpec extends SparkSpec {
       rows(Graph.partTriangles(spark, sf, driverEdgeCap = 0)))
   }
 
+  test("rank reports: driver fast path == distributed branch (r13)") {
+    // driverScoredCap = 0 forces the distributed exact-rank machinery; the
+    // default takes the footer-probed collect + local ntile/census path.
+    // Same rows, same order — the optimization contract.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(TextStats.perplexityBuckets(spark, sf)) ===
+      rows(TextStats.perplexityBuckets(spark, sf, driverScoredCap = 0)))
+    assert(rows(TextStats.qualityCalibration(spark, sf)) ===
+      rows(TextStats.qualityCalibration(spark, sf, driverScoredCap = 0)))
+    assert(rows(TextStats.qualityThresholdByLang(spark, sf)) ===
+      rows(TextStats.qualityThresholdByLang(spark, sf, driverScoredCap = 0)))
+  }
+
   test("clusterBalancedSample: per-cell quota, disjoint, deterministic") {
     import spark.implicits._
     val s1 = Similarity.clusterBalancedSample(spark, sf)
